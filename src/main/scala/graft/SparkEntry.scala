@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{LlmQueries, Q, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers here as a
+  * named query over the testdata lake plus (when SQL-expressible) a
+  * DuckDB oracle for the differential correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All registered queries, one per operator family. */
+  def allQueries: Seq[Q] = RelationalQueries.all ++ LlmQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A compact customer-360 slice: left-join + aggregate + value-segment
+    * ladder (reference `sql/customer_360_views.sql:376-515`). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), lit(0.0))
+          .as("total_spend"))
+      .withColumn("value_segment",
+        functions.Cleansing.valueSegment(col("total_spend")))
+      .orderBy("c_custkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

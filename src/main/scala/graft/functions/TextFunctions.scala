@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the LLM-training-data pipeline ops
+  * (north-star extensions beyond the reference surface; see SURVEY.md §7.1
+  * module `ext`). Pure `Column` expressions — codegen-friendly, no UDFs,
+  * so they vectorize over 100 TB document scans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Count of occurrences of one exact token. */
+  def tokenOccurrences(text: Column, token: String): Column =
+    size(filter(tokens(text), t => t === token)).cast("long")
+
+  /** Ratio of characters in [a-z ] after lowercasing — an "is mostly
+    * clean prose" signal for quality scoring. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** Heuristic quality score in [0,1]: length band + stopword presence.
+    * Deterministic, SQL-expressible (mirrors the DuckDB oracle). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    round(
+      when(n.between(20, 2000), lit(0.5)).otherwise(lit(0.0)) +
+        least(stop.cast("double") * 5 / nullif(n, lit(0)).cast("double"), lit(0.5)),
+      4)
+  }
+
+  /** N-gram-marker language ID: score each candidate language by marker
+    * token hits, pick the argmax (ties → earlier entry). Marker sets are
+    * caller-supplied so tests can pin real multi-language fixtures. */
+  def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, ws) =>
+      lang -> ws.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Word k-shingles (distinct), the unit of MinHash/Jaccard dedup.
+    * Empty array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Vocabulary fingerprint: md5 over the sorted distinct token set.
+    * Two documents with identical vocabulary collide — a cheap
+    * order-insensitive near-dup key (rolling-hash analog). */
+  def vocabFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** One MinHash signature component: min over md5("p<i>|" + shingle).
+    * Using md5 keeps the permutation family portable (identical in any
+    * engine) and uniformly distributed; min over hex strings is a valid
+    * min-wise hash because hex compare = byte compare. Aggregate this
+    * over an exploded shingle column. */
+  def minhashAgg(shingle: Column, perm: Int): Column =
+    min(md5(concat(lit(s"p$perm|"), shingle)))
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` testdata tables — the north-star extensions beyond the
+  * reference surface (text analysis, exact + near dedup, similarity
+  * search, multimodal plumbing).
+  *
+  * Scale design: every near-dup / similarity operator is bucketed
+  * (LSH bands, fingerprints, shared-shingle join) — candidate
+  * generation never enumerates all pairs, so the plans survive 100 TB
+  * document sets; the only pairwise work happens inside buckets.
+  * All hashing is md5-based so the DuckDB oracle computes bit-identical
+  * signatures.
+  */
+object LlmQueries {
+
+  // ----------------------------------------------------------- text stats
+  /** Text analysis: token counting, stopword stats, alpha ratio, quality
+    * score, marker-based language ID — one codegen'd projection pass. */
+  private val textStats = Q(
+    "text_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val markers = Seq(
+        "en" -> Seq("the", "a"),
+        "es" -> Seq("la", "el"),
+        "de" -> Seq("der", "und"))
+      d.select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("char_cnt"),
+        TextFunctions.tokenCount(col("text")).as("token_cnt"),
+        TextFunctions.tokenOccurrences(col("text"), "the").as("the_cnt"),
+        round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"),
+        TextFunctions.languageId(col("text"), markers).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) AS char_cnt,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+             CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS the_cnt,
+             round(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                   / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS alpha_ratio,
+             round(
+               (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END)
+               + least(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                            + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS DOUBLE) * 5
+                       / CAST(nullif(len(string_split(text, ' ')), 0) AS DOUBLE), 0.5),
+               4) AS quality_score,
+             CASE
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) >=
+                    greatest(len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')),
+                             len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')))
+                    AND len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) > 0
+               THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) >=
+                    len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und'))
+                    AND len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) > 0
+               THEN 'es'
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')) > 0
+               THEN 'de'
+               ELSE 'und' END AS lang_guess
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------- fingerprint
+  /** Document fingerprinting: md5 over the sorted vocabulary; cluster
+    * size via a count window — order-insensitive near-dup key. */
+  private val fingerprint = Q(
+    "doc_fingerprint",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.vocabFingerprint(col("text")).as("fp"))
+      d.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, fp, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size
+      FROM (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM documents) t
+      ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact dedup by content hash: one shuffle on md5(text), survivor =
+    * lowest doc_id (deterministic). */
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) => {
+      Dedup.exactByHash(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM (SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents d) t
+      WHERE rn = 1 ORDER BY doc_id"""),
+  )
+
+  // -------------------------------------------------------- MinHash + LSH
+  /** Near-dup dedup: 3-word shingles → 12 md5 MinHash components →
+    * 4 LSH bands of 3 → banded self-join for candidates → exact shingle
+    * Jaccard on candidates only.
+    *
+    * 100 TB story: the band join buckets documents so pairwise work is
+    * confined to same-band collisions (expected O(n · dups)); with 12
+    * hashes in 4 bands the match threshold is ≈ (1/4)^(1/3) ≈ 0.63
+    * Jaccard. No all-pairs stage exists in the plan.
+    */
+  private val minhash = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val nPerm = 12
+      val bandSize = 3
+      val d = Tables.documents(s, dir)
+      val sh = d.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      val sig = sh.groupBy("doc_id").agg(
+        TextFunctions.minhashAgg(col("shingle"), 0).as("h0"),
+        (1 until nPerm).map(i => TextFunctions.minhashAgg(col("shingle"), i).as(s"h$i")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until nPerm / bandSize).map { b =>
+          md5(concat_ws("|", lit(b.toString) +:
+            (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*))
+        }: _*)).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      sig AS (SELECT doc_id,
+                min(md5('p0|' || shingle)) AS h0, min(md5('p1|' || shingle)) AS h1,
+                min(md5('p2|' || shingle)) AS h2, min(md5('p3|' || shingle)) AS h3,
+                min(md5('p4|' || shingle)) AS h4, min(md5('p5|' || shingle)) AS h5,
+                min(md5('p6|' || shingle)) AS h6, min(md5('p7|' || shingle)) AS h7,
+                min(md5('p8|' || shingle)) AS h8, min(md5('p9|' || shingle)) AS h9,
+                min(md5('p10|' || shingle)) AS h10, min(md5('p11|' || shingle)) AS h11
+              FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', h0, h1, h2)),
+                  md5(concat_ws('|', '1', h3, h4, h5)),
+                  md5(concat_ws('|', '2', h6, h7, h8)),
+                  md5(concat_ws('|', '3', h9, h10, h11))]) AS band
+                FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON c.doc_a = sa.doc_id
+                JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b)
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                   / CAST(na.n + nb.n - coalesce(i.inter, 0) AS DOUBLE), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes na ON c.doc_a = na.doc_id
+      JOIN sizes nb ON c.doc_b = nb.doc_id
+      ORDER BY c.doc_a, c.doc_b"""),
+  )
+
+  // -------------------------------------------------------------- SimHash
+  /** SimHash near-dup signature: 16 bits, bit b = majority of the high
+    * bit of md5 hex digit b+1 over the distinct token set. Identical
+    * signatures → near-dup cluster. Portable (pure md5/substr), no
+    * bit-twiddling that differs across engines. */
+  private val simhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val bits = 16
+      val tok = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("w"))
+      val withBits = tok.select(col("doc_id") +:
+        (0 until bits).map { b =>
+          (instr(substring(md5(col("w")), b + 1, 1), "8") +
+            instr(substring(md5(col("w")), b + 1, 1), "9") +
+            instr(substring(md5(col("w")), b + 1, 1), "a") +
+            instr(substring(md5(col("w")), b + 1, 1), "b") +
+            instr(substring(md5(col("w")), b + 1, 1), "c") +
+            instr(substring(md5(col("w")), b + 1, 1), "d") +
+            instr(substring(md5(col("w")), b + 1, 1), "e") +
+            instr(substring(md5(col("w")), b + 1, 1), "f")).cast("long").as(s"b$b")
+        }: _*)
+      val agg = withBits.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        (0 until bits).map(b => sum(col(s"b$b")).as(s"ones$b")): _*)
+      val sim = agg.select(col("doc_id"),
+        (0 until bits).map { b =>
+          when(col(s"ones$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+      sim.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                   FROM documents),
+      bits AS (SELECT doc_id, md5(w) AS h FROM tok),
+      agg AS (SELECT doc_id, count(*) AS n,
+        """ + (0 until 16).map(b =>
+          s"sum(CASE WHEN strpos('89abcdef', substr(h, ${b + 1}, 1)) > 0 THEN 1 ELSE 0 END) AS ones$b")
+          .mkString(",\n        ") + """
+        FROM bits GROUP BY doc_id),
+      sim AS (SELECT doc_id,
+        """ + (0 until 16).map(b =>
+          s"(CASE WHEN ones$b * 2 >= n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+          .mkString(" +\n        ") + """ AS simhash
+        FROM agg)
+      SELECT doc_id, simhash,
+             CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_size
+      FROM sim ORDER BY doc_id"""),
+  )
+
+  // ------------------------------------------------------------ ANN top-k
+  /** Brute-force cosine top-k against a fixed query vector (vec_id 0).
+    * Components are quantized to 1e-6 integers (floor) so the dot
+    * product is exact 64-bit arithmetic — order-independent and
+    * bit-identical in any engine; only the final score is a double.
+    * This is the correctness baseline; `ext.Similarity` holds the fast
+    * double-precision production path and the LSH-bucketed scale path.
+    */
+  private val annTopK = Q(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .withColumn("xq", floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+      val qv = e.filter(col("vec_id") === 0).select(col("pos"), col("xq").as("qq"))
+      val qn = qv.agg(sum(col("qq") * col("qq")).as("qnorm2"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(qv), "pos")
+        .groupBy("vec_id")
+        .agg(sum(col("xq") * col("qq")).as("dot"), sum(col("xq") * col("xq")).as("norm2"))
+        .crossJoin(broadcast(qn))
+        .select(col("vec_id"),
+          round(col("dot").cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
+                 FROM embeddings),
+      eq AS (SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq FROM e),
+      q AS (SELECT pos, xq AS qq FROM eq WHERE vec_id = 0),
+      qn AS (SELECT sum(qq * qq) AS qnorm2 FROM q),
+      d AS (SELECT vec_id, sum(xq * qq) AS dot, sum(xq * xq) AS norm2
+            FROM eq JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
+      SELECT vec_id,
+             round(CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS cosine
+      FROM d, qn
+      ORDER BY cosine DESC, vec_id LIMIT 10"""),
+  )
+
+  // ----------------------------------------------------------- multimodal
+  /** Multimodal plumbing (relational part): opaque binary payload +
+    * typed metadata + deterministic content digest + a "thumbnail"
+    * byte-slice. The decode/feature-extract stage lives in
+    * `ext.Multimodal` (mapPartitions with a stubbed decoder). */
+  private val multimodal = Q(
+    "multimodal_metadata",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("blob_md5"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        base64(expr("substring(cast(text as binary), 1, 16)")).as("head_b64"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source, n_chars,
+             md5(text) AS blob_md5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             to_base64(encode(substr(text, 1, 16))) AS head_b64
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(
+    textStats, fingerprint, dedupExact, minhash, simhash, annTopK, multimodal)
+}

@@ -1,0 +1,552 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cleansing
+import graft.operators.{Dedup, Incremental, Upsert}
+
+/** The relational operator suite over the driver testdata lake.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2 (the
+  * reference's SQL surface, `sql/customer_360_views.sql`,
+  * `scripts/glue_vehicle_sales_etl.py`, `scripts/lambda_redshift_to_segment.py`,
+  * `identity-resolution/database-schema.sql` in
+  * bill-hoerr/automotive-data-pipeline-demo) as an idiomatic Spark
+  * DataFrame pipeline, with a DuckDB oracle for the differential gate.
+  *
+  * Scale notes (100 TB): every query is a declarative plan — predicate
+  * pushdown / column pruning reach the parquet scan; windows and
+  * aggregations shuffle once on their natural key; anti-joins replace
+  * NOT-IN lists; top-k compiles to TakeOrderedAndProject (per-partition
+  * heap + k-row driver merge, never a global sort).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a 2-dp double column. */
+  private def sumd(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- W1/W2
+  /** W1/W2 — dedup-by-window "latest row per key"
+    * (reference `sql/customer_360_views.sql:71-74,262-265`). */
+  private val w1 = Q(
+    "w1_latest_event",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      Dedup
+        .latestByKey(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, ts, value
+      FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events e) t
+      WHERE rn = 1 ORDER BY user_id"""),
+  )
+
+  // ------------------------------------------------------------------ W3
+  /** W3 — purchase sequence number
+    * (reference `sql/customer_360_views.sql:350-353`). */
+  private val w3 = Q(
+    "w3_order_sequence",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      Dedup
+        .sequenceNumber(o, Seq("o_custkey"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), "purchase_seq")
+        .withColumn("purchase_seq", col("purchase_seq").cast("long"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "purchase_seq")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS purchase_seq
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  // --------------------------------------------------------------- A4+W4
+  /** A4+W4 — aggregate per (key, dim), then window over the aggregate
+    * with a 2-key tiebreak: "primary dealership per customer"
+    * (reference `sql/customer_360_views.sql:531-541`). */
+  private val w4 = Q(
+    "w4_primary_event_type",
+    (s, dir) => {
+      val agg = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"), max(col("ts")).as("last_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("last_ts").desc, col("event_type").asc)
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_type, cnt, last_ts
+      FROM (SELECT user_id, event_type, count(*) AS cnt, max(ts) AS last_ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY count(*) DESC, max(ts) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type) t
+      WHERE rn = 1 ORDER BY user_id"""),
+  )
+
+  // ------------------------------------------------------------------ A1
+  /** A1 — count/sum/avg/min/max groupBy (reference
+    * `sql/customer_360_views.sql:397-401,422-425`). Partial (map-side)
+    * aggregation is automatic; one shuffle on the grouping key. */
+  private val a1 = Q(
+    "a1_pricing_summary",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_price"),
+          (sumd(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             min(l_discount) AS min_disc, max(l_tax) AS max_tax
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  // ------------------------------------------------------------------ A2
+  /** A2 — conditional counts `COUNT(CASE WHEN …)`
+    * (reference `sql/customer_360_views.sql:412-417`). */
+  private val a2 = Q(
+    "a2_conditional_counts",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("total"),
+          count_if(col("o_orderstatus") === "F").as("n_f"),
+          count_if(col("o_orderstatus") === "O").as("n_o"),
+          count_if(col("o_orderstatus") === "P").as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS total,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  // ------------------------------------------------------------------ A3
+  /** A3 — ARRAY_AGG(DISTINCT x ORDER BY y DESC): distinct brands ordered
+    * by most recent ship date (reference `sql/customer_360_views.sql:407-408`).
+    * Redshift leaves the order engine-defined; we DEFINE ours as
+    * (last_ship DESC, brand ASC) and express it as a two-level aggregate —
+    * no custom UDAF, stays codegen-friendly, 2 shuffles total.
+    */
+  private val a3 = Q(
+    "a3_brands_by_recency",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      val perBrand = li.groupBy("o_custkey", "p_brand")
+        .agg(max(col("l_shipdate").cast("date")).as("last_ship"))
+      perBrand.groupBy("o_custkey")
+        .agg(expr(
+          """transform(
+               array_sort(collect_list(struct(last_ship, p_brand)),
+                 (l, r) -> CASE WHEN l.last_ship > r.last_ship THEN -1
+                                WHEN l.last_ship < r.last_ship THEN 1
+                                WHEN l.p_brand < r.p_brand THEN -1
+                                WHEN l.p_brand > r.p_brand THEN 1
+                                ELSE 0 END),
+               x -> x.p_brand)""").as("brands_by_recency"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, array_agg(p_brand ORDER BY last_ship DESC, p_brand) AS brands_by_recency
+      FROM (SELECT o_custkey, p_brand, max(CAST(l_shipdate AS DATE)) AS last_ship
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY o_custkey, p_brand) t
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+  )
+
+  // --------------------------------------------------------------- A5/A7
+  /** A5/A7 — FILTER(WHERE) aggregates + daily rollup
+    * (reference `identity-resolution/database-schema.sql:304-317,345-357`). */
+  private val a5 = Q(
+    "a5_daily_event_stats",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      // event_date as an ISO string, not DATE: date-typed outputs are
+      // representation-ambiguous across the oracle boundary.
+      e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(
+          count(lit(1)).as("total"),
+          count_if(col("event_type") === "click").as("clicks"),
+          count_if(col("event_type") === "error").as("errors"),
+          countDistinct(col("user_id")).as("users"),
+          sumd(col("value")).as("sum_value"),
+          (sumd(col("value")) / count(lit(1))).as("avg_value"))
+        .orderBy("event_date")
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS total,
+             count(*) FILTER (WHERE event_type = 'click') AS clicks,
+             count(*) FILTER (WHERE event_type = 'error') AS errors,
+             count(DISTINCT user_id) AS users,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY event_date"""),
+  )
+
+  // --------------------------------------------------------------- A6/O3
+  /** A6 — COUNT(DISTINCT) + NULLIF-guarded rate + HAVING; O3 — ORDER BY
+    * … DESC NULLS LAST (reference `identity-resolution/database-schema.sql:320-342`). */
+  private val a6 = Q(
+    "a6_event_type_rates",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("user_id")).as("users"),
+          round(count_if(col("value") > 50).cast("double") * 100 /
+            nullif(count(lit(1)), lit(0)), 2).as("high_value_rate"))
+        .filter(col("total") >= 10)
+        .orderBy(col("high_value_rate").desc_nulls_last, col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS users,
+             round(CAST(count(*) FILTER (WHERE value > 50) AS DOUBLE) * 100
+                   / nullif(count(*), 0), 2) AS high_value_rate
+      FROM events GROUP BY event_type
+      HAVING count(*) >= 10
+      ORDER BY high_value_rate DESC NULLS LAST, event_type"""),
+  )
+
+  // ------------------------------------------------------------------ J1
+  /** J1+A8 — profiles ⟕ history feeding aggregation (reference
+    * `sql/customer_360_views.sql:420-425`). The 1500-row customer side is
+    * broadcast by AQE; at 100 TB the join shuffles on the key with
+    * map-side partial aggregation. */
+  private val j1 = Q(
+    "j1_customer_order_totals",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          coalesce(sumd(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------------------ O3
+  /** O3 — NULLS LAST ranking over a left-join aggregate (customers with
+    * no orders keep NULL spend; reference `database-schema.sql:342`). */
+  private val o3 = Q(
+    "o3_spend_ranking",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(sumd(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").desc_nulls_last, col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY total_spend DESC NULLS LAST, c_custkey"""),
+  )
+
+  // ------------------------------------------------------------------ J3
+  /** J3 — join-as-existence-filter → LEFT SEMI (reference
+    * `sql/customer_360_views.sql:629-635`): never multiplies rows, and
+    * Spark broadcasts the filtered build side. */
+  private val j3 = Q(
+    "j3_building_segment_orders",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT * FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey"""),
+  )
+
+  // ------------------------------------------------------------------ J9
+  /** J9 — exclusion anti-join replacing the reference's materialized
+    * `NOT IN (…)` list (`scripts/lambda_redshift_to_segment.py:159-163`). */
+  private val j9 = Q(
+    "j9_orders_excluding_negative_balance",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bad = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+      o.join(bad, o("o_custkey") === bad("c_custkey"), "left_anti")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+      ORDER BY o_orderkey"""),
+  )
+
+  // ------------------------------------------------------------------ J5
+  /** J5/ST4 — session join with a 24h time window (reference
+    * `README.md:83-88`): equi-join on the user key plus an interval
+    * predicate — the range filter rides on the hash join, no theta join. */
+  private val j5 = Q(
+    "j5_click_purchase_24h",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      clicks.join(purchases, "user_id")
+        .filter(col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+      ORDER BY c.user_id, click_id, purchase_id"""),
+  )
+
+  // ------------------------------------------------------------------ O2
+  /** O2 — top-k (reference `scripts/lambda_redshift_to_segment.py:207-208`):
+    * compiles to TakeOrderedAndProject, never a global sort. */
+  private val o2 = Q(
+    "o2_top_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+    Some("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+  )
+
+  // ----------------------------------------------------------------- SET
+  /** SET — DISTINCT / EXCEPT / UNION (SURVEY §2.7). */
+  private val setOps = Q(
+    "set_customer_buckets",
+    (s, dir) => {
+      val active = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      val negative = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      val all = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      active.except(negative).withColumn("bucket", lit("active_ok"))
+        .unionByName(all.except(active).withColumn("bucket", lit("inactive")))
+        .orderBy("bucket", "custkey")
+    },
+    Some("""
+      SELECT custkey, 'active_ok' AS bucket
+      FROM (SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0) a
+      UNION ALL
+      SELECT custkey, 'inactive' AS bucket
+      FROM (SELECT c_custkey AS custkey FROM customer
+            EXCEPT SELECT DISTINCT o_custkey FROM orders) i
+      ORDER BY bucket, custkey"""),
+  )
+
+  // -------------------------------------------------------- P3-P8 + U2/U3
+  /** P3-P8 + cleansing library (U2/U3/F-str/F-re/F-cond) — the
+    * customer_profiles cleansing block re-expressed over testdata
+    * (reference `sql/customer_360_views.sql:77-186`). Emails/phones are
+    * derived deterministically so the cleansing rules have real work:
+    * dummy domains → NULL, short phones → NULL, soft-deleted rows drop. */
+  private val pClean = Q(
+    "p_clean_customer_profile",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("raw_email",
+          when(col("c_custkey") % 10 === 0, lit("  NoEmail@dealer.com "))
+            .when(col("c_custkey") % 7 === 0,
+              concat(lit("user"), col("c_custkey").cast("string"), lit("@Example.COM")))
+            .otherwise(concat(lit("Cust_"), col("c_custkey").cast("string"), lit("@Shop.Net"))))
+        .withColumn("raw_phone",
+          when(col("c_custkey") % 5 === 0, lit("555-01"))
+            .otherwise(concat(lit("+1 (555) 010-"),
+              lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))))
+        .withColumn("soft_deleted",
+          when(col("c_custkey") % 97 === 0, lit(true)).otherwise(lit(null).cast("boolean")))
+      c.filter(Cleansing.notSoftDeleted(col("soft_deleted")))
+        .select(
+          col("c_custkey"),
+          Cleansing.cleanEmail(col("raw_email")).as("clean_email"),
+          Cleansing.normalizePhone(col("raw_phone")).as("phone10"),
+          Cleansing.isContactable(col("raw_email"), col("raw_phone")).as("contactable"),
+          Cleansing.valueSegment(col("c_acctbal") * 20).as("value_segment"),
+          col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").as("is_priority"),
+          col("c_acctbal").between(0, 5000).as("mid_balance"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN '  NoEmail@dealer.com '
+                    WHEN c_custkey % 7 = 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@Example.COM'
+                    ELSE 'Cust_' || CAST(c_custkey AS VARCHAR) || '@Shop.Net' END AS raw_email,
+               CASE WHEN c_custkey % 5 = 0 THEN '555-01'
+                    ELSE '+1 (555) 010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END AS raw_phone,
+               CASE WHEN c_custkey % 97 = 0 THEN TRUE ELSE NULL END AS soft_deleted
+        FROM customer),
+      cleaned AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, raw_email, raw_phone,
+               CASE WHEN lower(trim(raw_email)) <> ''
+                         AND regexp_matches(lower(trim(raw_email)), '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$')
+                         AND NOT regexp_matches(lower(trim(raw_email)), '(?i)(noemail|nomail|none@|test@|example\.com|dealer\.com)')
+                    THEN lower(trim(raw_email)) END AS clean_email,
+               CASE WHEN length(regexp_replace(coalesce(raw_phone, ''), '[^0-9]', '', 'g')) >= 10
+                    THEN right(regexp_replace(coalesce(raw_phone, ''), '[^0-9]', '', 'g'), 10) END AS phone10
+        FROM raw
+        WHERE coalesce(soft_deleted, FALSE) = FALSE)
+      SELECT c_custkey, clean_email, phone10,
+             (clean_email IS NOT NULL OR phone10 IS NOT NULL) AS contactable,
+             CASE WHEN c_acctbal * 20 >= 100000 THEN 'platinum'
+                  WHEN c_acctbal * 20 >= 50000 THEN 'gold'
+                  WHEN c_acctbal * 20 >= 25000 THEN 'silver'
+                  ELSE 'bronze' END AS value_segment,
+             c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS is_priority,
+             c_acctbal BETWEEN 0 AND 5000 AS mid_balance
+      FROM cleaned ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------ P2/F-cast/F-json
+  /** P2 — per-column cast map ("DMS exports all fields as strings",
+    * reference `scripts/glue_vehicle_sales_etl.py:182-266`) + try_cast +
+    * JSON extraction (F-json). */
+  private val p2 = Q(
+    "p2_typed_casts",
+    (s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        expr("try_cast(event_type AS BIGINT)").as("k_bad"),
+        date_format(col("ts").cast("date"), "yyyy-MM-dd").as("event_date"),
+        // string → decimal(18,2) cast map, surfaced as double so the
+        // output type is oracle-unambiguous (the decimal hop still runs)
+        col("value").cast("decimal(18,2)").cast("double").as("value_dec"),
+        col("user_id").cast("string").as("user_str"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             TRY_CAST(event_type AS BIGINT) AS k_bad,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
+             CAST(user_id AS VARCHAR) AS user_str
+      FROM events ORDER BY event_id"""),
+  )
+
+  // --------------------------------------------- P8/P10/F-date/F-hash/U6
+  /** P8/P10 — literal + derived column injection, deterministic md5
+    * messageId (U6), date functions (reference
+    * `sql/customer_360_views.sql:85,687`; `lambda_redshift_to_segment.py:316-325`). */
+  private val p8 = Q(
+    "p8_event_shaping",
+    (s, dir) => {
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(lit("AUTO-"), col("o_custkey").cast("string")).as("auto_user_id"),
+        lit("Vehicle Sale").as("data_source"),
+        Cleansing.messageId(lit("purchase"), col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string")).as("message_id"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        datediff(lit("2024-06-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_before_asof"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             'AUTO-' || CAST(o_custkey AS VARCHAR) AS auto_user_id,
+             'Vehicle Sale' AS data_source,
+             md5(concat_ws('_', 'purchase', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))) AS message_id,
+             strftime(o_orderdate, '%Y-%m') AS order_month,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS BIGINT) AS days_before_asof
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  // -------------------------------------------------------------- S5/J8
+  /** S5/J8 — idempotent upsert as LEFT ANTI + UNION (reference
+    * `scripts/glue_vehicle_sales_etl.py:277-288,368-377`). */
+  private val s5 = Q(
+    "s5_upsert_orders",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val staging = o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Upsert.upsert(target, staging, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+           staging AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+                       FROM orders WHERE o_orderkey % 5 = 0)
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+        SELECT t.o_orderkey, t.o_custkey, t.o_totalprice, t.o_orderstatus FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM staging st WHERE st.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM staging) u
+      ORDER BY o_orderkey"""),
+  )
+
+  // -------------------------------------------------------------- S8/J9
+  /** S8 — incremental extraction: high-water date range + processed-set
+    * anti-join + deterministic top-k batch (reference
+    * `scripts/lambda_redshift_to_segment.py:137-230`). */
+  private val s8 = Q(
+    "s8_incremental_batch",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val processed = e.filter(col("event_id") % 7 === 0).select("event_id")
+      Incremental.nextBatch(e, processed, "event_id", "ts",
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"),
+        Seq(col("ts").desc, col("event_id").desc), 1000)
+    },
+    Some("""
+      SELECT * FROM events e
+      WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+        AND e.event_id % 7 <> 0
+      ORDER BY ts DESC, event_id DESC LIMIT 1000"""),
+  )
+
+  val all: Seq[Q] = Seq(
+    w1, w3, w4, a1, a2, a3, a5, a6, j1, o3, j3, j9, j5, o2, setOps,
+    pClean, p2, p8, s5, s8)
+}
