@@ -10,58 +10,80 @@ import org.apache.spark.sql.functions._
   * bill-hoerr/automotive-data-pipeline-demo) as pure `Column`
   * functions — no UDFs, so everything stays inside Catalyst
   * whole-stage codegen and is pushdown/prune-friendly at 100 TB.
+  *
+  * Semantics match the reference exactly, including its quirks (see
+  * each function's note); `~*` (POSIX case-insensitive) becomes a
+  * `(?i)` Java-regex prefix — the patterns used are dialect-neutral.
   */
 object Cleansing {
 
   /** Valid-email cleanse (reference `customer_360_views.sql:93-101`):
-    * lowercase+trim, then NULL unless it matches a sane address shape
-    * and is not a known dummy/placeholder. `~*` (POSIX case-insensitive
-    * regex) becomes a `(?i)` Java-regex prefix.
+    * reject dummy prefixes (`no@`, `noemail@`, …) and test domains,
+    * require an `@` + dotted domain, then LOWER(TRIM(…)).
+    *
+    * Faithful quirk: the regexes run against the RAW value, so
+    * `"  NoEmail@x.com"` (leading spaces) dodges the `^(…)@` prefix
+    * check and survives — exactly as in the reference.
     */
-  def cleanEmail(email: Column): Column = {
-    val e = lower(trim(email))
+  def cleanEmail(email: Column): Column =
     when(
-      e.isNotNull && (e =!= "") &&
-        e.rlike("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$") &&
-        !e.rlike("(?i)(noemail|nomail|none@|test@|example\\.com|dealer\\.com)"),
-      e
+      email.isNotNull && (email =!= "") &&
+        !email.rlike("(?i)^(no|nothanks|none|noemail|no.email|na)@") &&
+        !email.rlike("(?i)(@example.com|@test.com|@invalid.com)") &&
+        email.rlike("(?i)@.+\\..+"),
+      lower(trim(email))
     ).otherwise(lit(null).cast("string"))
-  }
 
-  /** Digits-only phone, NULL unless >= 10 digits
-    * (reference `customer_360_views.sql:103-109`). Keeps the last 10
-    * digits so "1-800-..." and bare numbers normalize identically.
-    */
+  /** Digits-only phone, NULL unless >= 10 digits; keeps ALL digits
+    * (reference `customer_360_views.sql:103-109`). */
   def normalizePhone(phone: Column): Column = {
-    val digits = regexp_replace(coalesce(phone, lit("")), "[^0-9]", "")
-    when(length(digits) >= 10, substring(digits, -10, 10))
+    val digits = regexp_replace(phone, "[^0-9]", "")
+    when(phone.isNotNull && (phone =!= "") && length(digits) >= 10, digits)
       .otherwise(lit(null).cast("string"))
   }
 
-  /** M/F/NULL normalization (reference `customer_360_views.sql:119-123`). */
-  def normalizeGender(g: Column): Column = {
-    val u = upper(trim(g))
-    when(u.isin("M", "MALE"), "M")
-      .when(u.isin("F", "FEMALE"), "F")
-      .otherwise(lit(null).cast("string"))
-  }
+  /** Male/Female/Unknown normalization via the reference's exact IN
+    * lists (`customer_360_views.sql:119-123`) — note `F` but not `FeMale`
+    * etc.; unlisted spellings fall to Unknown. */
+  def normalizeGender(g: Column): Column =
+    when(g.isin("M", "Male", "MALE", "m"), "Male")
+      .when(g.isin("F", "Female", "FEMALE", "f"), "Female")
+      .otherwise("Unknown")
 
   /** Calendar-year age (reference uses EXTRACT(YEAR) diff, not floored
-    * age — `customer_360_views.sql:129`). */
+    * age — `customer_360_views.sql:127-131`). NULL birthdate → NULL. */
   def ageYears(birthDate: Column, asOf: Column): Column =
-    year(asOf) - year(birthDate)
+    when(birthDate.isNotNull, year(asOf) - year(birthDate))
+      .otherwise(lit(null).cast("int"))
 
-  /** Recency bucket ladder (reference `customer_360_views.sql:161-167`):
-    * days-since → label. Bucket edges inclusive on the lower side.
-    */
-  def recencyBucket(lastDate: Column, asOf: Column): Column = {
-    val d = datediff(asOf, lastDate)
-    when(d <= 30, "active_30d")
-      .when(d <= 90, "active_90d")
-      .when(d <= 365, "active_1y")
-      .when(d <= 730, "active_2y")
-      .otherwise("dormant")
+  /** Generation bucket ladder (reference `customer_360_views.sql:133-143`). */
+  def generation(birthDate: Column, asOf: Column): Column = {
+    val age = year(asOf) - year(birthDate)
+    when(birthDate.isNull, "Unknown")
+      .when(age < 25, "Gen Z (Under 25)")
+      .when(age < 40, "Millennial (25-39)")
+      .when(age < 55, "Gen X (40-54)")
+      .when(age < 75, "Boomer (55-74)")
+      .otherwise("Silent (75+)")
   }
+
+  /** Service-recency bucket (reference `customer_360_views.sql:161-167`). */
+  def serviceRecency(lastServiceDate: Column, asOf: Column): Column =
+    when(lastServiceDate.isNull, "Never Serviced")
+      .when(lastServiceDate >= date_sub(asOf, 90), "Recent (0-90 days)")
+      .when(lastServiceDate >= date_sub(asOf, 180), "Moderate (91-180 days)")
+      .when(lastServiceDate >= date_sub(asOf, 365), "Distant (181-365 days)")
+      .otherwise("Inactive (365+ days)")
+
+  /** Purchase-recency bucket (reference `customer_360_views.sql:358-364`).
+    * `contractDate` is a timestamp; the date bound is promoted to
+    * midnight, matching the warehouse coercion. */
+  def purchaseRecency(contractDate: Column, asOf: Column): Column =
+    when(contractDate >= date_sub(asOf, 30), "Recent (0-30 days)")
+      .when(contractDate >= date_sub(asOf, 90), "Moderate (31-90 days)")
+      .when(contractDate >= date_sub(asOf, 365), "Past Year (91-365 days)")
+      .when(contractDate >= date_sub(asOf, 1095), "Historical (1-3 years)")
+      .otherwise("Legacy (3+ years)")
 
   /** Null dates sort to the sentinel 999999 days (reference
     * `customer_360_views.sql:462-470`). */
@@ -69,7 +91,9 @@ object Cleansing {
     coalesce(datediff(asOf, dateCol), lit(999999))
 
   /** Value-segment ladder (reference `customer_360_views.sql:473-482`,
-    * boundaries 100000/50000/25000). */
+    * boundaries 100000/50000/25000 — plain-value variant used by the
+    * flagship entry; the full 8-way customer_segment ladder lives in
+    * views.Customer360). */
   def valueSegment(totalSpend: Column): Column =
     when(totalSpend >= 100000, "platinum")
       .when(totalSpend >= 50000, "gold")
@@ -86,13 +110,17 @@ object Cleansing {
   def messageId(parts: Column*): Column =
     md5(concat_ws("_", parts: _*))
 
-  /** Contactability predicate (reference `customer_360_views.sql:181-186`):
-    * valid email OR >=10-digit phone. */
+  /** Contactability predicate on RAW contact fields (reference
+    * `customer_360_views.sql:181-186`): loosely-valid email OR
+    * >=10-digit phone. Note this is looser than [[cleanEmail]] — a
+    * test-domain email still counts as contactable, faithfully. */
   def isContactable(email: Column, phone: Column): Column =
-    cleanEmail(email).isNotNull || normalizePhone(phone).isNotNull
+    (email.isNotNull && (email =!= "") && email.rlike("(?i)@.+\\..+")) ||
+      (phone.isNotNull && (phone =!= "") &&
+        length(regexp_replace(phone, "[^0-9]", "")) >= 10)
 
   /** Soft-delete filter predicate (reference `customer_360_views.sql:77-80`):
     * row survives when every flag is NULL or false. */
   def notSoftDeleted(flags: Column*): Column =
-    flags.map(f => coalesce(f, lit(false)) === lit(false)).reduce(_ && _)
+    flags.map(f => f.isNull || f === lit(false)).reduce(_ && _)
 }

@@ -1,0 +1,649 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.views.Customer360
+
+/** Correctness entries for the six customer-360 views (reference
+  * `sql/customer_360_views.sql:23-742`).
+  *
+  * The testdata lake is TPC-H-shaped, so a deterministic, SQL-expressible
+  * mapping synthesizes `customer_master` / `vehicle_sales`-shaped inputs
+  * from `orders ⋈ customer` (dirty emails/phones, soft-delete flags,
+  * duplicate record versions, multi-branch activity). The REAL view code
+  * (`views.Customer360`) then runs over those inputs, and the DuckDB
+  * oracle replicates mapping + view semantics — so every view is
+  * exercised end-to-end through the differential gate.
+  *
+  * Output types are pinned via [[DomainQueries.pin]] (decimal→double,
+  * date→ISO string, int→long) per the determinism rules in [[Q]].
+  */
+object DomainQueries {
+
+  private val asOf = lit("2024-06-01").cast("date")
+
+  /** Oracle-unambiguous output types; see Q's determinism rules. */
+  private def pin(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case DateType       => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+        case IntegerType    => col(f.name).cast("long").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Spark-side synthetic sources (mirrored 1:1 by the SQL CTEs below)
+  // ------------------------------------------------------------------
+
+  /** customer_master-shaped rows: one version per order (dedup fodder),
+    * dirty contact data, soft-delete flags. */
+  private[queries] def customerMaster(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val k = col("o_custkey")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(
+        k.cast("string").as("custno"),
+        when(k % 19 === 0, lit(""))
+          .when(k % 23 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("First"), (k % 50).cast("string"))).as("firstname"),
+        col("c_name").as("lastname"),
+        when(k % 10 === 0, lit("none@x.com"))
+          .when(k % 10 === 1, concat(lit("USER"), k.cast("string"), lit("@Example.COM")))
+          .when(k % 10 === 2, lit(null).cast("string"))
+          .when(k % 10 === 3, lit("bad-email"))
+          .otherwise(concat(lit("Cust"), k.cast("string"), lit("@Shop.Net"))).as("email"),
+        when(k % 5 === 0, lit("555-01"))
+          .when(k % 5 === 1, lit(null).cast("string"))
+          .otherwise(concat(lit("+1 (555) 010-"),
+            lpad((k % 10000).cast("string"), 4, "0"))).as("telephone"),
+        lit(" 12 Main St ").as("address"),
+        lit(null).cast("string").as("addresssecondline"),
+        lit(" Springfield").as("city"),
+        lit(" tx ").as("state"),
+        concat(lit("750"), lpad((k % 100).cast("string"), 2, "0"), lit("-ab"))
+          .as("ziporpostalcode"),
+        when(k % 8 === 0, "M").when(k % 8 === 1, "m").when(k % 8 === 2, "Male")
+          .when(k % 8 === 3, "F").when(k % 8 === 4, "f").when(k % 8 === 5, "FEMALE")
+          .when(k % 8 === 6, "x").otherwise(lit(null).cast("string")).as("gender"),
+        when(k % 11 === 0, lit(null).cast("date"))
+          .otherwise(date_add(lit("1950-01-01").cast("date"),
+            (k * 137 % 20000).cast("int"))).as("birthdate"),
+        when(k % 13 === 0, lit("Spanish")).otherwise(lit(null).cast("string"))
+          .as("preferredlanguage"),
+        (k % 4 === 0).as("blockemail"),
+        (k % 6 === 0).as("blockphone"),
+        (k % 7 === 0).as("blockmail"),
+        (k % 9 === 0).as("optoutflag"),
+        when(k % 9 === 0, lit("2024-01-15").cast("date")).otherwise(lit(null).cast("date"))
+          .as("optoutdate"),
+        (k % 41 === 0).as("deletedataflag"),
+        when(k % 31 === 0, lit(true)).otherwise(lit(null).cast("boolean")).as("isdeleted"),
+        when(k % 8 === 0, lit(null).cast("date"))
+          .otherwise(date_sub(lit("2024-06-01").cast("date"),
+            (k * 7 % 600).cast("int"))).as("lastservicedate"),
+        col("o_totalprice").cast("decimal(18,2)").as("ytdpurchases"),
+        when(k % 8 === 0, lit(null).cast("decimal(18,2)"))
+          .otherwise((k % 3000).cast("decimal(18,2)")).as("totallabor"),
+        when(k % 12 === 0, lit(null).cast("decimal(18,2)"))
+          .otherwise((k % 2000).cast("decimal(18,2)")).as("totalparts"),
+        expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate)")
+          .as("lastupdated"),
+        expr("CAST(date_sub(CAST(o_orderdate AS DATE), 1000) AS TIMESTAMP)")
+          .as("dateadded"))
+  }
+
+  /** vehicle_sales-shaped rows: one deal per order plus a modified later
+    * version for every 4th deal (latest-version-wins fodder). */
+  private[queries] def vehicleSales(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey")
+    val base = o.select(
+      k.as("okey"),
+      concat(lit("D"), k.cast("string")).as("dealno"),
+      when((col("o_custkey") + k) % 4 === 0, "FORD-MAIN")
+        .when((col("o_custkey") + k) % 4 === 1, "TOYOTA-NORTH")
+        .when((col("o_custkey") + k) % 4 === 2, "CHEV-SOUTH")
+        .otherwise("WEST-LOT").as("branch"),
+      col("o_custkey").cast("string").as("custno"),
+      when(k % 29 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("VIN"), lpad(k.cast("string"), 9, "0"))).as("vin"),
+      concat(lit("S"), k.cast("string")).as("stockno"),
+      (k % 30 + 1995).cast("string").as("year"),
+      when(k % 5 === 0, "Ford").when(k % 5 === 1, "Toyota").when(k % 5 === 2, "Chevrolet")
+        .when(k % 5 === 3, "Honda").otherwise("BMW").as("makename"),
+      concat(lit("Model-"), (k % 7).cast("string")).as("modelname"),
+      when(k % 3 === 0, "Sedan").when(k % 3 === 1, "SUV").otherwise("Truck").as("bodystyle"),
+      when(k % 6 === 0, "White").when(k % 6 === 1, "Black").when(k % 6 === 2, "Silver")
+        .when(k % 6 === 3, "Blue").when(k % 6 === 4, "Red").otherwise("Green").as("color"),
+      (k % 100000).cast("decimal(18,2)").as("vehiclemileage"),
+      when(k % 4 === 0, "NEW CAR").when(k % 4 === 1, "used vehicle")
+        .when(k % 4 === 2, "Certified pre-owned").otherwise("DEMO").as("modeltype"),
+      when(k % 3 === 0, "CASH DEAL").when(k % 3 === 1, "Retail Finance")
+        .otherwise("Smart Lease").as("saletype"),
+      when(k % 2 === 0, "Retail").otherwise("Wholesale").as("dealtype"),
+      col("o_totalprice").cast("decimal(18,2)").as("cashprice"),
+      (col("o_totalprice").cast("decimal(18,2)") - 500).as("costprice"),
+      (col("o_totalprice").cast("decimal(18,2)") + 250).as("outthedoorprice"),
+      (k % 5000).cast("decimal(18,2)").as("totalgross"),
+      (k % 3000).cast("decimal(18,2)").as("frontgross"),
+      (k % 1500).cast("decimal(18,2)").as("backgross"),
+      when(k % 6 === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise((k % 2000).cast("decimal(18,2)")).as("customercashdown"),
+      (k % 2500).cast("decimal(18,2)").as("totaldown"),
+      when(k % 3 === 1, lit("Big Bank")).otherwise(lit(null).cast("string"))
+        .as("financesource"),
+      when(k % 3 === 1, col("o_totalprice").cast("decimal(18,2)") - 250)
+        .otherwise(lit(null).cast("decimal(19,2)")).as("financeamt"),
+      (k % 25).cast("decimal(18,2)").as("apr"),
+      ((k % 6 + 1) * 12).cast("decimal(18,0)").as("term"),
+      (k % 900).cast("decimal(18,2)").as("paymentamt"),
+      when(k % 3 === 0, concat(lit("TVIN"), k.cast("string")))
+        .otherwise(lit(null).cast("string")).as("trade1vin"),
+      when(k % 3 === 0, (k % 5000 + 500).cast("decimal(18,2)"))
+        .otherwise(lit(null).cast("decimal(18,2)")).as("trade1acv"),
+      when(k % 3 === 0, (k % 3500).cast("decimal(18,2)"))
+        .otherwise(lit(null).cast("decimal(18,2)")).as("trade1payoff"),
+      when(k % 3 === 0, (k % 4000 - 2000).cast("decimal(18,2)"))
+        .otherwise(lit(null).cast("decimal(18,2)")).as("nettrade1"),
+      when(k % 3 === 0, (k % 25 + 1990).cast("string"))
+        .otherwise(lit(null).cast("string")).as("trade1year"),
+      when(k % 3 === 0, lit("Mazda")).otherwise(lit(null).cast("string"))
+        .as("trade1makename"),
+      when(k % 3 === 0, concat(lit("M"), (k % 5).cast("string")))
+        .otherwise(lit(null).cast("string")).as("trade1modelname"),
+      when(k % 3 === 2, lit("Closed")).otherwise(lit(null).cast("string")).as("leasetype"),
+      when(k % 3 === 2, (k % 700).cast("decimal(18,2)"))
+        .otherwise(lit(null).cast("decimal(18,2)")).as("leasepayment"),
+      when(k % 3 === 2, (k % 3 * 2500 + 10000).cast("decimal(18,2)"))
+        .otherwise(lit(null).cast("decimal(18,2)")).as("leasemileageallowance"),
+      when(k % 3 === 2, col("o_totalprice").cast("decimal(18,2)") - 1000)
+        .otherwise(lit(null).cast("decimal(19,2)")).as("leaseendvalue"),
+      concat(lit("Mgr"), (k % 10).cast("string")).as("crmsalesmgrname"),
+      concat(lit("SP"), (k % 25).cast("string")).as("crmsp1name"),
+      (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("salesdate"),
+      col("o_orderdate").as("contractdate"),
+      expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate)")
+        .as("rowlastupdatedutc"))
+    val updated = base.filter(col("okey") % 4 === 0)
+      .withColumn("color", lit("UPDATED"))
+      .withColumn("outthedoorprice", col("outthedoorprice") + 1000)
+      .withColumn("rowlastupdatedutc", col("rowlastupdatedutc") + expr("INTERVAL 1 DAY"))
+    base.unionByName(updated)
+  }
+
+  // ------------------------------------------------------------------
+  // Shared DuckDB CTE prelude mirroring the mapping + profile/history
+  // views; each entry's oracle is WITH <prelude> <body>.
+  // ------------------------------------------------------------------
+
+  private val CM_SQL = """
+    SELECT CAST(o_custkey AS VARCHAR) AS custno,
+      CASE WHEN o_custkey % 19 = 0 THEN '' WHEN o_custkey % 23 = 0 THEN NULL
+           ELSE 'First' || CAST(o_custkey % 50 AS VARCHAR) END AS firstname,
+      c_name AS lastname,
+      CASE WHEN o_custkey % 10 = 0 THEN 'none@x.com'
+           WHEN o_custkey % 10 = 1 THEN 'USER' || CAST(o_custkey AS VARCHAR) || '@Example.COM'
+           WHEN o_custkey % 10 = 2 THEN NULL
+           WHEN o_custkey % 10 = 3 THEN 'bad-email'
+           ELSE 'Cust' || CAST(o_custkey AS VARCHAR) || '@Shop.Net' END AS email,
+      CASE WHEN o_custkey % 5 = 0 THEN '555-01'
+           WHEN o_custkey % 5 = 1 THEN NULL
+           ELSE '+1 (555) 010-' || lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0') END AS telephone,
+      ' 12 Main St ' AS address, CAST(NULL AS VARCHAR) AS addresssecondline,
+      ' Springfield' AS city, ' tx ' AS state,
+      '750' || lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0') || '-ab' AS ziporpostalcode,
+      CASE o_custkey % 8 WHEN 0 THEN 'M' WHEN 1 THEN 'm' WHEN 2 THEN 'Male'
+           WHEN 3 THEN 'F' WHEN 4 THEN 'f' WHEN 5 THEN 'FEMALE' WHEN 6 THEN 'x'
+           ELSE NULL END AS gender,
+      CASE WHEN o_custkey % 11 = 0 THEN NULL
+           ELSE DATE '1950-01-01' + CAST(o_custkey * 137 % 20000 AS INT) END AS birthdate,
+      CASE WHEN o_custkey % 13 = 0 THEN 'Spanish' END AS preferredlanguage,
+      o_custkey % 4 = 0 AS blockemail, o_custkey % 6 = 0 AS blockphone,
+      o_custkey % 7 = 0 AS blockmail, o_custkey % 9 = 0 AS optoutflag,
+      CASE WHEN o_custkey % 9 = 0 THEN DATE '2024-01-15' END AS optoutdate,
+      o_custkey % 41 = 0 AS deletedataflag,
+      CASE WHEN o_custkey % 31 = 0 THEN TRUE END AS isdeleted,
+      CASE WHEN o_custkey % 8 = 0 THEN NULL
+           ELSE DATE '2024-06-01' - CAST(o_custkey * 7 % 600 AS INT) END AS lastservicedate,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS ytdpurchases,
+      CASE WHEN o_custkey % 8 = 0 THEN NULL
+           ELSE CAST(o_custkey % 3000 AS DECIMAL(18,2)) END AS totallabor,
+      CASE WHEN o_custkey % 12 = 0 THEN NULL
+           ELSE CAST(o_custkey % 2000 AS DECIMAL(18,2)) END AS totalparts,
+      o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS lastupdated,
+      CAST((CAST(o_orderdate AS DATE) - 1000) AS TIMESTAMP) AS dateadded
+    FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+  private val VSBASE_SQL = """
+    SELECT o_orderkey AS okey,
+      'D' || CAST(o_orderkey AS VARCHAR) AS dealno,
+      CASE (o_custkey + o_orderkey) % 4 WHEN 0 THEN 'FORD-MAIN' WHEN 1 THEN 'TOYOTA-NORTH'
+           WHEN 2 THEN 'CHEV-SOUTH' ELSE 'WEST-LOT' END AS branch,
+      CAST(o_custkey AS VARCHAR) AS custno,
+      CASE WHEN o_orderkey % 29 = 0 THEN NULL
+           ELSE 'VIN' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') END AS vin,
+      'S' || CAST(o_orderkey AS VARCHAR) AS stockno,
+      CAST(o_orderkey % 30 + 1995 AS VARCHAR) AS "year",
+      CASE o_orderkey % 5 WHEN 0 THEN 'Ford' WHEN 1 THEN 'Toyota' WHEN 2 THEN 'Chevrolet'
+           WHEN 3 THEN 'Honda' ELSE 'BMW' END AS makename,
+      'Model-' || CAST(o_orderkey % 7 AS VARCHAR) AS modelname,
+      CASE o_orderkey % 3 WHEN 0 THEN 'Sedan' WHEN 1 THEN 'SUV' ELSE 'Truck' END AS bodystyle,
+      CASE o_orderkey % 6 WHEN 0 THEN 'White' WHEN 1 THEN 'Black' WHEN 2 THEN 'Silver'
+           WHEN 3 THEN 'Blue' WHEN 4 THEN 'Red' ELSE 'Green' END AS color,
+      CAST(o_orderkey % 100000 AS DECIMAL(18,2)) AS vehiclemileage,
+      CASE o_orderkey % 4 WHEN 0 THEN 'NEW CAR' WHEN 1 THEN 'used vehicle'
+           WHEN 2 THEN 'Certified pre-owned' ELSE 'DEMO' END AS modeltype,
+      CASE o_orderkey % 3 WHEN 0 THEN 'CASH DEAL' WHEN 1 THEN 'Retail Finance'
+           ELSE 'Smart Lease' END AS saletype,
+      CASE o_orderkey % 2 WHEN 0 THEN 'Retail' ELSE 'Wholesale' END AS dealtype,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS cashprice,
+      CAST(o_totalprice AS DECIMAL(18,2)) - 500 AS costprice,
+      CAST(o_totalprice AS DECIMAL(18,2)) + 250 AS outthedoorprice,
+      CAST(o_orderkey % 5000 AS DECIMAL(18,2)) AS totalgross,
+      CAST(o_orderkey % 3000 AS DECIMAL(18,2)) AS frontgross,
+      CAST(o_orderkey % 1500 AS DECIMAL(18,2)) AS backgross,
+      CASE WHEN o_orderkey % 6 = 0 THEN NULL
+           ELSE CAST(o_orderkey % 2000 AS DECIMAL(18,2)) END AS customercashdown,
+      CAST(o_orderkey % 2500 AS DECIMAL(18,2)) AS totaldown,
+      CASE WHEN o_orderkey % 3 = 1 THEN 'Big Bank' END AS financesource,
+      CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_totalprice AS DECIMAL(18,2)) - 250 END AS financeamt,
+      CAST(o_orderkey % 25 AS DECIMAL(18,2)) AS apr,
+      CAST((o_orderkey % 6 + 1) * 12 AS DECIMAL(18,0)) AS term,
+      CAST(o_orderkey % 900 AS DECIMAL(18,2)) AS paymentamt,
+      CASE WHEN o_orderkey % 3 = 0 THEN 'TVIN' || CAST(o_orderkey AS VARCHAR) END AS trade1vin,
+      CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 5000 + 500 AS DECIMAL(18,2)) END AS trade1acv,
+      CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 3500 AS DECIMAL(18,2)) END AS trade1payoff,
+      CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 4000 - 2000 AS DECIMAL(18,2)) END AS nettrade1,
+      CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 25 + 1990 AS VARCHAR) END AS trade1year,
+      CASE WHEN o_orderkey % 3 = 0 THEN 'Mazda' END AS trade1makename,
+      CASE WHEN o_orderkey % 3 = 0 THEN 'M' || CAST(o_orderkey % 5 AS VARCHAR) END AS trade1modelname,
+      CASE WHEN o_orderkey % 3 = 2 THEN 'Closed' END AS leasetype,
+      CASE WHEN o_orderkey % 3 = 2 THEN CAST(o_orderkey % 700 AS DECIMAL(18,2)) END AS leasepayment,
+      CASE WHEN o_orderkey % 3 = 2 THEN CAST(o_orderkey % 3 * 2500 + 10000 AS DECIMAL(18,2)) END AS leasemileageallowance,
+      CASE WHEN o_orderkey % 3 = 2 THEN CAST(o_totalprice AS DECIMAL(18,2)) - 1000 END AS leaseendvalue,
+      'Mgr' || CAST(o_orderkey % 10 AS VARCHAR) AS crmsalesmgrname,
+      'SP' || CAST(o_orderkey % 25 AS VARCHAR) AS crmsp1name,
+      o_orderdate + INTERVAL 2 DAY AS salesdate,
+      o_orderdate AS contractdate,
+      o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS rowlastupdatedutc
+    FROM orders"""
+
+  private val VSM_SQL = """
+    SELECT * FROM vsbase
+    UNION ALL
+    SELECT okey, dealno, branch, custno, vin, stockno, "year", makename, modelname,
+      bodystyle, 'UPDATED' AS color, vehiclemileage, modeltype, saletype, dealtype,
+      cashprice, costprice, outthedoorprice + 1000 AS outthedoorprice, totalgross,
+      frontgross, backgross, customercashdown, totaldown, financesource, financeamt,
+      apr, term, paymentamt, trade1vin, trade1acv, trade1payoff, nettrade1,
+      trade1year, trade1makename, trade1modelname, leasetype, leasepayment,
+      leasemileageallowance, leaseendvalue, crmsalesmgrname, crmsp1name,
+      salesdate, contractdate, rowlastupdatedutc + INTERVAL 1 DAY AS rowlastupdatedutc
+    FROM vsbase WHERE okey % 4 = 0"""
+
+  private val CP_SQL = """
+    SELECT 'AUTO-' || custno AS user_id, custno, firstname, lastname,
+      CASE WHEN email IS NOT NULL AND email <> ''
+                AND NOT regexp_matches(email, '^(no|nothanks|none|noemail|no.email|na)@', 'i')
+                AND NOT regexp_matches(email, '(@example.com|@test.com|@invalid.com)', 'i')
+                AND regexp_matches(email, '@.+\..+', 'i')
+           THEN lower(trim(email)) END AS email,
+      CASE WHEN telephone IS NOT NULL AND telephone <> ''
+                AND length(regexp_replace(telephone, '[^0-9]', '', 'g')) >= 10
+           THEN regexp_replace(telephone, '[^0-9]', '', 'g') END AS phone,
+      trim(address) AS address, trim(addresssecondline) AS address2,
+      trim(city) AS city, upper(trim(state)) AS state,
+      regexp_replace(ziporpostalcode, '[^0-9-]', '', 'g') AS zip,
+      CASE WHEN gender IN ('M','Male','MALE','m') THEN 'Male'
+           WHEN gender IN ('F','Female','FEMALE','f') THEN 'Female'
+           ELSE 'Unknown' END AS gender,
+      birthdate,
+      CASE WHEN birthdate IS NOT NULL
+           THEN year(DATE '2024-06-01') - year(birthdate) END AS age,
+      CASE WHEN birthdate IS NULL THEN 'Unknown'
+           WHEN year(DATE '2024-06-01') - year(birthdate) < 25 THEN 'Gen Z (Under 25)'
+           WHEN year(DATE '2024-06-01') - year(birthdate) < 40 THEN 'Millennial (25-39)'
+           WHEN year(DATE '2024-06-01') - year(birthdate) < 55 THEN 'Gen X (40-54)'
+           WHEN year(DATE '2024-06-01') - year(birthdate) < 75 THEN 'Boomer (55-74)'
+           ELSE 'Silent (75+)' END AS generation,
+      coalesce(preferredlanguage, 'English') AS preferred_language,
+      coalesce(blockemail, false) AS email_opt_out,
+      coalesce(blockphone, false) AS phone_opt_out,
+      coalesce(blockmail, false) AS mail_opt_out,
+      coalesce(optoutflag, false) AS marketing_opt_out,
+      optoutdate AS opt_out_date,
+      coalesce(ytdpurchases, 0) AS ytd_purchases,
+      coalesce(totallabor + totalparts, 0) AS lifetime_service_value,
+      lastservicedate AS last_service_date,
+      CASE WHEN lastservicedate IS NULL THEN 'Never Serviced'
+           WHEN lastservicedate >= (DATE '2024-06-01' - 90) THEN 'Recent (0-90 days)'
+           WHEN lastservicedate >= (DATE '2024-06-01' - 180) THEN 'Moderate (91-180 days)'
+           WHEN lastservicedate >= (DATE '2024-06-01' - 365) THEN 'Distant (181-365 days)'
+           ELSE 'Inactive (365+ days)' END AS service_recency,
+      dateadded AS customer_since,
+      year(DATE '2024-06-01') - year(dateadded) AS customer_tenure_years,
+      lastupdated AS last_updated
+    FROM (SELECT cm.*, row_number() OVER (PARTITION BY custno
+                  ORDER BY lastupdated DESC, dateadded DESC) AS customer_rank
+          FROM cm
+          WHERE (isdeleted IS NULL OR isdeleted = false)
+            AND (deletedataflag IS NULL OR deletedataflag = false)) t
+    WHERE customer_rank = 1
+      AND firstname IS NOT NULL AND firstname <> ''
+      AND lastname IS NOT NULL AND lastname <> ''
+      AND ((email IS NOT NULL AND email <> '' AND regexp_matches(email, '@.+\..+', 'i'))
+           OR (telephone IS NOT NULL AND telephone <> ''
+               AND length(regexp_replace(telephone, '[^0-9]', '', 'g')) >= 10))"""
+
+  private val VH_SQL = """
+    SELECT 'AUTO-' || custno AS user_id, custno, dealno AS deal_number, vin,
+      stockno AS stock_number, makename AS make, modelname AS model, "year",
+      bodystyle AS body_style, color,
+      CASE WHEN modeltype ILIKE '%new%' THEN 'New'
+           WHEN modeltype ILIKE '%used%' THEN 'Used'
+           WHEN modeltype ILIKE '%certified%' THEN 'Certified Pre-Owned'
+           ELSE modeltype END AS vehicle_condition,
+      vehiclemileage AS odometer_reading,
+      CASE WHEN saletype ILIKE '%cash%' THEN 'Cash'
+           WHEN saletype ILIKE '%finance%' THEN 'Financed'
+           WHEN saletype ILIKE '%lease%' THEN 'Lease'
+           ELSE saletype END AS transaction_type,
+      dealtype AS deal_category, branch AS dealership_location,
+      cashprice AS vehicle_price, outthedoorprice AS total_price,
+      costprice AS dealer_cost, totalgross AS total_gross_profit,
+      frontgross AS vehicle_gross_profit, backgross AS finance_insurance_profit,
+      customercashdown AS cash_down, totaldown AS total_down_payment,
+      financesource AS lender, financeamt AS amount_financed,
+      apr AS interest_rate, term AS finance_term_months, paymentamt AS monthly_payment,
+      trade1vin AS trade_vin, trade1acv AS trade_actual_value,
+      trade1payoff AS trade_payoff, nettrade1 AS trade_equity,
+      trade1year || ' ' || trade1makename || ' ' || trade1modelname AS trade_vehicle_description,
+      leasetype AS lease_type, leasepayment AS lease_payment,
+      leasemileageallowance AS lease_mile_allowance, leaseendvalue AS lease_residual_value,
+      crmsalesmgrname AS sales_manager, crmsp1name AS salesperson,
+      contractdate AS purchase_date, salesdate AS delivery_date,
+      row_number() OVER (PARTITION BY custno ORDER BY contractdate, dealno) AS purchase_sequence,
+      date_diff('day', CAST(contractdate AS DATE), DATE '2024-06-01') AS days_since_purchase,
+      CASE WHEN contractdate >= (DATE '2024-06-01' - 30) THEN 'Recent (0-30 days)'
+           WHEN contractdate >= (DATE '2024-06-01' - 90) THEN 'Moderate (31-90 days)'
+           WHEN contractdate >= (DATE '2024-06-01' - 365) THEN 'Past Year (91-365 days)'
+           WHEN contractdate >= (DATE '2024-06-01' - 1095) THEN 'Historical (1-3 years)'
+           ELSE 'Legacy (3+ years)' END AS purchase_recency,
+      rowlastupdatedutc AS last_updated
+    FROM (SELECT vsm.*, row_number() OVER (PARTITION BY dealno
+                  ORDER BY rowlastupdatedutc DESC, vin) AS deal_rank
+          FROM vsm
+          WHERE custno IS NOT NULL AND vin IS NOT NULL AND contractdate IS NOT NULL) r
+    WHERE deal_rank = 1"""
+
+  private def withPrelude(body: String): String =
+    s"""WITH cm AS ($CM_SQL),
+        vsbase AS ($VSBASE_SQL),
+        vsm AS ($VSM_SQL),
+        cp AS ($CP_SQL),
+        vh AS ($VH_SQL)
+        $body"""
+
+  // ------------------------------------------------------------------ entries
+
+  private val vProfiles = Q(
+    "v_customer_profiles",
+    (s, dir) => pin(Customer360.customerProfiles(customerMaster(s, dir), asOf))
+      .orderBy("custno"),
+    Some(withPrelude("""
+      SELECT user_id, custno, firstname, lastname, email, phone, address, address2,
+             city, state, zip, gender,
+             strftime(birthdate, '%Y-%m-%d') AS birthdate,
+             CAST(age AS BIGINT) AS age, generation, preferred_language,
+             email_opt_out, phone_opt_out, mail_opt_out, marketing_opt_out,
+             strftime(opt_out_date, '%Y-%m-%d') AS opt_out_date,
+             CAST(ytd_purchases AS DOUBLE) AS ytd_purchases,
+             CAST(lifetime_service_value AS DOUBLE) AS lifetime_service_value,
+             strftime(last_service_date, '%Y-%m-%d') AS last_service_date,
+             service_recency, customer_since,
+             CAST(customer_tenure_years AS BIGINT) AS customer_tenure_years,
+             last_updated
+      FROM cp ORDER BY custno""")),
+  )
+
+  private val vHistory = Q(
+    "v_vehicle_history",
+    (s, dir) => pin(Customer360.vehicleHistory(vehicleSales(s, dir), asOf))
+      .orderBy("deal_number"),
+    Some(withPrelude("""
+      SELECT user_id, custno, deal_number, vin, stock_number, make, model, "year",
+             body_style, color, vehicle_condition,
+             CAST(odometer_reading AS DOUBLE) AS odometer_reading,
+             transaction_type, deal_category, dealership_location,
+             CAST(vehicle_price AS DOUBLE) AS vehicle_price,
+             CAST(total_price AS DOUBLE) AS total_price,
+             CAST(dealer_cost AS DOUBLE) AS dealer_cost,
+             CAST(total_gross_profit AS DOUBLE) AS total_gross_profit,
+             CAST(vehicle_gross_profit AS DOUBLE) AS vehicle_gross_profit,
+             CAST(finance_insurance_profit AS DOUBLE) AS finance_insurance_profit,
+             CAST(cash_down AS DOUBLE) AS cash_down,
+             CAST(total_down_payment AS DOUBLE) AS total_down_payment,
+             lender, CAST(amount_financed AS DOUBLE) AS amount_financed,
+             CAST(interest_rate AS DOUBLE) AS interest_rate,
+             CAST(finance_term_months AS DOUBLE) AS finance_term_months,
+             CAST(monthly_payment AS DOUBLE) AS monthly_payment,
+             trade_vin, CAST(trade_actual_value AS DOUBLE) AS trade_actual_value,
+             CAST(trade_payoff AS DOUBLE) AS trade_payoff,
+             CAST(trade_equity AS DOUBLE) AS trade_equity,
+             trade_vehicle_description, lease_type,
+             CAST(lease_payment AS DOUBLE) AS lease_payment,
+             CAST(lease_mile_allowance AS DOUBLE) AS lease_mile_allowance,
+             CAST(lease_residual_value AS DOUBLE) AS lease_residual_value,
+             sales_manager, salesperson, purchase_date, delivery_date,
+             CAST(purchase_sequence AS BIGINT) AS purchase_sequence,
+             CAST(days_since_purchase AS BIGINT) AS days_since_purchase,
+             purchase_recency, last_updated
+      FROM vh ORDER BY deal_number""")),
+  )
+
+  private val vSegments = Q(
+    "v_customer_segments",
+    (s, dir) => pin(Customer360.customerSegments(
+      Customer360.customerProfiles(customerMaster(s, dir), asOf),
+      Customer360.vehicleHistory(vehicleSales(s, dir), asOf), asOf))
+      .orderBy("custno"),
+    Some(withPrelude("""
+      , sbase AS (
+        SELECT cp.user_id, cp.custno, cp.firstname, cp.lastname, cp.email, cp.phone,
+               cp.state, cp.zip, cp.age, cp.generation, cp.customer_tenure_years,
+               cp.last_service_date, cp.lifetime_service_value,
+               vh.deal_number, vh.total_price, vh.purchase_date, vh.make,
+               vh.vehicle_condition, vh.cash_down, vh.transaction_type,
+               vh.trade_vin, vh.trade_equity
+        FROM cp LEFT JOIN vh ON cp.user_id = vh.user_id),
+      m AS (
+        SELECT user_id, custno, firstname, lastname, email, phone, state, zip, age,
+               generation, customer_tenure_years, last_service_date, lifetime_service_value,
+               count(deal_number) AS total_purchases,
+               sum(total_price) AS lifetime_purchase_value,
+               CAST(sum(total_price) AS DOUBLE) / count(total_price) AS avg_purchase_value,
+               max(purchase_date) AS last_purchase_date,
+               min(purchase_date) AS first_purchase_date,
+               CAST(sum(cash_down) AS DOUBLE) / count(cash_down) AS avg_down_payment,
+               count(*) FILTER (WHERE transaction_type = 'Cash') AS cash_purchases,
+               count(*) FILTER (WHERE transaction_type = 'Financed') AS financed_purchases,
+               count(*) FILTER (WHERE transaction_type = 'Lease') AS lease_purchases,
+               count(*) FILTER (WHERE trade_vin IS NOT NULL) AS trades_made,
+               CAST(sum(trade_equity) AS DOUBLE) / count(trade_equity) AS avg_trade_equity
+        FROM sbase
+        GROUP BY user_id, custno, firstname, lastname, email, phone, state, zip, age,
+                 generation, customer_tenure_years, last_service_date, lifetime_service_value),
+      mk AS (SELECT user_id, make, max(purchase_date) AS md FROM sbase
+             WHERE make IS NOT NULL GROUP BY user_id, make),
+      mka AS (SELECT user_id, array_agg(make ORDER BY md DESC, make) AS preferred_makes
+              FROM mk GROUP BY user_id),
+      vc AS (SELECT user_id, vehicle_condition, max(purchase_date) AS md FROM sbase
+             WHERE vehicle_condition IS NOT NULL GROUP BY user_id, vehicle_condition),
+      vca AS (SELECT user_id, array_agg(vehicle_condition ORDER BY md DESC, vehicle_condition)
+                AS purchase_patterns FROM vc GROUP BY user_id)
+      SELECT m.user_id, m.custno, m.firstname, m.lastname, m.email, m.phone, m.state,
+             m.zip, CAST(m.age AS BIGINT) AS age, m.generation,
+             m.total_purchases,
+             CAST(m.lifetime_purchase_value AS DOUBLE) AS lifetime_purchase_value,
+             CAST(m.lifetime_service_value AS DOUBLE) AS lifetime_service_value,
+             CAST(m.lifetime_purchase_value + m.lifetime_service_value AS DOUBLE)
+               AS total_lifetime_value,
+             m.avg_purchase_value,
+             coalesce(mka.preferred_makes, []) AS preferred_makes,
+             coalesce(vca.purchase_patterns, []) AS purchase_patterns,
+             m.avg_down_payment, m.cash_purchases, m.financed_purchases,
+             m.lease_purchases, m.trades_made, m.avg_trade_equity,
+             m.last_purchase_date, m.first_purchase_date,
+             strftime(m.last_service_date, '%Y-%m-%d') AS last_service_date,
+             CAST(coalesce(date_diff('day', CAST(m.last_purchase_date AS DATE),
+               DATE '2024-06-01'), 999999) AS BIGINT) AS days_since_last_purchase,
+             CAST(coalesce(date_diff('day', m.last_service_date,
+               DATE '2024-06-01'), 999999) AS BIGINT) AS days_since_last_service,
+             CASE WHEN m.lifetime_purchase_value + m.lifetime_service_value >= 100000 THEN 'VIP'
+                  WHEN m.lifetime_purchase_value + m.lifetime_service_value >= 50000
+                       AND m.total_purchases >= 2 THEN 'High Value Repeat'
+                  WHEN m.lifetime_purchase_value + m.lifetime_service_value >= 25000 THEN 'High Value'
+                  WHEN m.total_purchases >= 2 THEN 'Repeat Customer'
+                  WHEN m.total_purchases = 1 AND date_diff('day',
+                       CAST(m.last_purchase_date AS DATE), DATE '2024-06-01') <= 365
+                    THEN 'Recent First-Time'
+                  WHEN m.total_purchases = 1 THEN 'Historical First-Time'
+                  WHEN m.lifetime_service_value > 0 THEN 'Service Only'
+                  ELSE 'Prospect' END AS customer_segment,
+             coalesce(m.last_purchase_date >= (DATE '2024-06-01' - 30), false) AS recent_buyer,
+             coalesce(m.total_purchases >= 2 AND date_diff('day',
+               CAST(m.last_purchase_date AS DATE), DATE '2024-06-01') BETWEEN 1095 AND 1460,
+               false) AS trade_up_candidate,
+             coalesce(m.last_service_date IS NOT NULL AND date_diff('day',
+               m.last_service_date, DATE '2024-06-01') BETWEEN 90 AND 180,
+               false) AS service_due_candidate,
+             coalesce(m.lifetime_service_value = 0 AND m.last_purchase_date IS NOT NULL
+               AND date_diff('day', CAST(m.last_purchase_date AS DATE),
+                 DATE '2024-06-01') >= 90, false) AS service_acquisition_target,
+             CAST(m.customer_tenure_years AS BIGINT) AS customer_tenure_years
+      FROM m
+      LEFT JOIN mka ON m.user_id = mka.user_id
+      LEFT JOIN vca ON m.user_id = vca.user_id
+      WHERE m.email IS NOT NULL OR m.phone IS NOT NULL
+      ORDER BY m.custno""")),
+  )
+
+  private val vDealership = Q(
+    "v_dealership_profiles",
+    (s, dir) => pin(Customer360.dealershipProfiles(
+      Customer360.customerProfiles(customerMaster(s, dir), asOf),
+      vehicleSales(s, dir)))
+      .orderBy("custno"),
+    Some(withPrelude("""
+      , lc AS (
+        SELECT custno, branch AS primary_dealership, count(*) AS transaction_count,
+               max(contractdate) AS last_transaction_date,
+               row_number() OVER (PARTITION BY custno
+                 ORDER BY count(*) DESC, max(contractdate) DESC, branch) AS dealership_rank
+        FROM vsm WHERE custno IS NOT NULL AND branch IS NOT NULL
+        GROUP BY custno, branch)
+      SELECT CASE WHEN lc.primary_dealership = 'FORD-MAIN' THEN 'FORD-MAIN-' || cp.custno
+                  WHEN lc.primary_dealership = 'TOYOTA-NORTH' THEN 'TOY-NORTH-' || cp.custno
+                  WHEN lc.primary_dealership = 'CHEV-SOUTH' THEN 'CHEV-SOUTH-' || cp.custno
+                  ELSE 'AUTO-' || lc.primary_dealership || '-' || cp.custno END AS user_id,
+             cp.custno,
+             cp.firstname AS first_name, cp.lastname AS last_name,
+             cp.email, cp.phone, cp.address, cp.address2, cp.city, cp.state, cp.zip,
+             CASE WHEN lc.primary_dealership = 'FORD-MAIN' THEN 'Downtown Ford'
+                  WHEN lc.primary_dealership = 'TOYOTA-NORTH' THEN 'North Toyota'
+                  WHEN lc.primary_dealership = 'CHEV-SOUTH' THEN 'South Chevrolet'
+                  ELSE lc.primary_dealership END AS dealership,
+             lc.primary_dealership AS dealership_code,
+             lc.transaction_count, lc.last_transaction_date,
+             cp.gender, CAST(cp.age AS BIGINT) AS age, cp.generation,
+             cp.preferred_language,
+             cp.email_opt_out, cp.phone_opt_out, cp.mail_opt_out, cp.marketing_opt_out,
+             strftime(cp.opt_out_date, '%Y-%m-%d') AS opt_out_date,
+             CAST(cp.ytd_purchases AS DOUBLE) AS ytd_purchases,
+             CAST(cp.lifetime_service_value AS DOUBLE) AS lifetime_service_value,
+             strftime(cp.last_service_date, '%Y-%m-%d') AS last_service_date,
+             cp.service_recency, cp.customer_since,
+             CAST(cp.customer_tenure_years AS BIGINT) AS customer_tenure_years,
+             cp.last_updated
+      FROM cp JOIN lc ON cp.custno = lc.custno
+      WHERE lc.dealership_rank = 1 AND cp.email IS NOT NULL
+        AND cp.email_opt_out = false AND cp.marketing_opt_out = false
+        AND lc.primary_dealership IS NOT NULL
+      ORDER BY cp.custno""")),
+  )
+
+  private val vValidated = Q(
+    "v_validated_sales",
+    (s, dir) => pin(Customer360.validatedSales(
+      vehicleSales(s, dir),
+      Customer360.customerProfiles(customerMaster(s, dir), asOf)))
+      .orderBy("deal_number"),
+    Some(withPrelude("""
+      , vs0 AS (
+        SELECT vsm.* FROM vsm JOIN cp ON vsm.custno = cp.custno
+        WHERE vsm.custno IS NOT NULL AND vsm.vin IS NOT NULL
+          AND vsm.contractdate IS NOT NULL
+          AND cp.email IS NOT NULL AND cp.email_opt_out = false),
+      vr AS (SELECT vs0.*, row_number() OVER (PARTITION BY dealno
+               ORDER BY rowlastupdatedutc DESC, vin) AS sale_rank FROM vs0)
+      SELECT dealno AS deal_number, 'AUTO-' || custno AS user_id, custno, vin,
+             stockno AS stock_number, makename AS make, modelname AS model, "year",
+             bodystyle AS body_style, color, modeltype AS vehicle_type,
+             CAST(vehiclemileage AS DOUBLE) AS mileage,
+             saletype AS sale_type, dealtype AS deal_type, branch AS dealership_code,
+             contractdate AS sale_date, salesdate AS delivery_date,
+             CAST(cashprice AS DOUBLE) AS vehicle_price,
+             CAST(outthedoorprice AS DOUBLE) AS total_price,
+             CAST(totalgross AS DOUBLE) AS gross_profit,
+             CAST(customercashdown AS DOUBLE) AS customer_down,
+             financesource AS lender,
+             CAST(financeamt AS DOUBLE) AS amount_financed,
+             CAST(apr AS DOUBLE) AS interest_rate,
+             CAST(term AS DOUBLE) AS finance_term,
+             CAST(paymentamt AS DOUBLE) AS monthly_payment,
+             trade1vin AS trade_vin,
+             CAST(trade1acv AS DOUBLE) AS trade_value,
+             CAST(nettrade1 AS DOUBLE) AS trade_equity,
+             trade1year || ' ' || trade1makename || ' ' || trade1modelname AS trade_description,
+             crmsalesmgrname AS sales_manager, crmsp1name AS salesperson,
+             rowlastupdatedutc AS last_updated,
+             'Vehicle Sale' AS data_source,
+             row_number() OVER (PARTITION BY custno ORDER BY contractdate, dealno)
+               AS customer_purchase_sequence
+      FROM vr WHERE sale_rank = 1
+      ORDER BY deal_number""")),
+  )
+
+  private val vPrivacy = Q(
+    "v_privacy_status",
+    (s, dir) => pin(Customer360.privacyStatus(
+      Customer360.customerProfiles(customerMaster(s, dir), asOf)))
+      .orderBy("custno"),
+    Some(withPrelude("""
+      SELECT user_id, custno, firstname, lastname, email,
+             email_opt_out, phone_opt_out, mail_opt_out,
+             marketing_opt_out AS general_opt_out,
+             strftime(opt_out_date, '%Y-%m-%d') AS opt_out_date,
+             CASE WHEN marketing_opt_out = true THEN 'Opted Out - No Marketing'
+                  WHEN email_opt_out = true AND phone_opt_out = true THEN 'Limited Contact Only'
+                  WHEN email_opt_out = true THEN 'Phone/Mail Only'
+                  WHEN phone_opt_out = true THEN 'Email/Mail Only'
+                  ELSE 'Full Marketing Consent' END AS marketing_status,
+             NOT coalesce(marketing_opt_out, false) AS can_market,
+             NOT coalesce(email_opt_out, false) AS can_email,
+             NOT coalesce(phone_opt_out, false) AS can_call,
+             NOT coalesce(mail_opt_out, false) AS can_mail,
+             last_updated AS preferences_last_updated
+      FROM cp WHERE email IS NOT NULL OR phone IS NOT NULL
+      ORDER BY custno""")),
+  )
+
+  val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated, vPrivacy)
+}

@@ -403,7 +403,7 @@ object RelationalQueries {
         .select(
           col("c_custkey"),
           Cleansing.cleanEmail(col("raw_email")).as("clean_email"),
-          Cleansing.normalizePhone(col("raw_phone")).as("phone10"),
+          Cleansing.normalizePhone(col("raw_phone")).as("clean_phone"),
           Cleansing.isContactable(col("raw_email"), col("raw_phone")).as("contactable"),
           Cleansing.valueSegment(col("c_acctbal") * 20).as("value_segment"),
           col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").as("is_priority"),
@@ -422,16 +422,20 @@ object RelationalQueries {
         FROM customer),
       cleaned AS (
         SELECT c_custkey, c_acctbal, c_mktsegment, raw_email, raw_phone,
-               CASE WHEN lower(trim(raw_email)) <> ''
-                         AND regexp_matches(lower(trim(raw_email)), '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$')
-                         AND NOT regexp_matches(lower(trim(raw_email)), '(?i)(noemail|nomail|none@|test@|example\.com|dealer\.com)')
+               CASE WHEN raw_email IS NOT NULL AND raw_email <> ''
+                         AND NOT regexp_matches(raw_email, '^(no|nothanks|none|noemail|no.email|na)@', 'i')
+                         AND NOT regexp_matches(raw_email, '(@example.com|@test.com|@invalid.com)', 'i')
+                         AND regexp_matches(raw_email, '@.+\..+', 'i')
                     THEN lower(trim(raw_email)) END AS clean_email,
-               CASE WHEN length(regexp_replace(coalesce(raw_phone, ''), '[^0-9]', '', 'g')) >= 10
-                    THEN right(regexp_replace(coalesce(raw_phone, ''), '[^0-9]', '', 'g'), 10) END AS phone10
+               CASE WHEN raw_phone IS NOT NULL AND raw_phone <> ''
+                         AND length(regexp_replace(raw_phone, '[^0-9]', '', 'g')) >= 10
+                    THEN regexp_replace(raw_phone, '[^0-9]', '', 'g') END AS clean_phone
         FROM raw
-        WHERE coalesce(soft_deleted, FALSE) = FALSE)
-      SELECT c_custkey, clean_email, phone10,
-             (clean_email IS NOT NULL OR phone10 IS NOT NULL) AS contactable,
+        WHERE soft_deleted IS NULL OR soft_deleted = FALSE)
+      SELECT c_custkey, clean_email, clean_phone,
+             ((raw_email IS NOT NULL AND raw_email <> '' AND regexp_matches(raw_email, '@.+\..+', 'i'))
+              OR (raw_phone IS NOT NULL AND raw_phone <> ''
+                  AND length(regexp_replace(raw_phone, '[^0-9]', '', 'g')) >= 10)) AS contactable,
              CASE WHEN c_acctbal * 20 >= 100000 THEN 'platinum'
                   WHEN c_acctbal * 20 >= 50000 THEN 'gold'
                   WHEN c_acctbal * 20 >= 25000 THEN 'silver'

@@ -1,0 +1,381 @@
+package graft.views
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleansing
+
+/** The six marketing "customer 360" views (reference
+  * `sql/customer_360_views.sql:23-742` in
+  * bill-hoerr/automotive-data-pipeline-demo), re-expressed as DataFrame
+  * transformers. Each takes source DataFrames shaped like
+  * `schema.Schemas` and returns the view; callers can register temp
+  * views so Spark SQL composes them exactly like the warehouse did.
+  *
+  * Deliberate, documented divergences from the reference:
+  *   - `asOf` replaces CURRENT_DATE so results are testable/frozen
+  *     (SURVEY §7.4.3).
+  *   - View-level ORDER BY is dropped — cosmetic in a warehouse view,
+  *     meaningless under Spark's lazy composition (SURVEY §7.4.7);
+  *     consumers order at the sink.
+  *   - ROW_NUMBER windows get a deterministic tiebreak column appended
+  *     (the reference leaves ties engine-arbitrary).
+  *   - Money averages are computed as exact-decimal-sum / count in
+  *     DOUBLE (engine-portable); sums stay DecimalType.
+  *   - `days_since_last_purchase` uses datediff(asOf, date(ts)) — the
+  *     reference's `CURRENT_DATE - timestamp` arithmetic is not
+  *     well-typed in any strict dialect.
+  *
+  * Scale notes (100 TB): profiles dedups with one hash-partition
+  * exchange on `custno` (skew-prone key → AQE skew handling stays on);
+  * segments joins profiles⟕history shuffled on `user_id` with map-side
+  * partial aggregation; no collects, no NOT-IN, no UDFs anywhere.
+  */
+object Customer360 {
+
+  private def avgOf(sumCol: Column, cntCol: Column): Column =
+    (sumCol.cast("double") / cntCol).as("__avg")
+
+  /** marketing.customer_profiles (`customer_360_views.sql:23-186`):
+    * soft-delete filter → W1 dedup (latest per custno) → quality gate
+    * (names + contactable) → cleansing projection. */
+  def customerProfiles(customerMaster: DataFrame, asOf: Column): DataFrame = {
+    val deduped = customerMaster
+      .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      .withColumn("customer_rank", row_number().over(
+        Window.partitionBy("custno")
+          .orderBy(col("lastupdated").desc, col("dateadded").desc)))
+    deduped
+      .filter(col("customer_rank") === 1 &&
+        col("firstname").isNotNull && col("firstname") =!= "" &&
+        col("lastname").isNotNull && col("lastname") =!= "" &&
+        Cleansing.isContactable(col("email"), col("telephone")))
+      .select(
+        Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+        col("custno"), col("firstname"), col("lastname"),
+        Cleansing.cleanEmail(col("email")).as("email"),
+        Cleansing.normalizePhone(col("telephone")).as("phone"),
+        trim(col("address")).as("address"),
+        trim(col("addresssecondline")).as("address2"),
+        trim(col("city")).as("city"),
+        upper(trim(col("state"))).as("state"),
+        regexp_replace(col("ziporpostalcode"), "[^0-9-]", "").as("zip"),
+        Cleansing.normalizeGender(col("gender")).as("gender"),
+        col("birthdate"),
+        Cleansing.ageYears(col("birthdate"), asOf).as("age"),
+        Cleansing.generation(col("birthdate"), asOf).as("generation"),
+        coalesce(col("preferredlanguage"), lit("English")).as("preferred_language"),
+        coalesce(col("blockemail"), lit(false)).as("email_opt_out"),
+        coalesce(col("blockphone"), lit(false)).as("phone_opt_out"),
+        coalesce(col("blockmail"), lit(false)).as("mail_opt_out"),
+        coalesce(col("optoutflag"), lit(false)).as("marketing_opt_out"),
+        col("optoutdate").as("opt_out_date"),
+        coalesce(col("ytdpurchases"), lit(0)).as("ytd_purchases"),
+        coalesce(col("totallabor") + col("totalparts"), lit(0))
+          .as("lifetime_service_value"),
+        col("lastservicedate").as("last_service_date"),
+        Cleansing.serviceRecency(col("lastservicedate"), asOf).as("service_recency"),
+        col("dateadded").as("customer_since"),
+        (year(asOf) - year(col("dateadded"))).as("customer_tenure_years"),
+        col("lastupdated").as("last_updated"))
+  }
+
+  /** marketing.customer_vehicle_history (`customer_360_views.sql:192-370`):
+    * validity filter → W2 dedup (latest per dealno) → normalization
+    * projection + W3 purchase sequence + recency buckets. */
+  def vehicleHistory(vehicleSales: DataFrame, asOf: Column): DataFrame = {
+    val ranked = vehicleSales
+      .filter(col("custno").isNotNull && col("vin").isNotNull &&
+        col("contractdate").isNotNull)
+      .withColumn("deal_rank", row_number().over(
+        Window.partitionBy("dealno")
+          .orderBy(col("rowlastupdatedutc").desc, col("vin").asc)))
+      .filter(col("deal_rank") === 1)
+    ranked.select(
+      Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+      col("custno"),
+      col("dealno").as("deal_number"),
+      col("vin"),
+      col("stockno").as("stock_number"),
+      col("makename").as("make"),
+      col("modelname").as("model"),
+      col("year"),
+      col("bodystyle").as("body_style"),
+      col("color"),
+      when(col("modeltype").ilike("%new%"), "New")
+        .when(col("modeltype").ilike("%used%"), "Used")
+        .when(col("modeltype").ilike("%certified%"), "Certified Pre-Owned")
+        .otherwise(col("modeltype")).as("vehicle_condition"),
+      col("vehiclemileage").as("odometer_reading"),
+      when(col("saletype").ilike("%cash%"), "Cash")
+        .when(col("saletype").ilike("%finance%"), "Financed")
+        .when(col("saletype").ilike("%lease%"), "Lease")
+        .otherwise(col("saletype")).as("transaction_type"),
+      col("dealtype").as("deal_category"),
+      col("branch").as("dealership_location"),
+      col("cashprice").as("vehicle_price"),
+      col("outthedoorprice").as("total_price"),
+      col("costprice").as("dealer_cost"),
+      col("totalgross").as("total_gross_profit"),
+      col("frontgross").as("vehicle_gross_profit"),
+      col("backgross").as("finance_insurance_profit"),
+      col("customercashdown").as("cash_down"),
+      col("totaldown").as("total_down_payment"),
+      col("financesource").as("lender"),
+      col("financeamt").as("amount_financed"),
+      col("apr").as("interest_rate"),
+      col("term").as("finance_term_months"),
+      col("paymentamt").as("monthly_payment"),
+      col("trade1vin").as("trade_vin"),
+      col("trade1acv").as("trade_actual_value"),
+      col("trade1payoff").as("trade_payoff"),
+      col("nettrade1").as("trade_equity"),
+      concat(col("trade1year"), lit(" "), col("trade1makename"), lit(" "),
+        col("trade1modelname")).as("trade_vehicle_description"),
+      col("leasetype").as("lease_type"),
+      col("leasepayment").as("lease_payment"),
+      col("leasemileageallowance").as("lease_mile_allowance"),
+      col("leaseendvalue").as("lease_residual_value"),
+      col("crmsalesmgrname").as("sales_manager"),
+      col("crmsp1name").as("salesperson"),
+      col("contractdate").as("purchase_date"),
+      col("salesdate").as("delivery_date"),
+      row_number().over(Window.partitionBy("custno")
+        .orderBy(col("contractdate").asc, col("dealno").asc))
+        .as("purchase_sequence"),
+      datediff(asOf, col("contractdate").cast("date")).as("days_since_purchase"),
+      Cleansing.purchaseRecency(col("contractdate"), asOf).as("purchase_recency"),
+      col("rowlastupdatedutc").as("last_updated"))
+  }
+
+  /** marketing.customer_segments (`customer_360_views.sql:376-515`):
+    * profiles ⟕ history → 13-key aggregate (A1-A3) → lifetime value,
+    * segment ladder, campaign flags.
+    *
+    * ARRAY_AGG(DISTINCT x ORDER BY purchase_date DESC) semantics are
+    * engine-defined in the reference (SURVEY §7.4.2); ours: distinct
+    * values ordered by most recent purchase, ties by value, nulls
+    * dropped.
+    */
+  def customerSegments(profiles: DataFrame, history: DataFrame, asOf: Column): DataFrame = {
+    val cp = profiles.alias("cp")
+    val vh = history.alias("vh")
+    val distinctByRecency = (valueCol: String) => expr(
+      s"""array_distinct(transform(
+            array_sort(
+              filter(collect_list(struct(vh_purchase_date AS d, $valueCol AS v)),
+                     x -> x.v IS NOT NULL),
+              (l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1
+                             WHEN l.v < r.v THEN -1 WHEN l.v > r.v THEN 1
+                             ELSE 0 END),
+            x -> x.v))""")
+    val metrics = cp.join(vh, col("cp.user_id") === col("vh.user_id"), "left")
+      .select(
+        col("cp.user_id").as("user_id"), col("cp.custno").as("custno"),
+        col("cp.firstname").as("firstname"), col("cp.lastname").as("lastname"),
+        col("cp.email").as("email"), col("cp.phone").as("phone"),
+        col("cp.state").as("state"), col("cp.zip").as("zip"),
+        col("cp.age").as("age"), col("cp.generation").as("generation"),
+        col("cp.customer_tenure_years").as("customer_tenure_years"),
+        col("cp.last_service_date").as("last_service_date"),
+        col("cp.lifetime_service_value").as("lifetime_service_value"),
+        col("vh.deal_number").as("vh_deal_number"),
+        col("vh.total_price").as("vh_total_price"),
+        col("vh.purchase_date").as("vh_purchase_date"),
+        col("vh.make").as("vh_make"),
+        col("vh.vehicle_condition").as("vh_vehicle_condition"),
+        col("vh.cash_down").as("vh_cash_down"),
+        col("vh.transaction_type").as("vh_transaction_type"),
+        col("vh.trade_vin").as("vh_trade_vin"),
+        col("vh.trade_equity").as("vh_trade_equity"))
+      .groupBy("user_id", "custno", "firstname", "lastname", "email", "phone",
+        "state", "zip", "age", "generation", "customer_tenure_years",
+        "last_service_date", "lifetime_service_value")
+      .agg(
+        count(col("vh_deal_number")).as("total_purchases"),
+        sum(col("vh_total_price")).as("lifetime_purchase_value"),
+        (sum(col("vh_total_price")).cast("double") / count(col("vh_total_price")))
+          .as("avg_purchase_value"),
+        max(col("vh_purchase_date")).as("last_purchase_date"),
+        min(col("vh_purchase_date")).as("first_purchase_date"),
+        distinctByRecency("vh_make").as("preferred_makes"),
+        distinctByRecency("vh_vehicle_condition").as("purchase_patterns"),
+        (sum(col("vh_cash_down")).cast("double") / count(col("vh_cash_down")))
+          .as("avg_down_payment"),
+        count_if(col("vh_transaction_type") === "Cash").as("cash_purchases"),
+        count_if(col("vh_transaction_type") === "Financed").as("financed_purchases"),
+        count_if(col("vh_transaction_type") === "Lease").as("lease_purchases"),
+        count_if(col("vh_trade_vin").isNotNull).as("trades_made"),
+        (sum(col("vh_trade_equity")).cast("double") / count(col("vh_trade_equity")))
+          .as("avg_trade_equity"))
+    val tlv = col("lifetime_purchase_value") + col("lifetime_service_value")
+    val daysSincePurchase = datediff(asOf, col("last_purchase_date").cast("date"))
+    val daysSinceService = datediff(asOf, col("last_service_date"))
+    metrics
+      .filter(col("email").isNotNull || col("phone").isNotNull)
+      .select(
+        col("user_id"), col("custno"), col("firstname"), col("lastname"),
+        col("email"), col("phone"), col("state"), col("zip"), col("age"),
+        col("generation"),
+        col("total_purchases"),
+        col("lifetime_purchase_value"),
+        col("lifetime_service_value"),
+        tlv.as("total_lifetime_value"),
+        col("avg_purchase_value"),
+        col("preferred_makes"), col("purchase_patterns"),
+        col("avg_down_payment"),
+        col("cash_purchases"), col("financed_purchases"), col("lease_purchases"),
+        col("trades_made"), col("avg_trade_equity"),
+        col("last_purchase_date"), col("first_purchase_date"),
+        col("last_service_date"),
+        coalesce(daysSincePurchase, lit(999999)).as("days_since_last_purchase"),
+        coalesce(daysSinceService, lit(999999)).as("days_since_last_service"),
+        when(tlv >= 100000, "VIP")
+          .when(tlv >= 50000 && col("total_purchases") >= 2, "High Value Repeat")
+          .when(tlv >= 25000, "High Value")
+          .when(col("total_purchases") >= 2, "Repeat Customer")
+          .when(col("total_purchases") === 1 && daysSincePurchase <= 365, "Recent First-Time")
+          .when(col("total_purchases") === 1, "Historical First-Time")
+          .when(col("lifetime_service_value") > 0, "Service Only")
+          .otherwise("Prospect").as("customer_segment"),
+        coalesce(col("last_purchase_date") >= date_sub(asOf, 30), lit(false))
+          .as("recent_buyer"),
+        coalesce(col("total_purchases") >= 2 &&
+          daysSincePurchase.between(1095, 1460), lit(false)).as("trade_up_candidate"),
+        coalesce(col("last_service_date").isNotNull &&
+          daysSinceService.between(90, 180), lit(false)).as("service_due_candidate"),
+        coalesce(col("lifetime_service_value") === 0 &&
+          col("last_purchase_date").isNotNull && daysSincePurchase >= 90, lit(false))
+          .as("service_acquisition_target"),
+        col("customer_tenure_years"))
+  }
+
+  /** marketing.dealership_customer_profiles (`customer_360_views.sql:521-608`):
+    * A4 per-(custno,branch) aggregate → W4 primary-dealership rank →
+    * join to profiles, CDP id mapping, opt-in filters. */
+  def dealershipProfiles(profiles: DataFrame, vehicleSales: DataFrame): DataFrame = {
+    val lc = vehicleSales
+      .filter(col("custno").isNotNull && col("branch").isNotNull)
+      .groupBy("custno", "branch")
+      .agg(count(lit(1)).as("transaction_count"),
+        max(col("contractdate")).as("last_transaction_date"))
+      .withColumn("dealership_rank", row_number().over(
+        Window.partitionBy("custno").orderBy(
+          col("transaction_count").desc, col("last_transaction_date").desc,
+          col("branch").asc)))
+      .filter(col("dealership_rank") === 1)
+      .withColumnRenamed("branch", "primary_dealership")
+    profiles.alias("cp")
+      .join(lc.alias("lc"), Seq("custno"))
+      .filter(col("cp.email").isNotNull &&
+        col("cp.email_opt_out") === false &&
+        col("cp.marketing_opt_out") === false &&
+        col("lc.primary_dealership").isNotNull)
+      .select(
+        when(col("primary_dealership") === "FORD-MAIN",
+          concat(lit("FORD-MAIN-"), col("custno")))
+          .when(col("primary_dealership") === "TOYOTA-NORTH",
+            concat(lit("TOY-NORTH-"), col("custno")))
+          .when(col("primary_dealership") === "CHEV-SOUTH",
+            concat(lit("CHEV-SOUTH-"), col("custno")))
+          .otherwise(concat(lit("AUTO-"), col("primary_dealership"), lit("-"),
+            col("custno"))).as("user_id"),
+        col("custno"),
+        col("firstname").as("first_name"),
+        col("lastname").as("last_name"),
+        col("email"), col("phone"), col("address"), col("address2"),
+        col("city"), col("state"), col("zip"),
+        when(col("primary_dealership") === "FORD-MAIN", "Downtown Ford")
+          .when(col("primary_dealership") === "TOYOTA-NORTH", "North Toyota")
+          .when(col("primary_dealership") === "CHEV-SOUTH", "South Chevrolet")
+          .otherwise(col("primary_dealership")).as("dealership"),
+        col("primary_dealership").as("dealership_code"),
+        col("transaction_count"),
+        col("last_transaction_date"),
+        col("gender"), col("age"), col("generation"), col("preferred_language"),
+        col("email_opt_out"), col("phone_opt_out"), col("mail_opt_out"),
+        col("marketing_opt_out"), col("opt_out_date"),
+        col("ytd_purchases"), col("lifetime_service_value"),
+        col("last_service_date"), col("service_recency"),
+        col("customer_since"), col("customer_tenure_years"), col("last_updated"))
+  }
+
+  /** marketing.validated_vehicle_sales (`customer_360_views.sql:614-697`):
+    * sales ⋈ marketable profiles (J3 existence-style) → W2 dedup →
+    * event-ready projection + purchase sequence. */
+  def validatedSales(vehicleSales: DataFrame, profiles: DataFrame): DataFrame = {
+    val joined = vehicleSales.alias("vs")
+      .join(profiles.alias("cp"), col("vs.custno") === col("cp.custno"))
+      .filter(col("vs.custno").isNotNull && col("vs.vin").isNotNull &&
+        col("vs.contractdate").isNotNull &&
+        col("cp.email").isNotNull && col("cp.email_opt_out") === false)
+      .select(col("vs.*"))
+      .withColumn("sale_rank", row_number().over(
+        Window.partitionBy("dealno")
+          .orderBy(col("rowlastupdatedutc").desc, col("vin").asc)))
+      .filter(col("sale_rank") === 1)
+    joined.select(
+      col("dealno").as("deal_number"),
+      Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+      col("custno"),
+      col("vin"),
+      col("stockno").as("stock_number"),
+      col("makename").as("make"),
+      col("modelname").as("model"),
+      col("year"),
+      col("bodystyle").as("body_style"),
+      col("color"),
+      col("modeltype").as("vehicle_type"),
+      col("vehiclemileage").as("mileage"),
+      col("saletype").as("sale_type"),
+      col("dealtype").as("deal_type"),
+      col("branch").as("dealership_code"),
+      col("contractdate").as("sale_date"),
+      col("salesdate").as("delivery_date"),
+      col("cashprice").as("vehicle_price"),
+      col("outthedoorprice").as("total_price"),
+      col("totalgross").as("gross_profit"),
+      col("customercashdown").as("customer_down"),
+      col("financesource").as("lender"),
+      col("financeamt").as("amount_financed"),
+      col("apr").as("interest_rate"),
+      col("term").as("finance_term"),
+      col("paymentamt").as("monthly_payment"),
+      col("trade1vin").as("trade_vin"),
+      col("trade1acv").as("trade_value"),
+      col("nettrade1").as("trade_equity"),
+      concat(col("trade1year"), lit(" "), col("trade1makename"), lit(" "),
+        col("trade1modelname")).as("trade_description"),
+      col("crmsalesmgrname").as("sales_manager"),
+      col("crmsp1name").as("salesperson"),
+      col("rowlastupdatedutc").as("last_updated"),
+      lit("Vehicle Sale").as("data_source"),
+      row_number().over(Window.partitionBy("custno")
+        .orderBy(col("contractdate").asc, col("dealno").asc))
+        .as("customer_purchase_sequence"))
+  }
+
+  /** marketing.data_privacy_status (`customer_360_views.sql:703-742`):
+    * privacy projection + marketing-status ladder + can_* flags. */
+  def privacyStatus(profiles: DataFrame): DataFrame =
+    profiles
+      .filter(col("email").isNotNull || col("phone").isNotNull)
+      .select(
+        col("user_id"), col("custno"), col("firstname"), col("lastname"),
+        col("email"),
+        col("email_opt_out"), col("phone_opt_out"), col("mail_opt_out"),
+        col("marketing_opt_out").as("general_opt_out"),
+        col("opt_out_date"),
+        when(col("marketing_opt_out") === true, "Opted Out - No Marketing")
+          .when(col("email_opt_out") === true && col("phone_opt_out") === true,
+            "Limited Contact Only")
+          .when(col("email_opt_out") === true, "Phone/Mail Only")
+          .when(col("phone_opt_out") === true, "Email/Mail Only")
+          .otherwise("Full Marketing Consent").as("marketing_status"),
+        (!coalesce(col("marketing_opt_out"), lit(false))).as("can_market"),
+        (!coalesce(col("email_opt_out"), lit(false))).as("can_email"),
+        (!coalesce(col("phone_opt_out"), lit(false))).as("can_call"),
+        (!coalesce(col("mail_opt_out"), lit(false))).as("can_mail"),
+        col("last_updated").as("preferences_last_updated"))
+}
