@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Operator-level properties: upsert idempotence (SURVEY §5.3), dedup ≡
+  * max_by, incremental batch semantics. Property cases are generated
+  * with a fixed-seed Random (the offline cache has no
+  * scalatest-scalacheck bridge, so sampling is hand-rolled). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("upsert: staging wins on key, target rows without match survive") {
+    val target = Seq(("d1", 10), ("d2", 20), ("d3", 30)).toDF("dealno", "v")
+    val staging = Seq(("d2", 99), ("d4", 40)).toDF("dealno", "v")
+    val out = Upsert.upsert(target, staging, Seq("dealno"))
+    assert(rows(out) == Set("[d1,10]", "[d3,30]", "[d2,99]", "[d4,40]"))
+  }
+
+  test("upsert idempotence property: apply twice ≡ once (10 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val target = List.fill(8)(rnd.nextInt(6)).zipWithIndex
+        .map { case (k, i) => (s"k$k-$i", i) }.toDF("key", "v")
+      val staging = List.fill(8)(rnd.nextInt(6)).distinct.zipWithIndex
+        .map { case (k, i) => (s"k$k-$i", 100 + i) }.toDF("key", "v")
+      val once = Upsert.upsert(target, staging, Seq("key"))
+      val twice = Upsert.upsert(once, staging, Seq("key"))
+      assert(rows(once) == rows(twice))
+    }
+  }
+
+  test("latestByKey ≡ groupBy.max_by under a total order") {
+    val df = Seq(
+      ("c1", "2024-01-01 00:00:00", "v1"), ("c1", "2024-03-01 00:00:00", "v2"),
+      ("c2", "2024-02-01 00:00:00", "v3"))
+      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val viaWindow = Dedup.latestByKey(df, Seq("k"), Seq(col("ts").desc))
+      .select("k", "v")
+    val viaMaxBy = df.groupBy("k").agg(expr("max_by(v, ts)").as("v"))
+    assert(rows(viaWindow) == rows(viaMaxBy))
+  }
+
+  test("latestByKey keeps exactly one row per key even on order ties (with tiebreak)") {
+    val df = Seq(("c1", 5, "a"), ("c1", 5, "b"), ("c2", 1, "c"))
+      .toDF("k", "ver", "v")
+    val out = Dedup.latestByKey(df, Seq("k"), Seq(col("ver").desc, col("v").asc))
+    assert(out.count() == 2)
+    assert(rows(out.select("k", "v")) == Set("[c1,a]", "[c2,c]"))
+  }
+
+  test("sequenceNumber assigns 1-based order per key") {
+    val df = Seq(("c1", 3), ("c1", 1), ("c1", 2), ("c2", 9)).toDF("k", "d")
+    val out = Dedup.sequenceNumber(df, Seq("k"), Seq(col("d").asc), "seq")
+    assert(rows(out) == Set("[c1,1,1]", "[c1,2,2]", "[c1,3,3]", "[c2,9,1]"))
+  }
+
+  test("exactByHash keeps the smallest id per identical content") {
+    val df = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exactByHash(df, "text", "id")
+    assert(rows(out.select("id")) == Set("[1]", "[2]"))
+  }
+
+  test("incremental nextBatch: range + exclusion + deterministic top-k") {
+    val src = (1 to 20).map(i => (i.toLong, s"2024-01-${"%02d".format(i)} 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val processed = Seq(15L, 16L).toDF("id")
+    val out = Incremental.nextBatch(src, processed, "id", "ts",
+      lit("2024-01-10").cast("timestamp"), lit("2024-01-18").cast("timestamp"),
+      Seq(col("ts").desc, col("id").desc), 3)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(18L, 17L, 14L))
+  }
+}
