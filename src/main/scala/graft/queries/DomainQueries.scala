@@ -25,6 +25,8 @@ object DomainQueries {
   private val asOf = lit("2024-06-01").cast("date")
 
   /** Oracle-unambiguous output types; see Q's determinism rules. */
+  private[queries] def pinTypes(df: DataFrame): DataFrame = pin(df)
+
   private def pin(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.select(df.schema.fields.map { f =>
@@ -42,7 +44,7 @@ object DomainQueries {
   // ------------------------------------------------------------------
 
   /** customer_master-shaped rows: one version per order (dedup fodder),
-    * dirty contact data, soft-delete flags. */
+    * dirty contact data, soft-delete flags. Also feeds PipelineQueries. */
   private[queries] def customerMaster(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
@@ -383,7 +385,7 @@ object DomainQueries {
           WHERE custno IS NOT NULL AND vin IS NOT NULL AND contractdate IS NOT NULL) r
     WHERE deal_rank = 1"""
 
-  private def withPrelude(body: String): String =
+  private[queries] def withPrelude(body: String): String =
     s"""WITH cm AS ($CM_SQL),
         vsbase AS ($VSBASE_SQL),
         vsm AS ($VSM_SQL),
