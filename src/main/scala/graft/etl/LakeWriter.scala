@@ -1,0 +1,64 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lake layout + ingest-side file handling — re-expression of the
+  * reference's S3 upload automation (`scripts/s3_upload_automation.py`).
+  */
+object LakeWriter {
+
+  /** S2: hive-partitioned lake write `<table>/year=Y/month=M/day=D/`
+    * (`s3_upload_automation.py:189-216`) with source/vendor metadata as
+    * literal columns (object tags have no parquet analog). Partition
+    * discovery + pruning then come free on every read. Optionally sorts
+    * within partitions to emulate the warehouse SORTKEY zone maps
+    * (`redshift_table_schemas.sql:115`). */
+  def writePartitioned(
+      df: DataFrame,
+      table: String,
+      lakeRoot: String,
+      loadDate: java.time.LocalDate,
+      vendor: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val stamped = df
+      .withColumn("year", lit(f"${loadDate.getYear}%04d"))
+      .withColumn("month", lit(f"${loadDate.getMonthValue}%02d"))
+      .withColumn("day", lit(f"${loadDate.getDayOfMonth}%02d"))
+      .withColumn("source_vendor", lit(vendor))
+    val sorted =
+      if (sortCols.nonEmpty) stamped.sortWithinPartitions(sortCols.map(col): _*)
+      else stamped
+    sorted.write
+      .mode("append")
+      .partitionBy("year", "month", "day")
+      .parquet(s"$lakeRoot/$table")
+  }
+
+  /** S3/O5: newest export file per table by modification time
+    * (`s3_upload_automation.py:97-126`) — a driver-side concern by
+    * nature (listing a landing directory), not a distributed job. */
+  def latestFile(dir: String, suffix: String): Option[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) None
+    else Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(suffix))
+      .maxByOption(p => Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Filename → (vendor, table, date) partition routing
+    * (`s3_upload_automation.py:189-200`):
+    * `VENDOR_VehicleSales_Export_2025-08-07.csv` →
+    * `raw-data/VehicleSales/year=2025/month=08/day=07/`. */
+  private val FilePattern = """(\w+?)_([A-Za-z]+)_\w+_(\d{4})-(\d{2})-(\d{2})\.\w+""".r
+
+  def partitionFor(fileName: String): Option[(String, String, String)] =
+    fileName match {
+      case FilePattern(vendor, table, y, m, d) =>
+        Some((vendor, table, s"$table/year=$y/month=$m/day=$d"))
+      case _ => None
+    }
+}

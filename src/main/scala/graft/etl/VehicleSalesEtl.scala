@@ -1,0 +1,95 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** The daily vehicle-sales ETL — re-expression of the reference Glue job
+  * (`scripts/glue_vehicle_sales_etl.py:28-392`) as one declarative Spark
+  * pipeline: CSV scan (S1) → projection + quality filter (P1/P3) →
+  * per-column cast map (P2) → idempotent upsert into the partitioned
+  * lake (S5/J8 + S2).
+  *
+  * Scale notes: all-string CSV read ("DMS exports all fields as
+  * strings", `glue:182-188`) with an explicit schema, so the scan never
+  * infers; the projection/filter/casts are one codegen'd stage;
+  * the upsert anti-join broadcasts the daily staging side.
+  */
+object VehicleSalesEtl {
+
+  /** Columns kept by the cleaning projection (`glue:80-168`). */
+  val projected: Seq[String] = Seq(
+    "dealno", "branch", "custno", "email1", "homephone", "address", "city",
+    "state", "ziporpostalcode", "crmsalesmgrname", "crmsp1name", "vin",
+    "stockno", "year", "makename", "modelname", "bodystyle", "color",
+    "vehiclemileage", "modeltype", "saletype", "dealtype", "contractdate",
+    "salesdate", "cashprice", "outthedoorprice", "costprice", "totalgross",
+    "frontgross", "backgross", "grossprofit", "customercashdown", "totaldown",
+    "financesource", "financeamt", "apr", "term", "paymentamt", "payments",
+    "trade1vin", "trade1year", "trade1makename", "trade1modelname",
+    "trade1mileage", "trade1acv", "trade1payoff", "nettrade1",
+    "totaltradeallowance", "leasetype", "leasepayment",
+    "leasemileageallowance", "leaseendvalue", "warrantyfee",
+    "rowlastupdatedutc", "mbicarrier", "accountingaccount", "cora_acct_code",
+    "weowesaletotal")
+
+  /** string → decimal(18,2) columns of the cast map (`glue:220-248`). */
+  val decimalCols: Seq[String] = Seq(
+    "frontgross", "backgross", "weowesaletotal", "customercashdown", "apr",
+    "warrantyfee", "cashprice", "totalgross", "paymentamt", "outthedoorprice",
+    "costprice", "grossprofit", "vehiclemileage", "term", "financeamt",
+    "totaldown", "payments", "trade1acv", "trade1payoff", "nettrade1",
+    "trade1mileage", "totaltradeallowance", "leasepayment",
+    "leasemileageallowance", "leaseendvalue")
+
+  /** string → timestamp columns of the cast map (`glue:251-253`). */
+  val timestampCols: Seq[String] = Seq(
+    "contractdate", "salesdate", "rowlastupdatedutc")
+
+  /** Upsert key (`glue:277-288`). */
+  val upsertKeys: Seq[String] = Seq("dealno", "custno", "vin", "rowlastupdatedutc")
+
+  /** S1: header/quoted CSV scan over the hive-partitioned lake, every
+    * column as string (`glue:54-68`). `recursiveFileLookup` replaces the
+    * Glue `recurse` option; partition discovery prunes year=/month=/day=. */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("recursiveFileLookup", "true")
+      // DMS exports distinguish absent (null) from empty string; Spark's
+      // CSV default maps "" → null, so pin emptyValue (SURVEY §7.4.1)
+      .option("nullValue", "")
+      .csv(path)
+
+  /** P1+P3: projection + quality filter (`glue:80-168`). */
+  def clean(raw: DataFrame): DataFrame =
+    raw.select(projected.map(col): _*)
+      .filter(col("vin").isNotNull && col("custno").isNotNull &&
+        col("salesdate").isNotNull)
+
+  /** P2: the cast map (`glue:190-266`). Strings with thousands
+    * separators ("1,234.50") are normalized first; unparseable values →
+    * NULL (try_cast), matching permissive warehouse COPY behavior. */
+  def applyCastMap(cleaned: DataFrame): DataFrame = {
+    val castCols = cleaned.columns.toSeq.map {
+      case c if decimalCols.contains(c) =>
+        regexp_replace(col(c), ",", "").try_cast("decimal(18,2)").as(c)
+      case c if timestampCols.contains(c) => col(c).try_cast("timestamp").as(c)
+      case c => col(c)
+    }
+    cleaned.select(castCols: _*)
+  }
+
+  /** Full batch: raw CSV lake path → typed, deduped staging frame. */
+  def stage(spark: SparkSession, path: String): DataFrame =
+    applyCastMap(clean(readRawCsv(spark, path)))
+
+  /** S5/J8: idempotent upsert of a staging batch into the target on the
+    * 4-part key — `(target ANTI staging) ∪ staging`, replacing the
+    * reference's Redshift staging-table delete+insert (`glue:289-392`). */
+  def upsertBatch(target: DataFrame, staging: DataFrame): DataFrame =
+    Upsert.upsert(target, staging, upsertKeys)
+}

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Multimodal, Similarity}
+import graft.functions.LeadFunctions
+
+/** Second-wave operator entries: sorts (O1/O4/O5), dimension/point joins
+  * (J2/J6), dedicated scalar-function families (F-arr, F-like,
+  * F-str/F-re), the period-analytics map cache (A9), retention/TTL
+  * (ST7), the ADF lead parser (U4), the fuzzy match scorer (U5), and
+  * the scale-path ANN entries (IVF probe, embedding near-dup,
+  * multimodal feature extraction).
+  *
+  * Same determinism contract as [[RelationalQueries]] (see [[Q]]).
+  */
+object MiscQueries {
+
+  // -------------------------------------------------------------- O1/O4
+  /** O1 — global multi-key sort with mixed directions (reference
+    * `sql/customer_360_views.sql:741`-style exports). Spark plans a
+    * range-partitioned sort (sampled bounds), so no single reducer owns
+    * the output even at 100 TB. */
+  private val o1 = Q(
+    "o1_multikey_sort",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag").asc, col("l_extendedprice").desc,
+          col("l_orderkey").asc, col("l_linenumber").asc),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+      FROM lineitem
+      ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"""),
+  )
+
+  // ------------------------------------------------------------------ O5
+  /** O5 — the reference's driver-side `max(..., key=...)` over fetched
+    * rows (`scripts/lambda_redshift_to_segment.py:222-228`) re-expressed
+    * distributed: top-1 under a total order = TakeOrderedAndProject. */
+  private val o5 = Q(
+    "o5_latest_event",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+        .select("event_id", "user_id", "event_type", "ts"),
+    Some("""
+      SELECT event_id, user_id, event_type, ts
+      FROM events ORDER BY ts DESC, event_id DESC LIMIT 1"""),
+  )
+
+  // ------------------------------------------------------------------ J2
+  /** J2 — profile ⋈ dimension inner joins (reference
+    * `sql/customer_360_views.sql:521-608`: profiles ⋈ location_customers).
+    * Both dims are broadcast (they are tiny at every scale), so the fact
+    * side never shuffles. */
+  private val j2 = Q(
+    "j2_customer_geo",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+          col("r_name").as("region"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------------------ J6
+  /** J6 — point lookup join (reference
+    * `identity-resolution/api-server.js:249-251`: one session's match).
+    * The predicate pushes to the parquet scan on both sides; the
+    * one-customer build side broadcasts. */
+  private val j6 = Q(
+    "j6_point_lookup",
+    (s, dir) => {
+      val one = Tables.customer(s, dir).filter(col("c_custkey") === 1)
+      Tables.orders(s, dir)
+        .join(broadcast(one), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey = 1 ORDER BY o_orderkey"""),
+  )
+
+  // --------------------------------------------------------------- F-arr
+  /** F-arr — collect_set/array_sort/array_contains/size (reference
+    * `sql/customer_360_views.sql:407-408` array aggregation surface). */
+  private val fArr = Q(
+    "f_array_ops",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+        .select(
+          col("o_custkey"),
+          col("priorities"),
+          size(col("priorities")).as("n_priorities"),
+          array_contains(col("priorities"), "1-URGENT").as("has_urgent"),
+          element_at(col("priorities"), 1).as("first_priority"))
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey, priorities,
+             CAST(len(priorities) AS INT) AS n_priorities,
+             list_contains(priorities, '1-URGENT') AS has_urgent,
+             priorities[1] AS first_priority
+      FROM (SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+            FROM orders GROUP BY o_custkey) t
+      ORDER BY o_custkey"""),
+  )
+
+  // -------------------------------------------------------------- F-like
+  /** F-like — ILIKE / LIKE / prefix-suffix patterns (reference
+    * `sql/customer_360_views.sql:96-101` ilike dummy-domain checks). */
+  private val fLike = Q(
+    "f_like_patterns",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          col("p_name").ilike("%green%").as("ilike_green"),
+          col("p_type").like("%BRASS").as("like_brass"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_type").endsWith("STEEL").as("ends_steel"))
+        .filter(col("ilike_green") || col("like_brass"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+             p_name ILIKE '%green%' AS ilike_green,
+             p_type LIKE '%BRASS' AS like_brass,
+             p_name LIKE 'a%' AS starts_a,
+             p_type LIKE '%STEEL' AS ends_steel
+      FROM part
+      WHERE p_name ILIKE '%green%' OR p_type LIKE '%BRASS'
+      ORDER BY p_partkey"""),
+  )
+
+  // --------------------------------------------------------- F-str/F-re
+  /** F-str + F-re — the string/regex function family (reference
+    * `sql/customer_360_views.sql:83-109` + `lambda:316-325`). */
+  private val fStr = Q(
+    "f_string_regex",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_digits"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled"),
+          concat_ws("|", col("c_mktsegment"), col("c_custkey").cast("string"))
+            .as("seg_key"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             upper(c_name) AS upper_name,
+             CAST(length(c_name) AS BIGINT) AS name_len,
+             regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits,
+             regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled,
+             concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             substring(c_name, 1, 8) AS prefix8,
+             trim('  x  ') AS trimmed
+      FROM customer ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------------------ A9
+  /** A9 — the period-analytics cache with per-period breakdown maps
+    * (reference `identity-resolution/database-schema.sql:360-413`:
+    * JSONB maps per period). Spark side builds a real MapType then
+    * serializes it to a canonical sorted string, so the oracle compare
+    * is representation-stable. Two shuffles total (month×type, month). */
+  private val a9 = Q(
+    "a9_period_breakdown",
+    (s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      perType
+        .groupBy("month")
+        .agg(
+          map_from_entries(array_sort(collect_list(struct(col("event_type"), col("cnt")))))
+            .as("breakdown"),
+          sum(col("cnt")).as("total"))
+        .select(
+          col("month"),
+          array_join(
+            transform(array_sort(map_entries(col("breakdown"))),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value").cast("string"))),
+            ",").as("breakdown_str"),
+          col("total"))
+        .orderBy("month")
+    },
+    Some("""
+      SELECT month,
+             string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS breakdown_str,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM (SELECT strftime(ts, '%Y-%m') AS month, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2) t
+      GROUP BY month ORDER BY month"""),
+  )
+
+  // ----------------------------------------------------------------- ST7
+  /** ST7 — retention/TTL purge (reference
+    * `identity-resolution/database-schema.sql:236-242`: delete rows past
+    * their TTL). Expressed as the surviving set + age; on a real lake
+    * this is a partition-pruned overwrite of only the expired
+    * partitions, never a full rewrite. */
+  private val st7 = Q(
+    "st7_retention_survivors",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          datediff(lit("2024-06-01").cast("date"), col("ts").cast("date"))
+            .cast("long").as("age_days"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, user_id, ts,
+             CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS BIGINT) AS age_days
+      FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+      ORDER BY event_id"""),
+  )
+
+  // ------------------------------------------------------------------ U4
+  /** U4 — ADF/XML lead parsing. The XML is synthesized deterministically
+    * from customer rows (the testdata has no XML column), then parsed by
+    * [[LeadFunctions.adfLead]]; the oracle builds the identical string
+    * and extracts with the same regexes, so the parse itself is what is
+    * being differentially tested. */
+  private val u4 = Q(
+    "u4_adf_leads",
+    (s, dir) => {
+      val xml = concat(
+        lit("<adf><prospect><id source=\"lead\">L-"), col("c_custkey").cast("string"),
+        lit("</id><requestdate>2024-03-0"), (col("c_custkey") % 9 + 1).cast("string"),
+        lit("T10:00:00</requestdate><customer><contact><name part=\"first\">Cust</name>"),
+        lit("<name part=\"last\">N"), col("c_custkey").cast("string"),
+        lit("</name><email>cust"), col("c_custkey").cast("string"),
+        lit("@shop.net</email><phone>555-010-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit("</phone></contact></customer><vehicle><year>"),
+        (lit(2000) + col("c_custkey") % 25).cast("string"),
+        lit("</year><make>"), col("c_mktsegment"),
+        lit("</make><model>M-"), (col("c_custkey") % 7).cast("string"),
+        lit("</model><vin>VIN"), lpad(col("c_custkey").cast("string"), 8, "0"),
+        lit("</vin></vehicle><id source=\"sd_session\">sd_"),
+        (col("c_custkey") % 50).cast("string"),
+        lit("</id></prospect></adf>"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), LeadFunctions.adfLead(xml).as("lead"))
+        .select(col("c_custkey"), col("lead.lead_id"), col("lead.request_date"),
+          col("lead.first_name"), col("lead.last_name"), col("lead.email"),
+          col("lead.phone"), col("lead.vehicle_year"), col("lead.vehicle_make"),
+          col("lead.vehicle_model"), col("lead.vehicle_vin"), col("lead.sd_session_id"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH x AS (
+        SELECT c_custkey,
+               '<adf><prospect><id source="lead">L-' || CAST(c_custkey AS VARCHAR)
+               || '</id><requestdate>2024-03-0' || CAST(c_custkey % 9 + 1 AS VARCHAR)
+               || 'T10:00:00</requestdate><customer><contact><name part="first">Cust</name>'
+               || '<name part="last">N' || CAST(c_custkey AS VARCHAR)
+               || '</name><email>cust' || CAST(c_custkey AS VARCHAR)
+               || '@shop.net</email><phone>555-010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || '</phone></contact></customer><vehicle><year>' || CAST(2000 + c_custkey % 25 AS VARCHAR)
+               || '</year><make>' || c_mktsegment
+               || '</make><model>M-' || CAST(c_custkey % 7 AS VARCHAR)
+               || '</model><vin>VIN' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+               || '</vin></vehicle><id source="sd_session">sd_' || CAST(c_custkey % 50 AS VARCHAR)
+               || '</id></prospect></adf>' AS xml
+        FROM customer)
+      SELECT c_custkey,
+             coalesce(nullif(regexp_extract(xml, '<id[^>]*source="lead"[^>]*>\s*([^<]*?)\s*</id>', 1, 'is'), ''),
+                      nullif(regexp_extract(xml, '<id[^>]*>\s*([^<]*?)\s*</id>', 1, 'is'), '')) AS lead_id,
+             nullif(regexp_extract(xml, '<requestdate[^>]*>\s*([^<]*?)\s*</requestdate>', 1, 'is'), '') AS request_date,
+             nullif(regexp_extract(xml, '<name[^>]*part="first"[^>]*>\s*([^<]*?)\s*</name>', 1, 'is'), '') AS first_name,
+             nullif(regexp_extract(xml, '<name[^>]*part="last"[^>]*>\s*([^<]*?)\s*</name>', 1, 'is'), '') AS last_name,
+             nullif(regexp_extract(xml, '<email[^>]*>\s*([^<]*?)\s*</email>', 1, 'is'), '') AS email,
+             nullif(regexp_extract(xml, '<phone[^>]*>\s*([^<]*?)\s*</phone>', 1, 'is'), '') AS phone,
+             TRY_CAST(nullif(regexp_extract(xml, '<year[^>]*>\s*([^<]*?)\s*</year>', 1, 'is'), '') AS INT) AS vehicle_year,
+             nullif(regexp_extract(xml, '<make[^>]*>\s*([^<]*?)\s*</make>', 1, 'is'), '') AS vehicle_make,
+             nullif(regexp_extract(xml, '<model[^>]*>\s*([^<]*?)\s*</model>', 1, 'is'), '') AS vehicle_model,
+             nullif(regexp_extract(xml, '<vin[^>]*>\s*([^<]*?)\s*</vin>', 1, 'is'), '') AS vehicle_vin,
+             nullif(regexp_extract(xml, '<id[^>]*source="sd_session"[^>]*>\s*([^<]*?)\s*</id>', 1, 'is'), '') AS sd_session_id
+      FROM x ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------------------ U5
+  /** U5 — fuzzy contact-match scoring (reference `api-server.js:254-260`).
+    * Visitor contact fields are deterministic perturbations of the lead
+    * fields so every score branch (email hit, phone hit, name edit
+    * distance) is exercised; the oracle replicates the formula with
+    * DuckDB's levenshtein. */
+  private val u5 = Q(
+    "u5_fuzzy_scores",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("lead_email", concat(lit("cust"), col("c_custkey").cast("string"), lit("@shop.net")))
+        .withColumn("lead_phone", concat(lit("555010"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .withColumn("visitor_email",
+          when(col("c_custkey") % 3 === 0, col("lead_email")).otherwise(lit("other@else.org")))
+        .withColumn("visitor_phone",
+          when(col("c_custkey") % 4 === 0, concat(lit("+1 "), col("lead_phone"))).otherwise(lit("555")))
+        .withColumn("visitor_name",
+          when(col("c_custkey") % 2 === 0, col("c_name"))
+            .otherwise(concat(lit("X"), substring(col("c_name"), 2, 100))))
+      c.select(
+        col("c_custkey"),
+        LeadFunctions.matchScore(
+          col("lead_email"), col("lead_phone"), col("c_name"),
+          col("visitor_email"), col("visitor_phone"), col("visitor_name")).as("score"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT c_custkey, c_name,
+               'cust' || CAST(c_custkey AS VARCHAR) || '@shop.net' AS lead_email,
+               '555010' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS lead_phone,
+               CASE WHEN c_custkey % 3 = 0 THEN 'cust' || CAST(c_custkey AS VARCHAR) || '@shop.net'
+                    ELSE 'other@else.org' END AS visitor_email,
+               CASE WHEN c_custkey % 4 = 0 THEN '+1 555010' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                    ELSE '555' END AS visitor_phone,
+               CASE WHEN c_custkey % 2 = 0 THEN c_name
+                    ELSE 'X' || substring(c_name, 2) END AS visitor_name
+        FROM customer)
+      SELECT c_custkey,
+             round(
+               (CASE WHEN lower(trim(lead_email)) = lower(trim(visitor_email)) THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN length(regexp_replace(lead_phone, '[^0-9]', '', 'g')) >= 10
+                        AND length(regexp_replace(visitor_phone, '[^0-9]', '', 'g')) >= 10
+                        AND right(regexp_replace(lead_phone, '[^0-9]', '', 'g'), 10)
+                            = right(regexp_replace(visitor_phone, '[^0-9]', '', 'g'), 10)
+                       THEN 0.3 ELSE 0.0 END)
+               + 0.3 * (1.0 - CAST(levenshtein(lower(trim(c_name)), lower(trim(visitor_name))) AS DOUBLE)
+                              / greatest(length(lower(trim(c_name))), length(lower(trim(visitor_name))))),
+               4) AS score
+      FROM t ORDER BY c_custkey"""),
+  )
+
+  // ------------------------------------------------------------- ANN/IVF
+  /** IVF-probed ANN top-k (the 100 TB path; see [[Similarity.ivfTopK]]).
+    * Deterministic (id-sampled centroids, total-order tiebreaks) but not
+    * SQL-expressible in one oracle query — verified instead against the
+    * brute-force ground truth in SimilaritySpec; the driver records a
+    * rows-only check. */
+  private val annIvf = Q(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.ivfTopK(assigned, centroids, query, k = 20, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    None,
+  )
+
+  /** Embedding-cosine near-duplicate pairs via centroid-bucketed
+    * self-join (never all-pairs; see [[Similarity.nearDupPairs]]).
+    * Rows-only for the driver; pair-level ground truth in SimilaritySpec. */
+  private val embNearDup = Q(
+    "emb_near_dup_pairs",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      Similarity.nearDupPairs(assigned, threshold = 0.95)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+    None,
+  )
+
+  // ----------------------------------------------------------- Multimodal
+  /** Multimodal decode/feature stage over mapPartitions (STUB decoder —
+    * see [[Multimodal.StubDecoder]]; the Spark plumbing is the product).
+    * byte_len/content_md5 are oracle-checkable in SQL; the pseudo-feature
+    * vector is pinned by MultimodalSpec. */
+  private val mmFeatures = Q(
+    "multimodal_features",
+    (s, dir) => {
+      val packed = Multimodal.pack(
+        Tables.documents(s, dir).withColumn("payload", to_binary(col("text"), lit("utf-8"))),
+        "doc_id", "payload", "text/plain", "documents")
+      Multimodal.extractFeatures(packed)
+        .select(col("media_id"), col("metadata.media_type").as("media_type"),
+          col("byte_len"), col("content_md5"), col("frame_count"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id, 'text/plain' AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             md5(text) AS content_md5,
+             CAST(1 + octet_length(encode(text)) // 64 AS INT) AS frame_count
+      FROM documents ORDER BY media_id"""),
+  )
+
+  val all: Seq[Q] = Seq(
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, embNearDup,
+    mmFeatures)
+}

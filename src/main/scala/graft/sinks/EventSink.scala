@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** S7 + ST5: the HTTP/JSON event sink with batched, rate-limited
+  * delivery — re-expression of the reference's Segment track loop
+  * (`scripts/lambda_redshift_to_segment.py:330-424`: 100-event batches,
+  * `time.sleep` between batches, per-event JSON payloads).
+  *
+  * The transport is pluggable (an HTTP POST in production, a recording
+  * fake in tests) because the engine's job is the distributed half:
+  * shaping rows to JSON payloads (PipelineQueries.actEvents), sizing
+  * batches, pacing calls, and never funnelling events through the
+  * driver. Delivery runs per-partition on executors; each partition
+  * paces itself, so cluster-wide throughput = partitions × rate — cap
+  * partitions (`repartition(n)`) to cap the aggregate request rate
+  * against the downstream API.
+  */
+object EventSink {
+
+  type Transport = Seq[String] => Unit
+
+  /** Deliver `payloadCol` (a JSON string column) in batches of
+    * `batchSize`, sleeping `pauseMillis` between consecutive batches in
+    * the same partition (the reference's rate limit, `lambda:408-415`).
+    * Returns the delivered-event count from an accumulator so callers
+    * can reconcile against the source count (exactly-once bookkeeping
+    * stays with the caller via [[ProcessedIds]]). */
+  def deliver(
+      events: DataFrame,
+      payloadCol: String,
+      transport: Transport,
+      batchSize: Int = 100,
+      pauseMillis: Long = 0L): Long = {
+    val acc: LongAccumulator =
+      events.sparkSession.sparkContext.longAccumulator("events_delivered")
+    events.select(col(payloadCol).cast("string")).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        var first = true
+        rows.map(_.getString(0)).grouped(batchSize).foreach { batch =>
+          if (!first && pauseMillis > 0) Thread.sleep(pauseMillis)
+          first = false
+          transport(batch)
+          acc.add(batch.size)
+        }
+    }
+    acc.value
+  }
+
+  /** S9: the processed-ID state store — replaces the reference's S3
+    * JSON state file (`lambda:97-135`: load set, union, save). Parquet
+    * append keeps writes cheap and atomic-per-batch; reads are a
+    * distributed distinct (never a driver-side set); [[compact]] folds
+    * the append log back to one file set when it fragments. */
+  object ProcessedIds {
+
+    def load(spark: SparkSession, statePath: String, idCol: String): DataFrame =
+      if (new java.io.File(statePath).exists())
+        spark.read.parquet(statePath).select(idCol).distinct()
+      else
+        spark.emptyDataFrame.withColumn(idCol, lit(null).cast("long"))
+          .limit(0)
+
+    def append(ids: DataFrame, statePath: String): Unit =
+      ids.write.mode("append").parquet(statePath)
+
+    /** Rewrite the append log as one deduplicated snapshot. */
+    def compact(spark: SparkSession, statePath: String, idCol: String): Unit = {
+      val snap = load(spark, statePath, idCol).cache()
+      snap.count() // materialize before overwrite
+      snap.coalesce(1).write.mode("overwrite").parquet(statePath + ".tmp")
+      snap.unpersist()
+      val dir = new java.io.File(statePath)
+      def delete(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(delete)
+        f.delete()
+      }
+      delete(dir)
+      new java.io.File(statePath + ".tmp").renameTo(dir)
+    }
+  }
+}

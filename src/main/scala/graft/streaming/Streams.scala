@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the reference's incremental
+  * semantics (SURVEY §2.9). The reference is micro-batch glue (Lambda +
+  * S3 state + Postgres triggers); these are the streaming-native
+  * equivalents, each usable on a real unbounded source (`readStream`)
+  * and testable through MemoryStream.
+  */
+object Streams {
+
+  /** ST1: incremental file-lake source — the streaming analog of the
+    * daily high-water-mark read (`lambda_redshift_to_segment.py:137-209`).
+    * File-source checkpointing replaces the hand-rolled S3 state file;
+    * `maxFilesPerTrigger` bounds each micro-batch (ST5's batch cap). */
+  def incrementalParquetSource(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** ST2: exactly-once-ish delivery — watermarked `dropDuplicates` on
+    * the idempotency key replaces the persisted processed-ID set
+    * (`lambda:97-135,316-325`); the downstream messageId (U6) keeps
+    * replays idempotent end-to-end. */
+  def dedupedEvents(
+      events: DataFrame,
+      key: String,
+      eventTimeCol: String,
+      watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicates(key, eventTimeCol)
+
+  /** Versioned record for ST3 latest-version-wins. */
+  case class Versioned(key: String, version: Long, payload: String)
+
+  /** ST3: late/modified data, latest-version-wins — deals are updated
+    * after the fact (`customer_360_views.sql:262-265`,
+    * `glue_vehicle_sales_etl.py:277-288`). Keeps the max-version row
+    * per key in `GroupState`, emitting the new winner whenever a later
+    * version arrives.
+    *
+    * `stateTtl` (ST7's streaming analog) is OPT-IN: a processing-time
+    * timeout makes the engine schedule timeout-sweep micro-batches
+    * continuously even with no data, which is the right trade on a real
+    * cluster (bounded state) but pure overhead for bounded replays —
+    * and those no-data batches churn the checkpoint at test speed. */
+  def latestVersionWins(
+      input: Dataset[Versioned],
+      stateTtl: Option[String] = None): Dataset[Versioned] = {
+    import input.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    input.groupByKey(_.key)
+      .mapGroupsWithState[Versioned, Versioned](timeoutConf) {
+        case (key, rows, state: GroupState[Versioned]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val candidates = rows.toSeq ++ state.getOption
+            val winner = candidates.maxBy(v => (v.version, v.payload))
+            state.update(winner)
+            stateTtl.foreach(state.setTimeoutDuration)
+            winner
+          }
+      }
+  }
+
+  /** ST4: the 24h session-match window as a stream-stream interval join
+    * (`README.md:83-88`): leads join sessions on the dr-session id with
+    * an event-time bound, watermarks on both sides so state is pruned. */
+  def sessionLeadJoin(
+      sessions: DataFrame, // (session_id, s_time, ...)
+      leads: DataFrame, // (crm_session_id, l_time, ...)
+      windowHours: Int = 24): DataFrame = {
+    val s = sessions.withWatermark("s_time", s"$windowHours hours")
+    val l = leads.withWatermark("l_time", s"$windowHours hours")
+    l.join(s,
+      l("crm_session_id") === s("session_id") &&
+        l("l_time") >= s("s_time") &&
+        l("l_time") <= s("s_time") + expr(s"INTERVAL $windowHours HOURS"))
+  }
+
+  /** ST6: sessionization — the browser tracker re-fires every 30 s and
+    * sessions are bounded by inactivity (`website-tracker.js:457-460`,
+    * first_seen/last_seen `database-schema.sql:56-58`). `session_window`
+    * closes a session after `gap` of silence and aggregates its span. */
+  def sessionize(
+      pings: DataFrame, // (visitor_id, ts)
+      gap: String = "30 minutes"): DataFrame =
+    pings
+      .withWatermark("ts", gap)
+      .groupBy(col("visitor_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        count(lit(1)).as("ping_count"))
+      .select(col("visitor_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("first_seen"), col("last_seen"), col("ping_count"),
+        (unix_timestamp(col("last_seen")) - unix_timestamp(col("first_seen")))
+          .as("session_duration_secs"))
+
+  /** ST5/ST8: deliver each micro-batch through the batch activation sink
+    * and recompute downstream state — `foreachBatch` is where streaming
+    * meets the batch modules (event shaping, upsert, state table). */
+  def deliverStream(
+      events: DataFrame,
+      checkpoint: String,
+      outputMode: OutputMode = OutputMode.Append())(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(onBatch)
+      .start()
+}

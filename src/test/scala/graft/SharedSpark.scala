@@ -12,6 +12,11 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checksum checkpoint manager deadlocked the whole
+      // suite under the streaming tests (all executor threads parked in
+      // ChecksumCheckpointFileManager.awaitResult); tests don't need
+      // checkpoint corruption detection.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Multimodal plumbing: schema shape, stub decode determinism, frame
+  * sampling — the Spark-side contract a real codec drops into. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def packed() = {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "x" * 200))
+      .toDF("id", "text")
+      .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+    Multimodal.pack(df, "id", "payload", "image/jpeg", "unit-test")
+  }
+
+  test("pack produces (media_id, payload, metadata) with typed metadata") {
+    val df = packed()
+    assert(df.columns.toSeq == Seq("media_id", "payload", "metadata"))
+    val meta = df.schema("metadata").dataType
+    assert(meta == Multimodal.metadataType)
+    val r = df.filter(col("media_id") === 1).select("metadata.media_type", "metadata.source")
+      .head()
+    assert(r.getString(0) == "image/jpeg" && r.getString(1) == "unit-test")
+  }
+
+  test("extractFeatures appends decoder columns; md5/len/frames are exact") {
+    val out = Multimodal.extractFeatures(packed())
+    val r = out.filter(col("media_id") === 1)
+      .select("byte_len", "content_md5", "frame_count").head()
+    assert(r.getLong(0) == 11L)
+    assert(r.getString(1) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(r.getInt(2) == 1)
+    val big = out.filter(col("media_id") === 3).select("frame_count").head().getInt(0)
+    assert(big == 1 + 200 / 64)
+    val dim = out.filter(col("media_id") === 2).select(size(col("feature"))).head().getInt(0)
+    assert(dim == Multimodal.StubDecoder.FeatureDim)
+  }
+
+  test("StubDecoder is deterministic and empty-safe") {
+    val a = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
+    val b = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
+    assert(a._2 == b._2 && a._4.toSeq == b._4.toSeq)
+    val e = Multimodal.StubDecoder.decode(Array.emptyByteArray)
+    assert(e._1 == 0L && e._3 == 1 && e._4.toSeq.forall(_ == 0.0f))
+  }
+
+  test("sampleFrames slices deterministic byte windows per frame") {
+    val out = Multimodal.sampleFrames(packed().filter(col("media_id") === 3),
+      frameBytes = 50, nFrames = 3)
+    val rows = out.orderBy("frame_no").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length == 50))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** ANN correctness: cosine expression vs hand math, IVF probe vs
+  * brute-force ground truth, bucketed near-dup vs exact all-pairs on a
+  * small corpus (the all-pairs check is TEST-ONLY ground truth — the
+  * production path is always the bucketed join). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def vecDf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine matches hand-computed values") {
+    val df = vecDf(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f))
+    val out = df.crossJoin(vecDf(10L -> Seq(1f, 0f)).select(col("embedding").as("q")))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L) - 0.0) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, total-ordered") {
+    val df = vecDf(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0f, 1f),
+      4L -> Seq(-1f, 0f), 5L -> Seq(0.5f, 0.5f))
+    val top = Similarity.bruteForceTopK(df, Seq(1f, 0f), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 5L))
+  }
+
+  test("ivfTopK with all buckets probed equals brute force exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // deterministic pseudo-random corpus: 60 vectors in 4 dims
+    val corpus = (0L until 60L).map { i =>
+      val f = Seq.tabulate(4)(d => (((i * 31 + d * 17) % 13).toFloat - 6f) / 6f)
+      (i, f)
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCentroidsById(df, 6)
+    val assigned = Similarity.assignToCentroids(df, centroids)
+    val query = Seq(0.3f, -0.2f, 0.8f, 0.1f)
+    val exact = Similarity.bruteForceTopK(df, query, 10).collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(assigned, centroids, query, 10, nprobe = 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact) // nprobe = all buckets → identical to exact
+    val probed = Similarity.ivfTopK(assigned, centroids, query, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = probed.intersect(exact.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nprobe=2 recall $recall too low")
+  }
+
+  test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
+    val df = vecDf(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // near-dup pair
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(0f, 0f, 1f))
+    // Adversarial centroid choice: centroids ARE vectors 1 and 2, so with
+    // single assignment the near-dup pair splits across buckets. nAssign=2
+    // (multi-probe assignment) is the documented recall knob that makes
+    // the pair collide in a shared bucket.
+    val centroids = Similarity.trainCentroidsById(df, 2)
+    val single = Similarity.assignToCentroids(df, centroids)
+    assert(Similarity.nearDupPairs(single, 0.99).count() == 0)
+    val assigned = Similarity.assignToCentroids(df, centroids, nAssign = 2)
+    val pairs = Similarity.nearDupPairs(assigned, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

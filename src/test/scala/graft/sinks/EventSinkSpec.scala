@@ -1,0 +1,75 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** S7/ST5 batched rate-limited delivery + S9 processed-ID state store. */
+class EventSinkSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("deliver batches payloads, counts via accumulator, nothing lost") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = (1 to 250).map(i => s"""{"id":$i}""").toDF("payload")
+      .repartition(2)
+    EventSinkSpec.got.clear()
+    // transport writes to a STATIC queue: closures are serialized even in
+    // local mode, so a captured instance field would collect into a copy.
+    val n = EventSink.deliver(events, "payload", b => EventSinkSpec.got.add(b),
+      batchSize = 100)
+    assert(n == 250)
+    val batches = EventSinkSpec.got.toArray(Array.empty[Seq[String]])
+    assert(batches.map(_.size).sum == 250)
+    assert(batches.forall(_.size <= 100))
+    // per-partition batching: at most one ragged (non-full) batch per partition
+    assert(batches.count(_.size < 100) <= 2)
+    val ids = batches.flatten.map(s => s.replaceAll("[^0-9]", "").toInt).toSet
+    assert(ids == (1 to 250).toSet)
+  }
+
+  test("ProcessedIds: load empty → append → load → compact round-trips") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val path = s"$dir/processed"
+    assert(EventSink.ProcessedIds.load(spark, path, "event_id").count() == 0)
+    EventSink.ProcessedIds.append(Seq(1L, 2L, 3L).toDF("event_id"), path)
+    EventSink.ProcessedIds.append(Seq(3L, 4L).toDF("event_id"), path) // overlap
+    val loaded = EventSink.ProcessedIds.load(spark, path, "event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(loaded == Set(1L, 2L, 3L, 4L))
+    EventSink.ProcessedIds.compact(spark, path, "event_id")
+    val after = EventSink.ProcessedIds.load(spark, path, "event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 3L, 4L))
+    // compacted to a single part file
+    val parts = new java.io.File(path).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("deliver + ProcessedIds = idempotent incremental delivery") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state2").toString
+    val path = s"$dir/processed"
+    val all = (1L to 20L).map(i => (i, s"""{"id":$i}""")).toDF("event_id", "payload")
+
+    def runOnce(): Long = {
+      val processed = EventSink.ProcessedIds.load(spark, path, "event_id")
+      val todo = all.join(processed, Seq("event_id"), "left_anti")
+      val sent = EventSink.deliver(todo, "payload", _ => ())
+      EventSink.ProcessedIds.append(todo.select("event_id"), path)
+      sent
+    }
+    assert(runOnce() == 20L)
+    assert(runOnce() == 0L) // second run delivers nothing
+  }
+}
+
+object EventSinkSpec {
+  val got = new ConcurrentLinkedQueue[Seq[String]]()
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Structured Streaming semantics through MemoryStream: watermarked
+  * dedup (ST2), latest-version-wins state (ST3), stream-stream 24h join
+  * (ST4), sessionization (ST6). Every query stops in a finally block —
+  * a leaked query spins the state-store coordinator forever. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def withQuery[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  test("ST3 latestVersionWins: later version replaces, state carries across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.Versioned]
+    val q = Streams.latestVersionWins(in.toDS())
+      .writeStream.format("memory").queryName("lvw").outputMode("update").start()
+    withQuery(q) {
+      in.addData(Streams.Versioned("d1", 1, "v1"), Streams.Versioned("d2", 5, "a"))
+      q.processAllAvailable()
+      in.addData(Streams.Versioned("d1", 3, "v3"), Streams.Versioned("d2", 2, "stale"))
+      q.processAllAvailable()
+      val out = spark.table("lvw").as[Streams.Versioned].collect()
+      // last update per key must be the max version ever seen
+      val lastPerKey = out.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1 }
+      assert(lastPerKey("d1") == Streams.Versioned("d1", 3, "v3"))
+      assert(lastPerKey("d2") == Streams.Versioned("d2", 5, "a"))
+    }
+  }
+
+  test("ST2 dedupedEvents drops replayed keys within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val df = in.toDF().toDF("deal", "ts")
+    val q = Streams.dedupedEvents(df, "deal", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    withQuery(q) {
+      in.addData(("d1", ts("2024-01-01 10:00:00")), ("d1", ts("2024-01-01 10:00:00")),
+        ("d2", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(("d1", ts("2024-01-01 10:00:00"))) // replay in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    }
+  }
+
+  test("ST4 sessionLeadJoin matches only inside the 24h bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sIn = MemoryStream[(String, java.sql.Timestamp)]
+    val lIn = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = sIn.toDF().toDF("session_id", "s_time")
+    val leads = lIn.toDF().toDF("crm_session_id", "l_time")
+    val q = Streams.sessionLeadJoin(sessions, leads)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    withQuery(q) {
+      sIn.addData(("dr_1", ts("2024-01-01 00:00:00")), ("dr_2", ts("2024-01-01 00:00:00")))
+      lIn.addData(("dr_1", ts("2024-01-01 12:00:00")), // inside 24h → match
+        ("dr_2", ts("2024-01-03 00:00:00")), // outside → no match
+        ("dr_9", ts("2024-01-01 01:00:00"))) // unknown session
+      q.processAllAvailable()
+      val out = spark.table("ssj").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[String]("crm_session_id") == "dr_1")
+    }
+  }
+
+  test("ST6 sessionize closes sessions after the inactivity gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val pings = in.toDF().toDF("visitor_id", "ts")
+    val q = Streams.sessionize(pings, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    withQuery(q) {
+      in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (1L, ts("2024-01-01 12:00:00"))) // >30min later → second session
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      in.addData((2L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess").filter(col("visitor_id") === 1).collect()
+      assert(out.length == 2)
+      val spans = out.map(r => (r.getAs[java.sql.Timestamp]("first_seen"),
+        r.getAs[Long]("ping_count"))).toSet
+      assert(spans == Set((ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 12:00:00"), 1L)))
+    }
+  }
+}
