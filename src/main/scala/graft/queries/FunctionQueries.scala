@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar-function family queries — one differential entry per family
+  * from SURVEY.md §2.8 (date/time, math with guarded division,
+  * conditional ladders, JSON/map, hash ids, permissive casts). The
+  * string/regex/LIKE/array families live in MiscQueries.
+  *
+  * All are single-pass projections: no shuffle except the final
+  * presentation sort, so they stay inside one WholeStageCodegen span
+  * and scale linearly with input.
+  */
+object FunctionQueries {
+
+  // -------------------------------------------------------------- F-date
+  /** Date/time family (reference `sql/customer_360_views.sql:129-171`,
+    * `identity-resolution/database-schema.sql:306-355`): year extract,
+    * month formatting, date arithmetic against a fixed as-of date,
+    * ISO timestamp formatting. */
+  private val fDate = Q(
+    "f_date_functions",
+    (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        datediff(lit("2024-06-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_before_asof"),
+        date_format(date_sub(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd")
+          .as("week_earlier"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             strftime(o_orderdate, '%Y-%m') AS order_month,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS days_before_asof,
+             strftime(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') AS week_earlier,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  // -------------------------------------------------------------- F-math
+  /** Math family (reference `database-schema.sql:327-336`,
+    * `customer_360_views.sql:157,444`): ROUND, NULLIF-guarded division,
+    * exact decimal money arithmetic, modulo bucketing. */
+  private val fMath = Q(
+    "f_math_guarded",
+    (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.00).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"),
+        round(col("l_quantity") / nullif(col("l_tax"), lit(0.0)), 4).as("qty_per_tax"),
+        (col("l_orderkey") % 97).as("bucket_97"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue,
+             round(l_quantity / nullif(l_tax, 0.0), 4) AS qty_per_tax,
+             l_orderkey % 97 AS bucket_97
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  // -------------------------------------------------------------- F-cond
+  /** Conditional family (reference `customer_360_views.sql:93-167,
+    * 473-482`): CASE ladder bucketing, IN-lists, BETWEEN, COALESCE with
+    * empty-string normalization. */
+  private val fCond = Q(
+    "f_cond_buckets",
+    (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_acctbal") >= 5000, "high")
+          .when(col("c_acctbal") >= 1000, "mid")
+          .when(col("c_acctbal") >= 0, "low")
+          .otherwise("negative").as("balance_band"),
+        col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY").as("is_target_segment"),
+        col("c_acctbal").between(0, 1000).as("is_small_positive"),
+        coalesce(nullif(trim(col("c_name")), lit("")), lit("UNKNOWN")).as("display_name"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             CASE WHEN c_acctbal >= 5000 THEN 'high'
+                  WHEN c_acctbal >= 1000 THEN 'mid'
+                  WHEN c_acctbal >= 0 THEN 'low'
+                  ELSE 'negative' END AS balance_band,
+             c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AS is_target_segment,
+             c_acctbal BETWEEN 0 AND 1000 AS is_small_positive,
+             coalesce(nullif(trim(c_name), ''), 'UNKNOWN') AS display_name
+      FROM customer ORDER BY c_custkey"""),
+  )
+
+  // -------------------------------------------------------------- F-json
+  /** JSON/map family (reference JSONB columns
+    * `database-schema.sql:49,78,211-213` + event payload build
+    * `lambda_redshift_to_segment.py:327-424`): parse a JSON props
+    * string into a typed map, extract a key, re-serialize a struct. */
+  private val fJson = Q(
+    "f_json_roundtrip",
+    (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        element_at(from_json(col("props"), lit("map<string,bigint>")), "k").as("k_val"),
+        to_json(struct(col("event_type"),
+          element_at(from_json(col("props"), lit("map<string,bigint>")), "k").as("k")))
+          .as("event_json"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+             '{"event_type":"' || event_type || '","k":' ||
+               regexp_extract(props, '"k": ([0-9]+)', 1) || '}' AS event_json
+      FROM events ORDER BY event_id"""),
+  )
+
+  // -------------------------------------------------------------- F-hash
+  /** Hash/id family (reference deterministic messageId
+    * `lambda_redshift_to_segment.py:316-325`): md5 over a joined key,
+    * hash prefix bucketing, sha-256. uuid() is excluded by design —
+    * nondeterministic ids break replay idempotence (ST2); the engine's
+    * id story IS the deterministic md5. */
+  private val fHash = Q(
+    "f_hash_ids",
+    (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        md5(concat_ws("_", lit("order"), col("o_orderkey"), col("o_custkey")))
+          .as("message_id"),
+        substring(md5(col("o_orderstatus")), 1, 8).as("status_hash8"),
+        sha2(col("o_orderpriority").cast("binary"), 256).as("priority_sha256"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             md5('order_' || CAST(o_orderkey AS VARCHAR) || '_' || CAST(o_custkey AS VARCHAR))
+               AS message_id,
+             substr(md5(o_orderstatus), 1, 8) AS status_hash8,
+             sha256(o_orderpriority) AS priority_sha256
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  // -------------------------------------------------------------- F-cast
+  /** Permissive-cast family (reference Python float-or-null coercion
+    * `lambda_redshift_to_segment.py:248-254`, P2 cast map): TRY_CAST
+    * turns unparseable values into NULL instead of failing the job —
+    * the "bad value → NULL" contract a 100 TB dirty-CSV load needs. */
+  private val fCast = Q(
+    "f_try_casts",
+    (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        expr("TRY_CAST(c_name AS BIGINT)").as("name_as_int"),
+        expr("TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)").as("name_digits"),
+        expr("TRY_CAST(c_mktsegment AS DECIMAL(10,2))").cast("double").as("segment_as_num"),
+        expr("CAST(TRY_CAST(concat('2024-', CAST(c_custkey % 20 AS STRING), '-01') AS DATE) AS STRING)")
+          .as("maybe_date"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             TRY_CAST(c_name AS BIGINT) AS name_as_int,
+             TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_digits,
+             CAST(TRY_CAST(c_mktsegment AS DECIMAL(10,2)) AS DOUBLE) AS segment_as_num,
+             CAST(TRY_CAST('2024-' || CAST(c_custkey % 20 AS VARCHAR) || '-01' AS DATE) AS VARCHAR)
+               AS maybe_date
+      FROM customer ORDER BY c_custkey"""),
+  )
+
+  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast)
+}

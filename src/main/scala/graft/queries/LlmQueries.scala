@@ -195,6 +195,77 @@ object LlmQueries {
       ORDER BY c.doc_a, c.doc_b"""),
   )
 
+  // ------------------------------------------------------ n-gram Jaccard
+  /** N-gram Jaccard near-dup: candidate pairs share at least one RARE
+    * 4-shingle (document frequency ≤ 10), then exact shingle Jaccard ≥
+    * 0.5 on candidates only.
+    *
+    * 100 TB story: the df-filter is the scale valve — joining on raw
+    * shingles explodes on stop-phrase postings (a shingle shared by 1M
+    * docs creates 10^12 pairs), but near-dups by definition share rare
+    * shingles, so dropping hot shingles from CANDIDATE GENERATION loses
+    * no true pairs above threshold while bounding the self-join to
+    * df² ≤ 100 per surviving shingle. The exact Jaccard still uses all
+    * shingles. */
+  private val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sh = d.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 4)).as("shingle"))
+      val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select("shingle"),
+        "shingle")
+      val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10) r
+               USING (shingle)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON c.doc_a = sa.doc_id
+                JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b)
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 4) AS jaccard
+      FROM cand c
+      JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes na ON c.doc_a = na.doc_id
+      JOIN sizes nb ON c.doc_b = nb.doc_id
+      WHERE round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 4) >= 0.5
+      ORDER BY c.doc_a, c.doc_b"""),
+  )
+
   // -------------------------------------------------------------- SimHash
   /** SimHash near-dup signature: 16 bits, bit b = majority of the high
     * bit of md5 hex digit b+1 over the distinct token set. Identical
@@ -314,5 +385,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, dedupExact, minhash, simhash, annTopK, multimodal)
+    textStats, fingerprint, dedupExact, minhash, ngramJaccard, simhash,
+    annTopK, multimodal)
 }
