@@ -11,12 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning and partition discovery all come from the Parquet source.
   */
 object Tables {
+  /** All driver-generated tables. TESTDATA.md's prose lists the TPC-H-ish
+    * eight; `documents` and `embeddings` additionally exist on disk at
+    * every scale factor (they back the LLM-pipeline operators) — this
+    * list, not the doc, is authoritative. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Fail fast with the resolved path on a typoed table name or wrong
+    * dir, instead of a late, context-free AnalysisException. The
+    * existence probe is local-fs only — harmless here; drop it if this
+    * loader ever fronts an object store. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name),
+      s"unknown table '$name' — known tables: ${names.mkString(", ")}")
+    val path = s"$dir/$name.parquet"
+    require(new java.io.File(path).exists(), s"no parquet at $path")
+    spark.read.parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

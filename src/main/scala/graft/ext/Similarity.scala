@@ -4,14 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.CosineSimilarity
+
 /** Similarity search over embedding columns (`Array[Float]`) — the
   * north-star ANN component. Three tiers:
   *
-  *   1. [[cosine]] — codegen'd higher-order-function cosine between two
-  *     vector columns (`zip_with` + `aggregate`, no UDF);
+  *   1. [[cosine]] — the native codegen'd Catalyst expression
+  *     [[graft.expressions.CosineSimilarity]] (dot + both norms in one
+  *     fused primitive loop; HOF combos are CodegenFallback and
+  *     measured ~2× slower on the near-dup query);
   *   2. [[bruteForceTopK]] — exact top-k against one query vector:
-  *     broadcast the query, one pass, TakeOrderedAndProject. Baseline
-  *     and ground truth;
+  *     the query rides inline as a literal array, one scan,
+  *     TakeOrderedAndProject. Baseline and ground truth;
   *   3. [[ivfTopK]] — the 100 TB path: IVF-style bucketing. Vectors are
   *     assigned to their nearest centroid once (a narrow map against a
   *     broadcast centroid table); a query probes only `nprobe` centroid
@@ -26,18 +30,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-vector columns, computed in double.
-    * Pure expression — whole-stage-codegen-friendly. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (l, r) => l * r), lit(0.0d), (acc, v) => acc + v)
-    dot(a.cast("array<double>"), b.cast("array<double>")) /
-      (sqrt(dot(a.cast("array<double>"), a.cast("array<double>"))) *
-        sqrt(dot(b.cast("array<double>"), b.cast("array<double>"))))
-  }
+    * Native expression — inlines into whole-stage codegen; null on
+    * zero-norm input. */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity.of(a, b)
 
   /** Exact brute-force top-k for `query` (single vector) against
-    * `vectors(idCol, vecCol)`. The query rides along as a broadcast
-    * one-row frame — no driver-side loops, no collect of the corpus. */
+    * `vectors(idCol, vecCol)`. The query is a literal array in the
+    * plan — no driver-side loops, no collect of the corpus. */
   def bruteForceTopK(
       vectors: DataFrame,
       query: Seq[Float],

@@ -125,8 +125,14 @@ object LlmQueries {
       val nPerm = 12
       val bandSize = 3
       val d = Tables.documents(s, dir)
+      // The exploded shingle table feeds four consumers (signatures,
+      // sizes, both sides of the intersection join); persisting it
+      // executes the interpreted shingling HOF once instead of 4× —
+      // the same reason a 100 TB run would checkpoint its shingle
+      // table before fanning out.
       val sh = d.select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .persist()
       val sig = sh.groupBy("doc_id").agg(
         TextFunctions.minhashAgg(col("shingle"), 0).as("h0"),
         (1 until nPerm).map(i => TextFunctions.minhashAgg(col("shingle"), i).as(s"h$i")): _*)
@@ -211,12 +217,17 @@ object LlmQueries {
     "dedup_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
+      // Persisted for the same multi-consumer reason as dedup_minhash_lsh:
+      // sh feeds the df-filter, both self-join sides, sizes, and the
+      // intersection join — 6 recomputes of the shingling HOF otherwise.
       val sh = d.select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 4)).as("shingle"))
+        .persist()
       val rare = sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 10).select("shingle"),
         "shingle")
+        .persist()
       val cand = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

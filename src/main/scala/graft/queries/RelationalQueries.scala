@@ -503,6 +503,44 @@ object RelationalQueries {
       FROM orders ORDER BY o_orderkey"""),
   )
 
+  // ----------------------------------------------------------------- S1
+  /** S1 — CSV scan with header/quote/recursive options (reference
+    * `scripts/glue_vehicle_sales_etl.py:54-68`): round-trip the orders
+    * table through a CSV lake layout and read it back typed. The oracle
+    * compares against the original parquet rows, so the differential
+    * check proves the CSV parse+cast path is lossless (timestamps at
+    * second precision, doubles via shortest-roundtrip formatting). */
+  private val s1 = Q(
+    "s1_csv_scan",
+    (s, dir) => {
+      val csvDir = s"/tmp/graft_csv_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/orders"
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").option("header", true).csv(csvDir)
+      s.read
+        .option("header", true)
+        .option("quote", "\"")
+        .option("recursiveFileLookup", true)
+        .csv(csvDir)
+        .select(
+          col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("timestamp"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
   // -------------------------------------------------------------- S5/J8
   /** S5/J8 — idempotent upsert as LEFT ANTI + UNION (reference
     * `scripts/glue_vehicle_sales_etl.py:277-288,368-377`). */
@@ -552,5 +590,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, j1, o3, j3, j9, j5, o2, setOps,
-    pClean, p2, p8, s5, s8)
+    pClean, p2, p8, s1, s5, s8)
 }
