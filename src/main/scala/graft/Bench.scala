@@ -19,6 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warm-up: JVM/codegen/parquet-footer startup otherwise lands
+    // entirely on whichever query happens to run first (~4-5 s of noise
+    // attributed to one operator).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1000).write.mode("overwrite").format("noop").save()
+
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -51,16 +51,14 @@ object TextFunctions {
     }
   }
 
-  /** Word k-shingles (distinct), the unit of MinHash/Jaccard dedup.
-    * Empty array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word k-shingles (distinct, first-occurrence order), the unit of
+    * MinHash/Jaccard dedup. Empty array when the document has fewer
+    * than k tokens — including null text, matching the HOF combo this
+    * wrapped before [[graft.expressions.WordShingles]] replaced it
+    * (the interpreted combo dominated both shingle-dedup queries). */
+  def shingles(text: Column, k: Int): Column =
+    coalesce(graft.expressions.WordShingles.of(text, k),
+      array().cast("array<string>"))
 
   /** Vocabulary fingerprint: md5 over the sorted distinct token set.
     * Two documents with identical vocabulary collide — a cheap

@@ -136,15 +136,20 @@ object LlmQueries {
       val sig = sh.groupBy("doc_id").agg(
         TextFunctions.minhashAgg(col("shingle"), 0).as("h0"),
         (1 until nPerm).map(i => TextFunctions.minhashAgg(col("shingle"), i).as(s"h$i")): _*)
+      // bands is tiny (4 rows/doc) but sits on top of the signature
+      // aggregation — persisted so the self-join's two sides and the
+      // two consumers of cand don't each recompute the 12-way min agg.
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until nPerm / bandSize).map { b =>
           md5(concat_ws("|", lit(b.toString) +:
             (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*))
         }: _*)).as("band"))
+        .persist()
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+        .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
