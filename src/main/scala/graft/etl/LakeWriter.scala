@@ -38,6 +38,26 @@ object LakeWriter {
       .parquet(s"$lakeRoot/$table")
   }
 
+  /** Bucketed warehouse table: hash-bucket (and optionally sort) on the
+    * join/dedup key — the engine's answer to the reference warehouse's
+    * DISTKEY/SORTKEY declarations (`redshift_table_schemas.sql:114-115`).
+    * Two tables bucketed on the same key join with NO shuffle exchange
+    * (asserted in EtlSpec), which at 100 TB converts every daily
+    * upsert/join against the customer master from a full-table shuffle
+    * into a map-side merge. `bucketBy` requires the table catalog, hence
+    * `saveAsTable` rather than a path write. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S3/O5: newest export file per table by modification time
     * (`s3_upload_automation.py:97-126`) — a driver-side concern by
     * nature (listing a landing directory), not a distributed job. */

@@ -17,6 +17,9 @@ object SharedSpark {
       // ChecksumCheckpointFileManager.awaitResult); tests don't need
       // checkpoint corruption detection.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // bucketed-table specs saveAsTable; keep the warehouse out of the
+      // repo working tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
