@@ -356,12 +356,34 @@ object MiscQueries {
       FROM t ORDER BY c_custkey"""),
   )
 
+  /** Shared oracle fragment: id-sampled centroids + double-precision
+    * cosine + nearest-centroid assignment, mirroring
+    * [[Similarity.trainCentroidsById]]/[[Similarity.assignToCentroids]]
+    * exactly (index-ordered float→double products, so the sums are
+    * bit-identical to the native expression's loop). */
+  private val IVF_ORACLE_PRELUDE = """
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                 FROM embeddings ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      pairs AS (
+        SELECT e.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(e.embedding)+1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM e, c),
+      assigned AS (
+        SELECT t.vec_id, t.centroid_id, e.embedding FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM pairs) t JOIN e ON t.vec_id = e.vec_id WHERE t.rn = 1)"""
+
   // ------------------------------------------------------------- ANN/IVF
-  /** IVF-probed ANN top-k (the 100 TB path; see [[Similarity.ivfTopK]]).
-    * Deterministic (id-sampled centroids, total-order tiebreaks) but not
-    * SQL-expressible in one oracle query — verified instead against the
-    * brute-force ground truth in SimilaritySpec; the driver records a
-    * rows-only check. */
+  /** IVF-probed ANN top-k (the 100 TB path; see [[Similarity.ivfTopK]]):
+    * probe the 4 nearest centroid buckets, score only their members.
+    * The full pipeline (centroid training, assignment, probing, scoring,
+    * tiebreaks) is replicated in the DuckDB oracle — a real differential
+    * check, not rows-only. */
   private val annIvf = Q(
     "ann_ivf_topk",
     (s, dir) => {
@@ -374,23 +396,60 @@ object MiscQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("vec_id"))
     },
-    None,
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      scored AS (
+        SELECT a.vec_id,
+          list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id, q),
+      sel AS (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20)
+      SELECT vec_id, round(cos, 6) AS cosine FROM sel
+      ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
   /** Embedding-cosine near-duplicate pairs via centroid-bucketed
     * self-join (never all-pairs; see [[Similarity.nearDupPairs]]).
-    * Rows-only for the driver; pair-level ground truth in SimilaritySpec. */
+    * Threshold 0.35 — the synthetic embeddings are random (max pairwise
+    * cosine ≈ 0.51), so a realistic 0.95 would make the differential
+    * check vacuously empty; 0.35 exercises assignment, bucketed pair
+    * generation, and exact scoring with ~100 surviving pairs. Oracle
+    * replicates the full pipeline. */
   private val embNearDup = Q(
     "emb_near_dup_pairs",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = Similarity.trainCentroidsById(emb, 16)
       val assigned = Similarity.assignToCentroids(emb, centroids)
-      Similarity.nearDupPairs(assigned, threshold = 0.95)
+      Similarity.nearDupPairs(assigned, threshold = 0.35)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     },
-    None,
+    Some(IVF_ORACLE_PRELUDE + """,
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT id_a, id_b,
+          list_sum(list_transform(range(1, len(va)+1),
+            i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM cand)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
   )
 
   // ----------------------------------------------------------- Multimodal
