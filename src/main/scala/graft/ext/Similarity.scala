@@ -61,6 +61,55 @@ object Similarity {
     vectors.orderBy(col(idCol).asc).limit(n)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
 
+  /** Lloyd's k-means over the corpus, DataFrame-native: each iteration
+    * is one broadcast-assign pass + one per-dimension average. The
+    * centroid table stays tiny (k rows) so every step is a narrow map
+    * over the corpus plus a k×dim aggregate — the same shape at 100 TB,
+    * where `iters` passes over the data are the whole cost and k-means++
+    * style init on a sample would cut them. Empty clusters keep their
+    * previous centroid. Init = [[trainCentroidsById]]. */
+  def trainCentroidsKMeans(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    var centroids = trainCentroidsById(vectors, k, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("v")).cast("float").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), s => s.getField("m")).as("centroid_new"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid_new"), col("centroid")).as("centroid"))
+        // k rows; materialize so the next iteration's broadcast doesn't
+        // re-run every previous iteration's assignment
+        .persist()
+      centroids.count()
+    }
+    centroids
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the
+    * (cosine-flavored) k-means objective, for evaluating a centroid
+    * table's quality. */
+  def assignmentQuality(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Double = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), cosine(col(vecCol), col("centroid")).as("c_sim"))
+      .groupBy(idCol).agg(max(col("c_sim")).as("best"))
+    scored.agg(avg(col("best"))).head().getDouble(0)
+  }
+
   /** Assign every vector to its `nAssign` nearest centroids (IVF
     * inverted list; nAssign > 1 = multi-probe assignment for recall —
     * a near-dup pair straddling a bucket boundary still collides in one

@@ -58,6 +58,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF nprobe=2 recall $recall too low")
   }
 
+  test("k-means centroids: objective not worse than id-sampled init; ivf still exact with all probes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = (0L until 120L).map { i =>
+      val f = Seq.tabulate(6)(d => (((i * 37 + d * 13) % 17).toFloat - 8f) / 8f)
+      (i, f)
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val init = Similarity.trainCentroidsById(df, 5)
+    val trained = Similarity.trainCentroidsKMeans(df, 5, iters = 3)
+    assert(trained.count() == 5)
+    val qInit = Similarity.assignmentQuality(df, init)
+    val qTrained = Similarity.assignmentQuality(df, trained)
+    assert(qTrained >= qInit - 1e-9,
+      s"k-means degraded the objective: $qTrained < $qInit")
+    // trained centroids drop into the probe path unchanged
+    val assigned = Similarity.assignToCentroids(df, trained)
+    val query = Seq(0.2f, -0.4f, 0.6f, 0.1f, -0.3f, 0.5f)
+    val exact = Similarity.bruteForceTopK(df, query, 8).collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(assigned, trained, query, 8, nprobe = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+  }
+
   test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
     val df = vecDf(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // near-dup pair
