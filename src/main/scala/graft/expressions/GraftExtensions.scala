@@ -5,14 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extension registering the engine's native expressions with
-  * the SQL function registry, so `SELECT graft_cosine(a.embedding,
-  * b.embedding)` works in plain SQL text as well as through the Column
-  * API. Activate with
+  * the SQL function registry (so `SELECT graft_cosine(…)` works in
+  * plain SQL text as well as through the Column API) and the
+  * dedup-window → max_by optimizer rewrite. Activate with
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
   * — on a cluster this is one `--conf`, no code change.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.DedupWindowToMaxBy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
