@@ -1,37 +1,48 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, CreateStruct, EqualTo, Expression, Literal,
-  NamedExpression, RowNumber, SortOrder, WindowExpression, Ascending, Descending}
+  Alias, Ascending, AttributeReference, CreateStruct, Descending, EqualTo,
+  Expression, GetStructField, Literal, NamedExpression, NullsFirst, NullsLast,
+  RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, MaxBy, MinBy}
+  AggregateExpression, Complete, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, LogicalPlan, Window}
+  Aggregate, Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: rewrite the engine's signature dedup pattern
   *
   *   `ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) = 1`  (W1/W2)
   *
-  * into a `max_by`/`min_by` aggregate. The window form must shuffle
-  * EVERY row to its key partition and fully sort each partition; the
-  * aggregate form runs a partial aggregate map-side first, so only one
-  * surviving row per (key, mapper) crosses the wire and nothing sorts —
-  * on a 100 TB daily-versioned feed that is the difference between
-  * shuffling the whole table and shuffling ~|distinct keys|.
+  * into ONE `max(struct(orderKeys…, payload…))`/`min(…)` aggregate plus
+  * an unpacking projection. The window form must shuffle EVERY row to
+  * its key partition and fully sort each partition; the aggregate form
+  * runs a partial aggregate map-side first, so only one surviving row
+  * per (key, mapper) crosses the wire and nothing sorts — on a 100 TB
+  * daily-versioned feed that is the difference between shuffling the
+  * whole table and shuffling ~|distinct keys|. A single packed struct
+  * (order keys leading, so the lexicographic comparison decides on them
+  * first) keeps one aggregation buffer per group; the per-column
+  * `max_by` alternative regressed wide tables — N buffers each carrying
+  * its own copy of the order keys.
   *
   * Fires only when provably semantics-preserving:
   *   - exactly one window expression, ROW_NUMBER, filtered `= 1`;
-  *   - all ORDER BY directions identical (all DESC → max_by, all ASC →
-  *     min_by; the tuple comparison is the struct's lexicographic one);
-  *   - every order key is deterministic AND non-nullable (max_by skips
-  *     null keys, row_number ranks them — nullable keys could diverge);
+  *   - all ORDER BY directions identical (all DESC → max, all ASC →
+  *     min of the packed struct);
+  *   - every order key is deterministic and uses the DEFAULT null
+  *     ordering (DESC NULLS LAST / ASC NULLS FIRST). The packed struct
+  *     is itself never null, so max/min skips nothing; struct
+  *     comparison ranks a null FIELD below any value, which is exactly
+  *     where the default null ordering ranks it (last under DESC, first
+  *     under ASC) — asserted with null-key fixtures in the spec;
   *   - partition keys are plain attributes.
   *
-  * Ties in the order key pick an arbitrary row in BOTH forms (the
-  * `Dedup.latestByKey` contract already requires callers to pass a
-  * total order), so tie behavior does not change the contract.
-  * Registered through [[graft.expressions.GraftExtensions]].
+  * Ties in the order key resolve through the payload fields of the
+  * packed struct — deterministic, and within the `Dedup.latestByKey`
+  * contract (callers must pass a total order; under a total order ties
+  * don't exist). Registered through
+  * [[graft.expressions.GraftExtensions]].
   */
 object DedupWindowToMaxBy extends Rule[LogicalPlan] {
 
@@ -53,11 +64,15 @@ object DedupWindowToMaxBy extends Rule[LogicalPlan] {
           partitionSpec, orderSpec, child, _)) =>
       val conjuncts = splitConjuncts(cond)
       val (rnPreds, rest) = conjuncts.partition(isRnEqOne(_, rnAlias))
+      val defaultNullOrdering = orderSpec.forall(o =>
+        (o.direction == Descending && o.nullOrdering == NullsLast) ||
+          (o.direction == Ascending && o.nullOrdering == NullsFirst))
       val applicable =
         rnPreds.nonEmpty &&
           rest.forall(!_.references.contains(rnAlias.toAttribute)) &&
           orderSpec.nonEmpty &&
-          orderSpec.forall(o => o.child.deterministic && !o.child.nullable) &&
+          orderSpec.forall(_.child.deterministic) &&
+          defaultNullOrdering &&
           (orderSpec.forall(_.direction == Descending) ||
             orderSpec.forall(_.direction == Ascending)) &&
           partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
@@ -65,22 +80,29 @@ object DedupWindowToMaxBy extends Rule[LogicalPlan] {
       if (!applicable) f
       else {
         val groupAttrs = partitionSpec.map(_.asInstanceOf[AttributeReference])
-        val keyStruct = CreateStruct(orderSpec.map(_.child))
+        val payload = child.output.filterNot(a =>
+          groupAttrs.exists(_.exprId == a.exprId))
+        val packed = CreateStruct(orderSpec.map(_.child) ++ payload)
         val desc = orderSpec.head.direction == Descending
-        val aggOut: Seq[NamedExpression] = child.output.map { a =>
+        val fn = if (desc) Max(packed) else Min(packed)
+        val topAlias = Alias(
+          AggregateExpression(fn, Complete, isDistinct = false), "__top")()
+        val agg = Aggregate(groupAttrs, groupAttrs :+ topAlias, child)
+        val offset = orderSpec.length
+        val unpacked: Seq[NamedExpression] = child.output.map { a =>
           if (groupAttrs.exists(_.exprId == a.exprId)) a
           else {
-            val fn = if (desc) MaxBy(a, keyStruct) else MinBy(a, keyStruct)
-            Alias(AggregateExpression(fn, Complete, isDistinct = false), a.name)(
-              exprId = a.exprId)
+            val i = payload.indexWhere(_.exprId == a.exprId)
+            Alias(GetStructField(topAlias.toAttribute, offset + i, Some(a.name)),
+              a.name)(exprId = a.exprId)
           }
         }
         // rank = 1 by construction; keep the column so parents that
         // still project or filter on it stay resolved
         val rnOut = Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
-        val agg = Aggregate(groupAttrs, aggOut :+ rnOut, child)
-        if (rest.isEmpty) agg
-        else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), agg)
+        val proj = Project(unpacked :+ rnOut, agg)
+        if (rest.isEmpty) proj
+        else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), proj)
       }
   }
 }

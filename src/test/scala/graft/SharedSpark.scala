@@ -9,6 +9,9 @@ object SharedSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // same engine-default extensions as Verify/Bench, so every spec
+      // exercises the native functions + optimizer rewrite path
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

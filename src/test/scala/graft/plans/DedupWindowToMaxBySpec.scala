@@ -1,21 +1,21 @@
 package graft.plans
 
-import org.apache.spark.sql.{GraftSqlShim, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
 import graft.operators.Dedup
 
-/** The dedup-window → max_by rewrite: fires on the canonical
-  * latestByKey plan (provably same results), declines on nullable or
-  * mixed-direction order keys, and engages end-to-end when the session
-  * is built with GraftExtensions. */
+/** The dedup-window → packed max/min-struct rewrite: fires on the
+  * canonical latestByKey plan (provably same results, including null
+  * order keys under default null ordering), declines on mixed
+  * directions and non-default null ordering, and engages end-to-end
+  * when the session carries GraftExtensions. */
 class DedupWindowToMaxBySpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
-  // Long fields → non-nullable columns, so the rule's nullability gate
-  // passes without extra casts.
   private def versioned() = {
     val spark0 = spark
     import spark0.implicits._
@@ -26,52 +26,105 @@ class DedupWindowToMaxBySpec extends AnyFunSuite {
       .toDF("k", "version", "seq", "payload")
   }
 
-  private def windowNodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+  private def windowNodes(p: LogicalPlan) =
     p.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
 
-  test("rewrites rank=1 window to max_by with identical results") {
+  /** SharedSpark registers the rule session-wide; capture the
+    * UN-rewritten optimized plan by excluding it for the duration. */
+  private def planWithoutRule(df: => DataFrame): LogicalPlan = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.DedupWindowToMaxBy")
+    try df.queryExecution.optimizedPlan
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("rewrites rank=1 window to a packed max-struct with identical results") {
     val df = versioned()
-    val deduped = Dedup.latestByKey(df, Seq("k"),
+    def deduped = Dedup.latestByKey(df, Seq("k"),
       Seq(col("version").desc, col("seq").desc))
-    val before = deduped.queryExecution.optimizedPlan
+    val before = planWithoutRule(deduped)
     assert(windowNodes(before).nonEmpty, s"expected a Window in:\n$before")
     val after = DedupWindowToMaxBy(before)
     assert(windowNodes(after).isEmpty, s"rule did not fire on:\n$before")
-    assert(after.toString.contains("max_by"), s"expected max_by in:\n$after")
-    val expected = deduped.collect().map(_.toSeq).toSet
+    assert(after.toString.contains("max("), s"expected max(struct) in:\n$after")
+    val expected = GraftSqlShim.ofRows(spark, before).collect().map(_.toSeq).toSet
     val got = GraftSqlShim.ofRows(spark, after).collect().map(_.toSeq).toSet
     assert(got == expected)
     assert(got.map(_.head) == Set(1L, 2L, 3L))
   }
 
-  test("ascending order rewrites to min_by") {
+  test("ascending order rewrites to min of the packed struct") {
     val df = versioned()
-    val first = Dedup.latestByKey(df, Seq("k"),
+    def first = Dedup.latestByKey(df, Seq("k"),
       Seq(col("version").asc, col("seq").asc))
-    val after = DedupWindowToMaxBy(first.queryExecution.optimizedPlan)
-    assert(after.toString.contains("min_by"))
-    val expected = first.collect().map(_.toSeq).toSet
+    val before = planWithoutRule(first)
+    val after = DedupWindowToMaxBy(before)
+    assert(windowNodes(after).isEmpty)
+    assert(after.toString.contains("min("), s"expected min(struct) in:\n$after")
+    val expected = GraftSqlShim.ofRows(spark, before).collect().map(_.toSeq).toSet
     assert(GraftSqlShim.ofRows(spark, after).collect().map(_.toSeq).toSet == expected)
   }
 
-  test("declines: mixed directions, nullable keys") {
+  test("declines: mixed directions, non-default null ordering") {
     val df = versioned()
-    val mixed = Dedup.latestByKey(df, Seq("k"),
-      Seq(col("version").desc, col("seq").asc))
-    val mixedPlan = mixed.queryExecution.optimizedPlan
+    val mixedPlan = planWithoutRule(Dedup.latestByKey(df, Seq("k"),
+      Seq(col("version").desc, col("seq").asc)))
     assert(windowNodes(DedupWindowToMaxBy(mixedPlan)).nonEmpty)
 
-    val spark0 = spark
-    import spark0.implicits._
-    val nullable = Seq((1L, Option(10L), "a"), (1L, Option.empty[Long], "b"))
-      .toDF("k", "version", "payload")
-    val plan = Dedup.latestByKey(nullable, Seq("k"), Seq(col("version").desc))
-      .queryExecution.optimizedPlan
-    assert(windowNodes(DedupWindowToMaxBy(plan)).nonEmpty)
+    val nfPlan = planWithoutRule(Dedup.latestByKey(df, Seq("k"),
+      Seq(col("version").desc_nulls_first, col("seq").desc_nulls_first)))
+    assert(windowNodes(DedupWindowToMaxBy(nfPlan)).nonEmpty)
   }
 
-  test("fires end-to-end in a session built with GraftExtensions") {
-    val base = spark // ensure context exists
+  test("nullable order keys with default null ordering: fires and matches") {
+    val spark0 = spark
+    import spark0.implicits._
+    // groups: mixed null/value versions, an all-null-version group, a
+    // null-version row winning/losing on the non-null seq tiebreak —
+    // order (version, seq) stays total so both forms pick the same row
+    val nullable = Seq(
+      (1L, Option(10L), 1L, "a"), (1L, Option.empty[Long], 2L, "b"),
+      (2L, Option.empty[Long], 1L, "c"), (2L, Option.empty[Long], 2L, "d"),
+      (3L, Option(5L), 9L, "e"), (3L, Option(5L), 8L, "f"))
+      .toDF("k", "version", "seq", "payload")
+    for (dirDesc <- Seq(true, false)) {
+      val order =
+        if (dirDesc) Seq(col("version").desc, col("seq").desc)
+        else Seq(col("version").asc, col("seq").asc)
+      val before = planWithoutRule(Dedup.latestByKey(nullable, Seq("k"), order))
+      assert(windowNodes(before).nonEmpty)
+      val after = DedupWindowToMaxBy(before)
+      assert(windowNodes(after).isEmpty, s"should fire (desc=$dirDesc):\n$before")
+      val expected = GraftSqlShim.ofRows(spark, before).collect().map(_.toSeq).toSet
+      val got = GraftSqlShim.ofRows(spark, after).collect().map(_.toSeq).toSet
+      assert(got == expected, s"desc=$dirDesc")
+    }
+  }
+
+  test("fires end-to-end through the session's optimizer (SharedSpark extensions)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "version", "payload")
+    val deduped = Dedup.latestByKey(df, Seq("k"), Seq(col("version").desc))
+    val opt = deduped.queryExecution.optimizedPlan
+    assert(windowNodes(opt).isEmpty && opt.toString.contains("max("),
+      s"extension rule did not fire:\n$opt")
+    assert(deduped.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((1L, "b"), (2L, "c")))
+    // and the SQL functions ride along in the same extension
+    val c = spark.sql(
+      "SELECT graft_cosine(array(cast(1.0 as float)), array(cast(1.0 as float)))")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("fires in a session built explicitly withExtensions") {
+    val base = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
@@ -88,15 +141,7 @@ class DedupWindowToMaxBySpec extends AnyFunSuite {
           .toDF("k", "version", "payload")
         val deduped = Dedup.latestByKey(df, Seq("k"), Seq(col("version").desc))
         val opt = deduped.queryExecution.optimizedPlan
-        assert(windowNodes(opt).isEmpty && opt.toString.contains("max_by"),
-          s"extension rule did not fire:\n$opt")
-        assert(deduped.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
-          Set((1L, "b"), (2L, "c")))
-        // and the SQL functions ride along in the same extension
-        val c = ext.sql(
-          "SELECT graft_cosine(array(cast(1.0 as float)), array(cast(1.0 as float)))")
-          .head().getDouble(0)
-        assert(math.abs(c - 1.0) < 1e-12)
+        assert(windowNodes(opt).isEmpty, s"extension rule did not fire:\n$opt")
       } finally {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
