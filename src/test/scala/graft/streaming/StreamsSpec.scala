@@ -77,6 +77,32 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("ST1 incrementalParquetSource picks up new files in bounded micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st1").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.incrementalParquetSource(spark, dir, schema,
+      maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("inc").outputMode("append").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      val first = spark.table("inc").as[(Long, String)].collect().toSet
+      assert(first == Set((1L, "a"), (2L, "b")))
+      // a new daily drop is discovered without restarting the query —
+      // the file-source checkpoint is the high-water mark (ST1)
+      Seq((3L, "c")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val all = spark.table("inc").as[(Long, String)].collect().toSet
+      assert(all == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
+
   test("ST6 sessionize closes sessions after the inactivity gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
