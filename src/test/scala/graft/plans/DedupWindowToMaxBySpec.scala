@@ -105,6 +105,30 @@ class DedupWindowToMaxBySpec extends AnyFunSuite {
     }
   }
 
+  test("property: rewrite ≡ window on 20 seeded random datasets, both directions") {
+    val spark0 = spark
+    import spark0.implicits._
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(40)((
+        rnd.nextInt(5).toLong, // key: few groups → guaranteed dups
+        if (rnd.nextInt(4) == 0) Option.empty[Long] else Option(rnd.nextInt(8).toLong),
+        rnd.nextLong(), // unique-ish tiebreak keeps the order total
+        rnd.alphanumeric.take(6).mkString))
+      val df = rows.toDF("k", "version", "seq", "payload")
+      val desc = seed % 2 == 0
+      val order =
+        if (desc) Seq(col("version").desc, col("seq").desc)
+        else Seq(col("version").asc, col("seq").asc)
+      val before = planWithoutRule(Dedup.latestByKey(df, Seq("k"), order))
+      val after = DedupWindowToMaxBy(before)
+      assert(windowNodes(after).isEmpty, s"seed=$seed did not fire")
+      val expected = GraftSqlShim.ofRows(spark, before).collect().map(_.toSeq).toSet
+      val got = GraftSqlShim.ofRows(spark, after).collect().map(_.toSeq).toSet
+      assert(got == expected, s"seed=$seed desc=$desc diverged")
+    }
+  }
+
   test("fires end-to-end through the session's optimizer (SharedSpark extensions)") {
     val spark0 = spark
     import spark0.implicits._
