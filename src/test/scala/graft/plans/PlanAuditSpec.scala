@@ -42,4 +42,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
       s"expected a broadcast join at sf0.001:\n$plan")
   }
+
+  test("flagship plan shape pins: exchange ceilings and dedup-window elimination") {
+    // Shuffle counts are THE scale lever; pin them so a refactor that
+    // silently adds an exchange (or loses the dedup rewrite) fails here
+    // rather than in the next bench round. Ceilings, not equalities —
+    // AQE/codegen details may vary, extra shuffles are the regression.
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    def windows(p: String) = "Window \\[".r.findAllIn(p).length
+
+    val w1 = plan("w1_latest_event")
+    assert(exchanges(w1) <= 2, s"w1_latest_event gained shuffles:\n$w1")
+    assert(windows(w1) == 0, s"dedup-window rewrite stopped firing on w1:\n$w1")
+
+    val profiles = plan("v_customer_profiles")
+    assert(exchanges(profiles) <= 3, s"v_customer_profiles gained shuffles:\n$profiles")
+    assert(windows(profiles) == 0,
+      s"dedup-window rewrite stopped firing on v_customer_profiles:\n$profiles")
+
+    val j1 = plan("j1_customer_order_totals")
+    assert(exchanges(j1) <= 3, s"j1 gained shuffles:\n$j1")
+  }
 }
