@@ -113,6 +113,26 @@ object Streams {
         (unix_timestamp(col("last_seen")) - unix_timestamp(col("first_seen")))
           .as("session_duration_secs"))
 
+  /** A9's streaming analog: the periodic analytics cache
+    * (`database-schema.sql:196-225` aggregates per hour/day) as a
+    * watermarked tumbling-window aggregation — late events beyond the
+    * watermark are dropped and each window finalizes exactly once in
+    * append mode, which is what makes the cache table idempotently
+    * rewritable downstream. */
+  def windowedEventCounts(
+      events: DataFrame, // (ts, event_type, ...)
+      window: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        col("window.start").as("period_start"),
+        col("window.end").as("period_end"),
+        col("event_type"), col("event_count"))
+
   /** ST5/ST8: deliver each micro-batch through the batch activation sink
     * and recompute downstream state — `foreachBatch` is where streaming
     * meets the batch modules (event shaping, upsert, state table). */

@@ -103,6 +103,31 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowedEventCounts finalizes tumbling windows past the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = Streams.windowedEventCounts(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wins").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:40:00"), "click"),
+        (ts("2024-01-01 10:50:00"), "view"))
+      q.processAllAvailable()
+      // advance watermark beyond 11:00 + 1h delay → 10:00 window closes
+      in.addData((ts("2024-01-01 13:00:00"), "click"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 15:00:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("wins")
+        .filter(col("period_start") === ts("2024-01-01 10:00:00"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("event_count")).toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L))
+    }
+  }
+
   test("ST6 sessionize closes sessions after the inactivity gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
