@@ -125,45 +125,42 @@ object LlmQueries {
       val nPerm = 12
       val bandSize = 3
       val d = Tables.documents(s, dir)
-      // The exploded shingle table feeds four consumers (signatures,
-      // sizes, both sides of the intersection join); persisting it
-      // executes the interpreted shingling HOF once instead of 4× —
-      // the same reason a 100 TB run would checkpoint its shingle
-      // table before fanning out.
-      val sh = d.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      // Native shingling + the fused MinHashSignatures expression keep
+      // the whole signature stage shuffle-free (one compiled pass per
+      // document). withSh is persisted — it feeds the signature stage
+      // and both sides of the candidate pair join, and at 100 TB this
+      // is exactly the shingle table a real run would checkpoint.
+      val withSh = d
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
         .persist()
-      val sig = sh.groupBy("doc_id").agg(
-        TextFunctions.minhashAgg(col("shingle"), 0).as("h0"),
-        (1 until nPerm).map(i => TextFunctions.minhashAgg(col("shingle"), i).as(s"h$i")): _*)
-      // bands is tiny (4 rows/doc) but sits on top of the signature
-      // aggregation — persisted so the self-join's two sides and the
-      // two consumers of cand don't each recompute the 12-way min agg.
+      val sig = withSh.select(col("doc_id"),
+        graft.expressions.MinHashSignatures.of(col("sh"), nPerm).as("hs"))
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until nPerm / bandSize).map { b =>
           md5(concat_ws("|", lit(b.toString) +:
-            (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*))
+            (0 until bandSize).map(j =>
+              element_at(col("hs"), b * bandSize + j + 1)): _*))
         }: _*)).as("band"))
         .persist()
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-        .persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // Exact Jaccard via in-row array_intersect on the (tiny) candidate
+      // set — replaces a 3-way exploded join + two groupBys. Candidates
+      // with an empty intersection keep jaccard 0, as before.
+      val sets = withSh.select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
       cand
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .select(col("doc_a"), col("doc_b"),
-          round(coalesce(col("inter"), lit(0L)).cast("double") /
-            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 4)
-            .as("jaccard"))
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     Some("""
@@ -223,11 +220,13 @@ object LlmQueries {
     (s, dir) => {
       val d = Tables.documents(s, dir)
       // Persisted for the same multi-consumer reason as dedup_minhash_lsh:
-      // sh feeds the df-filter, both self-join sides, sizes, and the
-      // intersection join — 6 recomputes of the shingling HOF otherwise.
-      val sh = d.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 4)).as("shingle"))
+      // the shingle-set table feeds the df-filter (via explode), both
+      // candidate self-join sides, and the pair intersection.
+      val withSh = d
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+        .filter(size(col("sh")) > 0)
         .persist()
+      val sh = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       val rare = sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 10).select("shingle"),
@@ -237,16 +236,17 @@ object LlmQueries {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // Exact Jaccard via in-row array_intersect on candidate pairs only
+      // (the exploded table above exists just for the df-filter and
+      // candidate generation).
+      val sets = withSh.select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
       cand
-        .join(inter, Seq("doc_a", "doc_b"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .select(col("doc_a"), col("doc_b"),
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
