@@ -26,7 +26,18 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1000).write.mode("overwrite").format("noop").save()
 
-    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full control-char escaping (same as Verify): Spark error messages
+    // routinely contain newlines inside the first 200 chars, which would
+    // otherwise break the one-line BENCH JSON exactly when a query fails
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -144,24 +144,6 @@ object Activation {
         .select(col("deal_number").cast("string").as("deal_number")))
       .distinct()
 
-  /** ST5: deliver events through a pluggable sink in rate-limited
-    * batches of `batchSize` with `pauseMs` between batches
-    * (`lambda:520-555`) — `foreachPartition`, so delivery is
-    * distributed and never collects to the driver. `send` receives one
-    * batch of event JSON strings and returns per-event success. */
-  def deliver(
-      events: DataFrame,
-      batchSize: Int = 100,
-      pauseMs: Long = 100L)(send: Seq[String] => Seq[Boolean]): Long = {
-    val sent = events.sparkSession.sparkContext.longAccumulator("events_sent")
-    events.select("event_json").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.map(_.getString(0)).grouped(batchSize).foreach { batch =>
-          val ok = send(batch)
-          sent.add(ok.count(identity).toLong)
-          if (pauseMs > 0) Thread.sleep(pauseMs)
-        }
-    }
-    sent.value
-  }
+  // ST5 delivery lives in graft.sinks.EventSink.deliver — one batching/
+  // rate-limit implementation, not two drifting copies.
 }

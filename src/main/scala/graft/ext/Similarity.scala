@@ -75,6 +75,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     var centroids = trainCentroidsById(vectors, k, idCol, vecCol)
+    var prevCached: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
       val means = assigned
@@ -92,6 +93,10 @@ object Similarity {
         // re-run every previous iteration's assignment
         .persist()
       centroids.count()
+      // the new centroid table is materialized; the previous iteration's
+      // cache is dead weight from here on
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(centroids)
     }
     centroids
   }

@@ -33,8 +33,14 @@ object LeadFunctions {
     * id, request date, customer name/email/phone, vehicle interest,
     * and the CRM session bridge (`<id source="sd_session">`). Returns a
     * struct column; null-field when a tag is absent. */
+  /** Attribute-less `<id>` only — the fallback must NOT swallow
+    * `<id source="sd_session">` (that is the session bridge, not the
+    * lead id). */
+  private def plainId(xml: Column): Column =
+    nonEmpty(regexp_extract(xml, """(?is)<id\s*>\s*([^<]*?)\s*</id>""", 1))
+
   def adfLead(xml: Column): Column = struct(
-    coalesce(sourcedId(xml, "lead"), tag(xml, "id")).as("lead_id"),
+    coalesce(sourcedId(xml, "lead"), plainId(xml)).as("lead_id"),
     tag(xml, "requestdate").as("request_date"),
     namePart(xml, "first").as("first_name"),
     namePart(xml, "last").as("last_name"),
@@ -53,7 +59,8 @@ object LeadFunctions {
   def matchScore(
       leadEmail: Column, leadPhone: Column, leadName: Column,
       visitorEmail: Column, visitorPhone: Column, visitorName: Column): Column = {
-    def ne(c: Column) = lower(trim(c))
+    // '' → null so two missing emails never score as an exact match
+    def ne(c: Column) = nullif(lower(trim(c)), lit(""))
     def np(c: Column) = {
       val d = regexp_replace(c, "[^0-9]", "")
       when(length(d) >= 10, substring(d, -10, 10))

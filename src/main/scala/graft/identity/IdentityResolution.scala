@@ -32,7 +32,10 @@ object IdentityResolution {
   val SessionConfidence = 1.00
   val ContactConfidence = 0.85
 
-  private def normEmail(c: Column): Column = lower(trim(c))
+  // empty string → null: '' is a MISSING email, not a join key — without
+  // this, every blank-email lead would equi-join every blank-email
+  // session (mass false matches + a quadratic hot key at scale)
+  private def normEmail(c: Column): Column = nullif(lower(trim(c)), lit(""))
   private def normPhone(c: Column): Column = {
     val d = regexp_replace(c, "[^0-9]", "")
     when(length(d) >= 10, substring(d, -10, 10))

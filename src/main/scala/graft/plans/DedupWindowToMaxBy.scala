@@ -67,12 +67,21 @@ object DedupWindowToMaxBy extends Rule[LogicalPlan] {
       val defaultNullOrdering = orderSpec.forall(o =>
         (o.direction == Descending && o.nullOrdering == NullsLast) ||
           (o.direction == Ascending && o.nullOrdering == NullsFirst))
+      // the packed struct must be orderable as a whole: a map-typed
+      // payload column is fine under the window form but would make
+      // max(struct(...)) unresolvable
+      val allOrderable =
+        child.output.forall(a =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType)) &&
+          orderSpec.forall(o =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(o.child.dataType))
       val applicable =
         rnPreds.nonEmpty &&
           rest.forall(!_.references.contains(rnAlias.toAttribute)) &&
           orderSpec.nonEmpty &&
           orderSpec.forall(_.child.deterministic) &&
           defaultNullOrdering &&
+          allOrderable &&
           (orderSpec.forall(_.direction == Descending) ||
             orderSpec.forall(_.direction == Ascending)) &&
           partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&

@@ -290,7 +290,7 @@ object MiscQueries {
         FROM customer)
       SELECT c_custkey,
              coalesce(nullif(regexp_extract(xml, '<id[^>]*source="lead"[^>]*>\s*([^<]*?)\s*</id>', 1, 'is'), ''),
-                      nullif(regexp_extract(xml, '<id[^>]*>\s*([^<]*?)\s*</id>', 1, 'is'), '')) AS lead_id,
+                      nullif(regexp_extract(xml, '<id\s*>\s*([^<]*?)\s*</id>', 1, 'is'), '')) AS lead_id,
              nullif(regexp_extract(xml, '<requestdate[^>]*>\s*([^<]*?)\s*</requestdate>', 1, 'is'), '') AS request_date,
              nullif(regexp_extract(xml, '<name[^>]*part="first"[^>]*>\s*([^<]*?)\s*</name>', 1, 'is'), '') AS first_name,
              nullif(regexp_extract(xml, '<name[^>]*part="last"[^>]*>\s*([^<]*?)\s*</name>', 1, 'is'), '') AS last_name,
@@ -344,7 +344,7 @@ object MiscQueries {
         FROM customer)
       SELECT c_custkey,
              round(
-               (CASE WHEN lower(trim(lead_email)) = lower(trim(visitor_email)) THEN 0.4 ELSE 0.0 END)
+               (CASE WHEN nullif(lower(trim(lead_email)), '') = nullif(lower(trim(visitor_email)), '') THEN 0.4 ELSE 0.0 END)
                + (CASE WHEN length(regexp_replace(lead_phone, '[^0-9]', '', 'g')) >= 10
                         AND length(regexp_replace(visitor_phone, '[^0-9]', '', 'g')) >= 10
                         AND right(regexp_replace(lead_phone, '[^0-9]', '', 'g'), 10)

@@ -56,29 +56,49 @@ object EventSink {
     * the append log back to one file set when it fragments. */
   object ProcessedIds {
 
-    def load(spark: SparkSession, statePath: String, idCol: String): DataFrame =
-      if (new java.io.File(statePath).exists())
+    def load(spark: SparkSession, statePath: String, idCol: String): DataFrame = {
+      // crash recovery: a compact() that died between its two renames
+      // leaves the previous snapshot at <statePath>.old — restore it
+      // rather than silently starting from an empty set (which would
+      // re-deliver every historical event)
+      val dir = new java.io.File(statePath)
+      val old = new java.io.File(statePath + ".old")
+      if (!dir.exists() && old.exists()) old.renameTo(dir)
+      if (dir.exists())
         spark.read.parquet(statePath).select(idCol).distinct()
       else
         spark.emptyDataFrame.withColumn(idCol, lit(null).cast("long"))
           .limit(0)
+    }
 
     def append(ids: DataFrame, statePath: String): Unit =
       ids.write.mode("append").parquet(statePath)
 
-    /** Rewrite the append log as one deduplicated snapshot. */
+    private def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+
+    /** Rewrite the append log as one deduplicated snapshot. Swap order
+      * is crash-safe on a local/posix fs: snapshot → .tmp, live → .old,
+      * .tmp → live, drop .old. Every failure mode leaves either the
+      * live dir or .old intact, and [[load]] knows to restore .old. */
     def compact(spark: SparkSession, statePath: String, idCol: String): Unit = {
       val snap = load(spark, statePath, idCol).cache()
-      snap.count() // materialize before overwrite
-      snap.coalesce(1).write.mode("overwrite").parquet(statePath + ".tmp")
-      snap.unpersist()
+      snap.count() // materialize before touching the live dir
+      val tmp = new java.io.File(statePath + ".tmp")
+      val old = new java.io.File(statePath + ".old")
       val dir = new java.io.File(statePath)
-      def delete(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(delete)
-        f.delete()
+      deleteRec(tmp); deleteRec(old) // stale leftovers from a past crash
+      snap.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      snap.unpersist()
+      if (dir.exists() && !dir.renameTo(old))
+        throw new java.io.IOException(s"compact: cannot stage $dir aside")
+      if (!tmp.renameTo(dir)) {
+        old.renameTo(dir) // roll back to the previous snapshot
+        throw new java.io.IOException(s"compact: cannot activate $tmp")
       }
-      delete(dir)
-      new java.io.File(statePath + ".tmp").renameTo(dir)
+      deleteRec(old)
     }
   }
 }

@@ -26,10 +26,13 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
-  /** ST2: exactly-once-ish delivery — watermarked `dropDuplicates` on
-    * the idempotency key replaces the persisted processed-ID set
-    * (`lambda:97-135,316-325`); the downstream messageId (U6) keeps
-    * replays idempotent end-to-end. */
+  /** ST2: exactly-once-ish delivery — `dropDuplicatesWithinWatermark`
+    * on the idempotency key ALONE replaces the persisted processed-ID
+    * set (`lambda:97-135,316-325`): a replay whose event time was
+    * re-stamped still dedups (the reference's ID set is time-blind),
+    * while the watermark bounds the dedup state instead of growing a
+    * key set forever. The downstream messageId (U6) keeps replays
+    * idempotent end-to-end past the watermark horizon. */
   def dedupedEvents(
       events: DataFrame,
       key: String,
@@ -37,7 +40,7 @@ object Streams {
       watermarkDelay: String = "1 day"): DataFrame =
     events
       .withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicates(key, eventTimeCol)
+      .dropDuplicatesWithinWatermark(key)
 
   /** Versioned record for ST3 latest-version-wins. */
   case class Versioned(key: String, version: Long, payload: String)
@@ -52,7 +55,11 @@ object Streams {
     * timeout makes the engine schedule timeout-sweep micro-batches
     * continuously even with no data, which is the right trade on a real
     * cluster (bounded state) but pure overhead for bounded replays —
-    * and those no-data batches churn the checkpoint at test speed. */
+    * and those no-data batches churn the checkpoint at test speed.
+    * CAVEAT, documented not hidden: once a TTL evicts a key's state, a
+    * later-arriving STALE version is accepted as that key's new winner —
+    * bounded state cannot reject what it no longer remembers. Size the
+    * TTL beyond the source's maximum replay/lateness horizon. */
   def latestVersionWins(
       input: Dataset[Versioned],
       stateTtl: Option[String] = None): Dataset[Versioned] = {
@@ -61,19 +68,21 @@ object Streams {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     input.groupByKey(_.key)
-      .mapGroupsWithState[Versioned, Versioned](timeoutConf) {
-        case (key, rows, state: GroupState[Versioned]) =>
-          if (state.hasTimedOut) {
-            val last = state.get
-            state.remove()
-            last
-          } else {
-            val candidates = rows.toSeq ++ state.getOption
-            val winner = candidates.maxBy(v => (v.version, v.payload))
-            state.update(winner)
-            stateTtl.foreach(state.setTimeoutDuration)
-            winner
-          }
+      .flatMapGroupsWithState[Versioned, Versioned](
+        OutputMode.Update(), timeoutConf) {
+        case (_, _, state: GroupState[Versioned]) if state.hasTimedOut =>
+          // eviction is bookkeeping — re-emitting the winner here would
+          // duplicate an already-delivered record downstream
+          state.remove()
+          Iterator.empty
+        case (_, rows, state: GroupState[Versioned]) =>
+          val prev = state.getOption
+          val winner = (rows.toSeq ++ prev).maxBy(v => (v.version, v.payload))
+          state.update(winner)
+          stateTtl.foreach(state.setTimeoutDuration)
+          // emit only on change: a batch of stale versions produces
+          // nothing, instead of re-announcing the old winner
+          if (prev.contains(winner)) Iterator.empty else Iterator.single(winner)
       }
   }
 

@@ -47,6 +47,22 @@ class IdentitySpec extends AnyFunSuite {
     assert(!m.contains(104))
   }
 
+  test("blank-string emails are missing data, never a join key") {
+    val blankSessions = Seq(
+      (10, null.asInstanceOf[String], "  ", null.asInstanceOf[String], "2024-01-10 10:00:00"))
+      .toDF("id", "digital_retailing_session_id", "email", "phone", "last_seen")
+      .withColumn("last_seen", col("last_seen").cast("timestamp"))
+      .withColumn("created_at", col("last_seen"))
+    val blankLeads = Seq(
+      (201, null.asInstanceOf[String], "", null.asInstanceOf[String], "2024-01-10 12:00:00"))
+      .toDF("id", "crm_session_id", "email", "phone", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    // '' lead email vs '  ' session email inside the 24h window: both
+    // normalize to null → no email_phone match (previously '' === ''
+    // would mass-match every blank contact)
+    assert(IdentityResolution.matchLeads(blankSessions, blankLeads).count() == 0)
+  }
+
   test("recomputeMatchState fills denormalized flags on both sides") {
     val matches = IdentityResolution.matchLeads(sessions, leads)
     val (s2, l2) = IdentityResolution.recomputeMatchState(sessions, leads, matches)

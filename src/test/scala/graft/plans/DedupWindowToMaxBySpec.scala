@@ -78,6 +78,17 @@ class DedupWindowToMaxBySpec extends AnyFunSuite {
     val nfPlan = planWithoutRule(Dedup.latestByKey(df, Seq("k"),
       Seq(col("version").desc_nulls_first, col("seq").desc_nulls_first)))
     assert(windowNodes(DedupWindowToMaxBy(nfPlan)).nonEmpty)
+
+    // a map-typed payload column is fine under the window form but not
+    // inside max(struct(...)) — the rule must decline, not break the query
+    val withMap = df.withColumn("props",
+      map(lit("a"), col("payload")))
+    val mapPlan = planWithoutRule(Dedup.latestByKey(withMap, Seq("k"),
+      Seq(col("version").desc, col("seq").desc)))
+    assert(windowNodes(DedupWindowToMaxBy(mapPlan)).nonEmpty,
+      "rule must decline on non-orderable payload types")
+    // and the un-rewritten plan still executes
+    assert(GraftSqlShim.ofRows(spark, DedupWindowToMaxBy(mapPlan)).count() == 3)
   }
 
   test("nullable order keys with default null ordering: fires and matches") {

@@ -50,7 +50,10 @@ class StreamsSpec extends AnyFunSuite {
       in.addData(("d1", ts("2024-01-01 10:00:00")), ("d1", ts("2024-01-01 10:00:00")),
         ("d2", ts("2024-01-01 11:00:00")))
       q.processAllAvailable()
-      in.addData(("d1", ts("2024-01-01 10:00:00"))) // replay in a later batch
+      // replays in a later batch — including one whose event time was
+      // re-stamped; the processed-ID contract is time-blind, key-only
+      in.addData(("d1", ts("2024-01-01 10:00:00")),
+        ("d1", ts("2024-01-01 10:30:00")))
       q.processAllAvailable()
       assert(spark.table("dedup").count() == 2)
     }
