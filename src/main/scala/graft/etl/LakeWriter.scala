@@ -73,7 +73,10 @@ object LakeWriter {
     * (`s3_upload_automation.py:189-200`):
     * `VENDOR_VehicleSales_Export_2025-08-07.csv` →
     * `raw-data/VehicleSales/year=2025/month=08/day=07/`. */
-  private val FilePattern = """(\w+?)_([A-Za-z]+)_\w+_(\d{4})-(\d{2})-(\d{2})\.\w+""".r
+  // table and export-type segments are underscore-free, so a vendor
+  // containing underscores (ACME_CORP_VehicleSales_Export_…) parses as
+  // vendor=ACME_CORP / table=VehicleSales rather than shifting segments
+  private val FilePattern = """(\w+?)_([A-Za-z]+)_[A-Za-z]+_(\d{4})-(\d{2})-(\d{2})\.\w+""".r
 
   def partitionFor(fileName: String): Option[(String, String, String)] =
     fileName match {

@@ -59,9 +59,11 @@ object VehicleSalesEtl {
       .option("quote", "\"")
       .option("escape", "\"")
       .option("recursiveFileLookup", "true")
-      // DMS exports distinguish absent (null) from empty string; Spark's
-      // CSV default maps "" → null, so pin emptyValue (SURVEY §7.4.1)
-      .option("nullValue", "")
+      // DMS exports distinguish absent (null) from explicit empty string
+      // (quoted ""); emptyValue keeps the quoted form as '' while absent
+      // fields still read as NULL (SURVEY §7.4.1 — Redshift keeps the
+      // two distinct, so must we)
+      .option("emptyValue", "")
       .csv(path)
 
   /** P1+P3: projection + quality filter (`glue:80-168`). */

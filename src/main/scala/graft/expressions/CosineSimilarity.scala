@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * expression > HOF combo > UDF).
   *
   * Null semantics: null input array → null (nullIntolerant); a
-  * zero-norm vector → null (cosine undefined), so callers can
-  * `filter($"cosine".isNotNull)` instead of seeing NaN.
+  * zero-norm vector → null (cosine undefined); mismatched dimensions →
+  * null (a ragged corpus is a data bug — never silently score the
+  * common prefix). Callers `filter($"cosine".isNotNull)` instead of
+  * seeing NaN or inflated scores.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,7 +51,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch → null, never a silently-truncated "similarity"
+    // computed over the common prefix (which inflates the score)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -69,20 +74,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $x.getFloat(i);
-         |  double yv = (double) $y.getFloat(i);
-         |  dot += xv * yv;
-         |  nx += xv * xv;
-         |  ny += yv * yv;
-         |}
-         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |if (denom == 0.0) {
+         |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / denom;
+         |  int n = $x.numElements();
+         |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xv = (double) $x.getFloat(i);
+         |    double yv = (double) $y.getFloat(i);
+         |    dot += xv * yv;
+         |    nx += xv * xv;
+         |    ny += yv * yv;
+         |  }
+         |  double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |  if (denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / denom;
+         |  }
          |}
        """.stripMargin
     })

@@ -17,16 +17,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_cosine(a, b) expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) => children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
-          WordShingles(children.head, k)
-        case other => throw new IllegalArgumentException(
-          s"graft_shingles(text, k): k must be an integer literal, got $other")
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_shingles(text, k) expects 2 arguments, got ${children.length}")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            WordShingles(children.head, k)
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles(text, k): k must be an integer literal, got $other")
+        }
       }))
   }
 }

@@ -29,12 +29,21 @@ object MinHashUtil {
     new String(out)
   }
 
+  // per-row setup is pure overhead on a corpus-scan hot path: prefixes
+  // depend only on nPerm (cached), and the digest instance is reused
+  // per thread instead of a JCA lookup per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def signatures(sh: ArrayData, nPerm: Int): ArrayData = {
     val n = sh.numElements()
-    val prefixes = Array.tabulate(nPerm)(p =>
-      s"p$p|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefixes = prefixCache.computeIfAbsent(nPerm, np =>
+      Array.tabulate(np)(p =>
+        s"p$p|".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val mins = new Array[String](nPerm)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var i = 0
     while (i < n) {
       val bytes = sh.getUTF8String(i).getBytes

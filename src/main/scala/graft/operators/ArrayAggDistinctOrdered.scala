@@ -45,15 +45,24 @@ object ArrayAggDistinctOrdered {
           }
         }
       def finish(b: Map[String, Long]): Seq[String] =
-        b.toSeq.sortBy { case (v, k) => (-k, v) }.map(_._1)
+        // explicit reverse ordering, not -k: negating Long.MinValue
+        // overflows back to Long.MinValue and would mis-sort it first
+        b.toSeq.sortBy { case (v, k) => (k, v) }(
+          Ordering.Tuple2(Ordering.Long.reverse, Ordering.String)).map(_._1)
       def bufferEncoder: Encoder[Map[String, Long]] = enc[Map[String, Long]]
       def outputEncoder: Encoder[Seq[String]] = enc[Seq[String]]
     }
 
   /** Column form, e.g.
-    * `df.groupBy("k").agg(distinctOrdered(col("v"), col("ts")))`. */
+    * `df.groupBy("k").agg(distinctOrdered(col("v"), col("ts")))`.
+    * A NULL sortKey ranks as the smallest key (the row still counts) —
+    * the tuple encoder's long field is non-nullable, so nulls must be
+    * mapped BEFORE the aggregator or they crash the job. */
   lazy val distinctOrdered: (Column, Column) => Column = {
     val fn = udaf(agg, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-    (value, sortKey) => fn(value, sortKey.cast("long"))
+    (value, sortKey) =>
+      fn(value, org.apache.spark.sql.functions.coalesce(
+        sortKey.cast("long"),
+        org.apache.spark.sql.functions.lit(Long.MinValue)))
   }
 }

@@ -14,12 +14,19 @@ import org.apache.spark.sql.DataFrame
   * Never materializes a NOT-IN list on the driver (the reference's
   * Lambda did — an O(n) SQL-string antipattern we deliberately drop).
   * Applying the same staging batch twice is a no-op (see
-  * UpsertSpec scalacheck property).
+  * UpsertSpec scalacheck property) — INCLUDING rows whose key columns
+  * contain NULL: the anti-join matches null-safely (`<=>`), because a
+  * plain equi-anti-join never matches NULL keys and would re-append
+  * such rows on every run (try_cast'd timestamps make NULL keys a
+  * routine occurrence, not a corner case).
   */
 object Upsert {
 
-  def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame =
+  def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame = {
+    val stagingKeys = staging.select(keys.head, keys.tail: _*).distinct()
+    val cond = keys.map(k => target(k) <=> stagingKeys(k)).reduce(_ && _)
     target
-      .join(staging.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
+      .join(stagingKeys, cond, "left_anti")
       .unionByName(staging)
+  }
 }

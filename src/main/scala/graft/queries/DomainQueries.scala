@@ -98,7 +98,11 @@ object DomainQueries {
         expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate)")
           .as("lastupdated"),
         expr("CAST(date_sub(CAST(o_orderdate AS DATE), 1000) AS TIMESTAMP)")
-          .as("dateadded"))
+          .as("dateadded"),
+        // unique CDC-style source row id: the dedup window's tiebreak —
+        // (lastupdated, dateadded) alone is not a total order (same-day
+        // versions collide), and rank-1 under ties is engine-arbitrary
+        col("o_orderkey").as("sourcerowid"))
   }
 
   /** vehicle_sales-shaped rows: one deal per order plus a modified later
@@ -220,7 +224,8 @@ object DomainQueries {
       CASE WHEN o_custkey % 12 = 0 THEN NULL
            ELSE CAST(o_custkey % 2000 AS DECIMAL(18,2)) END AS totalparts,
       o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS lastupdated,
-      CAST((CAST(o_orderdate AS DATE) - 1000) AS TIMESTAMP) AS dateadded
+      CAST((CAST(o_orderdate AS DATE) - 1000) AS TIMESTAMP) AS dateadded,
+      o_orderkey AS sourcerowid
     FROM orders JOIN customer ON o_custkey = c_custkey"""
 
   private val VSBASE_SQL = """
@@ -333,7 +338,7 @@ object DomainQueries {
       year(DATE '2024-06-01') - year(dateadded) AS customer_tenure_years,
       lastupdated AS last_updated
     FROM (SELECT cm.*, row_number() OVER (PARTITION BY custno
-                  ORDER BY lastupdated DESC, dateadded DESC) AS customer_rank
+                  ORDER BY lastupdated DESC, dateadded DESC, sourcerowid DESC) AS customer_rank
           FROM cm
           WHERE (isdeleted IS NULL OR isdeleted = false)
             AND (deletedataflag IS NULL OR deletedataflag = false)) t
@@ -397,7 +402,8 @@ object DomainQueries {
 
   private val vProfiles = Q(
     "v_customer_profiles",
-    (s, dir) => pin(Customer360.customerProfiles(customerMaster(s, dir), asOf))
+    (s, dir) => pin(Customer360.customerProfiles(customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc)))
       .orderBy("custno"),
     Some(withPrelude("""
       SELECT user_id, custno, firstname, lastname, email, phone, address, address2,
@@ -453,7 +459,8 @@ object DomainQueries {
   private val vSegments = Q(
     "v_customer_segments",
     (s, dir) => pin(Customer360.customerSegments(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf),
+      Customer360.customerProfiles(customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc)),
       Customer360.vehicleHistory(vehicleSales(s, dir), asOf), asOf))
       .orderBy("custno"),
     Some(withPrelude("""
@@ -540,7 +547,8 @@ object DomainQueries {
   private val vDealership = Q(
     "v_dealership_profiles",
     (s, dir) => pin(Customer360.dealershipProfiles(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf),
+      Customer360.customerProfiles(customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc)),
       vehicleSales(s, dir)))
       .orderBy("custno"),
     Some(withPrelude("""
@@ -585,7 +593,8 @@ object DomainQueries {
     "v_validated_sales",
     (s, dir) => pin(Customer360.validatedSales(
       vehicleSales(s, dir),
-      Customer360.customerProfiles(customerMaster(s, dir), asOf)))
+      Customer360.customerProfiles(customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc))))
       .orderBy("deal_number"),
     Some(withPrelude("""
       , vs0 AS (
@@ -626,7 +635,8 @@ object DomainQueries {
   private val vPrivacy = Q(
     "v_privacy_status",
     (s, dir) => pin(Customer360.privacyStatus(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf)))
+      Customer360.customerProfiles(customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc))))
       .orderBy("custno"),
     Some(withPrelude("""
       SELECT user_id, custno, firstname, lastname, email,

@@ -152,7 +152,7 @@ object LlmQueries {
       // with an empty intersection keep jaccard 0, as before.
       val sets = withSh.select(col("doc_id"), col("sh"),
         size(col("sh")).cast("long").as("n"))
-      cand
+      val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
           col("n").as("na")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
@@ -162,6 +162,15 @@ object LlmQueries {
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+        .persist()
+      // materialize the (small) result, then release the corpus-sized
+      // intermediates — queries can't unpersist after returning, and
+      // leaking a shingle table per invocation adds up over a 60-query
+      // bench session
+      out.count()
+      withSh.unpersist()
+      bands.unpersist()
+      out
     },
     Some("""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -241,7 +250,7 @@ object LlmQueries {
       // candidate generation).
       val sets = withSh.select(col("doc_id"), col("sh"),
         size(col("sh")).cast("long").as("n"))
-      cand
+      val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
           col("n").as("na")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
@@ -252,6 +261,13 @@ object LlmQueries {
             (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
+        .persist()
+      // same cache-scoping as dedup_minhash_lsh: keep the small result,
+      // release the corpus-sized shingle/rare tables
+      out.count()
+      withSh.unpersist()
+      rare.unpersist()
+      out
     },
     Some("""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -23,7 +23,8 @@ object PipelineQueries {
   private def activationFeed(s: SparkSession, dir: String): DataFrame = {
     val asOf = lit("2024-06-01").cast("date")
     val vh = Customer360.vehicleHistory(DomainQueries.vehicleSales(s, dir), asOf)
-    val cp = Customer360.customerProfiles(DomainQueries.customerMaster(s, dir), asOf)
+    val cp = Customer360.customerProfiles(DomainQueries.customerMaster(s, dir), asOf,
+      Seq(col("sourcerowid").desc))
       .select(col("user_id"), col("email"), col("phone"))
     vh.join(cp, Seq("user_id"))
       .select("deal_number", "user_id", "vin", "stock_number", "email", "phone",

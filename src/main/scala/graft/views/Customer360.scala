@@ -34,18 +34,25 @@ import graft.functions.Cleansing
   */
 object Customer360 {
 
-  private def avgOf(sumCol: Column, cntCol: Column): Column =
-    (sumCol.cast("double") / cntCol).as("__avg")
-
   /** marketing.customer_profiles (`customer_360_views.sql:23-186`):
     * soft-delete filter → W1 dedup (latest per custno) → quality gate
-    * (names + contactable) → cleansing projection. */
-  def customerProfiles(customerMaster: DataFrame, asOf: Column): DataFrame = {
+    * (names + contactable) → cleansing projection.
+    *
+    * `tiebreak` extends the dedup window's order past the reference's
+    * (lastupdated, dateadded): two versions of a customer CAN share
+    * both timestamps (same-day CDC loads), and rank-1 under a non-total
+    * order is engine-arbitrary — callers that need reproducible output
+    * (every differential entry does) pass a unique source column. */
+  def customerProfiles(
+      customerMaster: DataFrame,
+      asOf: Column,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
     val deduped = customerMaster
       .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
       .withColumn("customer_rank", row_number().over(
         Window.partitionBy("custno")
-          .orderBy(col("lastupdated").desc, col("dateadded").desc)))
+          .orderBy(Seq(col("lastupdated").desc, col("dateadded").desc) ++
+            tiebreak: _*)))
     deduped
       .filter(col("customer_rank") === 1 &&
         col("firstname").isNotNull && col("firstname") =!= "" &&

@@ -70,6 +70,9 @@ class EtlSpec extends AnyFunSuite {
   test("LakeWriter.partitionFor parses vendor export filenames") {
     assert(LakeWriter.partitionFor("VENDOR_VehicleSales_Export_2025-08-07.csv")
       .contains(("VENDOR", "VehicleSales", "VehicleSales/year=2025/month=08/day=07")))
+    // underscore in the vendor must not shift the table segment
+    assert(LakeWriter.partitionFor("ACME_CORP_VehicleSales_Export_2025-08-07.csv")
+      .contains(("ACME_CORP", "VehicleSales", "VehicleSales/year=2025/month=08/day=07")))
     assert(LakeWriter.partitionFor("garbage.csv").isEmpty)
   }
 

@@ -59,6 +59,13 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
 
+  test("mismatched dimensions → null, never a common-prefix score") {
+    // a ragged pair like ([1,0,...], [1]) would score 1.0 if truncated
+    val out = df((1L, Seq(1f, 0f, 0f, 0f), Seq(1f)))
+      .select(CosineSimilarity.of(col("a"), col("b")).as("c")).head()
+    assert(out.isNullAt(0))
+  }
+
   test("graft_cosine is callable from SQL text via the extension builder") {
     // Same registration GraftExtensions.injectFunction performs at
     // session build; applied to the live registry here because

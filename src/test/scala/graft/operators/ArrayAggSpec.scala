@@ -37,6 +37,20 @@ class ArrayAggSpec extends AnyFunSuite {
     assert(out == Seq("a"))
   }
 
+  test("NULL sortKey ranks last instead of crashing the encoder") {
+    val spark0 = graft.SharedSpark.spark
+    import spark0.implicits._
+    val df = Seq(
+      ("g", "newest", Some(100L)),
+      ("g", "nokey", Option.empty[Long]),
+      ("g", "older", Some(50L)))
+      .toDF("k", "v", "ts")
+    val out = df.groupBy("k")
+      .agg(ArrayAggDistinctOrdered.distinctOrdered(col("v"), col("ts")).as("vs"))
+      .head().getSeq[String](1)
+    assert(out == Seq("newest", "older", "nokey"))
+  }
+
   test("agrees with the a3-style expression combo on random data") {
     val spark0 = spark
     import spark0.implicits._

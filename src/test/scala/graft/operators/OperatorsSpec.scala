@@ -36,6 +36,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert stays idempotent when key columns contain NULL") {
+    // try_cast'd key columns (e.g. rowlastupdatedutc) routinely yield
+    // NULL; a plain equi-anti-join never matches NULL keys and would
+    // duplicate such rows on every re-run
+    val target = Seq((Some("d1"), 10), (None, 20)).toDF("dealno", "v")
+    val staging = Seq((Option.empty[String], 99), (Some("d3"), 30)).toDF("dealno", "v")
+    val once = Upsert.upsert(target, staging, Seq("dealno"))
+    val twice = Upsert.upsert(once, staging, Seq("dealno"))
+    assert(rows(once) == rows(twice))
+    // the NULL-keyed staging row replaced the NULL-keyed target row
+    assert(rows(once) == Set("[d1,10]", "[null,99]", "[d3,30]"))
+  }
+
   test("latestByKey ≡ groupBy.max_by under a total order") {
     val df = Seq(
       ("c1", "2024-01-01 00:00:00", "v1"), ("c1", "2024-03-01 00:00:00", "v2"),
