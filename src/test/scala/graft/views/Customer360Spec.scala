@@ -101,6 +101,21 @@ class Customer360Spec extends AnyFunSuite {
   private lazy val profiles = Customer360.customerProfiles(cm, asOf)
   private lazy val history = Customer360.vehicleHistory(vs, asOf)
 
+  test("customerProfiles: an explicit tiebreak makes tied versions deterministic") {
+    // two versions tie on BOTH lastupdated and dateadded — without a
+    // unique tiebreak rank-1 is engine-arbitrary (the differential gate
+    // would flap); with the rowid tiebreak the higher rowid wins
+    val tied = cm.filter(col("custno") === "C1")
+      .withColumn("lastupdated", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("rowid", when(col("firstname") === "Ann", 2L).otherwise(1L))
+    val out = Customer360.customerProfiles(tied, asOf, Seq(col("rowid").desc))
+      .select("firstname").as[String].collect().toSeq
+    assert(out == Seq("Ann"))
+    val outFlipped = Customer360.customerProfiles(tied, asOf, Seq(col("rowid").asc))
+      .select("firstname").as[String].collect().toSeq
+    assert(outFlipped == Seq("Old"))
+  }
+
   test("customerProfiles: dedup keeps latest version; rejects drop out") {
     val out = profiles.collect().map(r => r.getAs[String]("custno") -> r).toMap
     assert(out.keySet == Set("C1", "C2", "C3"))
