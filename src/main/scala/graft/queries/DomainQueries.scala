@@ -385,7 +385,7 @@ object DomainQueries {
            ELSE 'Legacy (3+ years)' END AS purchase_recency,
       rowlastupdatedutc AS last_updated
     FROM (SELECT vsm.*, row_number() OVER (PARTITION BY dealno
-                  ORDER BY rowlastupdatedutc DESC, vin) AS deal_rank
+                  ORDER BY rowlastupdatedutc DESC, vin DESC) AS deal_rank
           FROM vsm
           WHERE custno IS NOT NULL AND vin IS NOT NULL AND contractdate IS NOT NULL) r
     WHERE deal_rank = 1"""
@@ -603,7 +603,7 @@ object DomainQueries {
           AND vsm.contractdate IS NOT NULL
           AND cp.email IS NOT NULL AND cp.email_opt_out = false),
       vr AS (SELECT vs0.*, row_number() OVER (PARTITION BY dealno
-               ORDER BY rowlastupdatedutc DESC, vin) AS sale_rank FROM vs0)
+               ORDER BY rowlastupdatedutc DESC, vin DESC) AS sale_rank FROM vs0)
       SELECT dealno AS deal_number, 'AUTO-' || custno AS user_id, custno, vin,
              stockno AS stock_number, makename AS make, modelname AS model, "year",
              bodystyle AS body_style, color, modeltype AS vehicle_type,

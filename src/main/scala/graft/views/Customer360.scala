@@ -97,7 +97,7 @@ object Customer360 {
         col("contractdate").isNotNull)
       .withColumn("deal_rank", row_number().over(
         Window.partitionBy("dealno")
-          .orderBy(col("rowlastupdatedutc").desc, col("vin").asc)))
+          .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
       .filter(col("deal_rank") === 1)
     ranked.select(
       Cleansing.userId("AUTO-", col("custno")).as("user_id"),
@@ -320,7 +320,7 @@ object Customer360 {
       .select(col("vs.*"))
       .withColumn("sale_rank", row_number().over(
         Window.partitionBy("dealno")
-          .orderBy(col("rowlastupdatedutc").desc, col("vin").asc)))
+          .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
       .filter(col("sale_rank") === 1)
     joined.select(
       col("dealno").as("deal_number"),
