@@ -52,7 +52,12 @@ object Tables {
 
   /** Register every table as a temp view so Spark SQL text composes
     * the same way the reference's layered warehouse views do
-    * (`sql/customer_360_views.sql:23-742`). */
+    * (`sql/customer_360_views.sql:23-742`). `events` must go through
+    * its nanos-aware accessor — a raw load of TIMESTAMP(NANOS) parquet
+    * throws PARQUET_TYPE_ILLEGAL (caught by TablesSpec). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }
