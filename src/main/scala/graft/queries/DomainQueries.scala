@@ -458,10 +458,14 @@ object DomainQueries {
 
   private val vSegments = Q(
     "v_customer_segments",
+    // The two ARRAY_AGG columns cross the driver boundary '|'-joined:
+    // the differential harness hashes scalar columns only.
     (s, dir) => pin(Customer360.customerSegments(
       Customer360.customerProfiles(customerMaster(s, dir), asOf,
       Seq(col("sourcerowid").desc)),
-      Customer360.vehicleHistory(vehicleSales(s, dir), asOf), asOf))
+      Customer360.vehicleHistory(vehicleSales(s, dir), asOf), asOf)
+      .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
+      .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")))
       .orderBy("custno"),
     Some(withPrelude("""
       , sbase AS (
@@ -491,11 +495,11 @@ object DomainQueries {
                  generation, customer_tenure_years, last_service_date, lifetime_service_value),
       mk AS (SELECT user_id, make, max(purchase_date) AS md FROM sbase
              WHERE make IS NOT NULL GROUP BY user_id, make),
-      mka AS (SELECT user_id, array_agg(make ORDER BY md DESC, make) AS preferred_makes
+      mka AS (SELECT user_id, string_agg(make, '|' ORDER BY md DESC, make) AS preferred_makes
               FROM mk GROUP BY user_id),
       vc AS (SELECT user_id, vehicle_condition, max(purchase_date) AS md FROM sbase
              WHERE vehicle_condition IS NOT NULL GROUP BY user_id, vehicle_condition),
-      vca AS (SELECT user_id, array_agg(vehicle_condition ORDER BY md DESC, vehicle_condition)
+      vca AS (SELECT user_id, string_agg(vehicle_condition, '|' ORDER BY md DESC, vehicle_condition)
                 AS purchase_patterns FROM vc GROUP BY user_id)
       SELECT m.user_id, m.custno, m.firstname, m.lastname, m.email, m.phone, m.state,
              m.zip, CAST(m.age AS BIGINT) AS age, m.generation,
@@ -505,8 +509,8 @@ object DomainQueries {
              CAST(m.lifetime_purchase_value + m.lifetime_service_value AS DOUBLE)
                AS total_lifetime_value,
              m.avg_purchase_value,
-             coalesce(mka.preferred_makes, []) AS preferred_makes,
-             coalesce(vca.purchase_patterns, []) AS purchase_patterns,
+             coalesce(mka.preferred_makes, '') AS preferred_makes,
+             coalesce(vca.purchase_patterns, '') AS purchase_patterns,
              m.avg_down_payment, m.cash_purchases, m.financed_purchases,
              m.lease_purchases, m.trades_made, m.avg_trade_equity,
              m.last_purchase_date, m.first_purchase_date,

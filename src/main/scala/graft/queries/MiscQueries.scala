@@ -98,7 +98,9 @@ object MiscQueries {
 
   // --------------------------------------------------------------- F-arr
   /** F-arr — collect_set/array_sort/array_contains/size (reference
-    * `sql/customer_360_views.sql:407-408` array aggregation surface). */
+    * `sql/customer_360_views.sql:407-408` array aggregation surface).
+    * The array ops all run in-plan; the array itself crosses the query
+    * boundary '|'-joined (the differential harness hashes scalar columns). */
   private val fArr = Q(
     "f_array_ops",
     (s, dir) =>
@@ -107,13 +109,13 @@ object MiscQueries {
         .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
         .select(
           col("o_custkey"),
-          col("priorities"),
+          array_join(col("priorities"), "|").as("priorities"),
           size(col("priorities")).as("n_priorities"),
           array_contains(col("priorities"), "1-URGENT").as("has_urgent"),
           element_at(col("priorities"), 1).as("first_priority"))
         .orderBy("o_custkey"),
     Some("""
-      SELECT o_custkey, priorities,
+      SELECT o_custkey, array_to_string(priorities, '|') AS priorities,
              CAST(len(priorities) AS INT) AS n_priorities,
              list_contains(priorities, '1-URGENT') AS has_urgent,
              priorities[1] AS first_priority

@@ -149,7 +149,11 @@ object RelationalQueries {
     * by most recent ship date (reference `sql/customer_360_views.sql:407-408`).
     * Redshift leaves the order engine-defined; we DEFINE ours as
     * (last_ship DESC, brand ASC) and express it as a two-level aggregate —
-    * no custom UDAF, stays codegen-friendly, 2 shuffles total.
+    * no custom UDAF, no lambda comparator (HOF comparators are
+    * CodegenFallback): the sort key is pre-inverted (`-unix_date`) so plain
+    * `sort_array`'s natural struct ordering (field-by-field ascending)
+    * yields (last_ship DESC, brand ASC). The output column is the
+    * '|'-joined string — arrays don't cross the driver's compare boundary.
     */
   private val a3 = Q(
     "a3_brands_by_recency",
@@ -160,19 +164,17 @@ object RelationalQueries {
       val perBrand = li.groupBy("o_custkey", "p_brand")
         .agg(max(col("l_shipdate").cast("date")).as("last_ship"))
       perBrand.groupBy("o_custkey")
-        .agg(expr(
-          """transform(
-               array_sort(collect_list(struct(last_ship, p_brand)),
-                 (l, r) -> CASE WHEN l.last_ship > r.last_ship THEN -1
-                                WHEN l.last_ship < r.last_ship THEN 1
-                                WHEN l.p_brand < r.p_brand THEN -1
-                                WHEN l.p_brand > r.p_brand THEN 1
-                                ELSE 0 END),
-               x -> x.p_brand)""").as("brands_by_recency"))
+        .agg(sort_array(collect_list(struct(
+          (-unix_date(col("last_ship"))).as("neg_day"),
+          col("p_brand")))).as("sorted"))
+        .select(
+          col("o_custkey"),
+          array_join(col("sorted.p_brand"), "|").as("brands_by_recency"))
         .orderBy("o_custkey")
     },
     Some("""
-      SELECT o_custkey, array_agg(p_brand ORDER BY last_ship DESC, p_brand) AS brands_by_recency
+      SELECT o_custkey,
+             string_agg(p_brand, '|' ORDER BY last_ship DESC, p_brand) AS brands_by_recency
       FROM (SELECT o_custkey, p_brand, max(CAST(l_shipdate AS DATE)) AS last_ship
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

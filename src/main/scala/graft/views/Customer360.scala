@@ -168,15 +168,18 @@ object Customer360 {
   def customerSegments(profiles: DataFrame, history: DataFrame, asOf: Column): DataFrame = {
     val cp = profiles.alias("cp")
     val vh = history.alias("vh")
-    val distinctByRecency = (valueCol: String) => expr(
-      s"""array_distinct(transform(
-            array_sort(
-              filter(collect_list(struct(vh_purchase_date AS d, $valueCol AS v)),
-                     x -> x.v IS NOT NULL),
-              (l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1
-                             WHEN l.v < r.v THEN -1 WHEN l.v > r.v THEN 1
-                             ELSE 0 END),
-            x -> x.v))""")
+    // Distinct values ordered by (max purchase_date per value DESC, value ASC),
+    // nulls dropped. Computed by the ArrayAggDistinctOrdered typed Aggregator:
+    // its buffer is Map(value -> max sortKey), so per-group state is bounded by
+    // the distinct-value count, and there is no interpreted higher-order-function
+    // comparator in the aggregate (HOF lambdas are CodegenFallback). unix_micros
+    // keeps the full ms precision of the timestamp — a plain cast-to-long would
+    // truncate to seconds and could alias two distinct purchase instants. The
+    // cast to TIMESTAMP absorbs TIMESTAMP_NTZ sources (parquet timestamp[ms]
+    // without UTC adjustment); it is monotonic, so ordering is unaffected.
+    val distinctByRecency = (valueCol: String) =>
+      graft.operators.ArrayAggDistinctOrdered.distinctOrdered(
+        col(valueCol), unix_micros(col("vh_purchase_date").cast("timestamp")))
     val metrics = cp.join(vh, col("cp.user_id") === col("vh.user_id"), "left")
       .select(
         col("cp.user_id").as("user_id"), col("cp.custno").as("custno"),
