@@ -64,5 +64,22 @@ class PlanAuditSpec extends AnyFunSuite {
 
     val j1 = plan("j1_customer_order_totals")
     assert(exchanges(j1) <= 3, s"j1 gained shuffles:\n$j1")
+
+    // The engine's heaviest view: profiles ⟕ history → 13-key aggregate.
+    // Pin the exchange ceiling AND that no interpreted higher-order-function
+    // comparator (CodegenFallback) creeps back into the hot aggregate —
+    // the ordered-distinct arrays must come from the ArrayAggDistinctOrdered
+    // buffer, not an array_sort lambda over per-group collect_list.
+    val segments = plan("v_customer_segments")
+    assert(exchanges(segments) <= 5, s"v_customer_segments gained shuffles:\n$segments")
+    assert(windows(segments) == 0,
+      s"dedup-window rewrite stopped firing under v_customer_segments:\n$segments")
+    assert(!segments.contains("lambdafunction"),
+      s"interpreted HOF lambda crept back into v_customer_segments:\n$segments")
+
+    val a3 = plan("a3_brands_by_recency")
+    assert(exchanges(a3) <= 5, s"a3_brands_by_recency gained shuffles:\n$a3")
+    assert(!a3.contains("lambdafunction"),
+      s"interpreted HOF lambda crept back into a3_brands_by_recency:\n$a3")
   }
 }
