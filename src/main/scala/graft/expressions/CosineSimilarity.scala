@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Null semantics: null input array → null (nullIntolerant); a
   * zero-norm vector → null (cosine undefined); mismatched dimensions →
   * null (a ragged corpus is a data bug — never silently score the
-  * common prefix). Callers `filter($"cosine".isNotNull)` instead of
-  * seeing NaN or inflated scores.
+  * common prefix); a null ELEMENT in either vector → null (the
+  * expression is SQL-registered, so arbitrary `containsNull` arrays
+  * reach it — reading a null slot as 0.0 would silently skew scores).
+  * Callers `filter($"cosine".isNotNull)` instead of seeing NaN or
+  * inflated scores.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -60,6 +63,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -71,26 +75,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (denom == 0.0) null else dot / denom
   }
 
+  // every local is ctx.freshName'd: this expression can appear more than
+  // once in one generated function (e.g. the IVF probe projects two
+  // cosines), and bare `int i` locals collide there — janino rejects the
+  // redefinition and the whole projection falls back to interpreted mode
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $x.numElements();
-         |  double dot = 0.0, nx = 0.0, ny = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double xv = (double) $x.getFloat(i);
-         |    double yv = (double) $y.getFloat(i);
-         |    dot += xv * yv;
-         |    nx += xv * xv;
-         |    ny += yv * yv;
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv;
+         |    $nx += $xv * $xv;
+         |    $ny += $yv * $yv;
          |  }
-         |  double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |  if (denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = dot / denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

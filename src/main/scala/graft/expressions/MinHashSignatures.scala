@@ -37,6 +37,10 @@ object MinHashUtil {
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Null shingle elements are skipped — the SQL form this replaces
+    * (`min(md5('p<i>|' || shingle))`) concatenates NULL to NULL and `min`
+    * ignores it. Returns null when no non-null shingle exists (the
+    * all-NULL aggregate is NULL), so the output array never holds nulls. */
   def signatures(sh: ArrayData, nPerm: Int): ArrayData = {
     val n = sh.numElements()
     val prefixes = prefixCache.computeIfAbsent(nPerm, np =>
@@ -44,20 +48,25 @@ object MinHashUtil {
         s"p$p|".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val mins = new Array[String](nPerm)
     val md = mdLocal.get()
+    var used = 0
     var i = 0
     while (i < n) {
-      val bytes = sh.getUTF8String(i).getBytes
-      var p = 0
-      while (p < nPerm) {
-        md.reset()
-        md.update(prefixes(p))
-        md.update(bytes)
-        val hex = toHex(md.digest())
-        if (mins(p) == null || hex.compareTo(mins(p)) < 0) mins(p) = hex
-        p += 1
+      if (!sh.isNullAt(i)) {
+        used += 1
+        val bytes = sh.getUTF8String(i).getBytes
+        var p = 0
+        while (p < nPerm) {
+          md.reset()
+          md.update(prefixes(p))
+          md.update(bytes)
+          val hex = toHex(md.digest())
+          if (mins(p) == null || hex.compareTo(mins(p)) < 0) mins(p) = hex
+          p += 1
+        }
       }
       i += 1
     }
+    if (used == 0) return null
     val out = new Array[Any](nPerm)
     var p = 0
     while (p < nPerm) { out(p) = UTF8String.fromString(mins(p)); p += 1 }
@@ -68,8 +77,9 @@ object MinHashUtil {
 /** Native MinHash signature vector: `array<string>` of `nPerm` min-wise
   * md5 components over a shingle array, one compiled pass per document.
   * Replaces an explode + 12-way min groupBy — the signature step loses
-  * its shuffle entirely. Null/empty shingle arrays → null (no
-  * signature; callers filter empty documents out of the dedup anyway). */
+  * its shuffle entirely. Null/empty/all-null-element shingle arrays →
+  * null (no signature; callers filter empty documents out anyway);
+  * null elements are skipped, matching the SQL aggregate this fuses. */
 case class MinHashSignatures(child: Expression, nPerm: Int)
     extends UnaryExpression {
 
@@ -99,6 +109,7 @@ case class MinHashSignatures(child: Expression, nPerm: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.expressions.MinHashUtil.signatures($c, $nPerm);
+         |  if (${ev.value} == null) ${ev.isNull} = true;
          |}
        """.stripMargin)
 

@@ -27,6 +27,13 @@ object Incremental {
       limit: Int): DataFrame =
     source
       .filter(col(watermarkCol).between(lo, hi))
+      // A NULL key is untrackable: a plain anti-join never matches NULL,
+      // so a NULL-keyed row could never be marked processed and would be
+      // re-delivered in EVERY batch (keys are often try_cast'd, so NULLs
+      // are routine). They are excluded from incremental delivery by
+      // design; callers that care route `source.filter(col(key).isNull)`
+      // to a dead-letter path instead.
+      .filter(col(key).isNotNull)
       .join(processed.select(key).distinct(), Seq(key), "left_anti")
       .orderBy(order: _*)
       .limit(limit)

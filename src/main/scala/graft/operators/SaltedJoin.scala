@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * shuffle partitions at runtime. Salting is the explicit fallback for
   * the cases AQE can't fix: skewed AGGREGATION, and joins where one key
   * exceeds a single task's memory even after splitting.
+  *
+  * KNOWN LIMIT: the salt hashes the WHOLE row, so fully identical
+  * duplicate rows all land on one salt value — a hot key dominated by
+  * bit-identical rows (common in raw CDC/event feeds) still
+  * concentrates in a single partition. That trade is deliberate: a
+  * row-content salt is stable under task retry/replay, where a
+  * `rand()`/partition-id salt can lose or duplicate rows when a lost
+  * map output is recomputed. When the feed has identical-row skew,
+  * collapse it FIRST (`groupBy(all columns).count()` or dedup — the
+  * semantics that make the rows identical usually make them collapsible)
+  * and salt the collapsed frame.
   */
 object SaltedJoin {
 

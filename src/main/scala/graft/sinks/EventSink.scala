@@ -27,7 +27,16 @@ object EventSink {
     * the same partition (the reference's rate limit, `lambda:408-415`).
     * Returns the delivered-event count from an accumulator so callers
     * can reconcile against the source count (exactly-once bookkeeping
-    * stays with the caller via [[ProcessedIds]]). */
+    * stays with the caller via [[ProcessedIds]]).
+    *
+    * Delivery is AT-LEAST-ONCE and the returned count is an UPPER
+    * bound: a task retry or speculative duplicate re-sends its
+    * partition and the accumulator counts both attempts (Spark only
+    * dedups accumulator updates inside actions, and `foreachPartition`
+    * side effects re-run regardless). Treat `returned > source.count()`
+    * as "retries happened", not data loss; for an exact delivered set,
+    * reconcile against [[ProcessedIds]] (a distinct count of delivered
+    * ids), which is idempotent under replay. */
   def deliver(
       events: DataFrame,
       payloadCol: String,

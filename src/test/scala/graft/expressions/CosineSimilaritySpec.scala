@@ -66,6 +66,33 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("null ELEMENT in either vector → null, never read as 0.0") {
+    // graft_cosine is SQL-registered, so containsNull=true arrays reach
+    // it; treating a null slot as 0.0 would silently skew the score.
+    val nullSlot = array(lit(1.0f), lit(null).cast("float"))
+    val full = array(lit(1.0f), lit(1.0f))
+    val out = df((1L, Seq(1f), Seq(1f)))
+      .select(
+        CosineSimilarity.of(nullSlot, full).as("l"),
+        CosineSimilarity.of(full, nullSlot).as("r"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("two cosines in one projection codegen cleanly and agree") {
+    // Regression pin: bare codegen locals collided ("Redefinition of
+    // local variable i") when the expression appeared twice in one
+    // generated function — the IVF probe's exact shape — silently
+    // dropping the projection to interpreted mode.
+    val out = df((1L, Seq(3f, 4f), Seq(4f, 3f)))
+      .select(
+        CosineSimilarity.of(col("a"), col("b")).as("c1"),
+        CosineSimilarity.of(col("b"), col("a")).as("c2"))
+      .head()
+    assert(math.abs(out.getDouble(0) - 24.0 / 25.0) < 1e-12)
+    assert(out.getDouble(0) == out.getDouble(1))
+  }
+
   test("graft_cosine is callable from SQL text via the extension builder") {
     // Same registration GraftExtensions.injectFunction performs at
     // session build; applied to the live registry here because

@@ -47,4 +47,22 @@ class MinHashSignaturesSpec extends AnyFunSuite {
       .collect()
     assert(r.forall(_.isNullAt(0))) // null text and a 2-token doc
   }
+
+  test("null shingle elements are skipped; all-null array → null") {
+    // SQL-registered, so arbitrary containsNull=true arrays reach it:
+    // min(md5('p|' || NULL)) skips the NULL, so must the fused form.
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq(
+      (1L, Seq[String]("a", "b")),
+      (2L, Seq[String]("a", null, "b")),
+      (3L, Seq[String](null, null)))
+      .toDF("id", "sh")
+      .select(col("id"), MinHashSignatures.of(col("sh"), 4).as("hs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(out(1L) != null && out(1L) == out(2L),
+      "a null element must not change the signature")
+    assert(out(3L) == null, "an all-null shingle array has no signature")
+  }
 }
