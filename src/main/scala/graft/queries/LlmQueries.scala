@@ -309,16 +309,16 @@ object LlmQueries {
       val bits = 16
       val tok = Tables.documents(s, dir).select(col("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("w"))
-      val withBits = tok.select(col("doc_id") +:
+      // md5 is hoisted to ONE column per token: the bit projection then
+      // reads 16 one-char substrings of it instead of re-deriving the
+      // digest per bit (the plan's cost is explicit, not delegated to
+      // common-subexpression elimination). A lowercase hex digit has its
+      // high bit set iff it sorts >= '8' ('8','9' < 'a'..'f' in ASCII),
+      // which is the oracle's strpos('89abcdef', d) > 0 in one compare.
+      val hashed = tok.select(col("doc_id"), md5(col("w")).as("h"))
+      val withBits = hashed.select(col("doc_id") +:
         (0 until bits).map { b =>
-          (instr(substring(md5(col("w")), b + 1, 1), "8") +
-            instr(substring(md5(col("w")), b + 1, 1), "9") +
-            instr(substring(md5(col("w")), b + 1, 1), "a") +
-            instr(substring(md5(col("w")), b + 1, 1), "b") +
-            instr(substring(md5(col("w")), b + 1, 1), "c") +
-            instr(substring(md5(col("w")), b + 1, 1), "d") +
-            instr(substring(md5(col("w")), b + 1, 1), "e") +
-            instr(substring(md5(col("w")), b + 1, 1), "f")).cast("long").as(s"b$b")
+          (substring(col("h"), b + 1, 1) >= "8").cast("long").as(s"b$b")
         }: _*)
       val agg = withBits.groupBy("doc_id").agg(
         count(lit(1)).as("n"),

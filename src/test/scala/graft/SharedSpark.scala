@@ -14,6 +14,8 @@ object SharedSpark {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS): read nanos as long engine-wide
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Spark 4.1's checksum checkpoint manager deadlocked the whole
       // suite under the streaming tests (all executor threads parked in

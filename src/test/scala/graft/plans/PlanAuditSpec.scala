@@ -81,5 +81,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges(a3) <= 5, s"a3_brands_by_recency gained shuffles:\n$a3")
     assert(!a3.contains("lambdafunction"),
       s"interpreted HOF lambda crept back into a3_brands_by_recency:\n$a3")
+
+    // simhash's md5 must stay hoisted: one digest per token, not one
+    // per (token, bit) — 16× the hashing if the hoist regresses.
+    val simhash = plan("dedup_simhash")
+    assert("md5\\(".r.findAllIn(simhash).length == 1,
+      s"dedup_simhash should compute exactly one md5 per token:\n$simhash")
   }
 }
