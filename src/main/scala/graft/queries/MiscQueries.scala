@@ -457,25 +457,54 @@ object MiscQueries {
   // ----------------------------------------------------------- Multimodal
   /** Multimodal decode/feature stage over mapPartitions (STUB decoder —
     * see [[Multimodal.StubDecoder]]; the Spark plumbing is the product).
-    * byte_len/content_md5 are oracle-checkable in SQL; the pseudo-feature
-    * vector is pinned by MultimodalSpec. */
+    * EVERY decoder output crosses the oracle: byte_len/content_md5/
+    * frame_count directly, and the float32 feature vector as its
+    * recovered integer byte-sums — feature[i] = fl32(S_i / D) with
+    * D = 255·(len/8+1) known, and |fl32 error · D| < 0.02 ≪ 0.5, so
+    * round(feature[i]·D) = S_i exactly. DuckDB recomputes each S_i from
+    * the blob's hex (strpos nibble decode), making the mapPartitions
+    * path fully differential with integer compares — no cross-engine
+    * float32-division bit-matching. */
   private val mmFeatures = Q(
     "multimodal_features",
     (s, dir) => {
       val packed = Multimodal.pack(
         Tables.documents(s, dir).withColumn("payload", to_binary(col("text"), lit("utf-8"))),
         "doc_id", "payload", "text/plain", "documents")
+      val denom = lit(255.0) * (floor(col("byte_len") / 8) + lit(1))
       Multimodal.extractFeatures(packed)
-        .select(col("media_id"), col("metadata.media_type").as("media_type"),
-          col("byte_len"), col("content_md5"), col("frame_count"))
+        .select(Seq(
+          col("media_id"), col("metadata.media_type").as("media_type"),
+          col("byte_len"), col("content_md5"), col("frame_count")) ++
+          (0 until Multimodal.StubDecoder.FeatureDim).map { i =>
+            round(element_at(col("feature"), i + 1).cast("double") * denom)
+              .cast("long").as(s"fsum$i")
+          }: _*)
         .orderBy("media_id")
     },
     Some("""
-      SELECT doc_id AS media_id, 'text/plain' AS media_type,
-             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-             md5(text) AS content_md5,
-             CAST(1 + octet_length(encode(text)) // 64 AS INT) AS frame_count
-      FROM documents ORDER BY media_id"""),
+      WITH b AS (
+        SELECT doc_id, text, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS len
+        FROM documents),
+      bytes AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+               (strpos('0123456789ABCDEF', substr(hx, CAST(2*u.i - 1 AS INT), 1)) - 1) * 16 +
+                strpos('0123456789ABCDEF', substr(hx, CAST(2*u.i AS INT), 1)) - 1 AS bv
+        FROM b, unnest(range(1, CAST(b.len AS INT) + 1)) u(i)),
+      sums AS (
+        SELECT doc_id,
+      """ + (0 until 8).map(i =>
+        s"CAST(sum(CASE WHEN pos % 8 = $i THEN bv ELSE 0 END) AS BIGINT) AS fsum$i")
+        .mkString(",\n      ") + """
+        FROM bytes GROUP BY doc_id)
+      SELECT b.doc_id AS media_id, 'text/plain' AS media_type,
+             b.len AS byte_len, md5(b.text) AS content_md5,
+             CAST(1 + b.len // 64 AS INT) AS frame_count,
+      """ + (0 until 8).map(i =>
+        s"coalesce(s.fsum$i, 0) AS fsum$i").mkString(",\n      ") + """
+      FROM b LEFT JOIN sums s ON b.doc_id = s.doc_id
+      ORDER BY media_id"""),
   )
 
   val all: Seq[Q] = Seq(
