@@ -23,6 +23,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_quantize_int8(vec) expects 1 argument, got ${children.length}")
+        QuantizeInt8(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_int8"),
+      new ExpressionInfo(classOf[Int8CosineSimilarity].getName, "graft_cosine_int8"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_cosine_int8(a, b) expects 2 arguments, got ${children.length}")
+        Int8CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => {

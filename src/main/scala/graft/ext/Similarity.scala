@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, Int8CosineSimilarity, QuantizeInt8}
 
 /** Similarity search over embedding columns (`Array[Float]`) — the
   * north-star ANN component. Three tiers:
@@ -133,7 +133,9 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(idCol).orderBy(col("c_sim").desc, col("centroid_id").asc)))
       .filter(col("rn") <= nAssign)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      // keep the caller's columns (e.g. a quantized qvec riding beside
+      // the vector) — only the assignment internals are dropped
+      .drop("centroid", "c_sim", "rn")
   }
 
   /** IVF top-k: probe only the `nprobe` centroid buckets nearest the
@@ -155,6 +157,58 @@ object Similarity {
       .select("centroid_id")
     assigned
       .join(broadcast(probed), Seq("centroid_id"))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Attach a packed-int8 quantized copy of the embedding (`qvec`,
+    * `binary`, one byte per dimension). Per-vector symmetric max-abs
+    * scaling cancels in cosine, so no scale column is stored — see
+    * [[graft.expressions.Int8VectorUtil]]. Write `qvec` beside the
+    * vector at ingest; the probe then reads ~1/4 the bytes. */
+  def quantize(
+      vectors: DataFrame,
+      vecCol: String = "embedding",
+      qCol: String = "qvec"): DataFrame =
+    vectors.withColumn(qCol, QuantizeInt8.of(col(vecCol)))
+
+  /** Quantized IVF top-k — the full 100 TB probe path:
+    *   1. probe `nprobe` buckets (broadcast of nprobe centroid ids);
+    *   2. score candidates on the int8 payload only (the scan prunes to
+    *      (centroid_id, id, qvec) — ~1 byte/dim off disk, integer math);
+    *   3. rerank the top `rerank` candidates with the exact float cosine
+    *      via a broadcast semi-join back to the full-precision table.
+    * Recall is governed by nprobe (bucket misses) and rerank
+    * (quantization-induced reorder inside the probed buckets);
+    * ground-truthed ≥ 0.9 against [[bruteForceTopK]] in SimilaritySpec. */
+  def ivfTopKQuantized(
+      assignedQ: DataFrame, // assignToCentroids output + qvec (see quantize)
+      vectors: DataFrame,   // full-precision (idCol, vecCol) for the rerank
+      centroids: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int = 2,
+      rerank: Int = 100,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qCol: String = "qvec"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = array(query.map(v => lit(v)): _*)
+    val q8 = QuantizeInt8.of(q)
+    val probed = centroids
+      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+    val cands = assignedQ
+      .join(broadcast(probed), Seq("centroid_id"))
+      .select(col(idCol), Int8CosineSimilarity.of(col(qCol), q8).as("q_cos"))
+      .orderBy(col("q_cos").desc, col(idCol).asc)
+      .limit(rerank)
+      .select(idCol)
+    vectors
+      .join(broadcast(cands), Seq(idCol))
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -420,6 +420,53 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** Int8-quantized cosine scoring (the IVF probe's candidate scorer;
+    * see [[Similarity.quantize]] / [[graft.expressions.Int8CosineSimilarity]]):
+    * every vector scored against vec_id 0's quantized query. Fully
+    * differential — the DuckDB oracle replays the quantization
+    * bit-exactly: DuckDB FLOAT arithmetic is true float32, and Java's
+    * `Math.round(float)` is `floor(x + 0.5f)`, so scale, per-slot
+    * rounding and clamping agree; the int8 dot/norms are then exact
+    * 64-bit integers on both sides and the final double division/sqrt
+    * are IEEE-identical. */
+  private val annInt8 = Q(
+    "ann_int8_score",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = Similarity
+        .quantize(emb.filter(col("vec_id") === 0).select("embedding"),
+          vecCol = "embedding", qCol = "q8")
+        .select("q8")
+      Similarity.quantize(emb)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          graft.expressions.Int8CosineSimilarity.of(col("qvec"), col("q8")).as("q_cos"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH qz AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS q
+        FROM embeddings),
+      qq AS (SELECT q AS qref FROM qz WHERE vec_id = 0),
+      scored AS (
+        SELECT v.vec_id,
+               CAST(list_sum(list_transform(range(1, len(v.q)+1),
+                 i -> v.q[i] * r.qref[i])) AS DOUBLE) AS dot,
+               CAST(list_sum(list_transform(v.q, x -> x*x)) AS DOUBLE) AS nx,
+               CAST(list_sum(list_transform(r.qref, x -> x*x)) AS DOUBLE) AS ny
+        FROM qz v, qq r)
+      SELECT vec_id,
+             CASE WHEN nx = 0 OR ny = 0 OR nx IS NULL OR ny IS NULL THEN NULL
+                  ELSE dot / (sqrt(nx) * sqrt(ny)) END AS q_cos
+      FROM scored ORDER BY vec_id"""),
+  )
+
   /** Embedding-cosine near-duplicate pairs via centroid-bucketed
     * self-join (never all-pairs; see [[Similarity.nearDupPairs]]).
     * Threshold 0.35 — the synthetic embeddings are random (max pairwise
@@ -508,6 +555,6 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, embNearDup,
-    mmFeatures)
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
+    embNearDup, mmFeatures)
 }

@@ -82,6 +82,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("int8 quantization: extremes map to ±127, zero vector scores null, bad elements null out") {
+    import graft.expressions.{Int8CosineSimilarity, QuantizeInt8}
+    val df = vecDf(1L -> Seq(0.5f, -1.0f, 0.25f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
+    val rows = df.select(col("vec_id"), QuantizeInt8.of(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("q")).toMap
+    // max-abs slot hits ±127; others scale linearly (0.5/1.0 * 127 ≈ 64)
+    assert(rows(1L).toSeq == Seq[Byte](64, -127, 32, 0))
+    assert(rows(2L).toSeq == Seq[Byte](0, 0, 0, 0))
+    val scored = df.select(Int8CosineSimilarity.of(
+      QuantizeInt8.of(col("embedding")),
+      QuantizeInt8.of(array(lit(0f), lit(0f), lit(0f), lit(0f)))).as("c")).collect()
+    assert(scored.forall(_.isNullAt(0))) // zero-norm quantized vector → null
+    val bad = vecDf(3L -> Seq(1f, Float.NaN))
+      .select(QuantizeInt8.of(col("embedding")).as("q")).head()
+    assert(bad.isNullAt(0)) // non-finite element → refuse to quantize
+  }
+
+  test("quantized cosine tracks the exact cosine on the real embeddings corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qd = Similarity.quantize(emb)
+    val probe = qd.limit(1).select(col("qvec").as("q2"), col("embedding").as("e2"))
+    val err = qd.limit(200).crossJoin(broadcast(probe))
+      .select(abs(graft.expressions.Int8CosineSimilarity.of(col("qvec"), col("q2")) -
+        Similarity.cosine(col("embedding"), col("e2"))).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    // measured max ≈ 0.0024 on the 64-dim corpus; 0.01 leaves headroom
+    // without letting a real scheme regression (e.g. dropped sign bit,
+    // off-by-one scale) slip through
+    assert(err < 0.01, s"int8 cosine drifted $err from exact")
+  }
+
+  test("quantized IVF top-k: recall >= 0.9 against brute force on the embeddings table") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, query, 10).collect().map(_.getLong(0)).toSet
+    val qd = Similarity.quantize(emb)
+    val cents = Similarity.trainCentroidsKMeans(emb, 8, iters = 2)
+    val assigned = Similarity.assignToCentroids(qd, cents)
+    val got = Similarity.ivfTopKQuantized(assigned, emb, cents, query, 10,
+      nprobe = 2, rerank = 20).collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized IVF recall $recall < 0.9")
+  }
+
   test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
     val df = vecDf(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // near-dup pair
