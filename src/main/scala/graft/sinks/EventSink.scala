@@ -58,6 +58,45 @@ object EventSink {
     acc.value
   }
 
+  /** ST2/ST5/ST8 hardening: idempotent per-batch delivery — the shape
+    * `foreachBatch` replays demand (`Streams.deliverStream`). The batch
+    * is anti-joined against [[ProcessedIds]] BEFORE the transport, only
+    * fresh ids are delivered, and exactly those ids are appended. Under
+    * a crash-and-replay of the same batch:
+    *
+    *   - crash AFTER the state append (e.g. before the streaming
+    *     checkpoint commit) → the replay finds every id processed and
+    *     re-sends NOTHING;
+    *   - crash BETWEEN transport and append → the replay re-sends that
+    *     one batch (at-least-once; the deterministic U6 messageId keeps
+    *     the downstream idempotent, `lambda:557-560`'s contract).
+    *
+    * Exactly-once to a non-transactional HTTP transport is impossible;
+    * this bounds duplicates to the single interrupted batch. NULL ids
+    * are excluded (same reasoning as Incremental.nextBatch: an
+    * untrackable row would be re-sent in every replay). The fresh set is
+    * persisted so the transport and the append see the same rows even
+    * though the anti-join is lazily re-evaluated. */
+  def deliverBatchIdempotent(
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      statePath: String,
+      transport: Transport,
+      batchSize: Int = 100,
+      pauseMillis: Long = 0L): Long = {
+    val spark = batch.sparkSession
+    val fresh = batch
+      .filter(col(idCol).isNotNull)
+      .join(ProcessedIds.load(spark, statePath, idCol), Seq(idCol), "left_anti")
+      .persist()
+    try {
+      val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
+      ProcessedIds.append(fresh.select(idCol), statePath)
+      sent
+    } finally fresh.unpersist()
+  }
+
   /** S9: the processed-ID state store — replaces the reference's S3
     * JSON state file (`lambda:97-135`: load set, union, save). Parquet
     * append keeps writes cheap and atomic-per-batch; reads are a
