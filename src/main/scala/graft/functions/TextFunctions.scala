@@ -16,9 +16,24 @@ object TextFunctions {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Count of occurrences of one exact token. */
-  def tokenOccurrences(text: Column, token: String): Column =
-    size(filter(tokens(text), t => t === token)).cast("long")
+  /** Count of occurrences of one exact token.
+    *
+    * Implemented with plain string `replace` + `length`, not
+    * `filter(tokens(...))`: higher-order-function lambdas are
+    * CodegenFallback (interpreted per element with boxing), and this
+    * runs per (document, marker token) on corpus scans. Delimiters are
+    * doubled first so adjacent tokens don't share a space, making
+    * occurrences of `" token "` non-overlapping; the count is then a
+    * length delta — one compiled pass per token, fully inside
+    * whole-stage codegen. */
+  def tokenOccurrences(text: Column, token: String): Column = {
+    require(!token.contains(" ") && token.nonEmpty,
+      s"tokenOccurrences counts single tokens, got '$token'")
+    val padded = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    val needle = s" $token "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+  }
 
   /** Ratio of characters in [a-z ] after lowercasing — an "is mostly
     * clean prose" signal for quality scoring. */
@@ -39,11 +54,12 @@ object TextFunctions {
 
   /** N-gram-marker language ID: score each candidate language by marker
     * token hits, pick the argmax (ties → earlier entry). Marker sets are
-    * caller-supplied so tests can pin real multi-language fixtures. */
+    * caller-supplied so tests can pin real multi-language fixtures.
+    * Scoring goes through [[tokenOccurrences]] — compiled string passes,
+    * no interpreted HOF lambda per (document, marker). */
   def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val toks = tokens(text)
     val scores = markers.map { case (lang, ws) =>
-      lang -> ws.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+      lang -> ws.map(w => tokenOccurrences(text, w)).reduce(_ + _)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
@@ -62,9 +78,13 @@ object TextFunctions {
 
   /** Vocabulary fingerprint: md5 over the sorted distinct token set.
     * Two documents with identical vocabulary collide — a cheap
-    * order-insensitive near-dup key (rolling-hash analog). */
+    * order-insensitive near-dup key (rolling-hash analog). `sort_array`,
+    * not `array_sort`: the latter's default comparator is still a
+    * lambdafunction in the plan (interpreted per comparison), while
+    * SortArray sorts by natural ordering without one; token arrays
+    * contain no nulls, so the null-placement difference is moot. */
   def vocabFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
 
   /** One MinHash signature component: min over md5("p<i>|" + shingle).
     * Using md5 keeps the permutation family portable (identical in any
