@@ -554,7 +554,37 @@ object MiscQueries {
       ORDER BY media_id"""),
   )
 
+  /** Frame/segment sampling (the video-frame stand-in, pure SQL over
+    * binary — see [[Multimodal.sampleFrames]]): deterministic 32-byte
+    * slices, 3 per blob, verified by md5. The corpus is pure ASCII at
+    * every scale factor, so the DuckDB oracle can slice the varchar
+    * (chars == bytes) and hash the encoded slice; out-of-range frames
+    * are empty on both sides (md5 of the empty payload). */
+  private val mmFrames = Q(
+    "multimodal_frames",
+    (s, dir) => {
+      val packed = Multimodal.pack(
+        Tables.documents(s, dir).withColumn("payload", to_binary(col("text"), lit("utf-8"))),
+        "doc_id", "payload", "text/plain", "documents")
+      Multimodal.sampleFrames(packed, frameBytes = 32, nFrames = 3)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""
+      WITH f AS (SELECT doc_id, text, CAST(u.i AS INT) AS frame_no
+                 FROM documents, unnest(range(0, 3)) u(i)),
+      sl AS (SELECT doc_id AS media_id, frame_no,
+                    substring(text, frame_no * 32 + 1, 32) AS fb
+             FROM f)
+      SELECT media_id, frame_no,
+             CAST(octet_length(encode(fb)) AS BIGINT) AS frame_len,
+             md5(fb) AS frame_md5
+      FROM sl ORDER BY media_id, frame_no"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, mmFeatures)
+    embNearDup, mmFeatures, mmFrames)
 }
