@@ -39,7 +39,14 @@ object Int8VectorUtil {
     val scale = maxAbs / 127.0f
     i = 0
     while (i < n) {
-      val q = math.round(v.getFloat(i) / scale)
+      // round-half-up computed IN float32 — floor(fl32(x + 0.5f)) — not
+      // Math.round: since JDK 9 Math.round floors the EXACT x+0.5, which
+      // diverges from any engine that adds in float32 (the DuckDB oracle
+      // does) when x sits within half an ulp below k-0.5. Keeping the
+      // arithmetic float32 end-to-end is what makes the differential
+      // replay bit-exact.
+      val half = v.getFloat(i) / scale + 0.5f
+      val q = math.floor(half.toDouble).toInt
       out(i) = math.max(-127, math.min(127, q)).toByte
       i += 1
     }

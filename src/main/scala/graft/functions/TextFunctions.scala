@@ -26,10 +26,22 @@ object TextFunctions {
     * occurrences of `" token "` non-overlapping; the count is then a
     * length delta — one compiled pass per token, fully inside
     * whole-stage codegen. */
-  def tokenOccurrences(text: Column, token: String): Column = {
+  def tokenOccurrences(text: Column, token: String): Column =
+    occurrencesInPadded(paddedText(text), token)
+
+  /** Space-doubled, space-padded text — the shared precondition of
+    * [[occurrencesInPadded]]. Multi-token scorers (qualityScore,
+    * languageId) build this ONE Column and count every needle against
+    * it; the repeated identical subtree collapses in whole-stage
+    * codegen's subexpression elimination (safe here: a deterministic
+    * projection-local expression), so each document is doubled once,
+    * not once per marker. */
+  private def paddedText(text: Column): Column =
+    concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+
+  private def occurrencesInPadded(padded: Column, token: String): Column = {
     require(!token.contains(" ") && token.nonEmpty,
       s"tokenOccurrences counts single tokens, got '$token'")
-    val padded = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
     val needle = s" $token "
     ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
       lit(needle.length)).cast("long")
@@ -45,7 +57,8 @@ object TextFunctions {
     * Deterministic, SQL-expressible (mirrors the DuckDB oracle). */
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text)
-    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    val padded = paddedText(text)
+    val stop = occurrencesInPadded(padded, "the") + occurrencesInPadded(padded, "a")
     round(
       when(n.between(20, 2000), lit(0.5)).otherwise(lit(0.0)) +
         least(stop.cast("double") * 5 / nullif(n, lit(0)).cast("double"), lit(0.5)),
@@ -58,8 +71,9 @@ object TextFunctions {
     * Scoring goes through [[tokenOccurrences]] — compiled string passes,
     * no interpreted HOF lambda per (document, marker). */
   def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val padded = paddedText(text)
     val scores = markers.map { case (lang, ws) =>
-      lang -> ws.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+      lang -> ws.map(w => occurrencesInPadded(padded, w)).reduce(_ + _)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>

@@ -424,11 +424,13 @@ object MiscQueries {
     * see [[Similarity.quantize]] / [[graft.expressions.Int8CosineSimilarity]]):
     * every vector scored against vec_id 0's quantized query. Fully
     * differential — the DuckDB oracle replays the quantization
-    * bit-exactly: DuckDB FLOAT arithmetic is true float32, and Java's
-    * `Math.round(float)` is `floor(x + 0.5f)`, so scale, per-slot
-    * rounding and clamping agree; the int8 dot/norms are then exact
-    * 64-bit integers on both sides and the final double division/sqrt
-    * are IEEE-identical. */
+    * bit-exactly: DuckDB FLOAT arithmetic is true float32, and the
+    * quantizer rounds as `floor(fl32(x + 0.5f))` by construction
+    * (deliberately NOT `Math.round`, whose JDK 9+ exact-sum semantics
+    * would diverge from any float32 oracle in a half-ulp window), so
+    * scale, per-slot rounding and clamping agree; the int8 dot/norms
+    * are then exact 64-bit integers on both sides and the final double
+    * division/sqrt are IEEE-identical. */
   private val annInt8 = Q(
     "ann_int8_score",
     (s, dir) => {
@@ -507,11 +509,14 @@ object MiscQueries {
     * EVERY decoder output crosses the oracle: byte_len/content_md5/
     * frame_count directly, and the float32 feature vector as its
     * recovered integer byte-sums — feature[i] = fl32(S_i / D) with
-    * D = 255·(len/8+1) known, and |fl32 error · D| < 0.02 ≪ 0.5, so
-    * round(feature[i]·D) = S_i exactly. DuckDB recomputes each S_i from
-    * the blob's hex (strpos nibble decode), making the mapPartitions
-    * path fully differential with integer compares — no cross-engine
-    * float32-division bit-matching. */
+    * D = 255·(len/8+1) known, so round(feature[i]·D) = S_i exactly
+    * WHILE the fl32 relative error stays below half a unit: D·2⁻²⁴ <
+    * 0.5 ⇔ byte_len ≲ 263 KB. Recovery is GUARDED to byte_len ≤ 200000
+    * (NULL beyond, mirrored in the oracle) so a future corpus with a
+    * single huge document degrades that row's feature check to NULL
+    * instead of flaking the whole gate off-by-one. DuckDB recomputes
+    * each S_i from the blob's hex (strpos nibble decode) — integer
+    * compares, no cross-engine float32-division bit-matching. */
   private val mmFeatures = Q(
     "multimodal_features",
     (s, dir) => {
@@ -524,8 +529,9 @@ object MiscQueries {
           col("media_id"), col("metadata.media_type").as("media_type"),
           col("byte_len"), col("content_md5"), col("frame_count")) ++
           (0 until Multimodal.StubDecoder.FeatureDim).map { i =>
-            round(element_at(col("feature"), i + 1).cast("double") * denom)
-              .cast("long").as(s"fsum$i")
+            when(col("byte_len") <= 200000,
+              round(element_at(col("feature"), i + 1).cast("double") * denom)
+                .cast("long")).as(s"fsum$i")
           }: _*)
         .orderBy("media_id")
     },
@@ -549,7 +555,8 @@ object MiscQueries {
              b.len AS byte_len, md5(b.text) AS content_md5,
              CAST(1 + b.len // 64 AS INT) AS frame_count,
       """ + (0 until 8).map(i =>
-        s"coalesce(s.fsum$i, 0) AS fsum$i").mkString(",\n      ") + """
+        s"CASE WHEN b.len <= 200000 THEN coalesce(s.fsum$i, 0) END AS fsum$i")
+        .mkString(",\n      ") + """
       FROM b LEFT JOIN sums s ON b.doc_id = s.doc_id
       ORDER BY media_id"""),
   )

@@ -76,7 +76,10 @@ object EventSink {
     * are excluded (same reasoning as Incremental.nextBatch: an
     * untrackable row would be re-sent in every replay). The fresh set is
     * persisted so the transport and the append see the same rows even
-    * though the anti-join is lazily re-evaluated. */
+    * though the anti-join is lazily re-evaluated. Ids are also deduped
+    * WITHIN the batch — an at-least-once upstream can repeat an id
+    * inside one micro-batch, and the anti-join alone would deliver both
+    * copies (state only absorbs ids from PRIOR batches). */
   def deliverBatchIdempotent(
       batch: DataFrame,
       idCol: String,
@@ -88,7 +91,9 @@ object EventSink {
     val spark = batch.sparkSession
     val fresh = batch
       .filter(col(idCol).isNotNull)
-      .join(ProcessedIds.load(spark, statePath, idCol), Seq(idCol), "left_anti")
+      .dropDuplicates(idCol)
+      .join(ProcessedIds.load(spark, statePath, idCol,
+        batch.schema(idCol).dataType), Seq(idCol), "left_anti")
       .persist()
     try {
       val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
@@ -104,7 +109,14 @@ object EventSink {
     * the append log back to one file set when it fragments. */
   object ProcessedIds {
 
-    def load(spark: SparkSession, statePath: String, idCol: String): DataFrame = {
+    /** `idType` types the EMPTY bootstrap frame (no state dir yet). It
+      * must match the caller's id column: a mistyped empty side makes
+      * the first batch's anti-join insert a cast on the key — under
+      * ANSI mode a string messageId vs the old hardcoded bigint threw
+      * NumberFormatException on the very first delivery. */
+    def load(spark: SparkSession, statePath: String, idCol: String,
+        idType: org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType): DataFrame = {
       // crash recovery: a compact() that died between its two renames
       // leaves the previous snapshot at <statePath>.old — restore it
       // rather than silently starting from an empty set (which would
@@ -115,7 +127,7 @@ object EventSink {
       if (dir.exists())
         spark.read.parquet(statePath).select(idCol).distinct()
       else
-        spark.emptyDataFrame.withColumn(idCol, lit(null).cast("long"))
+        spark.emptyDataFrame.withColumn(idCol, lit(null).cast(idType))
           .limit(0)
     }
 
@@ -131,8 +143,10 @@ object EventSink {
       * is crash-safe on a local/posix fs: snapshot → .tmp, live → .old,
       * .tmp → live, drop .old. Every failure mode leaves either the
       * live dir or .old intact, and [[load]] knows to restore .old. */
-    def compact(spark: SparkSession, statePath: String, idCol: String): Unit = {
-      val snap = load(spark, statePath, idCol).cache()
+    def compact(spark: SparkSession, statePath: String, idCol: String,
+        idType: org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType): Unit = {
+      val snap = load(spark, statePath, idCol, idType).cache()
       snap.count() // materialize before touching the live dir
       val tmp = new java.io.File(statePath + ".tmp")
       val old = new java.io.File(statePath + ".old")

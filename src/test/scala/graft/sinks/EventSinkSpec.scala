@@ -51,6 +51,31 @@ class EventSinkSpec extends AnyFunSuite {
     assert(parts == 1)
   }
 
+  test("deliverBatchIdempotent: string ids bootstrap cleanly, in-batch dups and null ids excluded") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state3").toString
+    val path = s"$dir/processed"
+    // string U6-style messageIds on the VERY FIRST batch (no state dir):
+    // the empty bootstrap frame must be string-typed or the anti-join
+    // casts the key and ANSI mode throws on non-numeric ids
+    val batch = Seq(
+      ("vehicle_purchase|D1|VIN9", "p1"),
+      ("vehicle_purchase|D1|VIN9", "p1dup"), // same id twice in one batch
+      ("vehicle_purchase|D2|VIN7", "p2"),
+      (null, "orphan")) // untrackable → excluded
+      .toDF("message_id", "payload")
+    EventSinkSpec.got.clear()
+    val n = EventSink.deliverBatchIdempotent(batch, "message_id", "payload",
+      path, b => EventSinkSpec.got.add(b))
+    assert(n == 2, s"expected one delivery per distinct non-null id, got $n")
+    val sent = EventSinkSpec.got.toArray(Array.empty[Seq[String]]).flatten.toSet
+    assert(sent.size == 2 && sent.contains("p2") && !sent.contains("orphan"))
+    // replaying the same batch delivers nothing more
+    assert(EventSink.deliverBatchIdempotent(batch, "message_id", "payload",
+      path, b => EventSinkSpec.got.add(b)) == 0)
+  }
+
   test("deliver + ProcessedIds = idempotent incremental delivery") {
     val spark0 = spark
     import spark0.implicits._
