@@ -237,4 +237,43 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** [[nearDupPairs]] with an int8 prescreen — the 100 TB shape of the
+    * pairwise stage: the bucketed self-join carries only (id, qvec)
+    * (1 byte/dim), candidate pairs are scored with integer math, and
+    * ONLY pairs above `threshold - prefilterMargin` fetch their full
+    * float vectors (two id-joins) for the exact cosine and the real
+    * threshold. Same output as [[nearDupPairs]] as long as
+    * `prefilterMargin` exceeds the corpus's max |int8 cosine − exact
+    * cosine| (measured ≈ 0.003 at 64 dims, bounded ≈ 1/127 ≈ 0.008 by
+    * the quantization step; 0.05 is deliberately conservative) —
+    * equality is pinned by SimilaritySpec AND by emb_near_dup_pairs_q
+    * sharing the un-quantized query's DuckDB oracle. */
+  def nearDupPairsQuantized(
+      assignedQ: DataFrame, // quantize() + assignToCentroids: has qCol
+      vectors: DataFrame,   // full-precision (idCol, vecCol)
+      threshold: Double,
+      prefilterMargin: Double = 0.05,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qCol: String = "qvec"): DataFrame = {
+    val a = assignedQ.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(qCol).as("q_a"))
+    val b = assignedQ.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(qCol).as("q_b"))
+    val survivors = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(Int8CosineSimilarity.of(col("q_a"), col("q_b")) >=
+        threshold - prefilterMargin)
+      .select("id_a", "id_b")
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    survivors
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

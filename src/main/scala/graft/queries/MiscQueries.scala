@@ -476,17 +476,7 @@ object MiscQueries {
     * check vacuously empty; 0.35 exercises assignment, bucketed pair
     * generation, and exact scoring with ~100 surviving pairs. Oracle
     * replicates the full pipeline. */
-  private val embNearDup = Q(
-    "emb_near_dup_pairs",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val centroids = Similarity.trainCentroidsById(emb, 16)
-      val assigned = Similarity.assignToCentroids(emb, centroids)
-      Similarity.nearDupPairs(assigned, threshold = 0.35)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")
-    },
-    Some(IVF_ORACLE_PRELUDE + """,
+  private val NEAR_DUP_ORACLE = IVF_ORACLE_PRELUDE + """,
       cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                a.embedding AS va, b.embedding AS vb
@@ -500,7 +490,38 @@ object MiscQueries {
                * sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
         FROM cand)
       SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
-      WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
+      WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+
+  private val embNearDup = Q(
+    "emb_near_dup_pairs",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      Similarity.nearDupPairs(assigned, threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+    Some(NEAR_DUP_ORACLE),
+  )
+
+  /** The quantized-prescreen variant MUST produce byte-identical output
+    * to emb_near_dup_pairs (the int8 filter at threshold−0.05 is
+    * recall-lossless for this corpus's ≈0.003 max quantization error),
+    * so it shares the exact same DuckDB oracle — if the prescreen ever
+    * loses a borderline pair, the differential gate goes red. */
+  private val embNearDupQ = Q(
+    "emb_near_dup_pairs_q",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assignedQ = Similarity.assignToCentroids(
+        Similarity.quantize(emb), centroids)
+      Similarity.nearDupPairsQuantized(assignedQ, emb, threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+    Some(NEAR_DUP_ORACLE),
   )
 
   // ----------------------------------------------------------- Multimodal
@@ -593,5 +614,5 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, mmFeatures, mmFrames)
+    embNearDup, embNearDupQ, mmFeatures, mmFrames)
 }

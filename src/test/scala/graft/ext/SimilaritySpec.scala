@@ -126,6 +126,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized IVF recall $recall < 0.9")
   }
 
+  test("quantized-prescreen near-dup pairs == plain near-dup pairs on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroidsById(emb, 16)
+    val plain = Similarity.nearDupPairs(
+      Similarity.assignToCentroids(emb, cents), threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prescreened = Similarity.nearDupPairsQuantized(
+      Similarity.assignToCentroids(Similarity.quantize(emb), cents), emb,
+      threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty, "fixture must produce pairs or this test is vacuous")
+    assert(prescreened == plain,
+      s"int8 prescreen changed the pair set: missing=${plain -- prescreened} " +
+        s"extra=${prescreened -- plain}")
+  }
+
   test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
     val df = vecDf(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // near-dup pair
