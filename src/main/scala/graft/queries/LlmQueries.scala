@@ -109,6 +109,75 @@ object LlmQueries {
       WHERE rn = 1 ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------------ corpus pipeline
+  /** The composed training-data cleaning pipeline — the flagship
+    * LLM-corpus flow as ONE declarative plan: marker language-ID →
+    * quality gate → exact content dedup (md5, lowest doc_id wins) →
+    * vocabulary-fingerprint near-dup collapse. Everything is a filter
+    * or a rank=1 dedup, so Catalyst fuses the scoring into the scan
+    * projection and DedupWindowToMaxBy turns BOTH dedup stages into
+    * partial aggregates — the executed plan is three exchanges (one per
+    * dedup aggregate + the deterministic output sort), zero joins, zero
+    * windows, at any scale (pinned in PlanAuditSpec). */
+  private val corpusClean = Q(
+    "corpus_clean",
+    (s, dir) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a"),
+        "es" -> Seq("la", "el"),
+        "de" -> Seq("der", "und"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("lang_guess", TextFunctions.languageId(col("text"), markers))
+        .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+        .filter(col("lang_guess") === "en" && col("quality_score") >= 0.5)
+      val exact = Dedup.exactByHash(scored, "text", "doc_id")
+      val survivors = exact
+        .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1)
+      survivors.select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score")).orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               CASE
+                 WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) >=
+                      greatest(len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')),
+                               len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')))
+                      AND len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) > 0
+                 THEN 'en'
+                 WHEN len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) >=
+                      len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und'))
+                      AND len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) > 0
+                 THEN 'es'
+                 WHEN len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')) > 0
+                 THEN 'de'
+                 ELSE 'und' END AS lang_guess,
+               round(
+                 (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END)
+                 + least(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                              + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS DOUBLE) * 5
+                         / CAST(nullif(len(string_split(text, ' ')), 0) AS DOUBLE), 0.5),
+                 4) AS quality_score
+        FROM documents),
+      filtered AS (
+        SELECT * FROM scored WHERE lang_guess = 'en' AND quality_score >= 0.5),
+      exd AS (
+        SELECT * FROM (
+          SELECT f.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn1
+          FROM filtered f) t WHERE rn1 = 1),
+      fpd AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (
+            PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+            ORDER BY doc_id) AS rn2
+          FROM exd e) t WHERE rn2 = 1)
+      SELECT doc_id, lang, source, quality_score
+      FROM fpd ORDER BY doc_id"""),
+  )
+
   // -------------------------------------------------------- MinHash + LSH
   /** Near-dup dedup: 3-word shingles → 12 md5 MinHash components →
     * 4 LSH bands of 3 → banded self-join for candidates → exact shingle
@@ -417,6 +486,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, dedupExact, minhash, ngramJaccard, simhash,
-    annTopK, multimodal)
+    textStats, fingerprint, corpusClean, dedupExact, minhash, ngramJaccard,
+    simhash, annTopK, multimodal)
 }

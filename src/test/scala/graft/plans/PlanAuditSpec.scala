@@ -93,6 +93,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val a3 = plan("a3_brands_by_recency")
     assert(exchanges(a3) <= 5, s"a3_brands_by_recency gained shuffles:\n$a3")
 
+    // the composed corpus pipeline: both rank=1 dedups must stay
+    // rewritten to aggregates — 2 dedup exchanges + the output sort
+    val corpus = plan("corpus_clean")
+    assert(exchanges(corpus) <= 3, s"corpus_clean gained shuffles:\n$corpus")
+    assert(windows(corpus) == 0,
+      s"dedup-window rewrite stopped firing in corpus_clean:\n$corpus")
+
     // simhash's md5 must stay hoisted: one digest per token, not one
     // per (token, bit) — 16× the hashing if the hoist regresses.
     val simhash = plan("dedup_simhash")
