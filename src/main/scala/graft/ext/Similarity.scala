@@ -83,9 +83,11 @@ object Similarity {
         .groupBy("centroid_id", "pos")
         .agg(avg(col("v")).cast("float").as("m"))
         .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"),
-          transform(col("pm"), s => s.getField("m")).as("centroid_new"))
+        // sort_array + array-of-struct field extraction: natural struct
+        // ordering on (pos, m) and GetArrayStructFields are compiled —
+        // no lambda comparator / transform (both CodegenFallback)
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), col("pm.m").as("centroid_new"))
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("centroid_new"), col("centroid")).as("centroid"))

@@ -86,6 +86,29 @@ object Streams {
       }
   }
 
+  /** Streaming corpus dedup — the LLM-pipeline exact/near-dup operators
+    * (north-star) on an unbounded document stream: documents whose
+    * VOCABULARY collides (order-insensitive fingerprint,
+    * [[graft.functions.TextFunctions.vocabFingerprint]]) are dropped
+    * within the watermark horizon, so a re-crawled or shuffled copy of
+    * a recent document never reaches the corpus. Same state-bounding
+    * trade as [[dedupedEvents]]: the watermark caps dedup state instead
+    * of growing a fingerprint set forever; duplicates arriving past the
+    * horizon fall to the batch dedup pass (`corpus_clean`). For exact
+    * dedup pass `md5(text)` semantics by fingerprinting the raw text
+    * instead — the operator only cares that the key is deterministic. */
+  def dedupDocumentsStream(
+      docs: DataFrame, // (textCol, eventTimeCol, ...)
+      textCol: String,
+      eventTimeCol: String,
+      watermarkDelay: String = "1 day"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.functions.TextFunctions.vocabFingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** ST4: the 24h session-match window as a stream-stream interval join
     * (`README.md:83-88`): leads join sessions on the dr-session id with
     * an event-time bound, watermarks on both sides so state is pruned. */

@@ -59,6 +59,32 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus dedup drops vocabulary-colliding documents within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.dedupDocumentsStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("docdedup").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        (1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+        (2L, "fox brown quick the", ts("2024-01-01 10:05:00")), // same vocab, shuffled → dup
+        (3L, "an entirely different doc", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // a later re-crawl of doc 1's content inside the watermark → dropped
+      in.addData((4L, "the quick brown fox", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(Set(1L, 2L, 4L)).size == 1,
+        s"exactly one of the vocab-colliding docs must survive, kept $kept")
+      assert(kept.contains(3L))
+      // the fingerprint key is internal — the output schema is the input's
+      assert(!spark.table("docdedup").columns.contains("__fp"))
+    }
+  }
+
   test("ST4 sessionLeadJoin matches only inside the 24h bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
