@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"point lookup lost predicate pushdown:\n$plan")
   }
 
+  test("corpus scan prunes to exactly the projected columns") {
+    // at 100 TB the documents table is dominated by `text`; a scan that
+    // also reads lang/source/n_chars for a fingerprint projection means
+    // column pruning broke somewhere between the view and the source
+    val plan = SparkEntry.queries("doc_fingerprint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"doc_fingerprint should read only (doc_id, text):\n$plan")
+  }
+
   test("small-dimension join broadcasts (J1 at test scale)") {
     val plan = SparkEntry.queries("j1_customer_order_totals")(spark, dir)
       .queryExecution.executedPlan.toString
