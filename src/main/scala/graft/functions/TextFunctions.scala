@@ -16,6 +16,19 @@ object TextFunctions {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword token count: matches of a GPT-2-style pretokenizer
+    * simplified to the engine-portable subset — optional leading space +
+    * (letter run | digit run | punctuation run). Tracks how byte-pair
+    * tokenizers segment far better than whitespace counting (digits and
+    * punctuation split off), which is what corpus token budgeting needs.
+    * Kept RE2-compatible (no lookarounds, ASCII classes) so the DuckDB
+    * oracle counts the identical matches; both engines use leftmost-first
+    * alternation. */
+  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
   /** Count of occurrences of one exact token.
     *
     * Implemented with plain string `replace` + `length`, not

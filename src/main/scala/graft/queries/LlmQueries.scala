@@ -37,6 +37,7 @@ object LlmQueries {
         col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("char_cnt"),
         TextFunctions.tokenCount(col("text")).as("token_cnt"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_token_cnt"),
         TextFunctions.tokenOccurrences(col("text"), "the").as("the_cnt"),
         round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality_score"),
@@ -47,6 +48,8 @@ object LlmQueries {
       SELECT doc_id, lang, source,
              CAST(length(text) AS BIGINT) AS char_cnt,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+               AS BIGINT) AS bpe_token_cnt,
              CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS the_cnt,
              round(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
                    / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS alpha_ratio,

@@ -21,6 +21,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2)
   }
 
+  test("bpeTokenCount: digits and punctuation split off, unlike whitespace count") {
+    // "don't pay $12.50!" → don | ' | t | pay | $ | 12 | . | 50 | !  = 9
+    val r = df("don't pay $12.50!")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("b"),
+        TextFunctions.tokenCount(col("text")).as("w")).head
+    assert(r.getLong(0) == 9)
+    assert(r.getLong(1) == 3) // whitespace counting hides the splits
+    assert(df("").select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0) == 0)
+  }
+
   test("shingles: k=3 distinct word shingles; short docs → empty") {
     val r = df("a b c d c d")  // windows: "a b c","b c d","c d c","d c d"
       .select(TextFunctions.shingles(col("text"), 3).as("s"))
