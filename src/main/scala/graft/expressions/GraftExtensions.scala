@@ -39,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Int8CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_winnow(text, k, w) expects 3 arguments, got ${children.length}")
+        (children(1), children(2)) match {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+            RollingFingerprint(children.head, k, w)
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => {

@@ -112,6 +112,60 @@ object LlmQueries {
       WHERE rn = 1 ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------------ rolling hash
+  /** Winnowing fingerprint (rolling-hash document fingerprinting; see
+    * [[graft.expressions.RollingFingerprint]]): k=8 char-gram Rabin–Karp
+    * hashes, window-of-4 minima, per-document selected-hash set. The
+    * oracle recomputes every hash NON-rolling (the nested polynomial
+    * below — canonical mod-1e9+7 values are representation-independent)
+    * and replays the winnowing with a windowed min, so the rolling
+    * update, the window selection and the dedup are all differential.
+    * The set crosses the boundary as (count, md5 of the sorted joined
+    * values); `ord(substr(...))` equals the byte because the corpus is
+    * ASCII at every SF (verified; see multimodal_frames). */
+  private val winnowQ = {
+    // the seed is CAST AS BIGINT so the whole fold stays 64-bit — an
+    // INT32 accumulator overflows at the first *256 past 2^23
+    val poly = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 256 + ord(substr(text, CAST(u.i AS INT) + $j, 1))) % 1000000007)")
+    Q(
+      "doc_winnow_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.expressions.RollingFingerprint.of(col("text"), 8, 4).as("fp"))
+          .select(col("doc_id"),
+            size(col("fp")).cast("long").as("n_selected"),
+            md5(array_join(col("fp").cast("array<string>"), "|")).as("fp_md5"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(u.i AS INT) AS i,
+                 CAST(d.n AS INT) - 8 + 1 AS m,
+                 $poly AS h
+          FROM d, unnest(range(1, CAST(n AS INT) - 8 + 2)) u(i)
+          WHERE n >= 8),
+        wmin AS (
+          SELECT doc_id, i, m,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+          FROM grams),
+        sel AS (
+          SELECT DISTINCT doc_id, mh FROM wmin WHERE m > 4 AND i <= m - 4 + 1
+          UNION
+          SELECT doc_id, min(h) AS mh FROM grams GROUP BY doc_id HAVING count(*) <= 4),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY mh)) AS fp_md5
+          FROM sel GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_selected, 0) AS n_selected,
+               coalesce(a.fp_md5, md5('')) AS fp_md5
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""),
+    )
+  }
+
   // ------------------------------------------------------ corpus pipeline
   /** The composed training-data cleaning pipeline — the flagship
     * LLM-corpus flow as ONE declarative plan: marker language-ID →
@@ -489,6 +543,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, corpusClean, dedupExact, minhash, ngramJaccard,
-    simhash, annTopK, multimodal)
+    textStats, fingerprint, winnowQ, corpusClean, dedupExact, minhash,
+    ngramJaccard, simhash, annTopK, multimodal)
 }
