@@ -123,11 +123,15 @@ object LlmQueries {
     * The set crosses the boundary as (count, md5 of the sorted joined
     * values); `ord(substr(...))` equals the byte because the corpus is
     * ASCII at every SF (verified; see multimodal_frames). */
-  private val winnowQ = {
-    // the seed is CAST AS BIGINT so the whole fold stays 64-bit — an
-    // INT32 accumulator overflows at the first *256 past 2^23
-    val poly = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+  /** The k=8 polynomial as nested SQL, shared by both winnow oracles.
+    * The seed is CAST AS BIGINT so the whole fold stays 64-bit — an
+    * INT32 accumulator overflows at the first *256 past 2^23. */
+  private val WINNOW_POLY: String =
+    (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
       s"(($acc * 256 + ord(substr(text, CAST(u.i AS INT) + $j, 1))) % 1000000007)")
+
+  private val winnowQ = {
+    val poly = WINNOW_POLY
     Q(
       "doc_winnow_fingerprint",
       (s, dir) =>
@@ -165,6 +169,60 @@ object LlmQueries {
         ORDER BY d.doc_id"""),
     )
   }
+
+  /** Winnow-bucketed near-dup pairs: documents sharing a RARE selected
+    * hash (df ∈ [2,10]) paired by a hash-bucket self-join, scored by how
+    * many rare hashes they share. The df valve is load-bearing: the
+    * corpus has boilerplate hashes shared by ~400 documents (measured),
+    * and an unvalved self-join would go quadratic on exactly those —
+    * same design as dedup_ngram_jaccard's rare-shingle valve. */
+  private val winnowPairs = Q(
+    "dedup_winnow_pairs",
+    (s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.expressions.RollingFingerprint.of(col("text"), 8, 4)).as("h"))
+        .persist() // feeds the df valve and both sides of the pair join
+      val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 10))
+        .select("h")
+      val cand = fp.join(rare, Seq("h"))
+      val pairs = cand.select(col("h"), col("doc_id").as("doc_a"))
+        .join(cand.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_hashes"))
+        .orderBy("doc_a", "doc_b")
+        .persist()
+      pairs.count() // materialize, then drop the corpus-sized fingerprint table
+      fp.unpersist()
+      pairs
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(u.i AS INT) AS i,
+               CAST(d.n AS INT) - 8 + 1 AS m,
+               $WINNOW_POLY AS h
+        FROM d, unnest(range(1, CAST(n AS INT) - 8 + 2)) u(i)
+        WHERE n >= 8),
+      wmin AS (
+        SELECT doc_id, i, m,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        FROM grams),
+      sel AS (
+        SELECT DISTINCT doc_id, mh FROM wmin WHERE m > 4 AND i <= m - 4 + 1
+        UNION
+        SELECT doc_id, min(h) AS mh FROM grams GROUP BY doc_id HAVING count(*) <= 4),
+      rare AS (SELECT mh FROM sel GROUP BY mh HAVING count(*) BETWEEN 2 AND 10)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_hashes
+      FROM sel a JOIN rare r ON a.mh = r.mh
+      JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b"""),
+  )
 
   // ------------------------------------------------------ corpus pipeline
   /** The composed training-data cleaning pipeline — the flagship
@@ -543,6 +601,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, winnowQ, corpusClean, dedupExact, minhash,
-    ngramJaccard, simhash, annTopK, multimodal)
+    textStats, fingerprint, winnowQ, winnowPairs, corpusClean, dedupExact,
+    minhash, ngramJaccard, simhash, annTopK, multimodal)
 }
