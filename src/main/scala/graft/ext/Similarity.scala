@@ -247,10 +247,15 @@ object Similarity {
     * float vectors (two id-joins) for the exact cosine and the real
     * threshold. Same output as [[nearDupPairs]] as long as
     * `prefilterMargin` exceeds the corpus's max |int8 cosine − exact
-    * cosine| (measured ≈ 0.003 at 64 dims, bounded ≈ 1/127 ≈ 0.008 by
-    * the quantization step; 0.05 is deliberately conservative) —
-    * equality is pinned by SimilaritySpec AND by emb_near_dup_pairs_q
-    * sharing the un-quantized query's DuckDB oracle. */
+    * cosine|. That error is DATA-DEPENDENT — the per-component
+    * quantization step is max|v|/254, but the accumulated cosine error
+    * grows with dimension and mass distribution (measured ≈ 0.003 on
+    * the 64-dim corpus; near-uniform vectors can reach a few times
+    * that) — so the margin is guarded EMPIRICALLY, not by a doc claim:
+    * SimilaritySpec asserts max observed |int8 − exact| over the actual
+    * bucketed candidate pairs stays under prefilterMargin/2, and
+    * emb_near_dup_pairs_q shares the un-quantized query's DuckDB
+    * oracle, so a margin breach turns the differential gate red. */
   def nearDupPairsQuantized(
       assignedQ: DataFrame, // quantize() + assignToCentroids: has qCol
       vectors: DataFrame,   // full-precision (idCol, vecCol)

@@ -44,11 +44,11 @@ object LlmQueries {
         TextFunctions.languageId(col("text"), markers).as("lang_guess"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       SELECT doc_id, lang, source,
              CAST(length(text) AS BIGINT) AS char_cnt,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
-             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+             CAST(len(regexp_extract_all(text, '${TextFunctions.BpeTokenPattern}'))
                AS BIGINT) AS bpe_token_cnt,
              CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS the_cnt,
              round(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
@@ -130,35 +130,42 @@ object LlmQueries {
     (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
       s"(($acc * 256 + ord(substr(text, CAST(u.i AS INT) + $j, 1))) % 1000000007)")
 
-  private val winnowQ = {
-    val poly = WINNOW_POLY
-    Q(
-      "doc_winnow_fingerprint",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            graft.expressions.RollingFingerprint.of(col("text"), 8, 4).as("fp"))
-          .select(col("doc_id"),
-            size(col("fp")).cast("long").as("n_selected"),
-            md5(array_join(col("fp").cast("array<string>"), "|")).as("fp_md5"))
-          .orderBy("doc_id"),
-      Some(s"""
-        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        grams AS (
-          SELECT doc_id, CAST(u.i AS INT) AS i,
-                 CAST(d.n AS INT) - 8 + 1 AS m,
-                 $poly AS h
-          FROM d, unnest(range(1, CAST(n AS INT) - 8 + 2)) u(i)
-          WHERE n >= 8),
-        wmin AS (
-          SELECT doc_id, i, m,
-                 min(h) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
-          FROM grams),
-        sel AS (
-          SELECT DISTINCT doc_id, mh FROM wmin WHERE m > 4 AND i <= m - 4 + 1
-          UNION
-          SELECT doc_id, min(h) AS mh FROM grams GROUP BY doc_id HAVING count(*) <= 4),
+  /** Non-rolling winnow replay (grams → windowed min → selected set),
+    * ONE definition for both winnow oracles — the selection rules (the
+    * full-window filter, the m ≤ w single-window branch) must never
+    * drift between them. Yields CTEs `d` and `sel(doc_id, mh)`. */
+  private val WINNOW_SEL: String = s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(u.i AS INT) AS i,
+               CAST(d.n AS INT) - 8 + 1 AS m,
+               $WINNOW_POLY AS h
+        FROM d, unnest(range(1, CAST(n AS INT) - 8 + 2)) u(i)
+        WHERE n >= 8),
+      wmin AS (
+        SELECT doc_id, i, m,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        FROM grams),
+      sel AS (
+        SELECT DISTINCT doc_id, mh FROM wmin WHERE m > 4 AND i <= m - 4 + 1
+        UNION
+        SELECT doc_id, min(h) AS mh FROM grams GROUP BY doc_id HAVING count(*) <= 4)"""
+
+  private val winnowQ = Q(
+    "doc_winnow_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          // coalesce mirrors the oracle's LEFT JOIN: a NULL/short text is
+          // "no selected hashes", not a NULL fingerprint row
+          coalesce(graft.expressions.RollingFingerprint.of(col("text"), 8, 4),
+            array().cast("array<long>")).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_selected"),
+          md5(array_join(col("fp").cast("array<string>"), "|")).as("fp_md5"))
+        .orderBy("doc_id"),
+    Some(s"""$WINNOW_SEL,
         agg AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
                  md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY mh)) AS fp_md5
@@ -167,8 +174,7 @@ object LlmQueries {
                coalesce(a.fp_md5, md5('')) AS fp_md5
         FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id"""),
-    )
-  }
+  )
 
   /** Winnow-bucketed near-dup pairs: documents sharing a RARE selected
     * hash (df ∈ [2,10]) paired by a hash-bucket self-join, scored by how
@@ -198,23 +204,7 @@ object LlmQueries {
       fp.unpersist()
       pairs
     },
-    Some(s"""
-      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      grams AS (
-        SELECT doc_id, CAST(u.i AS INT) AS i,
-               CAST(d.n AS INT) - 8 + 1 AS m,
-               $WINNOW_POLY AS h
-        FROM d, unnest(range(1, CAST(n AS INT) - 8 + 2)) u(i)
-        WHERE n >= 8),
-      wmin AS (
-        SELECT doc_id, i, m,
-               min(h) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
-        FROM grams),
-      sel AS (
-        SELECT DISTINCT doc_id, mh FROM wmin WHERE m > 4 AND i <= m - 4 + 1
-        UNION
-        SELECT doc_id, min(h) AS mh FROM grams GROUP BY doc_id HAVING count(*) <= 4),
+    Some(s"""$WINNOW_SEL,
       rare AS (SELECT mh FROM sel GROUP BY mh HAVING count(*) BETWEEN 2 AND 10)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS shared_hashes

@@ -142,6 +142,28 @@ class SimilaritySpec extends AnyFunSuite {
         s"extra=${prescreened -- plain}")
   }
 
+  test("prescreen margin holds empirically: max |int8 - exact| over bucketed pairs << 0.05") {
+    // the quantization error bound is data-dependent, so the 0.05
+    // default margin is guarded by MEASUREMENT over exactly the pair
+    // population the prescreen filters (all bucketed candidates), with
+    // 2x headroom — if a corpus change pushes the error past margin/2
+    // this fails before the prescreen can silently drop a true pair
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroidsById(emb, 16)
+    val aq = Similarity.assignToCentroids(Similarity.quantize(emb), cents)
+    val a = aq.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("qvec").as("qa"))
+    val b = aq.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("qvec").as("qb"))
+    val maxErr = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(abs(
+        graft.expressions.Int8CosineSimilarity.of(col("qa"), col("qb")) -
+          Similarity.cosine(col("ea"), col("eb"))).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    assert(maxErr < 0.025, s"int8 cosine error $maxErr eats the 0.05 prescreen margin")
+  }
+
   test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
     val df = vecDf(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // near-dup pair
