@@ -183,7 +183,32 @@ object Similarity {
     *      via a broadcast semi-join back to the full-precision table.
     * Recall is governed by nprobe (bucket misses) and rerank
     * (quantization-induced reorder inside the probed buckets);
-    * ground-truthed ≥ 0.9 against [[bruteForceTopK]] in SimilaritySpec. */
+    * ground-truthed ≥ 0.9 against [[bruteForceTopK]] in SimilaritySpec.
+    *
+    * Stored inverted lists: write `assignedQ` hive-partitioned by
+    * `centroid_id`. The probed ids are k-row METADATA — resolve them
+    * first ([[probedCentroidIds]]) and `isin`-filter the store before
+    * passing it here; the parquet reader then statically prunes to the
+    * nprobe partitions and the probe never touches the other
+    * (k−nprobe)/k of the corpus on disk (pinned in SimilaritySpec —
+    * dynamic partition pruning is not relied on: its heuristics don't
+    * fire for a limit-over-tiny-table probe side). */
+  /** The nprobe centroid ids nearest `query` — k rows of metadata, so
+    * the collect is a driver-side catalog lookup, not a data scan. Use
+    * to `isin`-filter a centroid_id-partitioned inverted-list store so
+    * partition pruning skips the unprobed buckets entirely. */
+  def probedCentroidIds(
+      centroids: DataFrame,
+      query: Seq[Float],
+      nprobe: Int): Seq[Long] = {
+    val q = array(query.map(v => lit(v)): _*)
+    centroids
+      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   def ivfTopKQuantized(
       assignedQ: DataFrame, // assignToCentroids output + qvec (see quantize)
       vectors: DataFrame,   // full-precision (idCol, vecCol) for the rerank
