@@ -140,6 +140,33 @@ object Similarity {
       .drop("centroid", "c_sim", "rn")
   }
 
+  /** THE probe definition — the nprobe centroid buckets nearest the
+    * query, with the (c_sim DESC, centroid_id ASC) tie-break. Single
+    * source of truth: [[ivfTopK]], [[ivfTopKQuantized]] and
+    * [[probedCentroidIds]] must select the SAME buckets or a pruned
+    * store and the probe join silently disagree. */
+  private def probedCentroids(
+      centroids: DataFrame, query: Seq[Float], nprobe: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    centroids
+      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+  }
+
+  /** The nprobe centroid ids nearest `query` — k rows of metadata, so
+    * the collect is a driver-side catalog lookup, not a data scan. Use
+    * to `isin`-filter a centroid_id-partitioned inverted-list store so
+    * partition pruning skips the unprobed buckets entirely; then pass
+    * the SAME ids to [[ivfTopKQuantized]]'s `probed` overload so the
+    * probe join cannot disagree with the prune. */
+  def probedCentroidIds(
+      centroids: DataFrame,
+      query: Seq[Float],
+      nprobe: Int): Seq[Long] =
+    probedCentroids(centroids, query, nprobe).collect().map(_.getLong(0)).toSeq
+
   /** IVF top-k: probe only the `nprobe` centroid buckets nearest the
     * query. Recall < 1.0 by construction; ground-truth against
     * [[bruteForceTopK]] in tests. */
@@ -152,13 +179,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val probed = centroids
-      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select("centroid_id")
     assigned
-      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(probedCentroids(centroids, query, nprobe)), Seq("centroid_id"))
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -187,28 +209,14 @@ object Similarity {
     *
     * Stored inverted lists: write `assignedQ` hive-partitioned by
     * `centroid_id`. The probed ids are k-row METADATA — resolve them
-    * first ([[probedCentroidIds]]) and `isin`-filter the store before
-    * passing it here; the parquet reader then statically prunes to the
-    * nprobe partitions and the probe never touches the other
+    * ONCE via [[probedCentroidIds]], `isin`-filter the store, and pass
+    * the same ids through `probed` so the probe join cannot pick buckets
+    * the prune filtered away; the parquet reader then statically prunes
+    * to the nprobe partitions and the probe never touches the other
     * (k−nprobe)/k of the corpus on disk (pinned in SimilaritySpec —
     * dynamic partition pruning is not relied on: its heuristics don't
-    * fire for a limit-over-tiny-table probe side). */
-  /** The nprobe centroid ids nearest `query` — k rows of metadata, so
-    * the collect is a driver-side catalog lookup, not a data scan. Use
-    * to `isin`-filter a centroid_id-partitioned inverted-list store so
-    * partition pruning skips the unprobed buckets entirely. */
-  def probedCentroidIds(
-      centroids: DataFrame,
-      query: Seq[Float],
-      nprobe: Int): Seq[Long] = {
-    val q = array(query.map(v => lit(v)): _*)
-    centroids
-      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .collect().map(_.getLong(0)).toSeq
-  }
-
+    * fire for a limit-over-tiny-table probe side). `probed = None`
+    * resolves the buckets in-plan from `centroids`. */
   def ivfTopKQuantized(
       assignedQ: DataFrame, // assignToCentroids output + qvec (see quantize)
       vectors: DataFrame,   // full-precision (idCol, vecCol) for the rerank
@@ -219,17 +227,20 @@ object Similarity {
       rerank: Int = 100,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      qCol: String = "qvec"): DataFrame = {
+      qCol: String = "qvec",
+      probed: Option[Seq[Long]] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val q = array(query.map(v => lit(v)): _*)
     val q8 = QuantizeInt8.of(q)
-    val probed = centroids
-      .select(col("centroid_id"), cosine(col("centroid"), q).as("c_sim"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select("centroid_id")
+    val probedDf = probed match {
+      case Some(ids) =>
+        val spark = centroids.sparkSession
+        import spark.implicits._
+        ids.toDF("centroid_id")
+      case None => probedCentroids(centroids, query, nprobe)
+    }
     val cands = assignedQ
-      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(probedDf), Seq("centroid_id"))
       .select(col(idCol), Int8CosineSimilarity.of(col(qCol), q8).as("q_cos"))
       .orderBy(col("q_cos").desc, col(idCol).asc)
       .limit(rerank)

@@ -168,28 +168,38 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Similarity.trainCentroidsById(emb, 8)
     val assigned = Similarity.assignToCentroids(Similarity.quantize(emb), cents)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
-    val store = spark.read.parquet(dir)
-    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store")
+    try {
+      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir.toString)
+      val store = spark.read.parquet(dir.toString)
+      val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
 
-    val probedIds = Similarity.probedCentroidIds(cents, query, nprobe = 2)
-    assert(probedIds.length == 2)
-    val pruned = store.filter(col("centroid_id").isin(probedIds: _*))
-    val scanPlan = pruned.queryExecution.executedPlan.toString
-    // static partition pruning: the filter must land in PartitionFilters,
-    // so the unprobed 6/8 of the store is never read
-    assert(scanPlan.contains("PartitionFilters: [") &&
-      !scanPlan.contains("PartitionFilters: []"),
-      s"probe filter did not reach the partition layer:\n$scanPlan")
+      val probedIds = Similarity.probedCentroidIds(cents, query, nprobe = 2)
+      assert(probedIds.length == 2)
+      val pruned = store.filter(col("centroid_id").isin(probedIds: _*))
+      val scanPlan = pruned.queryExecution.executedPlan.toString
+      // static partition pruning: the filter must land in PartitionFilters,
+      // so the unprobed 6/8 of the store is never read
+      assert(scanPlan.contains("PartitionFilters: [") &&
+        !scanPlan.contains("PartitionFilters: []"),
+        s"probe filter did not reach the partition layer:\n$scanPlan")
 
-    // the pruned store drops into the quantized probe unchanged and
-    // agrees with the in-memory path
-    val viaStore = Similarity.ivfTopKQuantized(pruned, emb, cents, query, 10,
-      nprobe = 2, rerank = 20).collect().map(_.getLong(0)).toSeq
-    val inMemory = Similarity.ivfTopKQuantized(assigned, emb, cents, query, 10,
-      nprobe = 2, rerank = 20).collect().map(_.getLong(0)).toSeq
-    assert(viaStore == inMemory)
+      // the pruned store drops into the quantized probe with the SAME ids
+      // (the probed overload — the probe join cannot disagree with the
+      // prune) and agrees with the in-memory path
+      val viaStore = Similarity.ivfTopKQuantized(pruned, emb, cents, query, 10,
+        nprobe = 2, rerank = 20, probed = Some(probedIds))
+        .collect().map(_.getLong(0)).toSeq
+      val inMemory = Similarity.ivfTopKQuantized(assigned, emb, cents, query, 10,
+        nprobe = 2, rerank = 20).collect().map(_.getLong(0)).toSeq
+      assert(viaStore == inMemory)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir.toFile)
+    }
   }
 
   test("nearDupPairs finds same-bucket near duplicates with exact cosine") {
