@@ -46,8 +46,11 @@ object Bench {
     SparkEntry.allQueries.foreach { qu =>
       val t0 = System.nanoTime()
       try {
-        qu.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val df = qu.run(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
         timings(qu.name) = (System.nanoTime() - t0) / 1e9
+        // release persisted result frames (pair queries) between queries
+        df.unpersist()
       } catch {
         case e: Throwable =>
           errors(qu.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

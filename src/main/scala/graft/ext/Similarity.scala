@@ -129,15 +129,21 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nAssign: Int = 1): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col(vecCol), col("centroid")))
+    // __graft_-prefixed internals: a caller column named "centroid" or
+    // "c_sim" must survive the assignment untouched (only "centroid_id",
+    // the documented output, may collide)
+    val cent = centroids.select(
+      col("centroid_id"), col("centroid").as("__graft_centroid"))
+    val scored = vectors.crossJoin(broadcast(cent))
+      .withColumn("__graft_c_sim", cosine(col(vecCol), col("__graft_centroid")))
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("c_sim").desc, col("centroid_id").asc)))
-      .filter(col("rn") <= nAssign)
+      .withColumn("__graft_rn", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("__graft_c_sim").desc, col("centroid_id").asc)))
+      .filter(col("__graft_rn") <= nAssign)
       // keep the caller's columns (e.g. a quantized qvec riding beside
       // the vector) — only the assignment internals are dropped
-      .drop("centroid", "c_sim", "rn")
+      .drop("__graft_centroid", "__graft_c_sim", "__graft_rn")
   }
 
   /** THE probe definition — the nprobe centroid buckets nearest the

@@ -75,8 +75,12 @@ object EventSink {
     * this bounds duplicates to the single interrupted batch. NULL ids
     * are excluded (same reasoning as Incremental.nextBatch: an
     * untrackable row would be re-sent in every replay). The fresh set is
-    * persisted so the transport and the append see the same rows even
-    * though the anti-join is lazily re-evaluated. Ids are also deduped
+    * locally CHECKPOINTED — not just cached — before the transport: the
+    * append below writes to the very state dir the anti-join reads, so
+    * a recomputation during the write (cache eviction) must be
+    * impossible by construction, not merely unlikely. A localCheckpoint
+    * truncates the lineage to the materialized blocks; the anti-join
+    * can never re-run. Ids are also deduped
     * WITHIN the batch — an at-least-once upstream can repeat an id
     * inside one micro-batch, and the anti-join alone would deliver both
     * copies (state only absorbs ids from PRIOR batches). */
@@ -89,17 +93,17 @@ object EventSink {
       batchSize: Int = 100,
       pauseMillis: Long = 0L): Long = {
     val spark = batch.sparkSession
+    // eager localCheckpoint: materializes now and severs lineage (blocks
+    // are reclaimed by the context cleaner once the frame is unreachable)
     val fresh = batch
       .filter(col(idCol).isNotNull)
       .dropDuplicates(idCol)
       .join(ProcessedIds.load(spark, statePath, idCol,
         batch.schema(idCol).dataType), Seq(idCol), "left_anti")
-      .persist()
-    try {
-      val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
-      ProcessedIds.append(fresh.select(idCol), statePath)
-      sent
-    } finally fresh.unpersist()
+      .localCheckpoint(true)
+    val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
+    ProcessedIds.append(fresh.select(idCol), statePath)
+    sent
   }
 
   /** S9: the processed-ID state store — replaces the reference's S3

@@ -18,9 +18,19 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Executed-plan string for one query, releasing any persisted result
+    * frame afterwards (the pair queries materialize-and-cache their
+    * result; a 2×-all-queries sweep would otherwise accumulate caches). */
+  private def executedPlan(q: graft.queries.Q): String = {
+    val df = q.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    df.unpersist()
+    plan
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val plan = executedPlan(q)
       if (plan.contains("CartesianProduct")) Some(q.name) else None
     }
     assert(offenders.isEmpty,
@@ -34,7 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // token counting, the ArrayAggDistinctOrdered buffer); this keeps a
     // refactor from quietly reintroducing one anywhere.
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val plan = executedPlan(q)
       if (plan.contains("lambdafunction")) Some(q.name) else None
     }
     assert(offenders.isEmpty,
