@@ -293,9 +293,13 @@ object LlmQueries {
     * hashes in 4 bands the match threshold is ≈ (1/4)^(1/3) ≈ 0.63
     * Jaccard. No all-pairs stage exists in the plan.
     */
-  private val minhash = Q(
-    "dedup_minhash_lsh",
-    (s, dir) => {
+  /** The MinHash+LSH candidate-pair stage, shared by
+    * `dedup_minhash_lsh` (emits the pairs) and `dedup_clusters` (feeds
+    * them to connected components). Returns a PERSISTED small result
+    * frame — corpus-sized intermediates are materialized-and-released
+    * inside; callers unpersist the returned frame when done (the
+    * Verify/Bench/PlanAudit harnesses do). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       val nPerm = 12
       val bandSize = 3
       val d = Tables.documents(s, dir)
@@ -345,9 +349,12 @@ object LlmQueries {
       withSh.unpersist()
       bands.unpersist()
       out
-    },
-    Some("""
-      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
+    * mirrors [[minhashPairs]]; shared by the pair and cluster oracles. */
+  private val MINHASH_CTES = """
+      tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(t) >= 3
                     THEN list_transform(range(1, len(t) - 1),
@@ -375,15 +382,70 @@ object LlmQueries {
                 FROM cand c
                 JOIN sh sa ON c.doc_a = sa.doc_id
                 JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-                GROUP BY c.doc_a, c.doc_b)
-      SELECT c.doc_a, c.doc_b,
-             round(CAST(coalesce(i.inter, 0) AS DOUBLE)
-                   / CAST(na.n + nb.n - coalesce(i.inter, 0) AS DOUBLE), 4) AS jaccard
-      FROM cand c
-      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-      JOIN sizes na ON c.doc_a = na.doc_id
-      JOIN sizes nb ON c.doc_b = nb.doc_id
-      ORDER BY c.doc_a, c.doc_b"""),
+                GROUP BY c.doc_a, c.doc_b),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                     / CAST(na.n + nb.n - coalesce(i.inter, 0) AS DOUBLE), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes na ON c.doc_a = na.doc_id
+        JOIN sizes nb ON c.doc_b = nb.doc_id)"""
+
+  private val minhash = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => minhashPairs(s, dir),
+    Some(s"""
+      WITH $MINHASH_CTES
+      SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""),
+  )
+
+  // ---------------------------------------------------- duplicate clusters
+  /** Near-dup CLUSTERS: LSH pairs (jaccard ≥ 0.5) are edges; connected
+    * components ([[graft.operators.ConnectedComponents]], min-label
+    * propagation + pointer jumping) collapse chains a↔b↔c into one
+    * cluster with the smallest doc_id as canonical — the step that
+    * makes pair-wise near-dup detection actually DELETE correctly
+    * (keeping one survivor per cluster, not one per pair). Every
+    * document gets a row; edge-less documents are their own cluster.
+    *
+    * The oracle recomputes the same components with a recursive CTE
+    * (min reachable id per vertex) — a genuinely independent algorithm,
+    * so a propagation bug on the Spark side cannot self-confirm. */
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val labeled = graft.operators.ConnectedComponents.label(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        edges, "doc_a", "doc_b")
+      // components are materialized (checkpointed) once label() returns;
+      // the pair stage's cache is dead weight from here on
+      pairs.unpersist()
+      labeled
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+        .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.5),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT doc_id, cluster_id,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+             (doc_id = cluster_id) AS is_canonical
+      FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) t
+      ORDER BY doc_id"""),
   )
 
   // ------------------------------------------------------ n-gram Jaccard
@@ -592,5 +654,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, fingerprint, winnowQ, winnowPairs, corpusClean, dedupExact,
-    minhash, ngramJaccard, simhash, annTopK, multimodal)
+    minhash, dedupClusters, ngramJaccard, simhash, annTopK, multimodal)
 }

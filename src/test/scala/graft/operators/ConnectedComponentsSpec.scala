@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Connected components: the pair→cluster step of near-dup dedup.
+  * Ground truth below is an independent union-find over the same
+  * edges, so the propagation loop can't self-confirm. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def edgesDf(es: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    es.toDF("src", "dst")
+  }
+
+  private def components(es: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edgesDf(es), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** reference union-find */
+  private def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("a long chain collapses to the minimum id (pointer jumping beats diameter)") {
+    // path 1-2-3-...-12: diameter 11 >> the handful of rounds available
+    // to pure neighbor-min within maxIter if jumping were broken
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 12L).toSet)
+  }
+
+  test("disjoint components keep distinct minimum labels") {
+    val es = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+    val got = components(es)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("matches union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val es = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(components(es) == unionFind(es))
+  }
+
+  test("self-loops and reversed duplicate edges are harmless") {
+    val got = components(Seq((5L, 5L), (1L, 2L), (2L, 1L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("label() attaches singleton clusters for edge-less rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val out = ConnectedComponents.label(
+        df, "doc_id", edgesDf(Seq((2L, 3L))), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
+  }
+
+  test("empty edge list yields empty labels") {
+    assert(components(Seq.empty) == Map.empty)
+  }
+}
