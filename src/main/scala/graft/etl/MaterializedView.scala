@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incrementally-maintained materialized view over a keyed,
+  * latest-version-wins source — the piece that makes the reference's
+  * daily full-view recompute (`sql/customer_360_views.sql` rebuilt per
+  * run) survive 100 TB: a CDC batch refreshes ONLY the hash buckets it
+  * touches instead of rescanning the base table.
+  *
+  * Two stores, both hive-partitioned by `__mv_bucket = pmod(xxhash64(
+  * keys), nBuckets)`:
+  *
+  *   - STATE — the latest source row per key, BEFORE any view filter.
+  *     State must be pre-filter: a key whose current winner fails the
+  *     view's quality gate has no view row, and if the winner weren't
+  *     retained an older resurfacing CDC row would wrongly win the next
+  *     refresh. Latest-per-key is an associative reduction, so
+  *     (state ∪ batch) → latest is exactly (full history) → latest —
+  *     the base table is never needed again after the initial build.
+  *   - VIEW — `derive(state)`, the published rows. `derive` must
+  *     preserve the key columns unrenamed (the bucket is recomputed
+  *     from them at write time; the view itself carries no lineage).
+  *
+  * Refresh path: the batch's bucket set is resolved driver-side
+  * (≤ nBuckets values — metadata, not data), the state read is
+  * partition-pruned to those buckets, winners are recomputed within
+  * them, and exactly those bucket partitions are rewritten — untouched
+  * buckets are never read or written. Because a refresh overwrites
+  * partitions its own input was read from, the new state is
+  * localCheckpointed before any write (same read-overwrite hazard as
+  * the event sink's processed-id append: under cache eviction a lazy
+  * plan would re-read partitions mid-overwrite).
+  *
+  * The view partitions are replaced by explicit delete-then-append
+  * rather than `partitionOverwriteMode=dynamic`: dynamic overwrite only
+  * replaces partitions that receive NEW rows, so a bucket whose view
+  * rows all disappear in a refresh (e.g. its last publishable customer
+  * soft-deletes) would keep serving the stale partition forever. State
+  * uses dynamic overwrite — a touched state bucket always has winners,
+  * so the empty-partition gap cannot occur there.
+  *
+  * Deletes fall out naturally: when a refresh makes a key's winner
+  * soft-deleted, `derive` drops the row and the bucket rewrite
+  * publishes the view WITHOUT it — no tombstone bookkeeping.
+  *
+  * `order` must be a TOTAL order (include a unique tiebreaker): rank-1
+  * under ties is engine-arbitrary, and an incremental refresh that
+  * resolves a tie differently from the initial build would silently
+  * diverge from the full rebuild.
+  */
+final class MaterializedView(
+    root: String,
+    keys: Seq[String],
+    order: Seq[Column],
+    derive: DataFrame => DataFrame,
+    nBuckets: Int = 64) {
+
+  private val statePath = s"$root/state"
+  private val viewPath = s"$root/view"
+  private val bucketCol = "__mv_bucket"
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn(bucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+
+  /** Full initial build: every bucket of state and view. */
+  def build(source: DataFrame): Unit = {
+    Dedup.latestByKey(withBucket(source), keys, order)
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+    val state = source.sparkSession.read.parquet(statePath)
+    withBucket(derive(state.drop(bucketCol)))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
+  }
+
+  /** Incremental refresh from a CDC batch: recompute winners and view
+    * rows for the batch's buckets only; all other buckets untouched. */
+  def refresh(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val b = withBucket(batch)
+    // bucket ids are bounded metadata (≤ nBuckets longs) — this collect
+    // is a catalog lookup for partition pruning, not a data scan
+    val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
+    if (buckets.isEmpty) return
+    val oldState = spark.read.parquet(statePath)
+      .filter(col(bucketCol).isin(buckets: _*))
+    val newState = Dedup.latestByKey(
+        oldState.unionByName(b.select(oldState.columns.map(col): _*)),
+        keys, order)
+      .localCheckpoint(true) // sever lineage before overwriting its input
+    newState.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bucketCol).parquet(statePath)
+    // the view write reads only the checkpointed newState, never the
+    // view dirs being replaced — no second checkpoint needed
+    val newView = withBucket(derive(newState.drop(bucketCol)))
+    buckets.foreach { bk =>
+      deleteRec(new java.io.File(s"$viewPath/$bucketCol=$bk"))
+    }
+    newView.write.mode("append").partitionBy(bucketCol).parquet(viewPath)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  /** The published view (all buckets; add key-derived bucket filters
+    * upstream for pruned point reads). A view that is currently EMPTY
+    * has no parquet files at all (a partitioned write of zero rows
+    * emits none), so the schema is reconstructed by deriving over zero
+    * state rows instead of failing schema inference. */
+  def view(spark: SparkSession): DataFrame =
+    if (hasParquet(new java.io.File(viewPath)))
+      spark.read.parquet(viewPath).drop(bucketCol)
+    else
+      derive(state(spark).limit(0))
+
+  private def hasParquet(f: java.io.File): Boolean =
+    if (f.isDirectory) Option(f.listFiles()).exists(_.exists(hasParquet))
+    else f.getName.endsWith(".parquet")
+
+  /** The latest-row-per-key state store. */
+  def state(spark: SparkSession): DataFrame =
+    spark.read.parquet(statePath).drop(bucketCol)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Cleansing
 import graft.views.Customer360
 
 /** Correctness entries for the six customer-360 views (reference
@@ -661,5 +662,40 @@ object DomainQueries {
       ORDER BY custno""")),
   )
 
-  val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated, vPrivacy)
+  /** Incremental materialized-view maintenance differentially proved
+    * against the FULL-rebuild oracle: the source is split 3 ways, the
+    * profiles view is built from the first slice and refreshed with the
+    * other two as CDC batches, and the published view must equal
+    * `v_customer_profiles` over the whole source — same oracle SQL.
+    *
+    * The batches are pre-filtered by the soft-delete predicate because
+    * the reference view drops deleted ROWS before picking the latest
+    * version (an older live version outranks a newer deleted one), and
+    * filter-then-latest is associative across batches while
+    * latest-then-filter is not. The quality gates stay inside `derive`.
+    */
+  private val mvProfiles = Q(
+    "mv_profiles_refresh",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mv_q").toString
+      val order = Seq(col("lastupdated").desc, col("dateadded").desc,
+        col("sourcerowid").desc)
+      val mv = new graft.etl.MaterializedView(
+        root, Seq("custno"), order,
+        derive = df => Customer360.customerProfiles(df, asOf,
+          Seq(col("sourcerowid").desc)),
+        nBuckets = 16)
+      val src = customerMaster(s, dir)
+        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      val k = col("sourcerowid")
+      mv.build(src.filter(k % 4 =!= 0))
+      mv.refresh(src.filter(k % 8 === 0))
+      mv.refresh(src.filter(k % 8 === 4))
+      pin(mv.view(s)).orderBy("custno")
+    },
+    vProfiles.oracle, // identical result contract: view == full rebuild
+  )
+
+  val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
+    vPrivacy, mvProfiles)
 }

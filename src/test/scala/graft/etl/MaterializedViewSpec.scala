@@ -1,0 +1,104 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Incremental materialized-view maintenance: the invariant under test
+  * is REFRESH(batches) == FULL REBUILD(all rows) — including the two
+  * hard cases (late-arriving older version must lose; a winner turning
+  * soft-deleted must VANISH from the view) — plus the scale contract
+  * that a refresh rewrites only the buckets its batch touches. */
+class MaterializedViewSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  // (id, version, soft_deleted, payload)
+  private def rows(rs: (Long, Long, Boolean, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rs.toDF("id", "version", "deleted", "payload")
+  }
+
+  private def derive(state: DataFrame): DataFrame =
+    state.filter(!col("deleted"))
+      .select(col("id"), col("payload"), (col("version") * 10).as("derived"))
+
+  private def mk(nBuckets: Int = 8) = {
+    val root = Files.createTempDirectory("graft_mv").toString
+    (root, new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets))
+  }
+
+  private def viewMap(mv: MaterializedView): Map[Long, (String, Long)] =
+    mv.view(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("refresh equals full rebuild across newer, older and unseen keys") {
+    val base = rows((1L, 1L, false, "a1"), (2L, 5L, false, "b5"), (3L, 2L, false, "c2"))
+    val batch = rows(
+      (1L, 9L, false, "a9"),  // newer version wins
+      (2L, 3L, false, "b3"),  // LATE older version must lose to stored b5
+      (7L, 1L, false, "g1"))  // brand-new key
+    val (_, mv) = mk()
+    mv.build(base)
+    mv.refresh(batch)
+    assert(viewMap(mv) == Map(
+      1L -> ("a9", 90L), 2L -> ("b5", 50L), 3L -> ("c2", 20L), 7L -> ("g1", 10L)))
+
+    val (_, full) = mk()
+    full.build(base.unionByName(batch))
+    assert(viewMap(mv) == viewMap(full))
+  }
+
+  test("a winner turning soft-deleted disappears from the view (even emptying its bucket)") {
+    // nBuckets=1: every key shares one bucket, so the delete case also
+    // exercises partition replacement when rows remain; the second mv
+    // (key alone in the store) exercises the bucket-goes-EMPTY case
+    // that dynamic partition overwrite would silently miss.
+    val (_, mv) = mk(nBuckets = 1)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    mv.refresh(rows((1L, 2L, true, "a2")))
+    assert(viewMap(mv) == Map(2L -> ("b1", 10L)))
+
+    val (_, lone) = mk(nBuckets = 1)
+    lone.build(rows((5L, 1L, false, "e1")))
+    lone.refresh(rows((5L, 2L, true, "e2")))
+    assert(viewMap(lone) == Map.empty)
+    // state still remembers the deleted winner: an older resurfacing
+    // version must NOT resurrect the row
+    lone.refresh(rows((5L, 1L, false, "e1")))
+    assert(viewMap(lone) == Map.empty)
+  }
+
+  test("refresh leaves untouched bucket partitions byte-identical") {
+    val (root, mv) = mk(nBuckets = 64)
+    mv.build(rows((1L to 40L).map(i => (i, 1L, false, s"p$i")): _*))
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    mv.refresh(rows((1L, 2L, false, "p1v2")))
+    val after = snapshot()
+    // the single-key batch touches exactly one bucket; every parquet
+    // file in any OTHER bucket dir must survive untouched
+    val bucketOf1 = before.keySet.map(_.replaceAll(".*__mv_bucket=([0-9]+).*", "$1"))
+    assert(bucketOf1.size > 1, "fixture should span several buckets")
+    val touched = after.keySet.diff(before.keySet) ++ before.keySet.diff(after.keySet)
+    val touchedBuckets = touched.map(_.replaceAll(".*__mv_bucket=([0-9]+).*", "$1"))
+    assert(touchedBuckets.size <= 2, // one state bucket + one view bucket
+      s"refresh touched more than the batch's bucket: $touchedBuckets")
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.forall(p => before(p) == after(p)),
+      "an untouched partition's file was rewritten")
+    // and the refreshed content is correct
+    assert(viewMap(mv)(1L) == ("p1v2", 20L))
+  }
+}
