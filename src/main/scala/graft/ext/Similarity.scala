@@ -146,6 +146,84 @@ object Similarity {
       .drop("__graft_centroid", "__graft_c_sim", "__graft_rn")
   }
 
+  /** Shuffle-free nearest-centroid assignment (nAssign=1 only): the
+    * centroid table is driver-collected (k rows of METADATA, same
+    * standing as [[probedCentroidIds]]) and unrolled into one
+    * `greatest(struct(sim, -centroid_id)…)` projection — argmax with
+    * the same (c_sim DESC, centroid_id ASC) tie-break as
+    * [[assignToCentroids]], but zero exchanges and zero window state.
+    * This is the assignment for LOW-LATENCY paths (per-micro-batch
+    * screening of a document stream) where a broadcast+window per batch
+    * would dominate; equivalence is pinned in SimilaritySpec. A vector
+    * with no defined cosine (zero norm) sorts null-smallest per struct
+    * ordering and lands on the lowest centroid id — deterministic, and
+    * harmless downstream because its similarity to anything is null. */
+  def assignToCentroidsInline(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    require(cents.nonEmpty, "assignToCentroidsInline: empty centroid table")
+    val scored = cents.map { case (cid, v) =>
+      val c = array(v.map(x => lit(x)): _*)
+      struct(cosine(col(vecCol), c).as("s"), lit(-cid).as("nc"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    vectors.withColumn("centroid_id", -best.getField("nc"))
+  }
+
+  /** Per-batch near-dup screen against a STORED quantized IVF index —
+    * the streaming half of embedding dedup: each incoming micro-batch
+    * is assigned inline (no shuffle), the batch's centroid set is
+    * resolved driver-side, and the index read is `isin`-pruned to those
+    * buckets (static partition pruning on a centroid_id-partitioned
+    * store, exactly like [[ivfTopKQuantized]]'s probe). Candidates are
+    * prescreened with int8 integer math and only survivors fetch full
+    * vectors for the exact cosine — a batch of B docs touching c
+    * centroid buckets costs B·(bucket size) int8 comparisons and a
+    * handful of float fetches, independent of total index size.
+    *
+    * Emits one row per (batch doc, matched index doc) with the exact
+    * cosine ≥ threshold: a pairs stream, so append-mode streaming needs
+    * no aggregate state — wire through [[graft.streaming.Streams
+    * .deliverStream]]'s foreachBatch. Recall across bucket boundaries
+    * comes from building the INDEX with nAssign ≥ 2 (the stream side
+    * probes one bucket; a boundary pair still collides in the index's
+    * extra assignment). Self-matches (same id) are excluded. */
+  def nearDupScreen(
+      batch: DataFrame, // (idCol, vecCol, ...)
+      indexQ: DataFrame, // assignToCentroids + quantize: (centroid_id, idCol, qCol)
+      indexVectors: DataFrame, // full-precision (idCol, vecCol) for rerank
+      centroids: DataFrame,
+      threshold: Double,
+      prefilterMargin: Double = 0.05,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qCol: String = "qvec"): DataFrame = {
+    val assigned = assignToCentroidsInline(
+      quantize(batch, vecCol, "__graft_q"), centroids, vecCol)
+    // the batch's probed buckets: bounded by min(batch size, k) — metadata
+    val probed = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val index = indexQ
+      .filter(col("centroid_id").isin(probed: _*))
+      .select(col("centroid_id"), col(idCol).as("match_id"),
+        col(qCol).as("__graft_qm"))
+    val survivors = assigned.join(index, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("match_id"))
+      .filter(Int8CosineSimilarity.of(col("__graft_q"), col("__graft_qm")) >=
+        threshold - prefilterMargin)
+      .select(col(idCol), col("match_id"), col(vecCol).as("__graft_v"))
+    survivors
+      .join(indexVectors.select(col(idCol).as("match_id"),
+        col(vecCol).as("__graft_vm")), Seq("match_id"))
+      .withColumn("cosine", cosine(col("__graft_v"), col("__graft_vm")))
+      .filter(col("cosine") >= threshold)
+      .select(col(idCol), col("match_id"), col("cosine"))
+  }
+
   /** THE probe definition — the nprobe centroid buckets nearest the
     * query, with the (c_sim DESC, centroid_id ASC) tie-break. Single
     * source of truth: [[ivfTopK]], [[ivfTopKQuantized]] and

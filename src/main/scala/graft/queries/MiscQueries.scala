@@ -612,7 +612,77 @@ object MiscQueries {
       FROM sl ORDER BY media_id, frame_no"""),
   )
 
+  /** The micro-batch near-dup screen ([[Similarity.nearDupScreen]] —
+    * the streaming half of embedding dedup, exercised here as one
+    * batch): embeddings are split into a stored index (3/4, assigned
+    * with nAssign=2 for boundary recall) and an incoming "micro-batch"
+    * (1/4); every batch doc is assigned inline (shuffle-free), the
+    * index is pruned to the batch's buckets, int8-prescreened, and
+    * exact-scored. The oracle replicates index assignment (rank ≤ 2),
+    * batch assignment (rank = 1) and exact cosine independently — the
+    * prescreen must be recall-lossless (margin 0.05 vs ≈0.003 measured
+    * int8 error, same guard as emb_near_dup_pairs_q) or the gate reds. */
+  private val streamScreen = Q(
+    "stream_near_dup_screen",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = emb.filter(col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+      val centroids = Similarity.trainCentroidsById(index, 16)
+      val indexQ = Similarity.assignToCentroids(
+        Similarity.quantize(index), centroids, nAssign = 2)
+      Similarity.nearDupScreen(batch, indexQ, index, centroids, threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("vec_id", "match_id")
+    },
+    Some("""
+      WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+      bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+      c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+            FROM idx ORDER BY vec_id LIMIT 16),
+      ip AS (
+        SELECT i.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(i.embedding)+1),
+            n -> CAST(i.embedding[n] AS DOUBLE) * CAST(c.centroid[n] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(i.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM idx i, c),
+      iassigned AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM ip) t WHERE rn <= 2),
+      bp AS (
+        SELECT b.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(b.embedding)+1),
+            n -> CAST(b.embedding[n] AS DOUBLE) * CAST(c.centroid[n] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM bat b, c),
+      bassigned AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM bp) t WHERE rn = 1),
+      cand AS (
+        SELECT b.vec_id, i.vec_id AS match_id
+        FROM bassigned b JOIN iassigned i USING (centroid_id)
+        WHERE b.vec_id <> i.vec_id),
+      scored AS (
+        SELECT cd.vec_id, cd.match_id,
+          list_sum(list_transform(range(1, len(vb.embedding)+1),
+            n -> CAST(vb.embedding[n] AS DOUBLE) * CAST(vi.embedding[n] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(vi.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM cand cd
+        JOIN bat vb ON cd.vec_id = vb.vec_id
+        JOIN idx vi ON cd.match_id = vi.vec_id)
+      SELECT vec_id, match_id, round(cos, 6) AS cosine
+      FROM scored WHERE cos >= 0.35
+      ORDER BY vec_id, match_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, mmFeatures, mmFrames)
+    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames)
 }
