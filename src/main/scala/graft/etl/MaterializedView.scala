@@ -67,11 +67,14 @@ final class MaterializedView(
     df.withColumn(bucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
 
-  /** Full initial build: every bucket of state and view. */
+  /** Full initial build: every bucket of state and view. One eager
+    * checkpoint feeds both writes — the dedup window runs once and the
+    * view derivation reads memory blocks instead of re-reading the
+    * state parquet it just wrote. */
   def build(source: DataFrame): Unit = {
-    Dedup.latestByKey(withBucket(source), keys, order)
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
-    val state = source.sparkSession.read.parquet(statePath)
+    val state = Dedup.latestByKey(withBucket(source), keys, order)
+      .localCheckpoint(true)
+    state.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
     withBucket(derive(state.drop(bucketCol)))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
   }
