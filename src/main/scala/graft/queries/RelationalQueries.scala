@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Cleansing
-import graft.operators.{Dedup, Incremental, Upsert}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Upsert}
 
 /** The relational operator suite over the driver testdata lake.
   *
@@ -590,7 +590,57 @@ object RelationalQueries {
       ORDER BY ts DESC, event_id DESC LIMIT 1000"""),
   )
 
+  // ----------------------------------------------------------------- J10
+  /** J10 — as-of join: each click annotated with the user's most recent
+    * purchase at-or-before it, within a 7-day lookback. The reference
+    * needs exactly this shape for lead attribution
+    * (`database-schema.sql:208-231` correlates a lead to the nearest
+    * prior session) but spells it as a correlated subquery; the engine's
+    * `AsOfJoin` re-plans it as one union + one window — a single
+    * exchange, no per-key range blowup (see AsOfJoin scaladoc).
+    *
+    * The purchase side is deduped per (user, ts) first, which makes the
+    * DuckDB `ASOF LEFT JOIN` oracle deterministic (ASOF with duplicate
+    * right timestamps is an arbitrary pick in any engine). */
+  private val j10 = Q(
+    "j10_asof_last_purchase",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = Dedup.latestByKey(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"), col("value").as("purchase_value")),
+        Seq("user_id", "purchase_ts"), Seq(col("purchase_id").desc))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+          "click_ts", "purchase_ts", tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .orderBy("user_id", "click_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, purchase_id, purchase_ts, purchase_value FROM (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 value AS purchase_value,
+                 row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+      j AS (
+        SELECT c.user_id, c.click_id, c.click_ts,
+               p.purchase_id, p.purchase_ts, p.purchase_value
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts)
+      SELECT user_id, click_id, click_ts,
+        CASE WHEN purchase_ts >= click_ts - INTERVAL 7 DAYS THEN purchase_id END AS purchase_id,
+        CASE WHEN purchase_ts >= click_ts - INTERVAL 7 DAYS THEN purchase_ts END AS purchase_ts,
+        CASE WHEN purchase_ts >= click_ts - INTERVAL 7 DAYS THEN purchase_value END AS purchase_value
+      FROM j ORDER BY user_id, click_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, j1, o3, j3, j9, j5, o2, setOps,
-    pClean, p2, p8, s1, s5, s8)
+    pClean, p2, p8, s1, s5, s8, j10)
 }
