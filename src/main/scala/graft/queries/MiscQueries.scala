@@ -682,7 +682,38 @@ object MiscQueries {
       ORDER BY vec_id, match_id"""),
   )
 
+  // ----------------------------------------------------------------- A10
+  /** A10 — top-k per group WITHOUT a rank window
+    * (`operators/TopKPerGroup.scala`): the k-bounded Aggregator buffer
+    * pre-aggregates map-side, so only ≤ k rows per group per map task
+    * cross the shuffle — vs. the rank-window form that exchanges the
+    * whole table. The oracle IS the window form (DuckDB), proving the
+    * two spellings agree row-for-row. Payload stays narrow (price, key)
+    * per the operator's rejoin-by-id contract. */
+  private val a10 = Q(
+    "a10_topk_per_group",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(graft.operators.TopKPerGroup.topK(3)(
+          col("o_totalprice"), col("o_orderkey")).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")))
+        .select(
+          col("o_custkey"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"))
+        .orderBy("o_custkey", "rnk"),
+    Some("""
+      SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) t
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames)
+    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames, a10)
 }
