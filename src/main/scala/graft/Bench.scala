@@ -41,9 +41,17 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run for local profiling; the
+    // driver never sets it, so graded rounds always bench everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.allQueries.filter(q => names(q.name))
+      case None        => SparkEntry.allQueries
+    }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.allQueries.foreach { qu =>
+    selected.foreach { qu =>
       val t0 = System.nanoTime()
       try {
         val df = qu.run(spark, sfDir)

@@ -67,16 +67,28 @@ final class MaterializedView(
     df.withColumn(bucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
 
+  /** One shuffle partition per bucket before a `partitionBy(bucket)`
+    * write: without it every shuffle task holds rows of every bucket and
+    * the write emits up to tasks×buckets files — a small-file explosion
+    * that compounds per refresh (and at 100 TB turns the lake into a
+    * metadata problem). With it, each bucket directory gets exactly the
+    * files of its one producing task. */
+  private def clustered(df: DataFrame): DataFrame =
+    df.repartition(nBuckets, col(bucketCol))
+
   /** Full initial build: every bucket of state and view. One eager
     * checkpoint feeds both writes — the dedup window runs once and the
     * view derivation reads memory blocks instead of re-reading the
     * state parquet it just wrote. */
   def build(source: DataFrame): Unit = {
-    val state = Dedup.latestByKey(withBucket(source), keys, order)
-      .localCheckpoint(true)
-    state.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
-    withBucket(derive(state.drop(bucketCol)))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
+    val (state, release) = graft.Lineage.checkpointed(
+      Dedup.latestByKey(withBucket(source), keys, order))
+    try {
+      clustered(state)
+        .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+      clustered(withBucket(derive(state.drop(bucketCol))))
+        .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
+    } finally release()
   }
 
   /** Incremental refresh from a CDC batch: recompute winners and view
@@ -90,20 +102,22 @@ final class MaterializedView(
     if (buckets.isEmpty) return
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
-    val newState = Dedup.latestByKey(
-        oldState.unionByName(b.select(oldState.columns.map(col): _*)),
-        keys, order)
-      .localCheckpoint(true) // sever lineage before overwriting its input
-    newState.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(bucketCol).parquet(statePath)
-    // the view write reads only the checkpointed newState, never the
-    // view dirs being replaced — no second checkpoint needed
-    val newView = withBucket(derive(newState.drop(bucketCol)))
-    buckets.foreach { bk =>
-      deleteRec(new java.io.File(s"$viewPath/$bucketCol=$bk"))
-    }
-    newView.write.mode("append").partitionBy(bucketCol).parquet(viewPath)
+    // sever lineage before overwriting its input (read-overwrite hazard)
+    val (newState, release) = graft.Lineage.checkpointed(Dedup.latestByKey(
+      oldState.unionByName(b.select(oldState.columns.map(col): _*)),
+      keys, order))
+    try {
+      clustered(newState).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucketCol).parquet(statePath)
+      // the view write reads only the checkpointed newState, never the
+      // view dirs being replaced — no second checkpoint needed
+      val newView = clustered(withBucket(derive(newState.drop(bucketCol))))
+      buckets.foreach { bk =>
+        deleteRec(new java.io.File(s"$viewPath/$bucketCol=$bk"))
+      }
+      newView.write.mode("append").partitionBy(bucketCol).parquet(viewPath)
+    } finally release()
   }
 
   private def deleteRec(f: java.io.File): Unit = {
