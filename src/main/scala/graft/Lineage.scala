@@ -19,11 +19,17 @@ object Lineage {
     * once the last consumer has run.
     */
   def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint(eager = true)
-    val fresh = sc.getPersistentRDDs.keySet -- before
-    (cp, () => fresh.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+    // The checkpoint's storage is exactly the RDD inside the returned
+    // frame's LogicalRDD leaf. Releasing that (and only that) is safe
+    // under concurrent jobs — unlike diffing getPersistentRDDs, which
+    // could capture (and later drop) someone else's localCheckpoint
+    // blocks, an unrecoverable loss once their lineage is severed.
+    val rdd = org.apache.spark.sql.GraftSqlShim.leafRdd(cp)
+    if (rdd.isEmpty)
+      System.err.println(
+        "graft.Lineage.checkpointed: no LogicalRDD leaf on the " +
+          "checkpointed frame; its blocks will not be released")
+    (cp, () => rdd.foreach(_.unpersist(blocking = false)))
   }
 }

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *     blowup; duplicate clusters are shallow so rounds stay single-digit;
   *   - per-round eager `localCheckpoint` truncates the lineage — the
   *     classic iterative-Spark failure mode is a plan that doubles every
-  *     round until planning itself dominates;
+  *     round until planning itself dominates. Each round's checkpoint
+  *     blocks are released ([[graft.Lineage.checkpointed]]) the moment
+  *     the next round materializes — without that, a long-lived session
+  *     leaks one superseded label block set per iteration (checkpoint
+  *     storage is invisible to `Dataset.unpersist` and only reclaimed
+  *     if the driver happens to GC the dead RDD object);
   *   - convergence is detected by an emptiness probe on changed labels,
   *     so the result is exact, never "maxIter iterations and hope".
   */
@@ -33,7 +38,11 @@ object ConnectedComponents {
     * Only vertices present in `edges` appear; callers attach
     * edge-less singletons with a left join + coalesce to own id.
     * Throws if `maxIter` rounds don't converge (with pointer jumping
-    * that needs a component diameter over 2^maxIter). */
+    * that needs a component diameter over 2^maxIter).
+    *
+    * The returned frame is MATERIALIZED and cache-manager persisted —
+    * all internal checkpoint storage is already released; the caller
+    * frees the result with a plain `unpersist()` once consumed. */
   def run(
       edges: DataFrame,
       srcCol: String,
@@ -46,9 +55,9 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst")) // self-loops don't affect components
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var (labels, releaseLabels) = graft.Lineage.checkpointed(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -62,35 +71,56 @@ object ConnectedComponents {
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("mid"))
       // pointer jump: `mid` is itself a vertex id — adopt ITS label too
-      val jumped = stepped
+      val (jumped, releaseJumped) = graft.Lineage.checkpointed(stepped
         .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
           Seq("mid"), "left")
         .select(col("id"), col("comp"),
-          least(col("mid"), coalesce(col("jump"), col("mid"))).as("new_comp"))
-        .localCheckpoint(true) // eager: consumed twice below, lineage cut
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("new_comp")))
       converged = jumped.filter(col("new_comp") =!= col("comp")).isEmpty
+      // this round's blocks are live (checkpointed() is eager); the
+      // previous round's labels are superseded — release them NOW, not
+      // when the driver's GC eventually notices the dead RDD
+      releaseLabels()
+      releaseLabels = releaseJumped
       labels = jumped.select(col("id"), col("new_comp").as("comp"))
     }
     sym.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter rounds")
-    labels
+    if (!converged) {
+      releaseLabels()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    }
+    // Detach the (vertex-sized) result from checkpoint storage: persist
+    // through the cache manager, materialize, then drop the final
+    // round's checkpoint — so the caller's ordinary `unpersist()` frees
+    // everything this operator allocated.
+    val out = labels.persist()
+    out.count()
+    releaseLabels()
+    out
   }
 
   /** Cluster every row of `df`: `(… , clusterCol)` where the cluster id
     * is the smallest `idCol` reachable through `edges` (rows with no
-    * edge keep their own id — singleton clusters). */
+    * edge keep their own id — singleton clusters).
+    *
+    * The labeled frame is LAZY (it may be corpus-sized — persisting it
+    * here would be wrong at 100 TB) and joins against the persisted
+    * component map; the second element releases that map once the
+    * caller has consumed the result. */
   def label(
       df: DataFrame,
       idCol: String,
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      clusterCol: String = "cluster_id"): DataFrame = {
-    val comp = run(edges, srcCol, dstCol)
+      clusterCol: String = "cluster_id"): (DataFrame, () => Unit) = {
+    val labels = run(edges, srcCol, dstCol)
+    val comp = labels
       .select(col("id").as(idCol), col("comp").as("__graft_comp"))
-    df.join(comp, Seq(idCol), "left")
+    val out = df.join(comp, Seq(idCol), "left")
       .withColumn(clusterCol, coalesce(col("__graft_comp"), col(idCol)))
       .drop("__graft_comp")
+    (out, () => { labels.unpersist(); () })
   }
 }

@@ -417,17 +417,24 @@ object LlmQueries {
     (s, dir) => {
       val pairs = minhashPairs(s, dir)
       val edges = pairs.filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-      val labeled = graft.operators.ConnectedComponents.label(
+      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         edges, "doc_a", "doc_b")
-      // components are materialized (checkpointed) once label() returns;
-      // the pair stage's cache is dead weight from here on
+      // components are materialized once label() returns; the pair
+      // stage's cache is dead weight from here on
       pairs.unpersist()
-      labeled
+      val out = labeled
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
         .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
         .orderBy("doc_id")
+        .persist()
+      // materialize the result, then drop the component map — same
+      // hygiene contract as minhashPairs: the harness unpersists the
+      // returned frame, everything internal is already released
+      out.count()
+      releaseComp()
+      out
     },
     Some(s"""
       WITH RECURSIVE $MINHASH_CTES,

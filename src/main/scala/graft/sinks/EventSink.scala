@@ -80,7 +80,8 @@ object EventSink {
     * a recomputation during the write (cache eviction) must be
     * impossible by construction, not merely unlikely. A localCheckpoint
     * truncates the lineage to the materialized blocks; the anti-join
-    * can never re-run. Ids are also deduped
+    * can never re-run (blocks are released once the append lands —
+    * [[graft.Lineage.checkpointed]]). Ids are also deduped
     * WITHIN the batch — an at-least-once upstream can repeat an id
     * inside one micro-batch, and the anti-join alone would deliver both
     * copies (state only absorbs ids from PRIOR batches). */
@@ -93,17 +94,20 @@ object EventSink {
       batchSize: Int = 100,
       pauseMillis: Long = 0L): Long = {
     val spark = batch.sparkSession
-    // eager localCheckpoint: materializes now and severs lineage (blocks
-    // are reclaimed by the context cleaner once the frame is unreachable)
-    val fresh = batch
+    // eager checkpoint: materializes now and severs lineage; released
+    // explicitly after the state append — checkpoint blocks are NOT
+    // reclaimed by unpersist/eviction, and a sink that runs per
+    // micro-batch would otherwise leak one block set per batch
+    val (fresh, release) = graft.Lineage.checkpointed(batch
       .filter(col(idCol).isNotNull)
       .dropDuplicates(idCol)
       .join(ProcessedIds.load(spark, statePath, idCol,
-        batch.schema(idCol).dataType), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
-    ProcessedIds.append(fresh.select(idCol), statePath)
-    sent
+        batch.schema(idCol).dataType), Seq(idCol), "left_anti"))
+    try {
+      val sent = deliver(fresh, payloadCol, transport, batchSize, pauseMillis)
+      ProcessedIds.append(fresh.select(idCol), statePath)
+      sent
+    } finally release()
   }
 
   /** S9: the processed-ID state store — replaces the reference's S3

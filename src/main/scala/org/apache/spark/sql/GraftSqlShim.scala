@@ -19,4 +19,17 @@ object GraftSqlShim {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The materialized RDD behind a (local)checkpointed Dataset — its
+    * `LogicalRDD` leaf. Lets `graft.Lineage` release exactly the
+    * checkpoint's storage blocks, never an RDD some other job happened
+    * to register concurrently (the hazard of diffing
+    * `sc.getPersistentRDDs` around the checkpoint call). None when the
+    * plan isn't a materialized leaf — callers treat that as "nothing
+    * safe to release". */
+  def leafRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case r: execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

@@ -76,6 +76,26 @@ class EventSinkSpec extends AnyFunSuite {
       path, b => EventSinkSpec.got.add(b)) == 0)
   }
 
+  test("deliverBatchIdempotent releases its checkpoint blocks per batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state4").toString
+    val path = s"$dir/processed"
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    // a long-lived streaming session runs this once per micro-batch —
+    // unreleased checkpoint blocks would grow without bound
+    (1 to 5).foreach { b =>
+      val batch = Seq((s"id-$b-1", "p1"), (s"id-$b-2", "p2"))
+        .toDF("message_id", "payload")
+      EventSink.deliverBatchIdempotent(batch, "message_id", "payload",
+        path, _ => ())
+    }
+    assert(sc.getPersistentRDDs.size <= baseline,
+      s"leaked persistent RDDs: baseline $baseline, " +
+        s"now ${sc.getPersistentRDDs.size}")
+  }
+
   test("deliver + ProcessedIds = idempotent incremental delivery") {
     val spark0 = spark
     import spark0.implicits._
