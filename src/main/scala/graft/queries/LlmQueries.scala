@@ -224,28 +224,31 @@ object LlmQueries {
     * partial aggregates — the executed plan is three exchanges (one per
     * dedup aggregate + the deterministic output sort), zero joins, zero
     * windows, at any scale (pinned in PlanAuditSpec). */
-  private val corpusClean = Q(
-    "corpus_clean",
-    (s, dir) => {
-      val markers = Seq(
-        "en" -> Seq("the", "a"),
-        "es" -> Seq("la", "el"),
-        "de" -> Seq("der", "und"))
-      val scored = Tables.documents(s, dir)
-        .withColumn("lang_guess", TextFunctions.languageId(col("text"), markers))
-        .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
-        .filter(col("lang_guess") === "en" && col("quality_score") >= 0.5)
-      val exact = Dedup.exactByHash(scored, "text", "doc_id")
-      val survivors = exact
-        .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("fp").orderBy(col("doc_id").asc)))
-        .filter(col("rn") === 1)
-      survivors.select(col("doc_id"), col("lang"), col("source"),
-        col("quality_score")).orderBy("doc_id")
-    },
-    Some("""
-      WITH scored AS (
+  /** The corpus_clean survivor stage — language gate → quality gate →
+    * exact content dedup → vocab-fingerprint near-dup collapse — shared
+    * by `corpus_clean` (emits it) and `corpus_clean_clustered` (feeds
+    * it to connected components for transitive cluster resolution). */
+  private def corpusSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a"),
+      "es" -> Seq("la", "el"),
+      "de" -> Seq("der", "und"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("lang_guess", TextFunctions.languageId(col("text"), markers))
+      .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+      .filter(col("lang_guess") === "en" && col("quality_score") >= 0.5)
+    val exact = Dedup.exactByHash(scored, "text", "doc_id")
+    exact
+      .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"))
+  }
+
+  /** DuckDB CTE chain ending in `fpd(doc_id, lang, source,
+    * quality_score, …)` — mirrors [[corpusSurvivors]]. */
+  private val CORPUS_CTES = """scored AS (
         SELECT doc_id, lang, source, text,
                CASE
                  WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) >=
@@ -278,7 +281,13 @@ object LlmQueries {
           SELECT e.*, row_number() OVER (
             PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
             ORDER BY doc_id) AS rn2
-          FROM exd e) t WHERE rn2 = 1)
+          FROM exd e) t WHERE rn2 = 1)"""
+
+  private val corpusClean = Q(
+    "corpus_clean",
+    (s, dir) => corpusSurvivors(s, dir).orderBy("doc_id"),
+    Some(s"""
+      WITH $CORPUS_CTES
       SELECT doc_id, lang, source, quality_score
       FROM fpd ORDER BY doc_id"""),
   )
@@ -453,6 +462,78 @@ object LlmQueries {
       FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) t
       ORDER BY doc_id"""),
+  )
+
+  /** The cleaning pipeline with the dedup loop CLOSED: pair-wise
+    * near-dup detection under-deletes (a↔b, b↔c must collapse to ONE
+    * survivor, but pair-wise rank keeps two) — so the survivors of
+    * `corpus_clean` feed their LSH near-dup pairs (Jaccard ≥ 0.5)
+    * through connected components and only the cluster canonical (the
+    * smallest reachable doc_id) is kept. Edge filtering to surviving
+    * endpoints loses nothing: LSH candidacy for a pair depends only on
+    * the two documents' own signatures, so full-corpus pairs restricted
+    * to survivors ARE the pairs among survivors.
+    *
+    * Mirrors the reference's cross-record collapse story
+    * (`README.md:124`, 47%→98% match accuracy) applied to corpus
+    * hygiene; the oracle recomputes components with a recursive CTE —
+    * an independent algorithm, so a propagation bug can't self-confirm. */
+  private val corpusCleanClustered = Q(
+    "corpus_clean_clustered",
+    (s, dir) => {
+      val surv = corpusSurvivors(s, dir).persist()
+      val pairs = minhashPairs(s, dir)
+      val sd = surv.select("doc_id")
+      val edges = pairs.filter(col("jaccard") >= 0.5)
+        .join(sd.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(sd.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select("doc_a", "doc_b")
+      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
+        surv, "doc_id", edges, "doc_a", "doc_b")
+      pairs.unpersist()
+      val out = labeled
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+        .filter(col("doc_id") === col("cluster_id")) // canonical survivor only
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("quality_score"), col("cluster_size"))
+        .orderBy("doc_id")
+        .persist()
+      // same hygiene contract as dedup_clusters: materialize the (small)
+      // result, release everything internal, harness unpersists `out`
+      out.count()
+      releaseComp()
+      surv.unpersist()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      edges AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5
+        UNION
+        SELECT p.doc_b AS src, p.doc_a AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      labeled AS (
+        SELECT f.doc_id, f.lang, f.source, f.quality_score,
+               coalesce(c.comp, f.doc_id) AS cluster_id
+        FROM fpd f LEFT JOIN comp c ON f.doc_id = c.id),
+      sized AS (
+        SELECT doc_id, lang, source, quality_score, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM labeled)
+      SELECT doc_id, lang, source, quality_score, cluster_size
+      FROM sized WHERE doc_id = cluster_id ORDER BY doc_id"""),
   )
 
   // ------------------------------------------------------ n-gram Jaccard
@@ -660,6 +741,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, winnowQ, winnowPairs, corpusClean, dedupExact,
-    minhash, dedupClusters, ngramJaccard, simhash, annTopK, multimodal)
+    textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
+    corpusCleanClustered, dedupExact, minhash, dedupClusters, ngramJaccard,
+    simhash, annTopK, multimodal)
 }

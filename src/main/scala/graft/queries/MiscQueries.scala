@@ -129,24 +129,28 @@ object MiscQueries {
     * `sql/customer_360_views.sql:96-101` ilike dummy-domain checks). */
   private val fLike = Q(
     "f_like_patterns",
+    // Unfiltered boolean emission (like f_string_regex): every row carries
+    // signal, and ilike '%RED%' vs like '%RED%' differ on this data
+    // (names are lowercase) — a real case-insensitivity differential,
+    // not a vacuous 0-row hash match.
     (s, dir) =>
       Tables.part(s, dir)
         .select(
           col("p_partkey"),
-          col("p_name").ilike("%green%").as("ilike_green"),
-          col("p_type").like("%BRASS").as("like_brass"),
-          col("p_name").startsWith("a").as("starts_a"),
-          col("p_type").endsWith("STEEL").as("ends_steel"))
-        .filter(col("ilike_green") || col("like_brass"))
+          col("p_name").ilike("%RED%").as("ilike_red"),
+          col("p_name").like("%RED%").as("like_red"),
+          col("p_type").like("%OMY").as("like_economy"),
+          col("p_name").startsWith("s").as("starts_s"),
+          col("p_name").endsWith("bolt").as("ends_bolt"))
         .orderBy("p_partkey"),
     Some("""
       SELECT p_partkey,
-             p_name ILIKE '%green%' AS ilike_green,
-             p_type LIKE '%BRASS' AS like_brass,
-             p_name LIKE 'a%' AS starts_a,
-             p_type LIKE '%STEEL' AS ends_steel
+             p_name ILIKE '%RED%' AS ilike_red,
+             p_name LIKE '%RED%' AS like_red,
+             p_type LIKE '%OMY' AS like_economy,
+             p_name LIKE 's%' AS starts_s,
+             p_name LIKE '%bolt' AS ends_bolt
       FROM part
-      WHERE p_name ILIKE '%green%' OR p_type LIKE '%BRASS'
       ORDER BY p_partkey"""),
   )
 

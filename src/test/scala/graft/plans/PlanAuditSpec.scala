@@ -126,4 +126,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("md5\\(".r.findAllIn(simhash).length == 1,
       s"dedup_simhash should compute exactly one md5 per token:\n$simhash")
   }
+
+  test("full query sweep leaves no persisted storage behind") {
+    // The round-5 bench showed cross-query pollution: unreleased
+    // checkpoint/persist blocks from earlier queries inflated
+    // dedup_clusters 4.0s→12.8s and v_validated_sales 3.4s→8.3s
+    // in-suite. The contract: every query releases its internal
+    // persists/checkpoints once its result materializes, and the
+    // harness's plain unpersist() on the returned frame frees the rest.
+    // This pins that contract across the WHOLE registered set, so a new
+    // query (or a refactor of an old one) that strands storage fails
+    // here instead of distorting the next bench round.
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    SparkEntry.allQueries.foreach { q =>
+      val df = q.run(spark, dir)
+      df.count() // materialize: lazy internal persists must still be released
+      df.unpersist(blocking = true)
+    }
+    val now = sc.getPersistentRDDs
+    assert(now.size <= baseline,
+      s"query sweep leaked persistent RDDs: baseline $baseline, now " +
+        s"${now.size} — ${now.values.map(_.toString).mkString("; ")}")
+  }
 }
