@@ -46,8 +46,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.allQueries.filter(q => names(q.name))
-      case None        => SparkEntry.allQueries
+      case Some(names) =>
+        val sel = SparkEntry.allQueries.filter(q => names(q.name))
+        // loud filter: a typo'd (or leaked-into-the-environment) name
+        // would otherwise produce a smaller-but-healthy-looking run
+        val unmatched = names -- SparkEntry.allQueries.map(_.name).toSet
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY active: ${sel.size} of " +
+            s"${SparkEntry.allQueries.size} queries selected" +
+            (if (unmatched.nonEmpty)
+               s"; UNMATCHED names: ${unmatched.mkString(", ")}"
+             else ""))
+        sel
+      case None => SparkEntry.allQueries
     }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

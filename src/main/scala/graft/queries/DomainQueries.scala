@@ -391,6 +391,25 @@ object DomainQueries {
           WHERE custno IS NOT NULL AND vin IS NOT NULL AND contractdate IS NOT NULL) r
     WHERE deal_rank = 1"""
 
+  /** The cleansed + deduped profiles frame shared by five views —
+    * memoized per session via [[graft.SharedFrames]] (build once,
+    * every later consumer reuses the materialized blocks; see the
+    * 100 TB rationale there). Semantically identical to calling
+    * `Customer360.customerProfiles` inline. */
+  private[queries] def sharedProfiles(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cached(s, s"customer_profiles:$dir") {
+      Customer360.customerProfiles(customerMaster(s, dir), asOf,
+        Seq(col("sourcerowid").desc))
+    }
+
+  /** The deduped vehicle-history frame (W2 dedup + normalization +
+    * purchase-sequence windows), shared the same way — consumers:
+    * `v_vehicle_history`, `v_customer_segments`, the activation feed. */
+  private[queries] def sharedVehicleHistory(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cached(s, s"vehicle_history:$dir") {
+      Customer360.vehicleHistory(vehicleSales(s, dir), asOf)
+    }
+
   private[queries] def withPrelude(body: String): String =
     s"""WITH cm AS ($CM_SQL),
         vsbase AS ($VSBASE_SQL),
@@ -403,8 +422,7 @@ object DomainQueries {
 
   private val vProfiles = Q(
     "v_customer_profiles",
-    (s, dir) => pin(Customer360.customerProfiles(customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc)))
+    (s, dir) => pin(sharedProfiles(s, dir))
       .orderBy("custno"),
     Some(withPrelude("""
       SELECT user_id, custno, firstname, lastname, email, phone, address, address2,
@@ -424,7 +442,7 @@ object DomainQueries {
 
   private val vHistory = Q(
     "v_vehicle_history",
-    (s, dir) => pin(Customer360.vehicleHistory(vehicleSales(s, dir), asOf))
+    (s, dir) => pin(sharedVehicleHistory(s, dir))
       .orderBy("deal_number"),
     Some(withPrelude("""
       SELECT user_id, custno, deal_number, vin, stock_number, make, model, "year",
@@ -462,9 +480,8 @@ object DomainQueries {
     // The two ARRAY_AGG columns cross the driver boundary '|'-joined:
     // the differential harness hashes scalar columns only.
     (s, dir) => pin(Customer360.customerSegments(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc)),
-      Customer360.vehicleHistory(vehicleSales(s, dir), asOf), asOf)
+      sharedProfiles(s, dir),
+      sharedVehicleHistory(s, dir), asOf)
       .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
       .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")))
       .orderBy("custno"),
@@ -552,8 +569,7 @@ object DomainQueries {
   private val vDealership = Q(
     "v_dealership_profiles",
     (s, dir) => pin(Customer360.dealershipProfiles(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc)),
+      sharedProfiles(s, dir),
       vehicleSales(s, dir)))
       .orderBy("custno"),
     Some(withPrelude("""
@@ -598,8 +614,7 @@ object DomainQueries {
     "v_validated_sales",
     (s, dir) => pin(Customer360.validatedSales(
       vehicleSales(s, dir),
-      Customer360.customerProfiles(customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc))))
+      sharedProfiles(s, dir)))
       .orderBy("deal_number"),
     Some(withPrelude("""
       , vs0 AS (
@@ -640,8 +655,7 @@ object DomainQueries {
   private val vPrivacy = Q(
     "v_privacy_status",
     (s, dir) => pin(Customer360.privacyStatus(
-      Customer360.customerProfiles(customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc))))
+      sharedProfiles(s, dir)))
       .orderBy("custno"),
     Some(withPrelude("""
       SELECT user_id, custno, firstname, lastname, email,

@@ -22,9 +22,8 @@ object PipelineQueries {
     * history view joined to profile contact columns. */
   private def activationFeed(s: SparkSession, dir: String): DataFrame = {
     val asOf = lit("2024-06-01").cast("date")
-    val vh = Customer360.vehicleHistory(DomainQueries.vehicleSales(s, dir), asOf)
-    val cp = Customer360.customerProfiles(DomainQueries.customerMaster(s, dir), asOf,
-      Seq(col("sourcerowid").desc))
+    val vh = DomainQueries.sharedVehicleHistory(s, dir)
+    val cp = DomainQueries.sharedProfiles(s, dir)
       .select(col("user_id"), col("email"), col("phone"))
     vh.join(cp, Seq("user_id"))
       .select("deal_number", "user_id", "vin", "stock_number", "email", "phone",
