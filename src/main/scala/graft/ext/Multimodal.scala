@@ -9,10 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample as partition-local batch
   * transforms.
   *
-  * The actual codecs are NOT in this container, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake; everything Spark-side — schema,
-  * batch shape, partitioning, the mapPartitions plumbing — is real and
-  * tested, and a production decoder drops in by replacing one function.
+  * Two decoders share the same contract (bytes in, plain values out,
+  * one call per row, no Spark types):
+  *   - [[ImageDecoder]] — REAL, pure-JVM `javax.imageio` decode
+  *     (PNG/BMP/GIF/JPEG ship in every JDK), exercised end-to-end by
+  *     the `multimodal_decode` differential query;
+  *   - [[StubDecoder]] — a clearly-marked deterministic fake standing
+  *     in for codecs that do NOT ship in a bare JVM (audio/video); it
+  *     keeps the feature pipeline testable byte-exactly.
+  * Everything Spark-side — schema, batch shape, partitioning, the
+  * mapPartitions plumbing — is identical for both; a GPU/production
+  * codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -53,6 +60,54 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder — pure JVM, no external dependency: the
+    * PNG/BMP/GIF/JPEG readers of `javax.imageio` ship in every JDK.
+    * Same shape of contract as [[StubDecoder]] (bytes in, plain values
+    * out, one call per row, no Spark types); returns None when the
+    * payload is not a decodable image so callers can degrade per row
+    * instead of failing the partition. The feature is an 8-bin
+    * luminance histogram normalized by pixel count — deterministic,
+    * so specs pin exact values on golden images. */
+  object ImageDecoder {
+    val FeatureDim = 8
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < FeatureDim) { hist(i) /= n; i += 1 }
+        Some((w, h, hist))
+      }
+    }
+  }
+
+  /** Output of the REAL image-decode stage, per blob. */
+  val imageFeatureType: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("content_md5", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
   /** Wrap raw payloads: (id, blob, metadata struct). `binary` stays
     * opaque through shuffles/storage; metadata is columnar-prunable. */
   def pack(df: DataFrame, idCol: String, payloadCol: String,
@@ -81,6 +136,51 @@ object Multimodal {
         val (len, md5, frames, feat) = StubDecoder.decode(
           if (bytes == null) Array.emptyByteArray else bytes)
         Row.fromSeq(r.toSeq ++ Seq(len, md5, frames, feat.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Deterministic 4×4 synthetic PNG: the first `k % 17` of the 16
+    * pixels (row-major) are white, the rest black. Exists so the REAL
+    * decode path can be differentially verified — the decoded luminance
+    * histogram of this image is pure arithmetic on k (white → bin 7,
+    * black → bin 0), which a SQL oracle computes without any codec. */
+  def syntheticImage(k: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val white = (k % 17).toInt
+    var i = 0
+    while (i < 16) {
+      img.setRGB(i % 4, i / 4, if (i < white) 0xffffff else 0x000000)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode/feature-extract: same mapPartitions shape as
+    * [[extractFeatures]] but through [[ImageDecoder]]. Hash and length
+    * are computed for every row; width/height/feature are null for
+    * payloads that aren't decodable images (a mixed-media lake is the
+    * normal case, not an error). Partition-local, stateless, no
+    * collects — swap the decoder body for a GPU codec and nothing else
+    * changes at 100 TB. */
+  def decodeImages(packed: DataFrame): DataFrame = {
+    val outSchema = StructType(packed.schema.fields ++ imageFeatureType.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]]("payload")
+        val bytes = if (raw == null) Array.emptyByteArray else raw
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        ImageDecoder.decode(bytes) match {
+          case Some((w, h, feat)) =>
+            Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, w, h, feat.toSeq))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, null, null, null))
+        }
       }
     }(enc)
   }

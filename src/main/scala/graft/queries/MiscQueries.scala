@@ -616,6 +616,48 @@ object MiscQueries {
       FROM sl ORDER BY media_id, frame_no"""),
   )
 
+  /** REAL image decode, differentially verified: a deterministic 4×4
+    * PNG is synthesized per document row ([[Multimodal.syntheticImage]]:
+    * `doc_id % 17` white pixels, rest black), PNG-encoded and decoded
+    * back through `javax.imageio` on the executors
+    * ([[Multimodal.decodeImages]]), and the decoded luminance histogram
+    * is checked against pure arithmetic on doc_id — white pixels land in
+    * bin 7, black in bin 0, both exact binary fractions (w/16) so the
+    * float→double cast is bit-exact cross-engine. The codec round-trip
+    * (encode → decode → histogram) runs distributed; the oracle needs no
+    * codec at all. */
+  private val mmDecode = Q(
+    "multimodal_decode",
+    (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+      val withImg = Tables.documents(s, dir).select("doc_id")
+        .mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), Multimodal.syntheticImage(r.getLong(0))))
+        }(enc)
+      val packed = Multimodal.pack(withImg, "doc_id", "payload",
+        "image/png", "synthetic")
+      Multimodal.decodeImages(packed)
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          element_at(col("feature"), 1).cast("double").as("bin_black"),
+          element_at(col("feature"), 8).cast("double").as("bin_white"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(4 AS BIGINT) AS width,
+             CAST(4 AS BIGINT) AS height,
+             CAST(16 - doc_id % 17 AS DOUBLE) / 16 AS bin_black,
+             CAST(doc_id % 17 AS DOUBLE) / 16 AS bin_white
+      FROM documents ORDER BY media_id"""),
+  )
+
   /** The micro-batch near-dup screen ([[Similarity.nearDupScreen]] —
     * the streaming half of embedding dedup, exercised here as one
     * batch): embeddings are split into a stored index (3/4, assigned
@@ -719,5 +761,5 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames, a10)
+    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames, mmDecode, a10)
 }

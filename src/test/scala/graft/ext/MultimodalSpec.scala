@@ -50,6 +50,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e._1 == 0L && e._3 == 1 && e._4.toSeq.forall(_ == 0.0f))
   }
 
+  /** A golden w×h image: left half black, right half white — its 8-bin
+    * luminance histogram must be exactly [0.5, 0, 0, 0, 0, 0, 0, 0.5]. */
+  private def goldenImage(format: String, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("ImageDecoder decodes golden PNG and BMP bit-exactly") {
+    for (fmt <- Seq("png", "bmp")) {
+      val Some((w, h, feat)) = Multimodal.ImageDecoder.decode(goldenImage(fmt))
+      assert(w == 4 && h == 4, s"$fmt dimensions")
+      assert(feat.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f),
+        s"$fmt luminance histogram")
+    }
+  }
+
+  test("ImageDecoder degrades to None on non-image and empty payloads") {
+    assert(Multimodal.ImageDecoder.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageDecoder.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.ImageDecoder.decode(null).isEmpty)
+  }
+
+  test("decodeImages: real decode per row, nulls for undecodable payloads") {
+    val spark0 = spark
+    import spark0.implicits._
+    val png = goldenImage("png")
+    val df = Seq((1L, png), (2L, "plain text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImages(
+      Multimodal.pack(df, "id", "payload", "image/png", "unit-test"))
+    val ok = out.filter(col("media_id") === 1)
+      .select("width", "height", "byte_len", "feature").head()
+    assert(ok.getInt(0) == 4 && ok.getInt(1) == 4)
+    assert(ok.getLong(2) == png.length.toLong)
+    assert(ok.getSeq[Float](3) == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    val miss = out.filter(col("media_id") === 2)
+      .select("width", "height", "feature", "content_md5").head()
+    assert(miss.isNullAt(0) && miss.isNullAt(1) && miss.isNullAt(2))
+    assert(miss.getString(3).length == 32) // hash still computed for every row
+  }
+
   test("sampleFrames slices deterministic byte windows per frame") {
     val out = Multimodal.sampleFrames(packed().filter(col("media_id") === 3),
       frameBytes = 50, nFrames = 3)

@@ -81,6 +81,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(out.select("id")) == Set("[1]", "[2]"))
   }
 
+  test("topK per group ≡ rank window (seeded random, ties, null keys, k boundary)") {
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 3); _ <- 1 to 3) {
+      // heavy ties (scores drawn from 4 values) + ~10% null sort keys
+      val data = (1L to 60L).map { id =>
+        val score: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null else rnd.nextInt(4).toDouble
+        (s"g${rnd.nextInt(5)}", score, id)
+      }
+      val df = data.toDF("g", "score", "id")
+      val viaAgg = df.groupBy("g")
+        .agg(TopKPerGroup.topK(k)(col("score"), col("id")).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), (col("pos") + 1).as("rnk"), col("col._2").as("id"))
+      val viaWindow = df
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("score").desc_nulls_last, col("id").asc)).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("g", "rnk", "id")
+      assert(rows(viaAgg) == rows(viaWindow), s"k=$k mismatch")
+    }
+  }
+
   test("incremental nextBatch: range + exclusion + deterministic top-k") {
     val src = (1 to 20).map(i => (i.toLong, s"2024-01-${"%02d".format(i)} 00:00:00"))
       .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
