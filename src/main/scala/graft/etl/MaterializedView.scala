@@ -57,7 +57,11 @@ final class MaterializedView(
     keys: Seq[String],
     order: Seq[Column],
     derive: DataFrame => DataFrame,
-    nBuckets: Int = 64) {
+    nBuckets: Int = 64,
+    writeTasksPerBucket: Int = 1) {
+
+  require(writeTasksPerBucket >= 1,
+    s"writeTasksPerBucket must be >= 1, got $writeTasksPerBucket")
 
   private val statePath = s"$root/state"
   private val viewPath = s"$root/view"
@@ -67,14 +71,28 @@ final class MaterializedView(
     df.withColumn(bucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
 
-  /** One shuffle partition per bucket before a `partitionBy(bucket)`
-    * write: without it every shuffle task holds rows of every bucket and
-    * the write emits up to tasks×buckets files — a small-file explosion
-    * that compounds per refresh (and at 100 TB turns the lake into a
-    * metadata problem). With it, each bucket directory gets exactly the
-    * files of its one producing task. */
+  /** Cluster rows to their bucket before a `partitionBy(bucket)` write:
+    * without it every shuffle task holds rows of every bucket and the
+    * write emits up to tasks×buckets files — a small-file explosion that
+    * compounds per refresh (and at 100 TB turns the lake into a metadata
+    * problem).
+    *
+    * One task per bucket bounds the file count but also CAPS write
+    * parallelism at nBuckets and makes one task sort/spill an entire
+    * bucket — at the 100 TB scale this class targets that is ~1.5 TB
+    * per task, a straight path to OOM/stragglers. `writeTasksPerBucket`
+    * is the second lever: rows are clustered on (bucket, salt) so each
+    * bucket is produced by at most that many tasks — per-bucket file
+    * count stays bounded (≤ writeTasksPerBucket per write) while
+    * per-task volume drops to bucket/writeTasksPerBucket. Size BOTH so
+    * a task's share fits in executor memory; the salt is derived from
+    * the keys (seeded differently from the bucket hash), so the layout
+    * stays deterministic. */
   private def clustered(df: DataFrame): DataFrame =
-    df.repartition(nBuckets, col(bucketCol))
+    if (writeTasksPerBucket == 1) df.repartition(nBuckets, col(bucketCol))
+    else df.repartition(nBuckets * writeTasksPerBucket, col(bucketCol),
+      pmod(xxhash64(lit("__mv_salt") +: keys.map(col): _*),
+        lit(writeTasksPerBucket.toLong)))
 
   /** Full initial build: every bucket of state and view. One eager
     * checkpoint feeds both writes — the dedup window runs once and the

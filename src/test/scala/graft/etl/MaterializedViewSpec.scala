@@ -74,6 +74,32 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewMap(lone) == Map.empty)
   }
 
+  test("writeTasksPerBucket: same results, per-bucket file count stays bounded") {
+    // the scale lever for giant buckets: salted clustering must change
+    // ONLY the physical layout (more, smaller files per bucket), never
+    // the published rows — and the file count per bucket per write must
+    // stay <= writeTasksPerBucket (no tasks×buckets explosion)
+    val data = rows((1L to 200L).map(i => (i, 1L, false, s"p$i")): _*)
+    val batch = rows((1L to 50L).map(i => (i, 2L, false, s"q$i")): _*)
+    val root = Files.createTempDirectory("graft_mv_salt").toString
+    val salted = new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets = 4, writeTasksPerBucket = 3)
+    salted.build(data)
+    salted.refresh(batch)
+    val (_, plain) = mk(nBuckets = 4)
+    plain.build(data)
+    plain.refresh(batch)
+    assert(viewMap(salted) == viewMap(plain))
+    val perBucket = new java.io.File(s"$root/view").listFiles()
+      .filter(_.getName.startsWith("__mv_bucket="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty)
+    // build wrote <=3 files; the refresh appended <=3 more to touched buckets
+    assert(perBucket.forall(_._2 <= 6),
+      s"file explosion: ${perBucket.mkString(", ")}")
+  }
+
   test("refresh leaves untouched bucket partitions byte-identical") {
     val (root, mv) = mk(nBuckets = 64)
     mv.build(rows((1L to 40L).map(i => (i, 1L, false, s"p$i")): _*))
