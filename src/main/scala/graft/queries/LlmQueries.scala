@@ -228,23 +228,24 @@ object LlmQueries {
     * exact content dedup → vocab-fingerprint near-dup collapse — shared
     * by `corpus_clean` (emits it) and `corpus_clean_clustered` (feeds
     * it to connected components for transitive cluster resolution). */
-  private def corpusSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val markers = Seq(
-      "en" -> Seq("the", "a"),
-      "es" -> Seq("la", "el"),
-      "de" -> Seq("der", "und"))
-    val scored = Tables.documents(s, dir)
-      .withColumn("lang_guess", TextFunctions.languageId(col("text"), markers))
-      .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
-      .filter(col("lang_guess") === "en" && col("quality_score") >= 0.5)
-    val exact = Dedup.exactByHash(scored, "text", "doc_id")
-    exact
-      .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fp").orderBy(col("doc_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"))
-  }
+  private def corpusSurvivors(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cached(s, s"corpus_survivors:$dir") {
+      val markers = Seq(
+        "en" -> Seq("the", "a"),
+        "es" -> Seq("la", "el"),
+        "de" -> Seq("der", "und"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("lang_guess", TextFunctions.languageId(col("text"), markers))
+        .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+        .filter(col("lang_guess") === "en" && col("quality_score") >= 0.5)
+      val exact = Dedup.exactByHash(scored, "text", "doc_id")
+      exact
+        .withColumn("fp", TextFunctions.vocabFingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("quality_score"))
+    }
 
   /** DuckDB CTE chain ending in `fpd(doc_id, lang, source,
     * quality_score, …)` — mirrors [[corpusSurvivors]]. */
@@ -493,7 +494,7 @@ object LlmQueries {
   private val corpusCleanClustered = Q(
     "corpus_clean_clustered",
     (s, dir) => {
-      val surv = corpusSurvivors(s, dir).persist()
+      val surv = corpusSurvivors(s, dir) // session-shared, already persisted
       val pairs = minhashPairs(s, dir)
       val sd = surv.select("doc_id")
       val edges = pairs.filter(col("jaccard") >= 0.5)
@@ -514,7 +515,6 @@ object LlmQueries {
       // result, release everything internal, harness unpersists `out`
       out.count()
       releaseComp()
-      surv.unpersist()
       out
     },
     Some(s"""

@@ -528,6 +528,108 @@ object MiscQueries {
     Some(NEAR_DUP_ORACLE),
   )
 
+  /** Embedding near-dup via random-hyperplane LSH — the TRAINING-FREE
+    * scale path beside the IVF centroids ([[graft.expressions.HyperplaneBits]]:
+    * 32 sign bits over the int8-quantized vector, banded 4×8). Bucketing
+    * is one narrow compiled pass + a band self-join; with 8-bit bands a
+    * random pair collides in ~1.5% of cases while a true near-dup
+    * (cos ≈ 0.97) collides with ~95% probability — candidate generation
+    * never goes all-pairs, exact scoring touches survivors only.
+    *
+    * The synthetic corpus is random (max pairwise cosine ≈ 0.51), so
+    * near-duplicates are PLANTED: every vector gets a copy (id+100000)
+    * with its last component bumped +0.25f — float32 arithmetic the
+    * oracle reproduces bit-exactly, cosine ≈ 0.97. The oracle then
+    * replays quantization, the integer LCG hyperplanes, banding, the
+    * candidate join and exact scoring — all-integer signatures mean no
+    * cross-engine float rounding can flip a bucket boundary. */
+  private val embLsh = Q(
+    "emb_lsh_pairs",
+    (s, dir) => {
+      val dims = 64
+      val nPlanes = 32
+      val bandBits = 8
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val planted = emb.select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        concat(slice(col("embedding"), 1, dims - 1),
+          array((element_at(col("embedding"), dims) + lit(0.25f)).cast("float")))
+          .as("embedding"))
+      val sig = Similarity.quantize(emb.unionByName(planted))
+        .select(col("vec_id"), col("embedding"),
+          graft.expressions.HyperplaneBits.of(col("qvec"), nPlanes, 1).as("sig"))
+        .filter(col("sig").isNotNull)
+        .persist() // feeds the band join (twice) and the score join (twice)
+      val bands = sig.select(col("vec_id"), explode(array(
+        (0 until nPlanes / bandBits).map { b =>
+          concat_ws(":", lit(b.toString),
+            shiftright(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
+        }: _*)).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val vecs = sig.select(col("vec_id"), col("embedding"))
+      val out = cand
+        .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+        .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+        .withColumn("cos",
+          graft.expressions.CosineSimilarity.of(col("va"), col("vb")))
+        .filter(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+        .persist()
+      out.count() // materialize, then drop the signature table
+      sig.unpersist()
+      out
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_concat(embedding[1:63],
+                 [CAST(CAST(embedding[64] AS FLOAT) + CAST(0.25 AS FLOAT) AS FLOAT)])
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, embedding,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS q
+        FROM base),
+      w AS (SELECT p.p AS p, d.d AS d,
+                   ((1103515245 * (1 + p.p * 8192 + d.d) + 12345) % 2001) - 1000 AS wv
+            FROM range(0, 32) p(p), range(0, 64) d(d)),
+      dots AS (
+        SELECT z.vec_id, w.p, sum(z.q[CAST(w.d AS INT) + 1] * w.wv) AS dot
+        FROM qz z JOIN w ON w.d < len(z.q)
+        WHERE z.q IS NOT NULL
+        GROUP BY z.vec_id, w.p),
+      bands AS (
+        SELECT vec_id, p // 8 AS band_no,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bv
+        FROM dots GROUP BY vec_id, p // 8),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+          list_sum(list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        FROM cand c
+        JOIN base x ON c.id_a = x.vec_id
+        JOIN base y ON c.id_b = y.vec_id)
+      SELECT id_a, id_b, round(cos, 6) AS cosine
+      FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""),
+  )
+
   // ----------------------------------------------------------- Multimodal
   /** Multimodal decode/feature stage over mapPartitions (STUB decoder —
     * see [[Multimodal.StubDecoder]]; the Spark plumbing is the product).
@@ -761,5 +863,6 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, streamScreen, mmFeatures, mmFrames, mmDecode, a10)
+    embNearDup, embNearDupQ, embLsh, streamScreen, mmFeatures, mmFrames,
+    mmDecode, a10)
 }
