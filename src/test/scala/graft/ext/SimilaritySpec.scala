@@ -218,4 +218,19 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("emb_lsh_pairs: planted near-dup recall stays above the banding floor") {
+    // The differential oracle REPLAYS whatever banding the engine picks,
+    // so it stays green even if a parameter change silently tanks recall;
+    // this floor is the guard the oracle cannot be. 4×8-bit bands at
+    // cos≈0.97 predict ~95% band-collision recall minus quantization
+    // sign noise (measured 84% at sf0.01).
+    val out = graft.SparkEntry.queries("emb_lsh_pairs")(
+      spark, "/root/testdata/sf0.001")
+    val planted = out.filter(col("id_b") === col("id_a") + 100000L).count()
+    val total = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(planted.toDouble / total >= 0.7,
+      s"LSH recall collapsed: $planted of $total planted pairs found")
+    out.unpersist()
+  }
 }
