@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{CosineSimilarity, Int8CosineSimilarity, QuantizeInt8}
+import graft.expressions.{CosineSimilarity, HyperplaneBits, Int8CosineSimilarity, QuantizeInt8}
 
 /** Similarity search over embedding columns (`Array[Float]`) — the
   * north-star ANN component. Three tiers:
@@ -217,6 +217,73 @@ object Similarity {
         threshold - prefilterMargin)
       .select(col(idCol), col("match_id"), col(vecCol).as("__graft_v"))
     survivors
+      .join(indexVectors.select(col(idCol).as("match_id"),
+        col(vecCol).as("__graft_vm")), Seq("match_id"))
+      .withColumn("cosine", cosine(col("__graft_v"), col("__graft_vm")))
+      .filter(col("cosine") >= threshold)
+      .select(col(idCol), col("match_id"), col("cosine"))
+  }
+
+  /** The LSH band values of a hyperplane-signature column: one
+    * `"<band_no>:<band_bits>"` string per band, exploded in place —
+    * plain integer SQL over the bitmask, shared by the batch and index
+    * sides so banding can never drift between them. */
+  def lshBands(sig: Column, nPlanes: Int, bandBits: Int): Column = {
+    require(nPlanes % bandBits == 0, s"$nPlanes planes not divisible into $bandBits-bit bands")
+    explode(array((0 until nPlanes / bandBits).map { b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(sig, b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
+    }: _*))
+  }
+
+  /** Per-batch near-dup screen against an LSH-bucketed index — the
+    * TRAINING-FREE counterpart of [[nearDupScreen]]: no centroid table
+    * to train, broadcast or keep consistent with the store. Index
+    * vectors carry a hyperplane signature
+    * ([[graft.expressions.HyperplaneBits]] over the int8 payload);
+    * each incoming micro-batch computes its own signatures inline (one
+    * compiled expression, zero shuffle) and joins the index on band
+    * values with the SMALL batch side broadcast — the index is scanned
+    * once, never shuffled. Candidates int8-prescreen (margin-guarded,
+    * same contract as [[nearDupScreen]]) and only survivors fetch full
+    * vectors for the exact cosine.
+    *
+    * Emits one (batch id, match_id, cosine ≥ threshold) row per match —
+    * a pairs stream, append-mode safe, no aggregate state. Recall is
+    * the banding collision probability ((1−θ/π)^bandBits per band);
+    * with 4×8-bit bands a cos≈0.97 near-dup collides ~95% of the time
+    * while random pairs collide ~1.5% — size bands to the corpus. */
+  def lshScreen(
+      batch: DataFrame, // (idCol, vecCol, ...)
+      indexSig: DataFrame, // quantize + HyperplaneBits: (idCol, qCol, sig)
+      indexVectors: DataFrame, // full-precision (idCol, vecCol) for rerank
+      threshold: Double,
+      nPlanes: Int = 32,
+      bandBits: Int = 8,
+      seed: Int = 1,
+      prefilterMargin: Double = 0.05,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qCol: String = "qvec"): DataFrame = {
+    val bq = quantize(batch, vecCol, "__graft_q")
+      .withColumn("__graft_sig", HyperplaneBits.of(col("__graft_q"), nPlanes, seed))
+      .filter(col("__graft_sig").isNotNull)
+    val batchBands = bq.select(col(idCol), col(vecCol), col("__graft_q"),
+      lshBands(col("__graft_sig"), nPlanes, bandBits).as("__graft_band"))
+    val indexBands = indexSig.select(
+      col(idCol).as("match_id"), col(qCol).as("__graft_qm"),
+      lshBands(col("sig"), nPlanes, bandBits).as("__graft_band"))
+    val cand = broadcast(batchBands).join(indexBands, Seq("__graft_band"))
+      .filter(col(idCol) =!= col("match_id"))
+      // a pair colliding in several bands is still ONE candidate; the
+      // non-key columns are identical across its rows, so any survivor
+      // representative is the same row
+      .dropDuplicates(idCol, "match_id")
+    cand
+      .filter(Int8CosineSimilarity.of(col("__graft_q"), col("__graft_qm")) >=
+        threshold - prefilterMargin)
+      .select(col(idCol), col("match_id"), col(vecCol).as("__graft_v"))
       .join(indexVectors.select(col(idCol).as("match_id"),
         col(vecCol).as("__graft_vm")), Seq("match_id"))
       .withColumn("cosine", cosine(col("__graft_v"), col("__graft_vm")))

@@ -560,12 +560,8 @@ object MiscQueries {
           graft.expressions.HyperplaneBits.of(col("qvec"), nPlanes, 1).as("sig"))
         .filter(col("sig").isNotNull)
         .persist() // feeds the band join (twice) and the score join (twice)
-      val bands = sig.select(col("vec_id"), explode(array(
-        (0 until nPlanes / bandBits).map { b =>
-          concat_ws(":", lit(b.toString),
-            shiftright(col("sig"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
-        }: _*)).as("band"))
+      val bands = sig.select(col("vec_id"),
+        Similarity.lshBands(col("sig"), nPlanes, bandBits).as("band"))
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -628,6 +624,86 @@ object MiscQueries {
         JOIN base y ON c.id_b = y.vec_id)
       SELECT id_a, id_b, round(cos, 6) AS cosine
       FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""),
+  )
+
+  /** The streaming half of LSH near-dup ([[Similarity.lshScreen]] —
+    * training-free counterpart of `stream_near_dup_screen`): a
+    * micro-batch of perturbed copies (vec_id+100000, last component
+    * +0.25f, cosine ≈ 0.97 to its source) is screened against the full
+    * corpus as a signature index. The batch side computes signatures
+    * inline and is BROADCAST into the band join — the index is scanned
+    * once, never shuffled, which is the per-micro-batch cost model that
+    * matters when the index is 100 TB and the batch is thousands of
+    * rows. Oracle replays quantization, hyperplanes, banding, the
+    * batch×index band join and exact scoring (prescreen omitted — the
+    * 0.05 margin vs ≈0.003 measured int8 error keeps it recall-lossless,
+    * same reliance as stream_near_dup_screen). */
+  private val streamLsh = Q(
+    "stream_lsh_screen",
+    (s, dir) => {
+      val dims = 64
+      val nPlanes = 32
+      val bandBits = 8
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val batch = emb.filter(col("vec_id") % 4 === 0).select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        concat(slice(col("embedding"), 1, dims - 1),
+          array((element_at(col("embedding"), dims) + lit(0.25f)).cast("float")))
+          .as("embedding"))
+      val indexSig = Similarity.quantize(emb)
+        .withColumn("sig",
+          graft.expressions.HyperplaneBits.of(col("qvec"), nPlanes, 1))
+        .filter(col("sig").isNotNull)
+      Similarity.lshScreen(batch, indexSig, emb, threshold = 0.9,
+          nPlanes = nPlanes, bandBits = bandBits)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("vec_id", "match_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT 'i' AS side, vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT 'b', vec_id + 100000,
+               list_concat(embedding[1:63],
+                 [CAST(CAST(embedding[64] AS FLOAT) + CAST(0.25 AS FLOAT) AS FLOAT)])
+        FROM embeddings WHERE vec_id % 4 = 0),
+      qz AS (
+        SELECT side, vec_id, embedding,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS q
+        FROM base),
+      w AS (SELECT p.p AS p, d.d AS d,
+                   ((1103515245 * (1 + p.p * 8192 + d.d) + 12345) % 2001) - 1000 AS wv
+            FROM range(0, 32) p(p), range(0, 64) d(d)),
+      dots AS (
+        SELECT z.side, z.vec_id, w.p, sum(z.q[CAST(w.d AS INT) + 1] * w.wv) AS dot
+        FROM qz z JOIN w ON w.d < len(z.q)
+        WHERE z.q IS NOT NULL
+        GROUP BY z.side, z.vec_id, w.p),
+      bands AS (
+        SELECT side, vec_id, p // 8 AS band_no,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bv
+        FROM dots GROUP BY side, vec_id, p // 8),
+      cand AS (
+        SELECT DISTINCT b.vec_id, i.vec_id AS match_id
+        FROM bands b JOIN bands i
+          ON b.band_no = i.band_no AND b.bv = i.bv
+        WHERE b.side = 'b' AND i.side = 'i' AND b.vec_id <> i.vec_id),
+      scored AS (
+        SELECT c.vec_id, c.match_id,
+          list_sum(list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cos
+        FROM cand c
+        JOIN base x ON x.side = 'b' AND c.vec_id = x.vec_id
+        JOIN base y ON y.side = 'i' AND c.match_id = y.vec_id)
+      SELECT vec_id, match_id, round(cos, 6) AS cosine
+      FROM scored WHERE cos >= 0.9 ORDER BY vec_id, match_id"""),
   )
 
   // ----------------------------------------------------------- Multimodal
@@ -863,6 +939,6 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, embLsh, streamScreen, mmFeatures, mmFrames,
-    mmDecode, a10)
+    embNearDup, embNearDupQ, embLsh, streamScreen, streamLsh, mmFeatures,
+    mmFrames, mmDecode, a10)
 }

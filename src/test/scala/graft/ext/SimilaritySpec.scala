@@ -219,6 +219,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshScreen: exact copy matches through every band, self and far vectors excluded") {
+    import graft.expressions.HyperplaneBits
+    val idx = vecDf(
+      1L -> Seq(0.9f, 0.1f, 0.2f, 0.3f),
+      2L -> Seq(-0.8f, 0.5f, -0.1f, 0.4f),
+      3L -> Seq(0.2f, -0.9f, 0.4f, 0.1f))
+    val indexSig = Similarity.quantize(idx)
+      .withColumn("sig", HyperplaneBits.of(col("qvec"), 16, 1))
+    // 100 duplicates vector 1 exactly (identical signature → collides in
+    // all bands, cosine 1.0); 1 would only self-match and must vanish
+    val batch = vecDf(100L -> Seq(0.9f, 0.1f, 0.2f, 0.3f),
+      1L -> Seq(0.9f, 0.1f, 0.2f, 0.3f))
+    val out = Similarity.lshScreen(batch, indexSig, idx,
+      threshold = 0.95, nPlanes = 16, bandBits = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((100L, 1L)),
+      s"expected exactly the planted match, got ${rows.mkString(", ")}")
+    assert(rows.head._3 > 0.999)
+    // the batch side must be the broadcast side — the index is never shuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"lshScreen lost its broadcast:\n$plan")
+  }
+
   test("emb_lsh_pairs: planted near-dup recall stays above the banding floor") {
     // The differential oracle REPLAYS whatever banding the engine picks,
     // so it stays green even if a parameter change silently tanks recall;
