@@ -80,4 +80,40 @@ class StreamingAnnSpec extends AnyFunSuite {
     // every reported match is a true >= threshold pair on exact cosine
     assert(matches.forall { case (a, b) => a != b })
   }
+
+  test("micro-batched LSH screening: same stream shape, no centroids to train") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val idx = indexVectors()
+    val indexSig = Similarity.quantize(idx)
+      .withColumn("sig",
+        graft.expressions.HyperplaneBits.of(col("qvec"), 16, 1))
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val matches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val checkpoint = Files.createTempDirectory("graft_lsh_ckpt").toString
+    val q = Streams.deliverStream(
+      in.toDF().toDF("vec_id", "embedding"), checkpoint) { (batch, _) =>
+      matches ++= Similarity
+        .lshScreen(batch, indexSig, idx, threshold = 0.95,
+          nPlanes = 16, bandBits = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    }
+    try {
+      in.addData(1L -> Seq(1f, 0f, 0f, 0f), // exact copy of doc 100
+        2L -> Seq(0.5f, -0.5f, 0.5f, -0.5f)) // novel direction
+      q.processAllAvailable()
+      in.addData(3L -> Seq(0f, 0f, 0f, 1f)) // exact copy of doc 103
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byDoc = matches.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.getOrElse(1L, Set.empty).contains(100L),
+      s"doc 1 should match its source doc 100, got $byDoc")
+    assert(!byDoc.contains(2L), s"novel doc 2 must not match, got $byDoc")
+    assert(byDoc.getOrElse(3L, Set.empty).contains(103L),
+      s"doc 3 should match its source doc 103, got $byDoc")
+  }
 }
