@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash"),
+      minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "graft_hyperplane_bits"),
+      hyperplaneBuilder))
   }
 }
 
@@ -101,5 +109,20 @@ object GraftExtensions {
       s"graft_shingles(text, k) expects 2 arguments, got ${children.length}")
     WordShingles(children.head,
       foldToInt("graft_shingles(text, k)", "k", children(1)))
+  }
+
+  val minhashBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2) throw new IllegalArgumentException(
+      s"graft_minhash(shingles, nPerm) expects 2 arguments, got ${children.length}")
+    MinHashSignatures(children.head,
+      foldToInt("graft_minhash(shingles, nPerm)", "nPerm", children(1)))
+  }
+
+  val hyperplaneBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3) throw new IllegalArgumentException(
+      s"graft_hyperplane_bits(q, nPlanes, seed) expects 3 arguments, got ${children.length}")
+    HyperplaneBits(children.head,
+      foldToInt("graft_hyperplane_bits(q, nPlanes, seed)", "nPlanes", children(1)),
+      foldToInt("graft_hyperplane_bits(q, nPlanes, seed)", "seed", children(2)))
   }
 }

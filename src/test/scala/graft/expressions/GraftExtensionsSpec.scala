@@ -54,4 +54,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("graft_winnow"))
   }
+
+  test("graft_minhash and graft_hyperplane_bits build with folded int params") {
+    val mh = GraftExtensions.minhashBuilder(
+      Seq(text, Literal(12L))).asInstanceOf[MinHashSignatures]
+    assert(mh.nPerm == 12)
+    val hp = GraftExtensions.hyperplaneBuilder(
+      Seq(Literal(Array[Byte](1, 2)), Cast(Literal(32), LongType), Literal(1)))
+      .asInstanceOf[HyperplaneBits]
+    assert(hp.nPlanes == 32 && hp.seed == 1)
+    intercept[IllegalArgumentException] {
+      GraftExtensions.hyperplaneBuilder(Seq(text, Literal(32)))
+    }
+  }
 }
