@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression, GetJsonObject, JsonToStructs, JsonTuple, Levenshtein, Md5,
+  RegExpExtract, RegExpExtractAll, RegExpReplace, RLike, ScalaUDF, Sha1, Sha2,
+  StructsToJson}
+import org.apache.spark.sql.catalyst.expressions.objects.{Invoke, StaticInvoke}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: pull an EXPENSIVE projection above a global sort.
+  *
+  *   Sort(keys, Project(exprs, child))  →  Project(exprs, Sort(keys, child))
+  *
+  * A global sort plans as a range exchange, and range partitioning runs a
+  * SEPARATE sampling job over its child to pick the range boundaries
+  * before the real pass — so everything below the sort executes twice.
+  * When the projection parses JSON, runs regexes, or computes digests,
+  * `ORDER BY` after the projection re-parses the entire input just to
+  * sample the (cheap, passthrough) sort key. On a 100 TB corpus that is
+  * the whole extraction stage run twice. Deferring the projection past
+  * the sort makes the sample pass a raw column scan and runs the
+  * expensive work exactly once, after the shuffle.
+  *
+  * The flip side: the exchange then ships the projection's INPUT columns
+  * instead of its output. That is why the rule fires only when the
+  * projection is provably expensive — for cheap projections the compact
+  * post-project shuffle shape is usually the better trade, and the plan
+  * is left alone.
+  *
+  * Fires only when provably semantics-preserving:
+  *   - the sort is global (`ORDER BY`, not `sortWithinPartitions` —
+  *     a local sort has no sampling pass to save);
+  *   - every sort key references only CHILD attributes the projection
+  *     passes through unchanged (same exprId), so the reordered sort
+  *     resolves against the child directly;
+  *   - every projected expression is deterministic (moving a
+  *     nondeterministic expression across a sort changes which row gets
+  *     which value);
+  *   - at least one projected expression is expensive: JSON
+  *     parse/render, regex, digest, levenshtein, a Scala UDF, an object
+  *     invoke, or one of the engine's native expressions (minhash,
+  *     shingles, rolling fingerprints, …, all in `graft.expressions`).
+  *
+  * Column pruning then inserts a cheap passthrough projection under the
+  * sort, so the scan still reads only the columns the deferred
+  * projection needs. Registered through
+  * [[graft.expressions.GraftExtensions]].
+  */
+object DeferExpensiveProjectPastSort extends Rule[LogicalPlan] {
+
+  private def expensive(e: Expression): Boolean = e.exists {
+    case _: GetJsonObject | _: JsonToStructs | _: StructsToJson |
+        _: JsonTuple => true
+    case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll |
+        _: RLike | _: Levenshtein => true
+    case _: Md5 | _: Sha1 | _: Sha2 => true
+    case _: ScalaUDF | _: Invoke | _: StaticInvoke => true
+    case other => other.getClass.getName.startsWith("graft.expressions.")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case s @ Sort(order, true, p @ Project(projectList, child), _)
+        if order.forall(_.references.subsetOf(child.outputSet)) &&
+          projectList.forall(_.deterministic) &&
+          projectList.exists(expensive) =>
+      Project(projectList, Sort(order, global = true, child))
+  }
+}
