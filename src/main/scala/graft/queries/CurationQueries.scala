@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for the LLM-training-data pipeline
+  * (north-star extensions beyond the reference surface, same family as
+  * [[LlmQueries]]): benchmark decontamination, stratified sampling for
+  * data mixing, and token-budget quota selection.
+  *
+  * All three are single-pass, shuffle-light designs: decontamination
+  * broadcasts the (tiny) benchmark shingle dictionary against the
+  * corpus scan; sampling is a pure per-row filter (zero shuffles);
+  * quota selection is one window per stratum. Each is oracle-checked
+  * end-to-end against a DuckDB replay of the identical semantics.
+  */
+object CurationQueries {
+
+  /** Benchmark/eval-set membership: a deterministic slice of the
+    * documents table stands in for the eval set being protected.
+    * Shared by the Spark side and the oracle — must never drift. */
+  private val BenchPred = "doc_id % 50 = 7"
+
+  // ---------------------------------------------------- decontamination
+  /** Test-set decontamination — the GPT-3/Pile-style n-gram overlap
+    * check: a training document is contaminated when too many of its
+    * word 4-grams appear in the benchmark set. (The published recipes
+    * use 8-13-grams over web-scale text; the testdata documents are
+    * ~50-token synthetic strings, so k=4 keeps the check non-vacuous at
+    * every SF.)
+    *
+    * 100 TB design: eval sets are tiny (thousands of documents) while
+    * the corpus is the 100 TB side — so the benchmark's distinct
+    * shingle DICTIONARY is broadcast and the corpus is scanned ONCE,
+    * with a map-side semi join + partial aggregate per document. The
+    * corpus never self-joins and never shuffles its shingles; the only
+    * exchange is the per-document aggregate of hit counts. */
+  private val decontam = Q(
+    "decontam_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+      val benchDict = sh.filter(expr(BenchPred))
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val corpus = sh.filter(!expr(BenchPred))
+      // shingles() yields DISTINCT shingles per doc, so the post-join
+      // count per doc_id is the distinct-hit count
+      val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(benchDict), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contam_ratio",
+          coalesce(round(col("n_hit").cast("double") /
+            nullif(col("n_shingles"), lit(0L)).cast("double"), 4), lit(0.0)))
+        .withColumn("is_contaminated", col("contam_ratio") >= 0.2)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END) AS shl
+             FROM tok),
+      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh WHERE $BenchPred),
+      corpus AS (SELECT doc_id, shl FROM sh WHERE NOT ($BenchPred)),
+      ex AS (SELECT doc_id, unnest(shl) AS shingle FROM corpus),
+      hits AS (SELECT e.doc_id, count(*) AS n_hit
+               FROM ex e JOIN bench b USING (shingle) GROUP BY e.doc_id)
+      SELECT c.doc_id, CAST(len(c.shl) AS BIGINT) AS n_shingles,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                            / nullif(len(c.shl), 0), 4), 0.0) AS contam_ratio,
+             (coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                             / nullif(len(c.shl), 0), 4), 0.0) >= 0.2) AS is_contaminated
+      FROM corpus c LEFT JOIN hits h USING (doc_id)
+      ORDER BY c.doc_id"""),
+  )
+
+  // ------------------------------------------------- stratified sampling
+  /** Data-mixing rates per language stratum, in kept-buckets-of-100.
+    * One definition feeding both the Spark CASE ladder and the oracle. */
+  private val MixRates: Seq[(String, Long)] =
+    Seq("en" -> 50L, "fr" -> 75L, "de" -> 25L, "es" -> 25L)
+  private val DefaultRate = 10L
+
+  /** Deterministic stratified sampling — the data-mixing primitive: keep
+    * X% of each language, chosen by a multiplicative hash of the stable
+    * document id (Knuth 2654435761), NOT by `rand()`. Determinism is the
+    * point at scale: the sample is reproducible run-to-run, survives
+    * retries/speculation (a re-executed task keeps the same rows), and
+    * composes with incremental processing (a document's fate never
+    * changes as the corpus grows).
+    *
+    * 100 TB design: a pure per-row filter — ZERO shuffles, fully inside
+    * whole-stage codegen, trivially parallel over any partition count.
+    * The hash decorrelates the kept set from id assignment order, which
+    * `doc_id % 100` would not. */
+  private val stratifiedSample = Q(
+    "mix_stratified_sample",
+    (s, dir) => {
+      val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(100L)
+      val rate = MixRates.foldRight(lit(DefaultRate)) { case ((l, r), acc) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, source,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+      FROM documents
+      WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+            CASE ${MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+               .mkString(" ")} ELSE $DefaultRate END
+      ORDER BY doc_id"""),
+  )
+
+  // ---------------------------------------------- token-budget selection
+  /** Per-stratum token budget in whitespace tokens. */
+  private val TokenBudget = 3000L
+
+  /** Token-budget quota selection — fill each language's budget
+    * greedily: rank documents by a priority (here token count desc, a
+    * stand-in for any quality score; tie-broken by doc_id so the order
+    * is total) and keep the prefix whose running token sum fits the
+    * budget. This is the "mix 30B tokens of code with 10B of forum
+    * text" primitive of training-data assembly.
+    *
+    * 100 TB design: one hash exchange on the stratum key and one
+    * running-sum window per stratum — no self-joins, no global sort
+    * (the final ORDER BY is the harness's determinism contract, not
+    * part of the operator). Strata are few and internally unordered
+    * until the window's local sort; a pathologically hot stratum would
+    * range-partition on (stratum, priority) and two-phase the prefix
+    * sum, which this plan degrades to without API change. */
+  private val tokenBudget = Q(
+    "mix_token_budget",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("token_cnt").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt"))
+        .withColumn("cum_tokens", sum(col("token_cnt")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, token_cnt, cum_tokens FROM (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY lang
+                 ORDER BY len(string_split(text, ' ')) DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM documents) t
+      WHERE cum_tokens <= $TokenBudget
+      ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget)
+}

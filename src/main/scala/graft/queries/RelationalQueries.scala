@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Cleansing
-import graft.operators.{AsOfJoin, Dedup, Incremental, Upsert}
+import graft.operators.{AsOfJoin, BloomPrune, Dedup, Incremental, Upsert}
 
 /** The relational operator suite over the driver testdata lake.
   *
@@ -590,6 +590,39 @@ object RelationalQueries {
       ORDER BY ts DESC, event_id DESC LIMIT 1000"""),
   )
 
+  /** S8/J9 at the 100 TB state size — the processed-set exclusion with
+    * the state side BLOOM-PRUNED before the exact anti-join
+    * ([[graft.operators.BloomPrune]]: a distributed
+    * `BloomFilterAggregate` of the batch's keys, a codegen'd
+    * `might_contain` scan over the state, exact anti-join on the
+    * sliver). Scenario: click events from users with no order history —
+    * the reference's unconverted-leads question
+    * (`identity-resolution/database-schema.sql:322-343`) asked against
+    * an order-history table too large to shuffle. The result is
+    * bit-identical to the plain anti-join at ANY false-positive rate,
+    * and the oracle IS the plain anti-join — the equivalence is the
+    * correctness gate. */
+  private val s8bloom = Q(
+    "inc_bloom_unconverted",
+    (s, dir) => {
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"))
+      val orderedUsers = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"))
+      BloomPrune.antiJoinPruned(clicks, orderedUsers, "user_id",
+          expectedBatchKeys = 1 << 16)
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id
+      FROM events e
+      WHERE e.event_type = 'click' AND e.user_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)
+      ORDER BY e.event_id"""),
+  )
+
   // ----------------------------------------------------------------- J10
   /** J10 — as-of join: each click annotated with the user's most recent
     * purchase at-or-before it, within a 7-day lookback. The reference
@@ -642,5 +675,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, j1, o3, j3, j9, j5, o2, setOps,
-    pClean, p2, p8, s1, s5, s8, j10)
+    pClean, p2, p8, s1, s5, s8, s8bloom, j10)
 }

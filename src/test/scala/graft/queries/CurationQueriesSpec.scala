@@ -1,0 +1,93 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, SparkEntry}
+
+/** Semantic properties of the corpus-curation queries on PLANTED
+  * documents (the sf-lake rows exercise them end-to-end in the
+  * differential gate; here the fixtures make each behavior provable):
+  * a copy of a benchmark document must flag as contaminated, the
+  * stratified sample must be the deterministic hash-derived set, and
+  * the token-budget selection must be exactly the greedy prefix. */
+class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SharedSpark.spark
+  private var dir: String = _
+
+  // doc_id 7 is the benchmark slice (doc_id % 50 == 7)
+  private val benchText = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val docs = Seq(
+    (7L, benchText, "en", "web"),                             // benchmark
+    (1L, benchText + " india juliett", "en", "web"),          // near-copy → contaminated
+    (2L, "one two three four five six seven eight nine", "en", "web"), // clean
+    (3L, "tiny", "en", "web"),                                // no 4-grams
+    (4L, "uno dos tres cuatro cinco seis siete ocho", "es", "web"),
+    (5L, "ein zwei drei vier funf sechs sieben acht", "de", "web"),
+    (6L, "un deux trois quatre cinq six sept huit", "fr", "web"),
+    (8L, "yi er san si wu liu qi ba jiu shi", "zh", "web"))
+
+  override def beforeAll(): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    dir = Files.createTempDirectory("curation_docs").toString
+    docs.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("a copy of a benchmark document flags as contaminated; clean text does not") {
+    val out = SparkEntry.queries("decontam_overlap")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1 extends the bench doc by two tokens: its first five 4-grams
+    // are verbatim bench 4-grams (5 of 7 distinct shingles hit)
+    val (n1, hit1, ratio1, flag1) = out(1L)
+    assert(n1 == 7 && hit1 == 5 && flag1, s"doc 1: $n1 $hit1 $ratio1 $flag1")
+    assert(math.abs(ratio1 - 5.0 / 7.0) < 1e-3)
+    // disjoint vocabulary → zero hits
+    assert(out(2L) == ((6L, 0L, 0.0, false)))
+    // shorter than the shingle width → 0/0 → ratio 0, not null/NaN
+    assert(out(3L) == ((0L, 0L, 0.0, false)))
+    // the benchmark doc itself is excluded from the corpus side
+    assert(!out.contains(7L))
+  }
+
+  test("stratified sample is exactly the hash-derived set, twice over") {
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 100L
+    val rates = Map("en" -> 50L, "fr" -> 75L, "de" -> 25L, "es" -> 25L)
+      .withDefaultValue(10L)
+    val expected = docs.collect {
+      case (id, _, lang, _) if bucket(id) < rates(lang) => (id, bucket(id))
+    }.toSet
+    def run() = SparkEntry.queries("mix_stratified_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val first = run()
+    assert(first == expected, s"got $first, expected $expected")
+    assert(run() == first, "sample must be deterministic across runs")
+  }
+
+  test("token-budget selection keeps exactly the greedy per-stratum prefix") {
+    val budget = 3000L
+    val kept = SparkEntry.queries("mix_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // recompute the greedy prefix driver-side from the raw token counts
+    val expected = docs
+      .map { case (id, text, lang, _) => (id, lang, text.split(" ").length.toLong) }
+      .groupBy(_._2).values.flatMap { grp =>
+        val ordered = grp.sortBy { case (id, _, n) => (-n, id) }
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).tail)
+          .takeWhile(_._2 <= budget)
+          .map { case ((id, lang, n), cum) => (id, lang, n, cum) }
+      }.toSet
+    assert(kept.toSet == expected)
+    // the budget is an invariant, not just a fixture property
+    kept.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= budget, s"$lang over budget")
+    }
+  }
+}
