@@ -169,5 +169,103 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget)
+  // ------------------------------------------------ fixed-size sampling
+  /** Exact-N-per-stratum sampling: the first [[FixedSampleK]] documents
+    * of each language in deterministic hash order — "give me exactly
+    * 20 eval docs per language", the fixed-size complement of the
+    * rate-based [[stratifiedSample]].
+    *
+    * 100 TB design: composes the multiplicative hash (pseudo-random but
+    * reproducible order) with [[graft.operators.TopKPerGroup]]'s
+    * k-bounded packed-heap aggregator — partial aggregation keeps ≤ k
+    * rows per (group, mapper), so only k·mappers rows per stratum cross
+    * the shuffle instead of the whole table, and nothing sorts. The
+    * rank-window spelling the oracle uses would shuffle every row. */
+  private val FixedSampleK = 20
+
+  private val fixedSample = Q(
+    "mix_fixed_sample",
+    (s, dir) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .groupBy("lang")
+        // sortKey is -h: the aggregator keeps top-k DESC, we want the
+        // SMALLEST hashes; doc_id is its mandatory unique tiebreak
+        .agg(graft.operators.TopKPerGroup.topK(FixedSampleK)(
+          -col("h"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+          col("col._2").as("doc_id"))
+        .orderBy("lang", "sample_rank")
+    },
+    Some(s"""
+      SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= $FixedSampleK
+      ORDER BY lang, sample_rank"""),
+  )
+
+  // ------------------------------------------------------ corpus stats
+  /** Per-stratum token-count distribution — median/p90/p99 token counts
+    * per language, the "what does this corpus look like" report that
+    * gates curation decisions.
+    *
+    * Exact PERCENTILE_CONT values via [[graft.operators.ExactQuantiles]]
+    * — rank arithmetic over one exchange, O(1) task memory — NOT
+    * Spark's built-in `percentile`, which buffers every group value
+    * (an OOM at 100 TB strata; see the operator doc). The oracle
+    * replays the identical rank/interpolation arithmetic in DuckDB, and
+    * `ExactQuantilesSpec` independently pins equivalence to Spark's
+    * built-in exact percentile. */
+  private val tokenQuantiles = Q(
+    "corpus_token_quantiles",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.tokenCount(col("text")).as("token_cnt"))
+      graft.operators.ExactQuantiles.perGroup(
+          toks, Seq("lang"), "token_cnt",
+          Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+        .withColumnRenamed("n_token_cnt", "n_docs")
+        .orderBy("lang")
+    },
+    // the identical rank/position/interpolation arithmetic, so doubles
+    // match bit-for-bit (quantile_cont's v_lo + d·(v_hi−v_lo) form can
+    // differ in the last ulp; the spec covers algorithmic independence)
+    Some("""
+      WITH v AS (SELECT lang,
+                        CAST(len(string_split(text, ' ')) AS DOUBLE) AS val
+                 FROM documents),
+      r AS (SELECT lang, val,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY val) - 1
+                        AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM v)
+      SELECT lang, max(n) AS n_docs,
+             round(sum(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT)
+                              THEN val * (1.0 - ((n-1) * 0.5 - floor((n-1) * 0.5)))
+                            WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                                 AND (n-1) * 0.5 - floor((n-1) * 0.5) > 0
+                              THEN val * ((n-1) * 0.5 - floor((n-1) * 0.5))
+                            ELSE 0.0 END), 4) AS p50,
+             round(sum(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT)
+                              THEN val * (1.0 - ((n-1) * 0.9 - floor((n-1) * 0.9)))
+                            WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1
+                                 AND (n-1) * 0.9 - floor((n-1) * 0.9) > 0
+                              THEN val * ((n-1) * 0.9 - floor((n-1) * 0.9))
+                            ELSE 0.0 END), 4) AS p90,
+             round(sum(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT)
+                              THEN val * (1.0 - ((n-1) * 0.99 - floor((n-1) * 0.99)))
+                            WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1
+                                 AND (n-1) * 0.99 - floor((n-1) * 0.99) > 0
+                              THEN val * ((n-1) * 0.99 - floor((n-1) * 0.99))
+                            ELSE 0.0 END), 4) AS p99
+      FROM r GROUP BY lang ORDER BY lang"""),
+  )
+
+  val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
+    tokenQuantiles)
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Rank-arithmetic quantiles must equal Spark's built-in exact
+  * `percentile` (which buffers per group — an independent algorithm)
+  * across group sizes 1/2/odd/even, heavy ties, and the q=0/q=1
+  * boundaries. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private val qs = Seq(0.0 -> "q000", 0.25 -> "q025", 0.5 -> "q050",
+    0.9 -> "q090", 0.99 -> "q099", 1.0 -> "q100")
+
+  private def data() = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows =
+      Seq("single" -> Seq(42.0),
+        "pair" -> Seq(1.0, 2.0),
+        "odd" -> Seq(5.0, 1.0, 9.0, 3.0, 7.0),
+        "even" -> Seq(10.0, 40.0, 20.0, 30.0),
+        "ties" -> Seq(2.0, 2.0, 2.0, 8.0, 8.0, 1.0),
+        "wide" -> (1 to 101).map(_.toDouble))
+    rows.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v").repartition(4)
+  }
+
+  test("matches the built-in exact percentile on every shape") {
+    val df = data()
+    val ours = ExactQuantiles.perGroup(df, Seq("g"), "v", qs)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 2))).toMap
+    val builtin = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${qs.map(_._1).mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1).map(v => math.rint(v * 1e4) / 1e4)).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (g, got) =>
+      got.zip(builtin(g)).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-6,
+          s"group $g q=${qs(i)._1}: got $a, built-in $b")
+      }
+    }
+  }
+
+  test("group row counts ride along") {
+    val counts = ExactQuantiles.perGroup(data(), Seq("g"), "v", Seq(0.5 -> "p50"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("single" -> 1L, "pair" -> 2L, "odd" -> 5L,
+      "even" -> 4L, "ties" -> 6L, "wide" -> 101L))
+  }
+
+  test("plans one exchange on the group key, no value buffering aggregate") {
+    val df = data()
+    val plan = ExactQuantiles.perGroup(df, Seq("g"), "v", Seq(0.5 -> "p50"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("),
+      s"must not fall back to the buffering percentile aggregate:\n$plan")
+    // hashpartitioning(g) for the window; the final groupBy reuses it
+    assert("hashpartitioning\\(g".r.findAllIn(plan).length >= 1)
+  }
+}
