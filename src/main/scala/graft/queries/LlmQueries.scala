@@ -331,13 +331,7 @@ object LlmQueries {
         .persist()
       val sig = withSh.select(col("doc_id"),
         graft.expressions.MinHashSignatures.of(col("sh"), nPerm).as("hs"))
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until nPerm / bandSize).map { b =>
-          md5(concat_ws("|", lit(b.toString) +:
-            (0 until bandSize).map(j =>
-              element_at(col("hs"), b * bandSize + j + 1)): _*))
-        }: _*)).as("band"))
-        .persist()
+      val bands = mkBands(sig, nPerm, bandSize).persist()
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -367,6 +361,17 @@ object LlmQueries {
       bands.unpersist()
       out
   }
+
+  /** LSH band rows `(doc_id, band)` from a `(doc_id, hs)` signature
+    * frame — one md5 per band over its slice of the signature. Shared
+    * by the self-join pair stage and the incremental screen. */
+  private def mkBands(sig: DataFrame, nPerm: Int, bandSize: Int): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until nPerm / bandSize).map { b =>
+        md5(concat_ws("|", lit(b.toString) +:
+          (0 until bandSize).map(j =>
+            element_at(col("hs"), b * bandSize + j + 1)): _*))
+      }: _*)).as("band"))
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[minhashPairs]]; shared by the pair and cluster oracles. */
@@ -423,6 +428,121 @@ object LlmQueries {
     Some(s"""
       WITH $MINHASH_CTES
       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""),
+  )
+
+  // ------------------------------------------------- incremental screen
+  /** Incremental corpus dedup — screen a NEW batch of documents against
+    * the EXISTING corpus without recomputing (or reshuffling) the
+    * corpus: the operational "dedup today's crawl against the lake"
+    * flow, the batch-text analog of `stream_near_dup_screen`.
+    *
+    * The corpus's LSH band rows play the stored index (in a deployment
+    * they are a maintained parquet table, like the streaming screens'
+    * quantized index; here they derive inline so the oracle can replay
+    * end-to-end). The BATCH side — the small side by construction — is
+    * broadcast into the band join, so the index is scanned exactly once
+    * and nothing corpus-sized moves. Candidates sharing a band get an
+    * exact shingle-Jaccard, and each batch doc reports its best corpus
+    * match (highest jaccard, smallest corpus doc_id on ties — a packed
+    * max-struct, no window) with `is_dup` at the 0.5 threshold. Batch
+    * docs with no candidate band collision survive with null match —
+    * every batch doc gets a verdict row. */
+  private val incrementalScreen = Q(
+    "dedup_incremental_screen",
+    (s, dir) => {
+      val nPerm = 12
+      val bandSize = 3
+      val isBatch = col("doc_id") % 10 === 3
+      val d = Tables.documents(s, dir)
+      val withSh = d
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      val sig = withSh.select(col("doc_id"),
+        graft.expressions.MinHashSignatures.of(col("sh"), nPerm).as("hs"))
+      val corpusBands = mkBands(sig.filter(!isBatch), nPerm, bandSize)
+      val batchBands = mkBands(sig.filter(isBatch), nPerm, bandSize)
+        .withColumnRenamed("doc_id", "batch_id")
+      val cand = corpusBands.join(broadcast(batchBands), Seq("band"))
+        .select(col("batch_id"), col("doc_id").as("corpus_id"))
+        .distinct()
+      val sets = withSh.select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
+      val scored = cand
+        .join(sets.select(col("doc_id").as("batch_id"), col("sh").as("sha"),
+          col("n").as("na")), "batch_id")
+        .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("shb"),
+          col("n").as("nb")), "corpus_id")
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("j"))
+      // best match per batch doc: jaccard DESC then corpus_id ASC, as
+      // one packed max-struct aggregate (corpus_id negated so both
+      // components maximize) — no rank window over the candidate set
+      val best = scored.groupBy("batch_id")
+        .agg(max(struct(col("j"), (-col("corpus_id")).as("neg"))).as("m"))
+        .select(col("batch_id").as("doc_id"),
+          (-col("m.neg")).as("dup_of"), col("m.j").as("jaccard"))
+      val out = d.filter(isBatch).select("doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("jaccard") >= 0.5, lit(false)))
+        .orderBy("doc_id")
+        .persist()
+      out.count()
+      withSh.unpersist()
+      out
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      sig AS (SELECT doc_id,
+                min(md5('p0|' || shingle)) AS h0, min(md5('p1|' || shingle)) AS h1,
+                min(md5('p2|' || shingle)) AS h2, min(md5('p3|' || shingle)) AS h3,
+                min(md5('p4|' || shingle)) AS h4, min(md5('p5|' || shingle)) AS h5,
+                min(md5('p6|' || shingle)) AS h6, min(md5('p7|' || shingle)) AS h7,
+                min(md5('p8|' || shingle)) AS h8, min(md5('p9|' || shingle)) AS h9,
+                min(md5('p10|' || shingle)) AS h10, min(md5('p11|' || shingle)) AS h11
+              FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', h0, h1, h2)),
+                  md5(concat_ws('|', '1', h3, h4, h5)),
+                  md5(concat_ws('|', '2', h6, h7, h8)),
+                  md5(concat_ws('|', '3', h9, h10, h11))]) AS band
+                FROM sig),
+      cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+               FROM bands b JOIN bands c ON b.band = c.band
+               WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) AS i
+                FROM cand cd
+                JOIN sh sa ON cd.batch_id = sa.doc_id
+                JOIN sh sb ON cd.corpus_id = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY cd.batch_id, cd.corpus_id),
+      scored AS (SELECT c.batch_id, c.corpus_id,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                         / CAST(na.n + nb.n - coalesce(i.i, 0) AS DOUBLE), 4) AS j
+                 FROM cand c
+                 LEFT JOIN inter i ON c.batch_id = i.batch_id
+                                  AND c.corpus_id = i.corpus_id
+                 JOIN sizes na ON c.batch_id = na.doc_id
+                 JOIN sizes nb ON c.corpus_id = nb.doc_id),
+      best AS (SELECT batch_id, corpus_id, j FROM (
+                 SELECT batch_id, corpus_id, j,
+                        row_number() OVER (PARTITION BY batch_id
+                                           ORDER BY j DESC, corpus_id) AS rn
+                 FROM scored) t WHERE rn = 1)
+      SELECT d.doc_id, b.corpus_id AS dup_of, b.j AS jaccard,
+             coalesce(b.j >= 0.5, FALSE) AS is_dup
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.batch_id
+      WHERE d.doc_id % 10 = 3
+      ORDER BY d.doc_id"""),
   )
 
   // ---------------------------------------------------- duplicate clusters
@@ -753,6 +873,6 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
-    corpusCleanClustered, dedupExact, minhash, dedupClusters, ngramJaccard,
-    simhash, annTopK, multimodal)
+    corpusCleanClustered, dedupExact, minhash, incrementalScreen,
+    dedupClusters, ngramJaccard, simhash, annTopK, multimodal)
 }
