@@ -54,6 +54,30 @@ class ExactQuantilesSpec extends AnyFunSuite {
       "even" -> 4L, "ties" -> 6L, "wide" -> 101L))
   }
 
+  test("approx_percentile (the mergeable-sketch scale default) tracks the exact values") {
+    // The operator doc points hot 100 TB paths at approx_percentile;
+    // this pins that the recommendation is sound — the sketch stays
+    // within its accuracy contract of the exact rank-arithmetic values
+    // on real data (sf0.001 token counts).
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), graft.functions.TextFunctions.tokenCount(col("text")).as("v"))
+    val exact = ExactQuantiles.perGroup(toks, Seq("lang"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = toks.groupBy("lang")
+      .agg(expr("approx_percentile(v, array(0.5, 0.9), 1000)").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1)(0).toDouble, r.getSeq[Long](1)(1).toDouble)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, (e50, e90)) =>
+      val (a50, a90) = approx(lang)
+      // approx_percentile returns an actual data value at a rank within
+      // accuracy; token counts are small integers, so within a few units
+      assert(math.abs(a50 - e50) <= 3, s"$lang p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= 3, s"$lang p90: approx $a90 vs exact $e90")
+    }
+  }
+
   test("plans one exchange on the group key, no value buffering aggregate") {
     val df = data()
     val plan = ExactQuantiles.perGroup(df, Seq("g"), "v", Seq(0.5 -> "p50"))

@@ -144,6 +144,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dedup_simhash should compute exactly one md5 per token:\n$simhash")
   }
 
+  test("curation/screen scale shapes: broadcast sides stay broadcast") {
+    // decontam_overlap's whole 100 TB story is "benchmark dictionary is
+    // broadcast, corpus never self-joins"; dedup_incremental_screen's is
+    // "batch bands broadcast into the index scan". If either degrades to
+    // a shuffle join the operator silently becomes a corpus shuffle.
+    def plan(n: String) = {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      df.unpersist()
+      p
+    }
+    val decontam = plan("decontam_overlap")
+    assert(decontam.contains("BroadcastHashJoin"),
+      s"decontam benchmark dictionary must broadcast:\n$decontam")
+    val screen = plan("dedup_incremental_screen")
+    assert(screen.contains("BroadcastHashJoin"),
+      s"incremental screen batch side must broadcast:\n$screen")
+    // the mixing filter is a pure scan: no exchange before the output sort
+    val sample = plan("mix_stratified_sample")
+    val preSort = sample.split("Sort ").last
+    assert("Exchange".r.findAllIn(preSort).length <= 1,
+      s"stratified sample should be filter-only below its output sort:\n$sample")
+  }
+
   test("full query sweep leaves no persisted storage behind") {
     // The round-5 bench showed cross-query pollution: unreleased
     // checkpoint/persist blocks from earlier queries inflated
