@@ -266,6 +266,59 @@ object CurationQueries {
       FROM r GROUP BY lang ORDER BY lang"""),
   )
 
+  // -------------------------------------------------- repetition signals
+  /** Within-document repetition signals — the Gopher/RefinedWeb-style
+    * quality rules that catch boilerplate and degenerate generations:
+    * the fraction of token occurrences that are repeats, and the same
+    * over bigrams. Both are CLOSED-FORM column arithmetic over the
+    * token array (`array_distinct`/`size`, and n_bigrams = n_tokens−1
+    * with the engine's distinct-shingle count) — no explode, no
+    * per-document aggregation, zero shuffles below the output sort, so
+    * the scoring rides the corpus scan like the other text signals.
+    * The flag thresholds (30% repeated tokens / 15% repeated bigrams)
+    * follow the published rules' shape; the continuous columns carry
+    * the differential signal either way. */
+  private val repetitionStats = Q(
+    "corpus_repetition_stats",
+    (s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val nBigram = greatest(nTok - 1, lit(0L))
+      val nBigramDistinct = size(TextFunctions.shingles(col("text"), 2)).cast("long")
+      val dupTok = round((nTok - nDistinct).cast("double") /
+        nullif(nTok, lit(0L)).cast("double"), 4)
+      val dupBigram = coalesce(round((nBigram - nBigramDistinct).cast("double") /
+        nullif(nBigram, lit(0L)).cast("double"), 4), lit(0.0))
+      Tables.documents(s, dir).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        dupTok.as("dup_token_frac"),
+        dupBigram.as("dup_bigram_frac"),
+        (dupTok > 0.3 || dupBigram > 0.15).as("is_repetitive"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct(t)) AS BIGINT) AS n_dis,
+              CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bi,
+              CAST(len(list_distinct(
+                CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END)) AS BIGINT) AS n_bi_dis
+            FROM t)
+      SELECT doc_id, n_tok AS n_tokens,
+             round(CAST(n_tok - n_dis AS DOUBLE) / nullif(n_tok, 0), 4)
+               AS dup_token_frac,
+             coalesce(round(CAST(n_bi - n_bi_dis AS DOUBLE) / nullif(n_bi, 0), 4),
+               0.0) AS dup_bigram_frac,
+             (round(CAST(n_tok - n_dis AS DOUBLE) / nullif(n_tok, 0), 4) > 0.3
+              OR coalesce(round(CAST(n_bi - n_bi_dis AS DOUBLE) / nullif(n_bi, 0), 4),
+                   0.0) > 0.15) AS is_repetitive
+      FROM m ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles)
+    tokenQuantiles, repetitionStats)
 }

@@ -54,6 +54,36 @@ class ExactQuantilesSpec extends AnyFunSuite {
       "even" -> 4L, "ties" -> 6L, "wide" -> 101L))
   }
 
+  test("randomized: agrees with the built-in percentile on 30 arbitrary group shapes") {
+    // hand-rolled property sampling (no scalatest-scalacheck bridge in
+    // the offline cache): seeded, so a failure is reproducible
+    val rnd = new scala.util.Random(20260812)
+    val spark0 = spark
+    import spark0.implicits._
+    val qsR = Seq(0.1 -> "a", 0.5 -> "b", 0.75 -> "c", 0.95 -> "d")
+    (1 to 3).foreach { round =>
+      val rows = (1 to 30).flatMap { g =>
+        val n = 1 + rnd.nextInt(40)
+        // mix continuous values and heavy ties
+        (1 to n).map(_ => (s"g$g",
+          if (rnd.nextBoolean()) rnd.nextInt(5).toDouble else rnd.nextDouble() * 100))
+      }
+      val df = rows.toDF("g", "v").repartition(5)
+      val ours = ExactQuantiles.perGroup(df, Seq("g"), "v", qsR)
+        .collect().map(r => r.getString(0) ->
+          qsR.indices.map(i => r.getDouble(i + 2))).toMap
+      val builtin = df.groupBy("g")
+        .agg(expr(s"percentile(v, array(${qsR.map(_._1).mkString(",")}))").as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      ours.foreach { case (g, got) =>
+        got.zip(builtin(g)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 5e-5, // ours rounds to 4 dp
+            s"round $round group $g: got $a, built-in $b")
+        }
+      }
+    }
+  }
+
   test("approx_percentile (the mergeable-sketch scale default) tracks the exact values") {
     // The operator doc points hot 100 TB paths at approx_percentile;
     // this pins that the recommendation is sound — the sketch stays
