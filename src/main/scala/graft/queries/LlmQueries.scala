@@ -364,14 +364,12 @@ object LlmQueries {
 
   /** LSH band rows `(doc_id, band)` from a `(doc_id, hs)` signature
     * frame — one md5 per band over its slice of the signature. Shared
-    * by the self-join pair stage and the incremental screen. */
+    * by the self-join pair stage, the incremental screen, and (through
+    * [[graft.ext.TextLsh]], the single band-format definition) the
+    * streaming corpus ingest. */
   private def mkBands(sig: DataFrame, nPerm: Int, bandSize: Int): DataFrame =
-    sig.select(col("doc_id"), explode(array(
-      (0 until nPerm / bandSize).map { b =>
-        md5(concat_ws("|", lit(b.toString) +:
-          (0 until bandSize).map(j =>
-            element_at(col("hs"), b * bandSize + j + 1)): _*))
-      }: _*)).as("band"))
+    sig.select(col("doc_id"),
+      explode(graft.ext.TextLsh.bandArray(col("hs"), nPerm, bandSize)).as("band"))
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[minhashPairs]]; shared by the pair and cluster oracles. */

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ext.TextLsh
+import graft.sinks.EventSink.ProcessedIds
+
+/** Continuous crawl ingestion — the corpus-cleaning pipeline
+  * (`corpus_clean`'s gates + dedup stages) run per micro-batch against
+  * PERSISTENT state, so a long-lived stream of scraped documents lands
+  * in the lake already gated and deduplicated:
+  *
+  *   1. quality gate — stateless column scoring
+  *      ([[TextFunctions.qualityScore]]), rides the batch scan;
+  *   2. within-batch exact dedup — lowest-id-wins on the md5 content
+  *      hash (an at-least-once crawler repeats documents inside one
+  *      batch; state only absorbs PRIOR batches);
+  *   3. cross-batch exact dedup — anti-join against the persistent
+  *      content-hash state ([[ProcessedIds]], the same parquet state
+  *      table the event sink replays against);
+  *   4. near-dup screen — LSH band collision against the corpus band
+  *      index ([[TextLsh]], byte-compatible with the batch index): the
+  *      batch's bands broadcast into one scan of the index, band
+  *      collision ≈ Jaccard ≳ 0.63 rejects. A conservative SCREEN, not
+  *      an exact verdict — the weekly batch pass (`corpus_clean` +
+  *      clusters) remains the exactness backstop, same division of
+  *      labor as the streaming embedding screens.
+  *
+  * Crash contract (mirrors `EventSink.deliverBatchIdempotent`): the
+  * accepted set is eagerly checkpointed BEFORE any write — the state
+  * append writes to the directory the anti-join read, so recomputation
+  * mid-write must be impossible by construction — then documents land
+  * first, hashes second. A crash between the two re-ingests exactly
+  * one batch on replay, and the content-hash anti-join turns the
+  * replayed rows into no-ops; duplicates in the accept dir are bounded
+  * to the single interrupted batch and collapse in the batch dedup
+  * pass. Checkpoint blocks release in the `finally`
+  * ([[graft.Lineage.checkpointed]]).
+  */
+object CorpusIngest {
+
+  final case class BatchStats(
+      input: Long, lowQuality: Long, dupInBatch: Long,
+      dupExact: Long, dupNear: Long, accepted: Long)
+
+  /** Ingest one micro-batch of `(idCol, textCol, …)` documents. Returns
+    * the per-stage counts (cheap — every count is on an already-small
+    * or already-materialized frame except the input scan). Call from
+    * [[Streams.deliverStream]]'s `onBatch` for the streaming form, or
+    * directly for a backfill. */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusBands: DataFrame, // (doc_id, band) — the TextLsh index
+      statePath: String,
+      acceptPath: String,
+      minQuality: Double = 0.25): BatchStats = {
+    val input = batch.count()
+    val gated = batch
+      .filter(col(textCol).isNotNull &&
+        TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__hash", md5(col(textCol)))
+    val nGated = gated.count()
+
+    // 2: one winner per content hash inside the batch (lowest id — the
+    // same deterministic canonical-pick as the batch dedup)
+    val batchDeduped = graft.operators.Dedup.latestByKey(
+      gated, Seq("__hash"), Seq(col(idCol).asc))
+    // 3: drop documents whose content already landed in ANY prior batch
+    val spark = batch.sparkSession
+    val fresh = batchDeduped.join(
+      ProcessedIds.load(spark, statePath, "__hash",
+        org.apache.spark.sql.types.StringType),
+      Seq("__hash"), "left_anti")
+
+    // 4: near-dup screen — batch bands broadcast into one index scan;
+    // any band collision rejects the document
+    val batchBands = TextLsh.bandRows(fresh, idCol, textCol)
+      .withColumnRenamed(idCol, "__screen_id")
+    val hit = corpusBands.join(broadcast(batchBands), Seq("band"))
+      .select(col("__screen_id").as(idCol)).distinct()
+    val (accepted, release) = graft.Lineage.checkpointed(
+      fresh.join(hit, Seq(idCol), "left_anti"))
+    try {
+      val nBatchDeduped = batchDeduped.count()
+      val nFresh = fresh.count()
+      val nAccepted = accepted.count()
+      if (nAccepted > 0) {
+        accepted.drop("__hash")
+          .write.mode("append").parquet(acceptPath)
+        ProcessedIds.append(accepted.select(col("__hash")), statePath)
+      }
+      BatchStats(
+        input = input,
+        lowQuality = input - nGated,
+        dupInBatch = nGated - nBatchDeduped,
+        dupExact = nBatchDeduped - nFresh,
+        dupNear = nFresh - nAccepted,
+        accepted = nAccepted)
+    } finally release()
+  }
+}
