@@ -319,6 +319,57 @@ object CurationQueries {
       FROM m ORDER BY doc_id"""),
   )
 
+  // ----------------------------------------------------------- chunking
+  /** Context-window chunking parameters: 16-token chunks every 12
+    * tokens (4-token overlap). One definition for both engines. */
+  private val ChunkSize = 16
+  private val ChunkStride = 12
+
+  /** Document chunking — split every document into fixed-size token
+    * windows with overlap, the standard prep step between a cleaned
+    * corpus and sequence packing for training. Implemented as pure
+    * array arithmetic: `sequence` generates the chunk starts,
+    * `posexplode`-free `explode` + `slice` + `array_join` cut the
+    * windows — no lambda HOFs, no shuffle below the output sort, and
+    * the chunk index is closed-form (`start / stride`) so no window
+    * function numbers the chunks. At 100 TB chunking rides the corpus
+    * scan exactly like the text-stats projections. */
+  private val chunks = Q(
+    "corpus_chunks",
+    (s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n"))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride.toLong)))
+            .as("chunk_start"))
+        .select(
+          col("doc_id"),
+          (col("chunk_start") / ChunkStride).cast("long").as("chunk_idx"),
+          col("chunk_start"),
+          least(lit(ChunkSize.toLong), col("n") - col("chunk_start")).as("chunk_len"),
+          array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
+            lit(ChunkSize)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+      starts AS (SELECT doc_id, t, n, CAST(u.s AS BIGINT) AS chunk_start
+                 FROM t, unnest(range(0, CAST(n AS INT), $ChunkStride)) u(s))
+      SELECT doc_id,
+             chunk_start // $ChunkStride AS chunk_idx,
+             chunk_start,
+             least($ChunkSize, n - chunk_start) AS chunk_len,
+             array_to_string(
+               list_slice(t, CAST(chunk_start + 1 AS INT),
+                 CAST(least(chunk_start + $ChunkSize, n) AS INT)), ' ')
+               AS chunk_text
+      FROM starts
+      ORDER BY doc_id, chunk_idx"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles, repetitionStats)
+    tokenQuantiles, repetitionStats, chunks)
 }

@@ -58,6 +58,23 @@ object CorpusIngest {
       statePath: String,
       acceptPath: String,
       minQuality: Double = 0.25): BatchStats = {
+    // the stage counts + the two writes drive several actions over this
+    // batch; pin it once so a file-backed micro-batch isn't re-read per
+    // action (released before returning)
+    val pinned = batch.persist()
+    try ingestPinned(pinned, idCol, textCol, corpusBands, statePath,
+      acceptPath, minQuality)
+    finally pinned.unpersist()
+  }
+
+  private def ingestPinned(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusBands: DataFrame,
+      statePath: String,
+      acceptPath: String,
+      minQuality: Double): BatchStats = {
     val input = batch.count()
     val gated = batch
       .filter(col(textCol).isNotNull &&
