@@ -665,6 +665,157 @@ object LlmQueries {
       FROM sized WHERE doc_id = cluster_id ORDER BY doc_id"""),
   )
 
+  // ----------------------------------------------------- training mix
+  /** The CAPSTONE pipeline — everything between a raw crawl and a
+    * training-ready token stream, composed as ONE declarative plan:
+    *
+    *   clean (lang + quality + exact + fingerprint dedup, the shared
+    *   survivor stage) → cluster-dedup (LSH pairs → connected
+    *   components, canonical per cluster) → decontaminate (broadcast
+    *   benchmark shingle dictionary, eval slice excluded) → stratified
+    *   sample (deterministic hash, per-source) → token budget (greedy
+    *   quality-ordered prefix per source) → context-window chunks.
+    *
+    *   Every stage is the already-oracle-checked operator applied
+    *   unchanged; what this query adds — and checks — is their
+    *   COMPOSITION: the same doc survives or dies through six stages
+    *   in both engines, down to the final chunk text. Scale shape is
+    *   the sum of the parts: the only corpus-sized shuffles are the
+    *   survivor dedups and the per-source budget window; clusters,
+    *   decontamination and sampling ride joins that are bucketed,
+    *   broadcast, or filter-only. */
+  private val trainingMix = Q(
+    "corpus_training_mix",
+    (s, dir) => {
+      val surv = corpusSurvivors(s, dir)
+      val pairs = minhashPairs(s, dir)
+      val sd = surv.select("doc_id")
+      val edges = pairs.filter(col("jaccard") >= 0.5)
+        .join(sd.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(sd.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select("doc_a", "doc_b")
+      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
+        surv, "doc_id", edges, "doc_a", "doc_b")
+      val canon = labeled.filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id", "source", "quality_score")
+      val d = Tables.documents(s, dir)
+      val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
+      // decontamination — same shingle dictionary shape as decontam_overlap
+      val sh = d.select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+      val benchDict = sh.filter(col("doc_id") % 50 === 7)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val hits = sh.filter(col("doc_id") % 50 =!= 7)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(benchDict), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val contam = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            nullif(col("n_sh"), lit(0L)).cast("double"), 4), lit(0.0)).as("ratio"))
+      val cleanDocs = withText
+        .filter(col("doc_id") % 50 =!= 7) // the eval slice never trains
+        .join(contam, Seq("doc_id"))
+        .filter(col("ratio") < 0.2)
+      // deterministic stratified sample, then the per-source token budget
+      val sampled = cleanDocs.filter(
+        col("doc_id") * lit(2654435761L) % lit(4294967296L) % lit(100L) < 60)
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budgeted = sampled
+        .withColumn("token_cnt", TextFunctions.tokenCount(col("text")))
+        .withColumn("cum", sum(col("token_cnt")).over(w))
+        .filter(col("cum") <= 800)
+      // context-window chunks (same 16/12 geometry as corpus_chunks)
+      val out = budgeted
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("t"), col("token_cnt").as("n"))
+        .select(col("doc_id"), col("source"), col("t"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(12L))).as("chunk_start"))
+        .select(col("doc_id"), col("source"),
+          (col("chunk_start") / 12).cast("long").as("chunk_idx"),
+          col("chunk_start"),
+          least(lit(16L), col("n") - col("chunk_start")).as("chunk_len"),
+          array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
+            lit(16)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+        .persist()
+      out.count()
+      releaseComp()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      edges AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5
+        UNION
+        SELECT p.doc_b AS src, p.doc_a AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      canon AS (
+        SELECT f.doc_id, f.source, f.quality_score, f.text
+        FROM fpd f LEFT JOIN comp c ON f.doc_id = c.id
+        WHERE coalesce(c.comp, f.doc_id) = f.doc_id),
+      tok4 AS (SELECT doc_id, string_split(text, ' ') AS t4 FROM documents),
+      sh4 AS (SELECT doc_id, list_distinct(
+                CASE WHEN len(t4) >= 4
+                     THEN list_transform(range(1, len(t4) - 2),
+                            i -> t4[i] || ' ' || t4[i+1] || ' ' || t4[i+2] || ' ' || t4[i+3])
+                     ELSE [] END) AS shl
+              FROM tok4),
+      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh4 WHERE doc_id % 50 = 7),
+      hits AS (SELECT e.doc_id, count(*) AS n_hit
+               FROM (SELECT doc_id, unnest(shl) AS shingle FROM sh4
+                     WHERE doc_id % 50 <> 7) e
+               JOIN bench USING (shingle) GROUP BY e.doc_id),
+      cleand AS (
+        SELECT c.* FROM canon c
+        JOIN sh4 s ON c.doc_id = s.doc_id
+        LEFT JOIN hits h ON c.doc_id = h.doc_id
+        WHERE c.doc_id % 50 <> 7
+          AND coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                             / nullif(len(s.shl), 0), 4), 0.0) < 0.2),
+      sampled AS (
+        SELECT * FROM cleand
+        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 60),
+      budgeted AS (
+        SELECT doc_id, source, text, token_cnt FROM (
+          SELECT doc_id, source, text, quality_score,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+                 CAST(sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sampled) t
+        WHERE cum <= 800),
+      chunkbase AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t, token_cnt AS n
+        FROM budgeted),
+      starts AS (
+        SELECT doc_id, source, t, n, CAST(u.s AS BIGINT) AS chunk_start
+        FROM chunkbase, unnest(range(0, CAST(n AS INT), 12)) u(s))
+      SELECT doc_id, source,
+             chunk_start // 12 AS chunk_idx,
+             chunk_start,
+             least(16, n - chunk_start) AS chunk_len,
+             array_to_string(
+               list_slice(t, CAST(chunk_start + 1 AS INT),
+                 CAST(least(chunk_start + 16, n) AS INT)), ' ') AS chunk_text
+      FROM starts
+      ORDER BY doc_id, chunk_idx"""),
+  )
+
   // ------------------------------------------------------ n-gram Jaccard
   /** N-gram Jaccard near-dup: candidate pairs share at least one RARE
     * 4-shingle (document frequency ≤ 10), then exact shingle Jaccard ≥
@@ -871,6 +1022,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
-    corpusCleanClustered, dedupExact, minhash, incrementalScreen,
-    dedupClusters, ngramJaccard, simhash, annTopK, multimodal)
+    corpusCleanClustered, trainingMix, dedupExact, minhash,
+    incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
+    multimodal)
 }
