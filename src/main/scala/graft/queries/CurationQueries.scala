@@ -370,6 +370,53 @@ object CurationQueries {
       ORDER BY doc_id, chunk_idx"""),
   )
 
+  // ------------------------------------------------------------ packing
+  /** Training-sequence length in tokens. */
+  private val SeqLen = 64
+
+  /** Sequence packing — the concat-and-cut step that turns cleaned
+    * documents into fixed-length training sequences: within each
+    * source stream, documents are laid end to end in a deterministic
+    * order (doc_id) and every document learns which packed sequence it
+    * starts in (`seq_id`) and at which token offset (`seq_offset`).
+    * Downstream, a writer emits sequence `s` by concatenating the docs
+    * with `seq_id = s` (splitting the one doc that straddles the
+    * boundary) — the assignment here is the distributed part; the
+    * emit is a per-sequence local concat.
+    *
+    * 100 TB design: one running-sum window per source stream — the
+    * same single-exchange shape as the token budget. A global (one
+    * stream) packing would serialize into one partition; per-source
+    * streams is how real pipelines keep packing parallel, and the
+    * stream key is pluggable. */
+  private val packing = Q(
+    "mix_pack_sequences",
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt"))
+        .withColumn("cum_end", sum(col("token_cnt")).over(w))
+        .select(col("doc_id"), col("source"), col("token_cnt"),
+          ((col("cum_end") - col("token_cnt")) / SeqLen).cast("long").as("seq_id"),
+          ((col("cum_end") - col("token_cnt")) % SeqLen).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source, token_cnt,
+             (cum_end - token_cnt) // $SeqLen AS seq_id,
+             (cum_end - token_cnt) % $SeqLen AS seq_offset
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM documents) t
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles, repetitionStats, chunks)
+    tokenQuantiles, repetitionStats, chunks, packing)
 }
