@@ -45,13 +45,20 @@ object ZOrderWriter {
     spreadBits(a16).bitwiseOR(shiftleft(spreadBits(b16), 1))
 
   /** Quantize a numeric column to a 16-bit cell index over [lo, hi].
-    * A degenerate range (hi == lo) maps everything to cell 0; NULLs map
-    * to cell 0 so they cluster together at the curve's origin. */
+    * A degenerate range (hi == lo, or non-finite bounds) maps
+    * everything to cell 0; NULL/NaN/±Inf values map to cell 0 so they
+    * cluster together at the curve's origin — layout only, the rows'
+    * actual values are untouched (an ANSI `floor(NaN).cast(long)`
+    * would instead abort the whole write on one bad row). */
   private def cell16(c: Column, lo: Double, hi: Double): Column =
-    if (hi <= lo) lit(0L)
-    else least(lit(65535L), greatest(lit(0L),
-      floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) /
-        lit(hi - lo) * lit(65536.0)).cast("long")))
+    if (!(lo < hi) || lo.isInfinite || hi.isInfinite) lit(0L)
+    else {
+      val v = c.cast("double")
+      val finite = v.isNotNull && !isnan(v) &&
+        v > Double.NegativeInfinity && v < Double.PositiveInfinity
+      val cell = floor((v - lit(lo)) / lit(hi - lo) * lit(65536.0)).cast("long")
+      when(finite, least(lit(65535L), greatest(lit(0L), cell))).otherwise(lit(0L))
+    }
 
   /** The z-value column for (a, b) given their observed bounds. */
   def zValue(a: Column, b: Column, bounds: Bounds): Column =
@@ -60,11 +67,18 @@ object ZOrderWriter {
   final case class Bounds(aLo: Double, aHi: Double, bLo: Double, bHi: Double)
 
   /** Observed min/max of both dimensions — one metadata-sized aggregate
-    * (4 doubles to the driver). */
+    * (4 doubles to the driver). Non-finite values are excluded so one
+    * NaN/Inf row can't collapse a dimension's whole range (they land
+    * in cell 0 at quantization time instead). */
   def bounds(df: DataFrame, a: String, b: String): Bounds = {
+    def finiteOnly(name: String): Column = {
+      val v = col(name).cast("double")
+      when(!isnan(v) && v > Double.NegativeInfinity &&
+        v < Double.PositiveInfinity, v)
+    }
     val r = df.agg(
-      min(col(a).cast("double")), max(col(a).cast("double")),
-      min(col(b).cast("double")), max(col(b).cast("double"))).head()
+      min(finiteOnly(a)), max(finiteOnly(a)),
+      min(finiteOnly(b)), max(finiteOnly(b))).head()
     def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     Bounds(d(0), d(1), d(2), d(3))
   }

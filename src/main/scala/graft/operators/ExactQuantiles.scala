@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * the running windows; memory per task is O(1) regardless of group
   * size.
   *
-  * NULL values must be filtered by the caller first (PERCENTILE_CONT
-  * ignores them; a NULL would corrupt the rank positions here).
-  * Ties need no tiebreak: equal values make rank assignment among them
-  * arbitrary but the value AT each rank — all the arithmetic reads —
-  * deterministic.
+  * NULL values are dropped internally — PERCENTILE_CONT semantics —
+  * so `n_<valueCol>` is the NON-NULL count and a group of only NULLs
+  * disappears (exactly as a grouped `percentile` aggregate returns no
+  * interpolable value). Ties need no tiebreak: equal values make rank
+  * assignment among them arbitrary but the value AT each rank — all
+  * the arithmetic reads — deterministic.
   */
 object ExactQuantiles {
 
@@ -46,6 +47,9 @@ object ExactQuantiles {
     val part = Window.partitionBy(groupCols.map(col): _*)
     val ranked = df
       .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      // a NULL would sit at rank 0 while still counting into __n,
+      // shifting every quantile position one row off
+      .filter(col("__v").isNotNull)
       .withColumn("__rn",
         (row_number().over(part.orderBy(col("__v"))) - 1).cast("long"))
       .withColumn("__n", count(lit(1)).over(part))

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Expression, GetJsonObject, JsonToStructs, JsonTuple, Levenshtein, Md5,
-  RegExpExtract, RegExpExtractAll, RegExpReplace, RLike, ScalaUDF, Sha1, Sha2,
+  Expression, GetJsonObject, JsonToStructs, JsonTuple, Levenshtein,
+  RegExpExtract, RegExpExtractAll, RegExpReplace, RLike, ScalaUDF,
   StructsToJson}
 import org.apache.spark.sql.catalyst.expressions.objects.{Invoke, StaticInvoke}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
@@ -49,21 +49,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object DeferExpensiveProjectPastSort extends Rule[LogicalPlan] {
 
+  // Digests (md5/sha) are deliberately NOT in this set: they are
+  // narrow-output/wide-input (a 32-char hash of an arbitrarily large
+  // column) and cheap per byte, so deferring them past the exchange
+  // can ship far more shuffle data than the duplicated hash it saves.
   private def expensive(e: Expression): Boolean = e.exists {
     case _: GetJsonObject | _: JsonToStructs | _: StructsToJson |
         _: JsonTuple => true
     case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll |
         _: RLike | _: Levenshtein => true
-    case _: Md5 | _: Sha1 | _: Sha2 => true
     case _: ScalaUDF | _: Invoke | _: StaticInvoke => true
     case other => other.getClass.getName.startsWith("graft.expressions.")
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case s @ Sort(order, true, p @ Project(projectList, child), _)
+    case Sort(order, true, Project(projectList, child), hint)
         if order.forall(_.references.subsetOf(child.outputSet)) &&
           projectList.forall(_.deterministic) &&
           projectList.exists(expensive) =>
-      Project(projectList, Sort(order, global = true, child))
+      Project(projectList, Sort(order, global = true, child, hint))
   }
 }

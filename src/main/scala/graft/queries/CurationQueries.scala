@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,8 +22,36 @@ object CurationQueries {
 
   /** Benchmark/eval-set membership: a deterministic slice of the
     * documents table stands in for the eval set being protected.
-    * Shared by the Spark side and the oracle — must never drift. */
-  private val BenchPred = "doc_id % 50 = 7"
+    * Shared by the Spark side, the oracle, AND the training-mix
+    * capstone ([[LlmQueries]]) — one definition, no drift. */
+  private[queries] def benchPred(idExpr: String): String = s"$idExpr % 50 = 7"
+  private[queries] val BenchPred = benchPred("doc_id")
+
+  /** Knuth-multiplicative sampling hash of a non-negative id, in
+    * [0, 2^32). Computed as a 16/16-bit split so no intermediate
+    * exceeds 2^48 — `id * 2654435761` directly overflows LONG for ids
+    * ≥ ~3.47e9 (ANSI throws; legacy wraps negative and `bucket < rate`
+    * then keeps EVERY such row), and "billions of documents" is
+    * exactly the scale this engine targets. Ids at or above 2^32 fold
+    * mod 2^32 first (documented, deterministic). Identical arithmetic
+    * on both sides: [[mixBucketHashSql]] is the oracle spelling. */
+  private[queries] def mixBucketHash(id: Column): Column = {
+    val x = pmod(id, lit(4294967296L))
+    val lo = x % 65536L
+    val hi = (x / 65536L).cast("long")
+    (lo * lit(2654435761L) % lit(4294967296L) +
+      hi * lit(2654435761L) % lit(4294967296L) * lit(65536L) % lit(4294967296L)) %
+      lit(4294967296L)
+  }
+
+  private[queries] def mixBucketHashSql(id: String): String =
+    s"""((($id % 4294967296) % 65536) * 2654435761 % 4294967296
+       | + (($id % 4294967296) // 65536) * 2654435761 % 4294967296 * 65536 % 4294967296
+       |) % 4294967296""".stripMargin
+
+  /** Context-window chunking parameters, shared with the capstone. */
+  private[queries] val ChunkSize = 16
+  private[queries] val ChunkStride = 12
 
   // ---------------------------------------------------- decontamination
   /** Test-set decontamination — the GPT-3/Pile-style n-gram overlap
@@ -105,7 +134,7 @@ object CurationQueries {
   private val stratifiedSample = Q(
     "mix_stratified_sample",
     (s, dir) => {
-      val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(100L)
+      val bucket = mixBucketHash(col("doc_id")) % lit(100L)
       val rate = MixRates.foldRight(lit(DefaultRate)) { case ((l, r), acc) =>
         when(col("lang") === l, lit(r)).otherwise(acc)
       }
@@ -117,9 +146,9 @@ object CurationQueries {
     },
     Some(s"""
       SELECT doc_id, lang, source,
-             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+             ${mixBucketHashSql("doc_id")} % 100 AS bucket
       FROM documents
-      WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      WHERE ${mixBucketHashSql("doc_id")} % 100 <
             CASE ${MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
                .mkString(" ")} ELSE $DefaultRate END
       ORDER BY doc_id"""),
@@ -186,7 +215,7 @@ object CurationQueries {
   private val fixedSample = Q(
     "mix_fixed_sample",
     (s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = mixBucketHash(col("doc_id"))
       Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"), h.as("h"))
         .groupBy("lang")
@@ -203,7 +232,7 @@ object CurationQueries {
       SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
         SELECT lang, doc_id,
                row_number() OVER (PARTITION BY lang
-                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+                 ORDER BY ${mixBucketHashSql("doc_id")}, doc_id) AS rn
         FROM documents) t
       WHERE rn <= $FixedSampleK
       ORDER BY lang, sample_rank"""),
@@ -238,7 +267,7 @@ object CurationQueries {
     Some("""
       WITH v AS (SELECT lang,
                         CAST(len(string_split(text, ' ')) AS DOUBLE) AS val
-                 FROM documents),
+                 FROM documents WHERE text IS NOT NULL),
       r AS (SELECT lang, val,
                    CAST(row_number() OVER (PARTITION BY lang ORDER BY val) - 1
                         AS BIGINT) AS rn,
@@ -320,11 +349,6 @@ object CurationQueries {
   )
 
   // ----------------------------------------------------------- chunking
-  /** Context-window chunking parameters: 16-token chunks every 12
-    * tokens (4-token overlap). One definition for both engines. */
-  private val ChunkSize = 16
-  private val ChunkStride = 12
-
   /** Document chunking — split every document into fixed-size token
     * windows with overlap, the standard prep step between a cleaned
     * corpus and sequence packing for training. Implemented as pure

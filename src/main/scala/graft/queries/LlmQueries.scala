@@ -702,9 +702,9 @@ object LlmQueries {
       val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
       // decontamination — same shingle dictionary shape as decontam_overlap
       val sh = d.select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
-      val benchDict = sh.filter(col("doc_id") % 50 === 7)
+      val benchDict = sh.filter(expr(CurationQueries.BenchPred))
         .select(explode(col("sh")).as("shingle")).distinct()
-      val hits = sh.filter(col("doc_id") % 50 =!= 7)
+      val hits = sh.filter(!expr(CurationQueries.BenchPred))
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
         .join(broadcast(benchDict), Seq("shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -714,12 +714,12 @@ object LlmQueries {
           coalesce(round(coalesce(col("n_hit"), lit(0L)).cast("double") /
             nullif(col("n_sh"), lit(0L)).cast("double"), 4), lit(0.0)).as("ratio"))
       val cleanDocs = withText
-        .filter(col("doc_id") % 50 =!= 7) // the eval slice never trains
+        .filter(!expr(CurationQueries.BenchPred)) // the eval slice never trains
         .join(contam, Seq("doc_id"))
         .filter(col("ratio") < 0.2)
       // deterministic stratified sample, then the per-source token budget
       val sampled = cleanDocs.filter(
-        col("doc_id") * lit(2654435761L) % lit(4294967296L) % lit(100L) < 60)
+        CurationQueries.mixBucketHash(col("doc_id")) % lit(100L) < 60)
       val w = Window.partitionBy("source")
         .orderBy(col("quality_score").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -727,18 +727,20 @@ object LlmQueries {
         .withColumn("token_cnt", TextFunctions.tokenCount(col("text")))
         .withColumn("cum", sum(col("token_cnt")).over(w))
         .filter(col("cum") <= 800)
-      // context-window chunks (same 16/12 geometry as corpus_chunks)
+      // context-window chunks — the same shared geometry as corpus_chunks
+      val cs = CurationQueries.ChunkSize.toLong
+      val stride = CurationQueries.ChunkStride.toLong
       val out = budgeted
         .select(col("doc_id"), col("source"),
           TextFunctions.tokens(col("text")).as("t"), col("token_cnt").as("n"))
         .select(col("doc_id"), col("source"), col("t"), col("n"),
-          explode(sequence(lit(0L), col("n") - 1, lit(12L))).as("chunk_start"))
+          explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("chunk_start"))
         .select(col("doc_id"), col("source"),
-          (col("chunk_start") / 12).cast("long").as("chunk_idx"),
+          (col("chunk_start") / stride).cast("long").as("chunk_idx"),
           col("chunk_start"),
-          least(lit(16L), col("n") - col("chunk_start")).as("chunk_len"),
+          least(lit(cs), col("n") - col("chunk_start")).as("chunk_len"),
           array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
-            lit(16)), " ").as("chunk_text"))
+            lit(cs.toInt)), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
         .persist()
       out.count()
@@ -774,21 +776,22 @@ object LlmQueries {
                             i -> t4[i] || ' ' || t4[i+1] || ' ' || t4[i+2] || ' ' || t4[i+3])
                      ELSE [] END) AS shl
               FROM tok4),
-      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh4 WHERE doc_id % 50 = 7),
+      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh4
+                WHERE ${CurationQueries.BenchPred}),
       hits AS (SELECT e.doc_id, count(*) AS n_hit
                FROM (SELECT doc_id, unnest(shl) AS shingle FROM sh4
-                     WHERE doc_id % 50 <> 7) e
+                     WHERE NOT (${CurationQueries.BenchPred})) e
                JOIN bench USING (shingle) GROUP BY e.doc_id),
       cleand AS (
         SELECT c.* FROM canon c
         JOIN sh4 s ON c.doc_id = s.doc_id
         LEFT JOIN hits h ON c.doc_id = h.doc_id
-        WHERE c.doc_id % 50 <> 7
+        WHERE NOT (${CurationQueries.benchPred("c.doc_id")})
           AND coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
                              / nullif(len(s.shl), 0), 4), 0.0) < 0.2),
       sampled AS (
         SELECT * FROM cleand
-        WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 60),
+        WHERE ${CurationQueries.mixBucketHashSql("doc_id")} % 100 < 60),
       budgeted AS (
         SELECT doc_id, source, text, token_cnt FROM (
           SELECT doc_id, source, text, quality_score,
@@ -804,14 +807,14 @@ object LlmQueries {
         FROM budgeted),
       starts AS (
         SELECT doc_id, source, t, n, CAST(u.s AS BIGINT) AS chunk_start
-        FROM chunkbase, unnest(range(0, CAST(n AS INT), 12)) u(s))
+        FROM chunkbase, unnest(range(0, CAST(n AS INT), ${CurationQueries.ChunkStride})) u(s))
       SELECT doc_id, source,
-             chunk_start // 12 AS chunk_idx,
+             chunk_start // ${CurationQueries.ChunkStride} AS chunk_idx,
              chunk_start,
-             least(16, n - chunk_start) AS chunk_len,
+             least(${CurationQueries.ChunkSize}, n - chunk_start) AS chunk_len,
              array_to_string(
                list_slice(t, CAST(chunk_start + 1 AS INT),
-                 CAST(least(chunk_start + 16, n) AS INT)), ' ') AS chunk_text
+                 CAST(least(chunk_start + ${CurationQueries.ChunkSize}, n) AS INT)), ' ') AS chunk_text
       FROM starts
       ORDER BY doc_id, chunk_idx"""),
   )

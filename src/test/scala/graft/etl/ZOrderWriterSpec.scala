@@ -72,13 +72,21 @@ class ZOrderWriterSpec extends AnyFunSuite {
       == (0L until 10000L).sum)
   }
 
-  test("degenerate and null dimensions cluster to the origin, write still succeeds") {
+  test("degenerate, null, NaN and infinite dimensions cluster to the origin") {
     val spark0 = spark
     import spark0.implicits._
-    val df = Seq((1L, 5.0, Option(1.0)), (2L, 5.0, None), (3L, 5.0, Option(2.0)))
+    val df = Seq(
+      (1L, 5.0, Option(1.0)), (2L, 5.0, None), (3L, 5.0, Option(2.0)),
+      // one bad row must neither abort the write (ANSI floor(NaN) cast)
+      // nor collapse the observed bounds to ±Inf
+      (4L, Double.NaN, Option(1.5)),
+      (5L, Double.PositiveInfinity, Option(Double.NegativeInfinity)))
       .toDF("id", "a", "b")
     val dir = Files.createTempDirectory("zdegen").toString + "/t"
     ZOrderWriter.write(df, dir, "a", "b", numFiles = 2)
-    assert(spark.read.parquet(dir).count() == 3)
+    assert(spark.read.parquet(dir).count() == 5)
+    // the finite b-range [1.0, 2.0] survived the Inf row
+    val b = ZOrderWriter.bounds(df, "a", "b")
+    assert(b.bLo == 1.0 && b.bHi == 2.0, b.toString)
   }
 }

@@ -47,6 +47,21 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL values are ignored, PERCENTILE_CONT-style") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("g", Option(1.0)), ("g", None), ("g", Option(3.0)),
+      ("g", None), ("g", Option(2.0)), ("allnull", None))
+      .toDF("g", "v").repartition(3)
+    val rows = ExactQuantiles.perGroup(df, Seq("g"), "v",
+      Seq(0.5 -> "p50", 1.0 -> "p100")).collect()
+    // the all-NULL group vanishes (nothing to interpolate), and the
+    // mixed group's ranks/count see only the three real values
+    assert(rows.map(_.getString(0)).toSeq == Seq("g"))
+    assert(rows.head.getLong(1) == 3L)
+    assert(rows.head.getDouble(2) == 2.0 && rows.head.getDouble(3) == 3.0)
+  }
+
   test("group row counts ride along") {
     val counts = ExactQuantiles.perGroup(data(), Seq("g"), "v", Seq(0.5 -> "p50"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -28,7 +28,12 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     (4L, "uno dos tres cuatro cinco seis siete ocho", "es", "web"),
     (5L, "ein zwei drei vier funf sechs sieben acht", "de", "web"),
     (6L, "un deux trois quatre cinq six sept huit", "fr", "web"),
-    (8L, "yi er san si wu liu qi ba jiu shi", "zh", "web"))
+    (8L, "yi er san si wu liu qi ba jiu shi", "zh", "web")) ++
+    // five ~700-token docs so the 3000-token budget CUTS (3500 > 3000):
+    // without a stratum that crosses the budget, the greedy-prefix
+    // exclusion boundary would never be exercised
+    (20L to 24L).map(i =>
+      (i, (1 to 700).map(j => s"big${i}w$j").mkString(" "), "en", "bulk"))
 
   override def beforeAll(): Unit = {
     val spark0 = spark
@@ -89,5 +94,11 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     kept.groupBy(_._2).foreach { case (lang, rows) =>
       assert(rows.map(_._3).sum <= budget, s"$lang over budget")
     }
+    // the cutoff actually fired: the en stratum holds 3500+ tokens, so
+    // at least one of its documents must have been excluded
+    val keptEn = kept.filter(_._2 == "en").map(_._1).toSet
+    val allEn = docs.filter(_._3 == "en").map(_._1).toSet
+    assert(keptEn.subsetOf(allEn) && keptEn != allEn,
+      s"budget cutoff never fired: kept all of $allEn")
   }
 }
