@@ -66,6 +66,38 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/state").distinct().count() == 2)
   }
 
+  test("crash between document write and state append re-ingests one batch, once") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("ingest_crash").toString
+    val bands = TextLsh.bandRows(corpus(), "doc_id", "text")
+    val batch = Seq((1L, goodText("crashy"))).toDF("doc_id", "text")
+
+    // simulate the documented crash window: documents landed, hashes
+    // did not (state append is the SECOND write) — replay by running
+    // the same batch again against the state that lacks its hashes
+    CorpusIngest.ingestBatch(batch, "doc_id", "text",
+      bands, s"$dir/state", s"$dir/accept")
+    deleteRec(new java.io.File(s"$dir/state")) // as if the append was lost
+    val replay = CorpusIngest.ingestBatch(batch, "doc_id", "text",
+      bands, s"$dir/state", s"$dir/accept")
+    // the replay re-accepts (at-least-once window): accept dir now holds
+    // the doc twice — the bound the scaladoc promises — and state heals
+    assert(replay.accepted == 1)
+    assert(spark.read.parquet(s"$dir/accept").count() == 2)
+    // with state intact, a further replay is a no-op: duplicates are
+    // bounded to the single interrupted batch
+    val again = CorpusIngest.ingestBatch(batch, "doc_id", "text",
+      bands, s"$dir/state", s"$dir/accept")
+    assert(again == replay.copy(accepted = 0, dupExact = 1))
+    assert(spark.read.parquet(s"$dir/accept").count() == 2)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
   test("flows through deliverStream micro-batches end to end") {
     val spark0 = spark
     import spark0.implicits._
