@@ -28,16 +28,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SharedFrames {
 
-  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Drop entries whose owning session has been stopped — their frames
+    * are unusable and would otherwise pin the dead session (and its
+    * plans) for the life of the JVM. Cheap, so run on every miss. */
+  private def purgeStopped(): Unit =
+    cache.entrySet().removeIf { e =>
+      try e.getValue.sparkSession.sparkContext.isStopped
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
 
   /** The memoized, persisted, MATERIALIZED build of `name` for this
     * session. `build` runs at most once per (session, name); the
     * returned frame is already persisted, callers must NOT unpersist
     * it (the whole point is outliving any one query). The session key
-    * is the instance's identity — a restarted/replacement session (new
-    * object) rebuilds rather than reusing a dead plan. */
+    * is `sessionUUID` — unique per session instance, so a restarted/
+    * replacement session rebuilds rather than reusing a dead plan, and
+    * no identity-hash collision can hand one session another's frame. */
   def cached(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(s), name), { _ =>
+    cache.computeIfAbsent((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name), { _ =>
+      purgeStopped()
       val df = build.persist()
       df.count() // eager: consumers time their own work, not the memo's
       df
@@ -48,7 +59,7 @@ object SharedFrames {
     * their corpus-sized intermediates before returning). Runs at most
     * once per (session, name); consumers must not unpersist the result. */
   def cachedPrepersisted(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(s), name), _ => build)
+    cache.computeIfAbsent((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name), { _ => purgeStopped(); build })
 
   /** Live memo entries — each holds exactly one persisted RDD (its
     * materialized InMemoryRelation / checkpoint blocks). The storage-

@@ -73,8 +73,12 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       if (bytes == null || bytes.isEmpty) return None
       val img =
+        // NonFatal, not just IOException: the JDK readers throw
+        // RuntimeExceptions (AIOOBE, IllegalArgument) on malformed
+        // headers, and one bad blob must degrade per row, not fail
+        // the partition
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth

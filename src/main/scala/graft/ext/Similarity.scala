@@ -229,6 +229,12 @@ object Similarity {
     * plain integer SQL over the bitmask, shared by the batch and index
     * sides so banding can never drift between them. */
   def lshBands(sig: Column, nPlanes: Int, bandBits: Int): Column = {
+    // bandBits = 64 would make the mask (1L << 64) - 1 wrap to 0 and
+    // every signature collide into band "b:0" — a silent all-pairs join
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits must be in [1, 63], got $bandBits")
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64], got $nPlanes")
     require(nPlanes % bandBits == 0, s"$nPlanes planes not divisible into $bandBits-bit bands")
     explode(array((0 until nPlanes / bandBits).map { b =>
       concat_ws(":", lit(b.toString),

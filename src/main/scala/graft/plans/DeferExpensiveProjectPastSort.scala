@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.{
   Expression, GetJsonObject, JsonToStructs, JsonTuple, Levenshtein,
   RegExpExtract, RegExpExtractAll, RegExpReplace, RLike, ScalaUDF,
   StructsToJson}
-import org.apache.spark.sql.catalyst.expressions.objects.{Invoke, StaticInvoke}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -38,9 +37,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     nondeterministic expression across a sort changes which row gets
   *     which value);
   *   - at least one projected expression is expensive: JSON
-  *     parse/render, regex, digest, levenshtein, a Scala UDF, an object
-  *     invoke, or one of the engine's native expressions (minhash,
-  *     shingles, rolling fingerprints, …, all in `graft.expressions`).
+  *     parse/render, regex, levenshtein, a Scala UDF, or one of the
+  *     engine's native expressions (minhash, shingles, rolling
+  *     fingerprints, …, all in `graft.expressions`).
   *
   * Column pruning then inserts a cheap passthrough projection under the
   * sort, so the scan still reads only the columns the deferred
@@ -53,12 +52,16 @@ object DeferExpensiveProjectPastSort extends Rule[LogicalPlan] {
   // narrow-output/wide-input (a 32-char hash of an arbitrarily large
   // column) and cheap per byte, so deferring them past the exchange
   // can ship far more shuffle data than the duplicated hash it saves.
+  // Bare Invoke/StaticInvoke are excluded for the same reason: many
+  // CHEAP built-ins lower to object invokes before this rule runs
+  // (encode, char/varchar padding), and treating them all as expensive
+  // would over-trigger the deferral on wide columns.
   private def expensive(e: Expression): Boolean = e.exists {
     case _: GetJsonObject | _: JsonToStructs | _: StructsToJson |
         _: JsonTuple => true
     case _: RegExpReplace | _: RegExpExtract | _: RegExpExtractAll |
         _: RLike | _: Levenshtein => true
-    case _: ScalaUDF | _: Invoke | _: StaticInvoke => true
+    case _: ScalaUDF => true
     case other => other.getClass.getName.startsWith("graft.expressions.")
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,48 @@ object CurationQueries {
   private[queries] val ChunkSize = 16
   private[queries] val ChunkStride = 12
 
+  /** Per-document benchmark-overlap stats for the NON-bench side of
+    * `docs`: `(idCol, n_shingles, n_hit, contam_ratio)`. ONE
+    * implementation of the decontamination stage, shared by
+    * `decontam_overlap` and the training-mix capstone — the broadcast
+    * dictionary, the hit count, and the rounded ratio can never drift
+    * between them. */
+  private[queries] def benchOverlapStats(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+    val benchDict = sh.filter(expr(BenchPred))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val corpus = sh.filter(!expr(BenchPred))
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchDict), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contam_ratio",
+        coalesce(round(col("n_hit").cast("double") /
+          nullif(col("n_shingles"), lit(0L)).cast("double"), 4), lit(0.0)))
+  }
+
+  /** Explode `df` (which must carry `text`) into context-window chunk
+    * rows: `keep ++ (chunk_idx, chunk_start, chunk_len, chunk_text)`.
+    * ONE implementation of the [[ChunkSize]]/[[ChunkStride]] geometry,
+    * shared by `corpus_chunks` and the training-mix capstone. */
+  private[queries] def chunkExplode(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val keepC = keep.map(col)
+    df.select(keepC :+ toks.as("t") :+ size(toks).cast("long").as("n"): _*)
+      .select(keepC ++ Seq(col("t"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride.toLong)))
+          .as("chunk_start")): _*)
+      .select(keepC ++ Seq(
+        (col("chunk_start") / ChunkStride).cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(ChunkSize.toLong), col("n") - col("chunk_start")).as("chunk_len"),
+        array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
+          lit(ChunkSize)), " ").as("chunk_text")): _*)
+  }
+
   // ---------------------------------------------------- decontamination
   /** Test-set decontamination — the GPT-3/Pile-style n-gram overlap
     * check: a training document is contaminated when too many of its
@@ -69,26 +111,13 @@ object CurationQueries {
     * exchange is the per-document aggregate of hit counts. */
   private val decontam = Q(
     "decontam_overlap",
-    (s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
-      val benchDict = sh.filter(expr(BenchPred))
-        .select(explode(col("sh")).as("shingle")).distinct()
-      val corpus = sh.filter(!expr(BenchPred))
-      // shingles() yields DISTINCT shingles per doc, so the post-join
-      // count per doc_id is the distinct-hit count
-      val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .join(broadcast(benchDict), Seq("shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-        .withColumn("contam_ratio",
-          coalesce(round(col("n_hit").cast("double") /
-            nullif(col("n_shingles"), lit(0L)).cast("double"), 4), lit(0.0)))
+    (s, dir) =>
+      // shingles() yields DISTINCT shingles per doc, so n_hit is the
+      // distinct-hit count (see benchOverlapStats — the stage shared
+      // with the training-mix capstone)
+      benchOverlapStats(Tables.documents(s, dir))
         .withColumn("is_contaminated", col("contam_ratio") >= 0.2)
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, list_distinct(
@@ -360,22 +389,9 @@ object CurationQueries {
     * scan exactly like the text-stats projections. */
   private val chunks = Q(
     "corpus_chunks",
-    (s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("t"), size(toks).cast("long").as("n"))
-        .select(col("doc_id"), col("t"), col("n"),
-          explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride.toLong)))
-            .as("chunk_start"))
-        .select(
-          col("doc_id"),
-          (col("chunk_start") / ChunkStride).cast("long").as("chunk_idx"),
-          col("chunk_start"),
-          least(lit(ChunkSize.toLong), col("n") - col("chunk_start")).as("chunk_len"),
-          array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
-            lit(ChunkSize)), " ").as("chunk_text"))
-        .orderBy("doc_id", "chunk_idx")
-    },
+    (s, dir) =>
+      chunkExplode(Tables.documents(s, dir), Seq("doc_id"))
+        .orderBy("doc_id", "chunk_idx"),
     Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n

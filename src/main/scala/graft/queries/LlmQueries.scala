@@ -595,6 +595,19 @@ object LlmQueries {
       ORDER BY doc_id"""),
   )
 
+  /** Near-dup edges (jaccard >= 0.5) restricted to surviving
+    * endpoints. Restriction loses nothing: LSH candidacy for a pair
+    * depends only on the two documents' own signatures, so full-corpus
+    * pairs restricted to survivors ARE the pairs among survivors.
+    * Shared by corpus_clean_clustered and the training-mix capstone. */
+  private def survivorEdges(pairs: DataFrame, surv: DataFrame): DataFrame = {
+    val sd = surv.select("doc_id")
+    pairs.filter(col("jaccard") >= 0.5)
+      .join(sd.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(sd.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b")
+  }
+
   /** The cleaning pipeline with the dedup loop CLOSED: pair-wise
     * near-dup detection under-deletes (a↔b, b↔c must collapse to ONE
     * survivor, but pair-wise rank keeps two) — so the survivors of
@@ -613,12 +626,7 @@ object LlmQueries {
     "corpus_clean_clustered",
     (s, dir) => {
       val surv = corpusSurvivors(s, dir) // session-shared, already persisted
-      val pairs = minhashPairs(s, dir)
-      val sd = surv.select("doc_id")
-      val edges = pairs.filter(col("jaccard") >= 0.5)
-        .join(sd.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        .join(sd.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-        .select("doc_a", "doc_b")
+      val edges = survivorEdges(minhashPairs(s, dir), surv)
       val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
         surv, "doc_id", edges, "doc_a", "doc_b")
       val out = labeled
@@ -688,35 +696,22 @@ object LlmQueries {
     "corpus_training_mix",
     (s, dir) => {
       val surv = corpusSurvivors(s, dir)
-      val pairs = minhashPairs(s, dir)
-      val sd = surv.select("doc_id")
-      val edges = pairs.filter(col("jaccard") >= 0.5)
-        .join(sd.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        .join(sd.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-        .select("doc_a", "doc_b")
+      val edges = survivorEdges(minhashPairs(s, dir), surv)
       val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
         surv, "doc_id", edges, "doc_a", "doc_b")
       val canon = labeled.filter(col("doc_id") === col("cluster_id"))
         .select("doc_id", "source", "quality_score")
       val d = Tables.documents(s, dir)
       val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
-      // decontamination — same shingle dictionary shape as decontam_overlap
-      val sh = d.select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
-      val benchDict = sh.filter(expr(CurationQueries.BenchPred))
-        .select(explode(col("sh")).as("shingle")).distinct()
-      val hits = sh.filter(!expr(CurationQueries.BenchPred))
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .join(broadcast(benchDict), Seq("shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      val contam = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            nullif(col("n_sh"), lit(0L)).cast("double"), 4), lit(0.0)).as("ratio"))
+      // decontamination — the SAME stage as decontam_overlap
+      // (CurationQueries.benchOverlapStats), applied to the canon set;
+      // the stats frame covers exactly the non-bench docs, so the inner
+      // join also drops the eval slice from training
+      val contam = CurationQueries.benchOverlapStats(d)
+        .select("doc_id", "contam_ratio")
       val cleanDocs = withText
-        .filter(!expr(CurationQueries.BenchPred)) // the eval slice never trains
         .join(contam, Seq("doc_id"))
-        .filter(col("ratio") < 0.2)
+        .filter(col("contam_ratio") < 0.2)
       // deterministic stratified sample, then the per-source token budget
       val sampled = cleanDocs.filter(
         CurationQueries.mixBucketHash(col("doc_id")) % lit(100L) < 60)
@@ -727,20 +722,8 @@ object LlmQueries {
         .withColumn("token_cnt", TextFunctions.tokenCount(col("text")))
         .withColumn("cum", sum(col("token_cnt")).over(w))
         .filter(col("cum") <= 800)
-      // context-window chunks — the same shared geometry as corpus_chunks
-      val cs = CurationQueries.ChunkSize.toLong
-      val stride = CurationQueries.ChunkStride.toLong
-      val out = budgeted
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokens(col("text")).as("t"), col("token_cnt").as("n"))
-        .select(col("doc_id"), col("source"), col("t"), col("n"),
-          explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("chunk_start"))
-        .select(col("doc_id"), col("source"),
-          (col("chunk_start") / stride).cast("long").as("chunk_idx"),
-          col("chunk_start"),
-          least(lit(cs), col("n") - col("chunk_start")).as("chunk_len"),
-          array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
-            lit(cs.toInt)), " ").as("chunk_text"))
+      // context-window chunks — the SAME stage as corpus_chunks
+      val out = CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source"))
         .orderBy("doc_id", "chunk_idx")
         .persist()
       out.count()

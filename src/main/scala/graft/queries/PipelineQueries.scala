@@ -21,7 +21,7 @@ object PipelineQueries {
   /** The Lambda's SELECT list (`lambda_redshift_to_segment.py:166-203`):
     * history view joined to profile contact columns. */
   private def activationFeed(s: SparkSession, dir: String): DataFrame = {
-    val asOf = lit("2024-06-01").cast("date")
+    // the as-of date is pinned inside DomainQueries' shared frames
     val vh = DomainQueries.sharedVehicleHistory(s, dir)
     val cp = DomainQueries.sharedProfiles(s, dir)
       .select(col("user_id"), col("email"), col("phone"))

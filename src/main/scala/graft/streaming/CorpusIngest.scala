@@ -29,10 +29,11 @@ import graft.sinks.EventSink.ProcessedIds
   *      labor as the streaming embedding screens.
   *
   * Crash contract (mirrors `EventSink.deliverBatchIdempotent`): the
-  * accepted set is eagerly checkpointed BEFORE any write — the state
-  * append writes to the directory the anti-join read, so recomputation
-  * mid-write must be impossible by construction — then documents land
-  * first, hashes second. A crash between the two re-ingests exactly
+  * post-anti-join batch is eagerly checkpointed BEFORE any write — the
+  * state append writes to the directory the anti-join read, so a
+  * recomputation mid-write must be impossible by construction (and the
+  * checkpoint also bounds the growing state table to ONE scan per
+  * micro-batch) — then documents land first, hashes second. A crash between the two re-ingests exactly
   * one batch on replay, and the content-hash anti-join turns the
   * replayed rows into no-ops; duplicates in the accept dir are bounded
   * to the single interrupted batch and collapse in the batch dedup
@@ -86,12 +87,18 @@ object CorpusIngest {
     // same deterministic canonical-pick as the batch dedup)
     val batchDeduped = graft.operators.Dedup.latestByKey(
       gated, Seq("__hash"), Seq(col(idCol).asc))
-    // 3: drop documents whose content already landed in ANY prior batch
+    // 3: drop documents whose content already landed in ANY prior batch.
+    // Checkpointed IMMEDIATELY: `fresh` embeds the anti-join against the
+    // persistent state table — the table that grows every batch and is
+    // the expensive side at scale — and three consumers read it (the
+    // count, the band build, the accepted anti-join). One eager
+    // checkpoint = one state scan per micro-batch, and it doubles as
+    // the read-overwrite guard for the state append below.
     val spark = batch.sparkSession
-    val fresh = batchDeduped.join(
+    val (fresh, release) = graft.Lineage.checkpointed(batchDeduped.join(
       ProcessedIds.load(spark, statePath, "__hash",
         org.apache.spark.sql.types.StringType),
-      Seq("__hash"), "left_anti")
+      Seq("__hash"), "left_anti"))
 
     // 4: near-dup screen — batch bands broadcast into one index scan;
     // any band collision rejects the document
@@ -99,8 +106,7 @@ object CorpusIngest {
       .withColumnRenamed(idCol, "__screen_id")
     val hit = corpusBands.join(broadcast(batchBands), Seq("band"))
       .select(col("__screen_id").as(idCol)).distinct()
-    val (accepted, release) = graft.Lineage.checkpointed(
-      fresh.join(hit, Seq(idCol), "left_anti"))
+    val accepted = fresh.join(hit, Seq(idCol), "left_anti")
     try {
       val nBatchDeduped = batchDeduped.count()
       val nFresh = fresh.count()

@@ -11,6 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unique-per-instance session id (`classic.SparkSession.sessionUUID`)
+    * — unlike `System.identityHashCode`, two sessions can never share
+    * it, so session-scoped caches keyed on it cannot cross wires. */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Execute a hand-built logical plan (test harness for optimizer
