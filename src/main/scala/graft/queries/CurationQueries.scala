@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,6 +457,91 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  // --------------------------------------------------------- vocabulary
+  /** Vocabulary size — the top-K most frequent tokens get ids. */
+  private val VocabK = 1024
+
+  /** Shared top-K vocabulary frame: `(token, freq, token_id)` with ids
+    * 0..K-1 assigned by (freq DESC, token) — deterministic, so the id
+    * map is reproducible run to run. The global top-K compiles to
+    * TakeOrderedAndProject (per-partition top-K + a K-row driver
+    * merge, never a full sort); the id-assigning rank window then runs
+    * over K ROWS — bounded metadata, like the IVF centroid tables, not
+    * a corpus-sized single-partition window. */
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(VocabK)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** The vocabulary CTE, ONE SQL spelling for both vocab oracles. */
+  private val VOCAB_CTE = s"""
+      vocab AS (
+        SELECT token, freq, CAST(rn - 1 AS BIGINT) AS token_id FROM (
+          SELECT token, CAST(count(*) AS BIGINT) AS freq,
+                 row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token) t
+        WHERE rn <= $VocabK)"""
+
+  /** Frequency-ranked vocabulary — the tokenizer-support half of the
+    * training pipeline: the top-K corpus tokens with deterministic
+    * dense ids, the table a word-level tokenizer (or a BPE seed
+    * vocabulary) is built from. */
+  private val vocab = Q(
+    "corpus_vocab",
+    (s, dir) => vocabFrame(s, dir).orderBy("token_id"),
+    Some(s"""
+      WITH $VOCAB_CTE
+      SELECT token, freq, token_id FROM vocab ORDER BY token_id"""),
+  )
+
+  /** Token-id encoding — documents numericalized against the
+    * vocabulary: per doc, the ordered id sequence (OOV → -1, the UNK
+    * id), total and OOV token counts. The id sequence crosses the
+    * boundary space-joined (the driver compare rejects ARRAY columns).
+    *
+    * 100 TB design: the K-row vocabulary is broadcast; tokens explode
+    * WITH POSITION off the scan and map-side join their ids; the only
+    * exchange is the per-document regroup, and the ordered sequence is
+    * rebuilt by `sort_array(collect_list(struct(pos, id)))` + a
+    * struct-field extraction (GetArrayStructFields — compiled, not a
+    * HOF lambda), never a window. */
+  private val tokenIds = Q(
+    "corpus_token_ids",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+      val enc = toks
+        .join(broadcast(vocabFrame(s, dir).select("token", "token_id")),
+          Seq("token"), "left")
+        .withColumn("tid", coalesce(col("token_id"), lit(-1L)))
+      enc.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_oov"),
+          array_join(
+            sort_array(collect_list(struct(col("pos"), col("tid"))))
+              .getField("tid").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $VOCAB_CTE,
+      d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tok AS (SELECT doc_id, ts[CAST(u.i AS INT)] AS token,
+                     CAST(u.i AS BIGINT) AS pos
+              FROM d, unnest(range(1, len(ts) + 1)) u(i)),
+      enc AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS tid
+              FROM tok t LEFT JOIN vocab v USING (token))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles, repetitionStats, chunks, packing)
+    tokenQuantiles, repetitionStats, chunks, packing, vocab, tokenIds)
 }
