@@ -458,8 +458,12 @@ object CurationQueries {
   )
 
   // --------------------------------------------------------- vocabulary
-  /** Vocabulary size — the top-K most frequent tokens get ids. */
-  private val VocabK = 1024
+  /** Vocabulary size — the top-K most frequent tokens get ids. The
+    * synthetic corpus has 31 distinct tokens at every SF, so K must sit
+    * BELOW that for the cutoff (and the OOV encoding path) to be real
+    * rather than vacuous — same lesson as the round-5 `f_like_patterns`
+    * finding: a branch no row ever takes verifies nothing. */
+  private val VocabK = 24
 
   /** Shared top-K vocabulary frame: `(token, freq, token_id)` with ids
     * 0..K-1 assigned by (freq DESC, token) — deterministic, so the id
