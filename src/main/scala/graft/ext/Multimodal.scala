@@ -189,6 +189,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL nearest-neighbor resize of one image payload: decode, remap
+    * pixels with the engine's OWN `src = (dst · srcDim) / dstDim`
+    * sampling (Graphics2D's scalers are implementation-dependent; this
+    * is deterministic everywhere), re-encode as PNG. None when the
+    * payload doesn't decode. */
+  def resizeImage(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"resize target must be positive: ${dstW}x$dstH")
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * img.getHeight / dstH
+        var x = 0
+        while (x < dstW) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / dstW, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Output of the resize stage, per blob. */
+  val resizeType: StructType = StructType(Seq(
+    StructField("resized_payload", BinaryType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType)))
+
+  /** REAL batch resize — the thumbnail/normalize-resolution stage of an
+    * image-training pipeline, same mapPartitions shape as
+    * [[decodeImages]]: partition-local, stateless, no collects.
+    * Undecodable payloads pass through with null resize columns (mixed
+    * media is the normal case, not an error). */
+  def resizeImages(packed: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val outSchema = StructType(packed.schema.fields ++ resizeType.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]]("payload")
+        resizeImage(if (raw == null) Array.emptyByteArray else raw, dstW, dstH) match {
+          case Some(png) => Row.fromSeq(r.toSeq ++ Seq(png, dstW, dstH))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame/segment sampling: take a deterministic byte-slice per
     * "frame" — the stand-in for video frame extraction. Pure SQL
     * (substring on binary), no decoder needed. The frame index explodes

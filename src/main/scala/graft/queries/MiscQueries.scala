@@ -836,6 +836,51 @@ object MiscQueries {
       FROM documents ORDER BY media_id"""),
   )
 
+  /** REAL resize, differentially verified without any codec in the
+    * oracle: synth(k) is 4×4 with the first k%17 pixels white
+    * (row-major); the engine's nearest-neighbor 2×2 resize samples
+    * source pixels (0,0),(2,0),(0,2),(2,2) — linear indices 0,2,8,10 —
+    * so the RE-DECODED white fraction is pure arithmetic on k
+    * (white iff index < k%17, each pixel an exact quarter). The
+    * resize → PNG re-encode → decode round trip runs distributed;
+    * a wrong sampling offset, row stride, or encode corruption all
+    * shift the fraction. */
+  private val mmResize = Q(
+    "multimodal_resize",
+    (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+      val withImg = Tables.documents(s, dir).select("doc_id")
+        .mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), Multimodal.syntheticImage(r.getLong(0))))
+        }(enc)
+      val packed = Multimodal.pack(withImg, "doc_id", "payload",
+        "image/png", "synthetic")
+      val resized = Multimodal.resizeImages(packed, 2, 2)
+      Multimodal.decodeImages(resized.select(col("media_id"),
+          col("resized_payload").as("payload"), col("metadata")))
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("out_w"),
+          col("height").cast("long").as("out_h"),
+          element_at(col("feature"), 8).cast("double").as("white_frac"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(2 AS BIGINT) AS out_w,
+             CAST(2 AS BIGINT) AS out_h,
+             CAST((CASE WHEN doc_id % 17 > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id % 17 > 2 THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id % 17 > 8 THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id % 17 > 10 THEN 1 ELSE 0 END) AS DOUBLE) / 4
+               AS white_frac
+      FROM documents ORDER BY media_id"""),
+  )
+
   /** The micro-batch near-dup screen ([[Similarity.nearDupScreen]] —
     * the streaming half of embedding dedup, exercised here as one
     * batch): embeddings are split into a stored index (3/4, assigned
@@ -940,5 +985,5 @@ object MiscQueries {
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, streamScreen, streamLsh, mmFeatures,
-    mmFrames, mmDecode, a10)
+    mmFrames, mmDecode, mmResize, a10)
 }

@@ -104,4 +104,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
     assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").length == 50))
   }
+
+  test("resizeImage: exact nearest-neighbor pixel mapping, None on junk") {
+    // synth(5): pixels 0..4 white of 16 (4x4 row-major). NN 2x2 samples
+    // linear indices 0,2,8,10 → white, white, black, black.
+    val png = Multimodal.resizeImage(Multimodal.syntheticImage(5L), 2, 2).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    def white(x: Int, y: Int) = (img.getRGB(x, y) & 0xffffff) == 0xffffff
+    assert(white(0, 0) && white(1, 0) && !white(0, 1) && !white(1, 1))
+    // upscale hits every source pixel at least once and stays decodable
+    val up = Multimodal.resizeImage(Multimodal.syntheticImage(5L), 8, 8).get
+    val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert(upImg.getWidth == 8 && upImg.getHeight == 8)
+    assert(Multimodal.resizeImage("not an image".getBytes, 2, 2).isEmpty)
+    assert(Multimodal.resizeImage(Array.emptyByteArray, 2, 2).isEmpty)
+  }
 }
