@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample as partition-local batch
   * transforms.
   *
-  * Two decoders share the same contract (bytes in, plain values out,
+  * Three decoders share the same contract (bytes in, plain values out,
   * one call per row, no Spark types):
   *   - [[ImageDecoder]] — REAL, pure-JVM `javax.imageio` decode
   *     (PNG/BMP/GIF/JPEG ship in every JDK), exercised end-to-end by
-  *     the `multimodal_decode` differential query;
+  *     the `multimodal_decode` / `multimodal_resize` differential
+  *     queries;
+  *   - [[AudioDecoder]] — REAL, pure-JVM `javax.sound.sampled` WAV/PCM
+  *     decode, exercised end-to-end by `multimodal_audio`;
   *   - [[StubDecoder]] — a clearly-marked deterministic fake standing
-  *     in for codecs that do NOT ship in a bare JVM (audio/video); it
-  *     keeps the feature pipeline testable byte-exactly.
+  *     in for codecs that do NOT ship in a bare JVM (video, compressed
+  *     audio); it keeps that feature pipeline testable byte-exactly.
   * Everything Spark-side — schema, batch shape, partitioning, the
   * mapPartitions plumbing — is identical for both; a GPU/production
   * codec drops in by replacing one function.
@@ -182,6 +185,107 @@ object Multimodal {
         ImageDecoder.decode(bytes) match {
           case Some((w, h, feat)) =>
             Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, w, h, feat.toSeq))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decoder — pure JVM: the WAV/PCM readers of
+    * `javax.sound.sampled` ship in every JDK, so the audio half of the
+    * multimodal surface needs no stub either. Decodes the payload,
+    * walks channel-0 16-bit samples, and returns
+    * `(sampleRate, nFrames, meanAbs)` where meanAbs is the average
+    * absolute amplitude normalized to [0,1] — accumulated in DOUBLE so
+    * synthetic fixtures with power-of-two amplitudes verify bit-exactly.
+    * None when the payload isn't decodable audio (mixed-media lake =
+    * normal case) or isn't 16-bit PCM. */
+  object AudioDecoder {
+    def decode(bytes: Array[Byte]): Option[(Int, Long, Double)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return None
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!ok) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val data = in.readAllBytes()
+          val nFrames = data.length / frameSize
+          var sum = 0.0
+          var i = 0
+          val le = !fmt.isBigEndian
+          while (i < nFrames) {
+            val base = i * frameSize // channel 0 leads each frame
+            val s =
+              if (le) ((data(base) & 0xff) | (data(base + 1) << 8)).toShort
+              else ((data(base + 1) & 0xff) | (data(base) << 8)).toShort
+            sum += math.abs(s / 32768.0)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, nFrames.toLong,
+            if (nFrames == 0) 0.0 else sum / nFrames))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+  }
+
+  /** Output of the REAL audio-decode stage, per blob. */
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("content_md5", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("mean_abs", DoubleType)))
+
+  /** Deterministic synthetic WAV: 16 segments of 10 frames each,
+    * PCM16 mono 8 kHz; the first `k % 17` segments hold +0x4000
+    * (amplitude exactly 0.5), the rest silence — so the decoded mean
+    * absolute amplitude is `(k % 17) / 32`, pure arithmetic a SQL
+    * oracle computes with no codec (the audio analog of
+    * [[syntheticImage]]). */
+  def syntheticWav(k: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val loud = (k % 17).toInt
+    val pcm = new Array[Byte](16 * 10 * 2)
+    var s = 0
+    while (s < 160) {
+      val v = if (s / 10 < loud) 0x4000 else 0
+      pcm(2 * s) = (v & 0xff).toByte
+      pcm(2 * s + 1) = ((v >> 8) & 0xff).toByte
+      s += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 160)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: same mapPartitions shape as [[decodeImages]],
+    * through [[AudioDecoder]]. Hash and length for every row; rate/
+    * samples/amplitude null for payloads that aren't decodable PCM. */
+  def decodeAudio(packed: DataFrame): DataFrame = {
+    val outSchema = StructType(packed.schema.fields ++ audioFeatureType.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]]("payload")
+        val bytes = if (raw == null) Array.emptyByteArray else raw
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        AudioDecoder.decode(bytes) match {
+          case Some((rate, n, mean)) =>
+            Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, rate, n, mean))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(bytes.length.toLong, md5, null, null, null))
         }

@@ -881,6 +881,42 @@ object MiscQueries {
       FROM documents ORDER BY media_id"""),
   )
 
+  /** REAL audio decode, differentially verified with no codec in the
+    * oracle (the WAV analog of `multimodal_decode`): syntheticWav(k)
+    * holds k%17 loud 10-frame segments of amplitude exactly 0.5 in 160
+    * frames, so the decoded mean absolute amplitude is (k%17)/32 — an
+    * exact binary fraction. The WAV encode → header parse → PCM walk
+    * runs distributed via `javax.sound.sampled`. */
+  private val mmAudio = Q(
+    "multimodal_audio",
+    (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+      val withWav = Tables.documents(s, dir).select("doc_id")
+        .mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), Multimodal.syntheticWav(r.getLong(0))))
+        }(enc)
+      val packed = Multimodal.pack(withWav, "doc_id", "payload",
+        "audio/wav", "synthetic")
+      Multimodal.decodeAudio(packed)
+        .select(
+          col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("mean_abs"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(160 AS BIGINT) AS n_samples,
+             CAST(doc_id % 17 AS DOUBLE) / 32 AS mean_abs
+      FROM documents ORDER BY media_id"""),
+  )
+
   /** The micro-batch near-dup screen ([[Similarity.nearDupScreen]] —
     * the streaming half of embedding dedup, exercised here as one
     * batch): embeddings are split into a stored index (3/4, assigned
@@ -985,5 +1021,5 @@ object MiscQueries {
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, streamScreen, streamLsh, mmFeatures,
-    mmFrames, mmDecode, mmResize, a10)
+    mmFrames, mmDecode, mmResize, mmAudio, a10)
 }

@@ -120,4 +120,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage("not an image".getBytes, 2, 2).isEmpty)
     assert(Multimodal.resizeImage(Array.emptyByteArray, 2, 2).isEmpty)
   }
+
+  test("AudioDecoder: exact PCM walk on golden WAV, None on junk") {
+    // synth(5): 5 of 16 segments at amplitude exactly 0.5 → mean 5/32
+    val Some((rate, n, mean)) =
+      Multimodal.AudioDecoder.decode(Multimodal.syntheticWav(5L))
+    assert(rate == 8000 && n == 160L)
+    assert(mean == 5.0 / 32)
+    // silence decodes to exactly zero
+    assert(Multimodal.AudioDecoder.decode(Multimodal.syntheticWav(0L))
+      .contains((8000, 160L, 0.0)))
+    assert(Multimodal.AudioDecoder.decode("not audio".getBytes).isEmpty)
+    assert(Multimodal.AudioDecoder.decode(Array.emptyByteArray).isEmpty)
+    // an image is not audio, and vice versa — the decoders don't cross
+    assert(Multimodal.AudioDecoder.decode(Multimodal.syntheticImage(3L)).isEmpty)
+    assert(Multimodal.ImageDecoder.decode(Multimodal.syntheticWav(3L)).isEmpty)
+  }
 }
