@@ -12,10 +12,12 @@ import graft.functions.TextFunctions
   * [[LlmQueries]]): benchmark decontamination, stratified sampling for
   * data mixing, and token-budget quota selection.
   *
-  * All three are single-pass, shuffle-light designs: decontamination
+  * All are single-pass, shuffle-light designs: decontamination
   * broadcasts the (tiny) benchmark shingle dictionary against the
   * corpus scan; sampling is a pure per-row filter (zero shuffles);
-  * quota selection is one window per stratum. Each is oracle-checked
+  * quota selection and sequence packing run their per-stratum running
+  * sums through [[graft.operators.PrefixSum]]'s two-phase prefix sum
+  * (bounded tasks even with one hot stratum). Each is oracle-checked
   * end-to-end against a DuckDB replay of the identical semantics.
   */
 object CurationQueries {
@@ -194,26 +196,25 @@ object CurationQueries {
     * budget. This is the "mix 30B tokens of code with 10B of forum
     * text" primitive of training-data assembly.
     *
-    * 100 TB design: one hash exchange on the stratum key and one
-    * running-sum window per stratum — no self-joins, no global sort
-    * (the final ORDER BY is the harness's determinism contract, not
-    * part of the operator). Strata are few and internally unordered
-    * until the window's local sort; a pathologically hot stratum would
-    * range-partition on (stratum, priority) and two-phase the prefix
-    * sum, which this plan degrades to without API change. */
+    * 100 TB design: the running sum is [[graft.operators.PrefixSum]]'s
+    * two-phase prefix sum — range-partition on (stratum, priority),
+    * partition-local running sums, broadcast per-partition offsets —
+    * NOT a `Window.partitionBy(stratum)`, which would serialize every
+    * row of a stratum into one sorter task (a straggler/OOM when one
+    * source holds most of 100 TB). No self-joins, no global sort (the
+    * final ORDER BY is the harness's determinism contract, not part of
+    * the operator). */
   private val tokenBudget = Q(
     "mix_token_budget",
-    (s, dir) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(col("token_cnt").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.tokenCount(col("text")).as("token_cnt"))
-        .withColumn("cum_tokens", sum(col("token_cnt")).over(w))
+    (s, dir) =>
+      graft.operators.PrefixSum.runningSum(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              TextFunctions.tokenCount(col("text")).as("token_cnt")),
+          Seq("lang"), Seq(col("token_cnt").desc, col("doc_id")),
+          col("token_cnt"), "cum_tokens")
         .filter(col("cum_tokens") <= TokenBudget)
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id, lang, token_cnt, cum_tokens FROM (
         SELECT doc_id, lang,
@@ -412,7 +413,21 @@ object CurationQueries {
 
   // ------------------------------------------------------------ packing
   /** Training-sequence length in tokens. */
-  private val SeqLen = 64
+  private[queries] val SeqLen = 64
+
+  /** The packing ASSIGNMENT stage shared by `mix_pack_sequences`,
+    * [[packEmit]] and the capstone: per document, `(doc_id, source,
+    * token_cnt, seq_id, seq_offset)` where `seq_id` is the packed
+    * sequence the document STARTS in and `seq_offset` its token offset
+    * there. `df` must carry (doc_id, source, text). */
+  private[queries] def packAssignments(df: DataFrame): DataFrame =
+    graft.operators.PrefixSum.runningSum(
+        df.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt")),
+        Seq("source"), Seq(col("doc_id")), col("token_cnt"), "cum_end")
+      .select(col("doc_id"), col("source"), col("token_cnt"),
+        ((col("cum_end") - col("token_cnt")) / SeqLen).cast("long").as("seq_id"),
+        ((col("cum_end") - col("token_cnt")) % SeqLen).as("seq_offset"))
 
   /** Sequence packing — the concat-and-cut step that turns cleaned
     * documents into fixed-length training sequences: within each
@@ -424,25 +439,14 @@ object CurationQueries {
     * boundary) — the assignment here is the distributed part; the
     * emit is a per-sequence local concat.
     *
-    * 100 TB design: one running-sum window per source stream — the
-    * same single-exchange shape as the token budget. A global (one
-    * stream) packing would serialize into one partition; per-source
-    * streams is how real pipelines keep packing parallel, and the
-    * stream key is pluggable. */
+    * 100 TB design: the per-stream running sum is
+    * [[graft.operators.PrefixSum]]'s two-phase prefix sum (bounded
+    * tasks even when one source dominates the corpus); per-source
+    * streams keep packing parallel ACROSS streams too, and the stream
+    * key is pluggable. */
   private val packing = Q(
     "mix_pack_sequences",
-    (s, dir) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("token_cnt"))
-        .withColumn("cum_end", sum(col("token_cnt")).over(w))
-        .select(col("doc_id"), col("source"), col("token_cnt"),
-          ((col("cum_end") - col("token_cnt")) / SeqLen).cast("long").as("seq_id"),
-          ((col("cum_end") - col("token_cnt")) % SeqLen).as("seq_offset"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => packAssignments(Tables.documents(s, dir)).orderBy("doc_id"),
     Some(s"""
       SELECT doc_id, source, token_cnt,
              (cum_end - token_cnt) // $SeqLen AS seq_id,

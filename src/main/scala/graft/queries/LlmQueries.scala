@@ -689,9 +689,10 @@ object LlmQueries {
     *   COMPOSITION: the same doc survives or dies through six stages
     *   in both engines, down to the final chunk text. Scale shape is
     *   the sum of the parts: the only corpus-sized shuffles are the
-    *   survivor dedups and the per-source budget window; clusters,
-    *   decontamination and sampling ride joins that are bucketed,
-    *   broadcast, or filter-only. */
+    *   survivor dedups and the budget stage's two-phase prefix sum
+    *   ([[graft.operators.PrefixSum]] — bounded tasks even with one
+    *   hot source); clusters, decontamination and sampling ride joins
+    *   that are bucketed, broadcast, or filter-only. */
   private val trainingMix = Q(
     "corpus_training_mix",
     (s, dir) => {
@@ -715,12 +716,12 @@ object LlmQueries {
       // deterministic stratified sample, then the per-source token budget
       val sampled = cleanDocs.filter(
         CurationQueries.mixBucketHash(col("doc_id")) % lit(100L) < 60)
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val budgeted = sampled
-        .withColumn("token_cnt", TextFunctions.tokenCount(col("text")))
-        .withColumn("cum", sum(col("token_cnt")).over(w))
+      // two-phase prefix sum, not Window.partitionBy(source): a hot
+      // source must not serialize into one task (see PrefixSum)
+      val budgeted = graft.operators.PrefixSum.runningSum(
+          sampled.withColumn("token_cnt", TextFunctions.tokenCount(col("text"))),
+          Seq("source"), Seq(col("quality_score").desc, col("doc_id")),
+          col("token_cnt"), "cum")
         .filter(col("cum") <= 800)
       // context-window chunks — the SAME stage as corpus_chunks
       val out = CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source"))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The two-phase prefix sum must equal the single-window running sum
+  * (an independent spelling) on every shape — including the scale
+  * scenario it exists for: one stratum holding ~90% of the rows — and
+  * must actually SPREAD a hot stratum across range partitions rather
+  * than re-serializing it into one task. */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def singleWindow(
+      df: org.apache.spark.sql.DataFrame,
+      group: String,
+      order: Seq[org.apache.spark.sql.Column]) =
+    df.withColumn("expect",
+      sum(col("v")).over(Window.partitionBy(group).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  test("equals the single-window running sum on skewed strata") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one hot stratum with 90% of rows, several cold ones, plus a
+    // 1-row stratum and heavy value ties (the range-boundary case)
+    val rng = new scala.util.Random(7)
+    val rows =
+      (1 to 1800).map(i => ("hot", i.toLong, rng.nextInt(5).toLong)) ++
+        (1 to 120).map(i => ("cold_a", i.toLong, rng.nextInt(50).toLong)) ++
+        (1 to 60).map(i => ("cold_b", i.toLong, 3L)) ++
+        Seq(("solo", 1L, 9L))
+    val df = rows.toDF("g", "id", "v").repartition(8)
+
+    val got = PrefixSum.runningSum(df, Seq("g"),
+        Seq(col("v").desc, col("id")), col("v"), "cum", numPartitions = 16)
+    val expect = singleWindow(df, "g", Seq(col("v").desc, col("id")))
+    val joined = got.join(expect.select("g", "id", "expect"), Seq("g", "id"))
+    assert(joined.filter(col("cum") =!= col("expect")).count() == 0,
+      "two-phase prefix sum diverged from the single-window oracle")
+    assert(got.count() == rows.size.toLong)
+  }
+
+  test("spreads the hot stratum across many range partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1 to 5000).map(i => ("hot", i.toLong, 1L)) ++
+      (1 to 50).map(i => ("cold", i.toLong, 1L))
+    val df = rows.toDF("g", "id", "v").repartition(8)
+    // count the distinct (g, pid) cells the hot stratum lands in — the
+    // whole point of the operator is that this exceeds 1
+    val cells = df.repartitionByRange(16, col("g"), col("id"))
+      .withColumn("pid", spark_partition_id())
+      .filter(col("g") === "hot")
+      .select("pid").distinct().count()
+    assert(cells > 1,
+      s"hot stratum still serialized into one range partition ($cells)")
+    // and the result over that layout is still exact
+    val got = PrefixSum.runningSum(df, Seq("g"), Seq(col("id")),
+      col("v"), "cum", numPartitions = 16)
+    val expect = singleWindow(df, "g", Seq(col("id")))
+    val joined = got.join(expect.select("g", "id", "expect"), Seq("g", "id"))
+    assert(joined.filter(col("cum") =!= col("expect")).count() == 0)
+  }
+
+  test("ascending single-key order and defaults work (packing shape)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong, (i % 7).toLong))
+      .toDF("g", "id", "v").repartition(5)
+    val got = PrefixSum.runningSum(df, Seq("g"), Seq(col("id")), col("v"), "cum")
+    val expect = singleWindow(df, "g", Seq(col("id")))
+    val joined = got.join(expect.select("g", "id", "expect"), Seq("g", "id"))
+    assert(joined.filter(col("cum") =!= col("expect")).count() == 0)
+  }
+}

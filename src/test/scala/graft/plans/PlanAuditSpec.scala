@@ -168,6 +168,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stratified sample should be filter-only below its output sort:\n$sample")
   }
 
+  test("no corpus running-sum window partitions on the raw stratum key alone") {
+    // The round-6 scale-killer: Window.partitionBy(stratum) serializes
+    // every row of a stratum into ONE task. The prefix-sum queries must
+    // run through PrefixSum's two-phase shape: any corpus-sized window
+    // partitions on (stratum, range-partition id); a window partitioned
+    // by the stratum alone is legal only above an Aggregate (the
+    // metadata-sized per-partition offsets frame). Pinned logically on
+    // the two curation queries (the capstone budget stage shares the
+    // same PrefixSum call, but persists its result, which hides its
+    // plan behind InMemoryRelation).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val strata = Set("lang", "source")
+    val offenders = Seq("mix_token_budget", "mix_pack_sequences").flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow
+            if w.partitionSpec.size == 1 &&
+              w.partitionSpec.head.references.exists(a => strata(a.name)) &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"$n: Window partitioned by ${w.partitionSpec.head.sql} alone"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-task stratum windows crept back:\n${offenders.mkString("\n")}")
+  }
+
   test("full query sweep leaves no persisted storage behind") {
     // The round-5 bench showed cross-query pollution: unreleased
     // checkpoint/persist blocks from earlier queries inflated
