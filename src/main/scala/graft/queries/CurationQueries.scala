@@ -214,6 +214,7 @@ object CurationQueries {
           Seq("lang"), Seq(col("token_cnt").desc, col("doc_id")),
           col("token_cnt"), "cum_tokens")
         .filter(col("cum_tokens") <= TokenBudget)
+        .select("doc_id", "lang", "token_cnt", "cum_tokens")
         .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id, lang, token_cnt, cum_tokens FROM (
@@ -434,10 +435,10 @@ object CurationQueries {
     * source stream, documents are laid end to end in a deterministic
     * order (doc_id) and every document learns which packed sequence it
     * starts in (`seq_id`) and at which token offset (`seq_offset`).
-    * Downstream, a writer emits sequence `s` by concatenating the docs
-    * with `seq_id = s` (splitting the one doc that straddles the
-    * boundary) — the assignment here is the distributed part; the
-    * emit is a per-sequence local concat.
+    * [[packEmit]] (`mix_pack_emit`) is the writer that concatenates
+    * the assigned docs into the actual sequences, splitting boundary
+    * straddlers — the assignment here is the distributed bookkeeping;
+    * the emit moves the bytes.
     *
     * 100 TB design: the per-stream running sum is
     * [[graft.operators.PrefixSum]]'s two-phase prefix sum (bounded
@@ -459,6 +460,78 @@ object CurationQueries {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
         FROM documents) t
       ORDER BY doc_id"""),
+  )
+
+  /** The pack EMIT stage — materialize the actual fixed-length training
+    * sequences the assignment stage ([[packAssignments]]) promises: per
+    * source stream, documents laid end to end in doc_id order and cut
+    * every [[SeqLen]] tokens. A document contributes a PIECE to every
+    * sequence its token range `[cum_start, cum_end)` overlaps — the one
+    * straddling a boundary is split at its offset — so each output row
+    * is one model-ready sequence: its token text, its exact token
+    * count (= [[SeqLen]] everywhere but each stream's tail), and how
+    * many documents fed it.
+    *
+    * 100 TB design: the slim assignment rides [[graft.operators.PrefixSum]];
+    * the BYTES then move exactly twice — the doc_id join that re-attaches
+    * text to its assignment, and the `(source, seq_id)` regroup that
+    * co-locates each sequence's pieces (the floor for any packer: output
+    * sequences must assemble somewhere). Piece extraction is `slice`
+    * column arithmetic on the scan side of the regroup, and sequences
+    * rebuild via `sort_array(collect_list(struct))` — compiled, no HOF
+    * lambda, no window. Per-task state is one sequence's pieces
+    * (≤ [[SeqLen]] tokens), never a stream. */
+  private val packEmit = Q(
+    "mix_pack_emit",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val asg = packAssignments(d)
+        .withColumn("cum_start", col("seq_id") * SeqLen + col("seq_offset"))
+      val pieces = asg
+        .join(d.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("seq_no", explode(sequence(
+          col("seq_id"),
+          ((col("cum_start") + col("token_cnt") - 1) / SeqLen).cast("long"))))
+        .withColumn("piece_start",
+          greatest(col("seq_no") * SeqLen - col("cum_start"), lit(0L)))
+        .withColumn("piece_end",
+          least(col("token_cnt"), (col("seq_no") + 1) * SeqLen - col("cum_start")))
+        .select(col("source"), col("seq_no").as("seq_id"), col("cum_start"),
+          (col("piece_end") - col("piece_start")).as("piece_len"),
+          array_join(slice(TextFunctions.tokens(col("text")),
+            (col("piece_start") + 1).cast("int"),
+            (col("piece_end") - col("piece_start")).cast("int")), " ")
+            .as("piece_text"))
+      pieces.groupBy("source", "seq_id")
+        .agg(
+          sum(col("piece_len")).as("n_tokens"),
+          count(lit(1)).as("n_docs"),
+          array_join(
+            sort_array(collect_list(struct(col("cum_start"), col("piece_text"))))
+              .getField("piece_text"), " ").as("seq_text"))
+        .orderBy("source", "seq_id")
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM documents),
+      b AS (SELECT *, cum_end - token_cnt AS cum_start FROM a),
+      p AS (SELECT source, CAST(u.s AS BIGINT) AS seq_id, cum_start,
+                   greatest(u.s * $SeqLen - cum_start, 0) AS st,
+                   least(token_cnt, (u.s + 1) * $SeqLen - cum_start) AS en, t
+            FROM b, unnest(range(cum_start // $SeqLen,
+                                 (cum_end - 1) // $SeqLen + 1)) u(s))
+      SELECT source, seq_id,
+             CAST(sum(en - st) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             string_agg(
+               array_to_string(list_slice(t, CAST(st + 1 AS INT), CAST(en AS INT)), ' '),
+               ' ' ORDER BY cum_start) AS seq_text
+      FROM p GROUP BY source, seq_id ORDER BY source, seq_id"""),
   )
 
   // --------------------------------------------------------- vocabulary
@@ -551,5 +624,5 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles, repetitionStats, chunks, packing, vocab, tokenIds)
+    tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab, tokenIds)
 }

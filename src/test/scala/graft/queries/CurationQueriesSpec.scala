@@ -101,4 +101,35 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptEn.subsetOf(allEn) && keptEn != allEn,
       s"budget cutoff never fired: kept all of $allEn")
   }
+
+  test("pack emit materializes exact fixed-length sequences") {
+    val seqLen = 64L
+    val rows = SparkEntry.queries("mix_pack_emit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // per source: every sequence except the last is EXACTLY SeqLen
+    // tokens, the last carries the remainder, and ids are dense from 0
+    rows.groupBy(_._1).foreach { case (source, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"$source: sequence ids not dense")
+      sorted.init.foreach { case (_, id, n, _, text) =>
+        assert(n == seqLen, s"$source seq $id: $n tokens, want $seqLen")
+        assert(text.split(" ").length.toLong == seqLen,
+          s"$source seq $id: text token count mismatch")
+      }
+      assert(sorted.last._3 <= seqLen && sorted.last._3 > 0)
+    }
+    // the emitted stream IS the doc_id-ordered concatenation: rebuild
+    // each source's full token stream and compare verbatim
+    rows.groupBy(_._1).foreach { case (source, seqs) =>
+      val emitted = seqs.sortBy(_._2).map(_._5).mkString(" ")
+      val expected = docs.filter(_._4 == source).sortBy(_._1)
+        .map(_._2).mkString(" ")
+      assert(emitted == expected, s"$source: emitted stream diverged")
+    }
+    // a straddling document was actually split: the bulk docs are 700
+    // tokens on a 64-token grid, so multi-doc sequences AND splits exist
+    assert(rows.exists(_._4 > 1), "no sequence drew from 2+ docs")
+  }
 }
