@@ -549,7 +549,7 @@ object CurationQueries {
     * merge, never a full sort); the id-assigning rank window then runs
     * over K ROWS — bounded metadata, like the IVF centroid tables, not
     * a corpus-sized single-partition window. */
-  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def vocabFrame(s: SparkSession, dir: String): DataFrame = {
     val freq = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -559,7 +559,7 @@ object CurationQueries {
   }
 
   /** The vocabulary CTE, ONE SQL spelling for both vocab oracles. */
-  private val VOCAB_CTE = s"""
+  private[queries] val VOCAB_CTE = s"""
       vocab AS (
         SELECT token, freq, CAST(rn - 1 AS BIGINT) AS token_id FROM (
           SELECT token, CAST(count(*) AS BIGINT) AS freq,

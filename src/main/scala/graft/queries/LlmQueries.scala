@@ -693,48 +693,12 @@ object LlmQueries {
     *   ([[graft.operators.PrefixSum]] — bounded tasks even with one
     *   hot source); clusters, decontamination and sampling ride joins
     *   that are bucketed, broadcast, or filter-only. */
-  private val trainingMix = Q(
-    "corpus_training_mix",
-    (s, dir) => {
-      val surv = corpusSurvivors(s, dir)
-      val edges = survivorEdges(minhashPairs(s, dir), surv)
-      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
-        surv, "doc_id", edges, "doc_a", "doc_b")
-      val canon = labeled.filter(col("doc_id") === col("cluster_id"))
-        .select("doc_id", "source", "quality_score")
-      val d = Tables.documents(s, dir)
-      val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
-      // decontamination — the SAME stage as decontam_overlap
-      // (CurationQueries.benchOverlapStats), applied to the canon set;
-      // the stats frame covers exactly the non-bench docs, so the inner
-      // join also drops the eval slice from training
-      val contam = CurationQueries.benchOverlapStats(d)
-        .select("doc_id", "contam_ratio")
-      val cleanDocs = withText
-        .join(contam, Seq("doc_id"))
-        .filter(col("contam_ratio") < 0.2)
-      // deterministic stratified sample, then the per-source token budget
-      val sampled = cleanDocs.filter(
-        CurationQueries.mixBucketHash(col("doc_id")) % lit(100L) < 60)
-      // two-phase prefix sum, not Window.partitionBy(source): a hot
-      // source must not serialize into one task (see PrefixSum)
-      val budgeted = graft.operators.PrefixSum.runningSum(
-          sampled.withColumn("token_cnt", TextFunctions.tokenCount(col("text"))),
-          Seq("source"), Seq(col("quality_score").desc, col("doc_id")),
-          col("token_cnt"), "cum")
-        .filter(col("cum") <= 800)
-      // context-window chunks — the SAME stage as corpus_chunks
-      val out = CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source"))
-        .orderBy("doc_id", "chunk_idx")
-        .persist()
-      out.count()
-      releaseComp()
-      out
-    },
-    Some(s"""
-      WITH RECURSIVE $MINHASH_CTES,
-      $CORPUS_CTES,
-      edges AS (
+  /** Oracle CTE chain replaying capstone stages 1-6 (dedup survivors →
+    * components → canon → decontamination → sample → budget → chunk
+    * `starts`) — ONE spelling shared by both capstone heads, mirroring
+    * [[trainingChunkStage]] on the Spark side. Must be preceded by
+    * `WITH RECURSIVE $MINHASH_CTES, $CORPUS_CTES,`. */
+  private val TRAINING_CTES = s"""edges AS (
         SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
         JOIN fpd a ON p.doc_a = a.doc_id
         JOIN fpd b ON p.doc_b = b.doc_id
@@ -791,7 +755,60 @@ object LlmQueries {
         FROM budgeted),
       starts AS (
         SELECT doc_id, source, t, n, CAST(u.s AS BIGINT) AS chunk_start
-        FROM chunkbase, unnest(range(0, CAST(n AS INT), ${CurationQueries.ChunkStride})) u(s))
+        FROM chunkbase, unnest(range(0, CAST(n AS INT), ${CurationQueries.ChunkStride})) u(s))"""
+
+  /** Stages 1-6 of the capstone (clean → cluster → decontaminate →
+    * sample → budget → chunk) — ONE implementation shared by
+    * `corpus_training_mix` and `corpus_training_tokens`, so the two
+    * capstone heads can never drift. Returns the chunk frame (pre-sort)
+    * and the connected-components release hook the caller must invoke
+    * after materializing. */
+  private def trainingChunkStage(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val surv = corpusSurvivors(s, dir)
+    val edges = survivorEdges(minhashPairs(s, dir), surv)
+    val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
+      surv, "doc_id", edges, "doc_a", "doc_b")
+    val canon = labeled.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id", "source", "quality_score")
+    val d = Tables.documents(s, dir)
+    val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
+    // decontamination — the SAME stage as decontam_overlap
+    // (CurationQueries.benchOverlapStats), applied to the canon set;
+    // the stats frame covers exactly the non-bench docs, so the inner
+    // join also drops the eval slice from training
+    val contam = CurationQueries.benchOverlapStats(d)
+      .select("doc_id", "contam_ratio")
+    val cleanDocs = withText
+      .join(contam, Seq("doc_id"))
+      .filter(col("contam_ratio") < 0.2)
+    // deterministic stratified sample, then the per-source token budget
+    val sampled = cleanDocs.filter(
+      CurationQueries.mixBucketHash(col("doc_id")) % lit(100L) < 60)
+    // two-phase prefix sum, not Window.partitionBy(source): a hot
+    // source must not serialize into one task (see PrefixSum)
+    val budgeted = graft.operators.PrefixSum.runningSum(
+        sampled.withColumn("token_cnt", TextFunctions.tokenCount(col("text"))),
+        Seq("source"), Seq(col("quality_score").desc, col("doc_id")),
+        col("token_cnt"), "cum")
+      .filter(col("cum") <= 800)
+    // context-window chunks — the SAME stage as corpus_chunks
+    (CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source")), releaseComp)
+  }
+
+  private val trainingMix = Q(
+    "corpus_training_mix",
+    (s, dir) => {
+      val (chunks, releaseComp) = trainingChunkStage(s, dir)
+      val out = chunks.orderBy("doc_id", "chunk_idx").persist()
+      out.count()
+      releaseComp()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      $TRAINING_CTES
       SELECT doc_id, source,
              chunk_start // ${CurationQueries.ChunkStride} AS chunk_idx,
              chunk_start,
@@ -801,6 +818,107 @@ object LlmQueries {
                  CAST(least(chunk_start + ${CurationQueries.ChunkSize}, n) AS INT)), ' ') AS chunk_text
       FROM starts
       ORDER BY doc_id, chunk_idx"""),
+  )
+
+  /** The capstone extended to MODEL-READY token streams — stages 7+8 on
+    * top of [[trainingChunkStage]]: the selected context-window chunks
+    * are packed into fixed [[CurationQueries.SeqLen]]-token training
+    * sequences per source (the `mix_pack_emit` geometry with chunks as
+    * the units) and every sequence is numericalized against the
+    * `corpus_vocab` vocabulary (broadcast id join, OOV → -1). One
+    * declarative plan from raw crawl to the id streams a trainer
+    * consumes — eight stages, each individually oracle-proven, their
+    * COMPOSITION replayed end-to-end in DuckDB.
+    *
+    * 100 TB design: the sum of the proven parts — the chunk assignment
+    * rides [[graft.operators.PrefixSum]] (bounded tasks; chunk text
+    * rides along rather than re-running the six-stage pipeline for a
+    * join-back), piece slicing is column arithmetic on the scan side,
+    * the K-row vocabulary broadcasts, and ONE `(source, seq_id)`
+    * regroup both assembles each sequence and orders its token ids —
+    * pack and encode merged so the bytes cross a single exchange, not
+    * one per stage. Per-task state is one sequence (≤ SeqLen ids). */
+  private val trainingTokens = Q(
+    "corpus_training_tokens",
+    (s, dir) => {
+      val L = CurationQueries.SeqLen
+      val (chunks, releaseComp) = trainingChunkStage(s, dir)
+      val asg = graft.operators.PrefixSum.runningSum(
+          chunks.select(col("doc_id"), col("source"), col("chunk_idx"),
+            col("chunk_len"), col("chunk_text")),
+          Seq("source"), Seq(col("doc_id"), col("chunk_idx")),
+          col("chunk_len"), "cum_end")
+        .withColumn("cum_start", col("cum_end") - col("chunk_len"))
+      val pieces = asg
+        .withColumn("seq_id", explode(sequence(
+          (col("cum_start") / L).cast("long"),
+          ((col("cum_end") - 1) / L).cast("long"))))
+        .withColumn("pst", greatest(col("seq_id") * L - col("cum_start"), lit(0L)))
+        .withColumn("pen",
+          least(col("chunk_len"), (col("seq_id") + 1) * L - col("cum_start")))
+        .withColumn("soff", greatest(col("cum_start") - col("seq_id") * L, lit(0L)))
+      val toks = pieces
+        .select(col("source"), col("seq_id"), col("soff"),
+          posexplode(slice(TextFunctions.tokens(col("chunk_text")),
+            (col("pst") + 1).cast("int"), (col("pen") - col("pst")).cast("int")))
+            .as(Seq("pos", "token")))
+        .withColumn("gpos", col("soff") + col("pos"))
+      val enc = toks
+        .join(broadcast(
+          CurationQueries.vocabFrame(s, dir).select("token", "token_id")),
+          Seq("token"), "left")
+        .withColumn("tid", coalesce(col("token_id"), lit(-1L)))
+      val out = enc.groupBy("source", "seq_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_oov"),
+          array_join(
+            sort_array(collect_list(struct(col("gpos"), col("tid"))))
+              .getField("tid").cast("array<string>"), " ").as("ids_str"))
+        .orderBy("source", "seq_id")
+        .persist()
+      out.count()
+      releaseComp()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      ${CurationQueries.VOCAB_CTE},
+      $TRAINING_CTES,
+      chunks2 AS (
+        SELECT doc_id, source,
+               chunk_start // ${CurationQueries.ChunkStride} AS chunk_idx,
+               least(${CurationQueries.ChunkSize}, n - chunk_start) AS clen,
+               list_slice(t, CAST(chunk_start + 1 AS INT),
+                 CAST(least(chunk_start + ${CurationQueries.ChunkSize}, n) AS INT)) AS ct
+        FROM starts),
+      pasg AS (
+        SELECT source, doc_id, chunk_idx, clen, ct,
+               CAST(sum(clen) OVER (PARTITION BY source
+                 ORDER BY doc_id, chunk_idx
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM chunks2),
+      pasg2 AS (SELECT *, cum_end - clen AS cum_start FROM pasg),
+      pieces AS (
+        SELECT source, CAST(u.q AS BIGINT) AS seq_id, cum_start, ct,
+               greatest(u.q * ${CurationQueries.SeqLen} - cum_start, 0) AS pst,
+               least(clen, (u.q + 1) * ${CurationQueries.SeqLen} - cum_start) AS pen,
+               greatest(cum_start - u.q * ${CurationQueries.SeqLen}, 0) AS soff
+        FROM pasg2, unnest(range(cum_start // ${CurationQueries.SeqLen},
+                                 (cum_end - 1) // ${CurationQueries.SeqLen} + 1)) u(q)),
+      ptok AS (
+        SELECT source, seq_id, soff + u.i - 1 AS gpos,
+               ct[CAST(pst + u.i AS INT)] AS token
+        FROM pieces, unnest(range(1, pen - pst + 1)) u(i)),
+      penc AS (
+        SELECT p.source, p.seq_id, p.gpos, coalesce(v.token_id, -1) AS tid
+        FROM ptok p LEFT JOIN vocab v USING (token))
+      SELECT source, seq_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+      FROM penc GROUP BY source, seq_id ORDER BY source, seq_id"""),
   )
 
   // ------------------------------------------------------ n-gram Jaccard
@@ -1009,7 +1127,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
-    corpusCleanClustered, trainingMix, dedupExact, minhash,
+    corpusCleanClustered, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
     multimodal)
 }

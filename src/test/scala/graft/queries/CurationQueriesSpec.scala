@@ -132,4 +132,32 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tokens on a 64-token grid, so multi-doc sequences AND splits exist
     assert(rows.exists(_._4 > 1), "no sequence drew from 2+ docs")
   }
+
+  test("capstone token streams are model-shaped (sf0.001 lake)") {
+    // end-to-end invariants of corpus_training_tokens over the real
+    // testdata lake (the differential gate proves value equality; this
+    // pins the SHAPE a trainer relies on): fixed-length sequences,
+    // ids_str length == n_tokens, ids within [-1, VocabK), and the OOV
+    // path non-vacuous (vocab K=24 < 31 corpus tokens)
+    val seqLen = 64L
+    val out = SparkEntry.queries("corpus_training_tokens")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getString(4)))
+    out.unpersist()
+    assert(rows.nonEmpty, "capstone produced no sequences")
+    rows.groupBy(_._1).foreach { case (source, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      sorted.init.foreach { case (_, id, n, _, _) =>
+        assert(n == seqLen, s"$source seq $id: $n tokens") }
+      assert(sorted.last._3 <= seqLen && sorted.last._3 > 0)
+    }
+    rows.foreach { case (source, id, n, nOov, ids) =>
+      val parsed = ids.split(" ").map(_.toLong)
+      assert(parsed.length.toLong == n, s"$source seq $id: ids_str length")
+      assert(parsed.forall(t => t >= -1L && t < 24L), s"$source seq $id: id range")
+      assert(parsed.count(_ == -1L).toLong == nOov, s"$source seq $id: oov count")
+    }
+    assert(rows.map(_._4).sum > 0, "OOV encoding path never exercised")
+  }
 }
