@@ -580,6 +580,75 @@ object CurationQueries {
       SELECT token, freq, token_id FROM vocab ORDER BY token_id"""),
   )
 
+  /** BPE merge rounds for the oracle unroll and the Spark loop. */
+  private val BpeRounds = 8
+
+  /** The DuckDB replay of [[graft.operators.BpeMerges.learn]]: k
+    * unrolled rounds, each re-deriving pair counts from the previous
+    * round's merged sequences, picking the identical (cnt DESC, lhs,
+    * rhs) argmax, and applying the merge with the same doubled-delimiter
+    * `replace` trick — so greedy non-overlapping application and
+    * overlapping counting both replay exactly. Every w/m CTE is
+    * MATERIALIZED: each round references the previous twice, so the
+    * default inlining would expand the chain 2^k times (and re-open
+    * the parquet on every expansion). */
+  private def bpeOracleSql(k: Int): String = {
+    val d = graft.operators.BpeMerges.Delim
+    val rounds = (1 to k).map { i =>
+      val prev = s"w${i - 1}"
+      s"""
+      p$i AS (
+        SELECT a[CAST(u.i AS INT)] AS lhs, a[CAST(u.i AS INT) + 1] AS rhs,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(trim(seq, '$d'), '$d$d') AS a, freq
+              FROM $prev) t,
+             unnest(range(1, len(a))) u(i)
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT replace(seq,
+                 '$d' || (SELECT lhs FROM m$i) || '$d$d' || (SELECT rhs FROM m$i) || '$d',
+                 '$d' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '$d') AS seq,
+               freq
+        FROM $prev)"""
+    }.mkString(",")
+    val heads = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_freq FROM m$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '$d\\1$d', 'g') AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),$rounds
+      SELECT merge_rank, lhs, rhs, pair_freq FROM (
+      $heads)
+      ORDER BY merge_rank"""
+  }
+
+  /** BPE-style merge vocabulary — the real subword-tokenizer training
+    * step the frequency vocabulary ([[vocabFrame]]) only scaffolds:
+    * [[BpeRounds]] rounds of count-pairs → merge-argmax over the
+    * corpus's weighted vocabulary. See [[graft.operators.BpeMerges]]
+    * for the loop's scale design (distinct-word working set, one
+    * argmax row to the driver per round, per-round checkpoint
+    * hygiene). The oracle replays the full deterministic merge
+    * sequence in DuckDB. */
+  private val bpeMerges = Q(
+    "corpus_bpe_merges",
+    (s, dir) => {
+      val spark0 = s
+      import spark0.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeMerges.learn(words, "w", "freq", BpeRounds)
+        .toDF("merge_rank", "lhs", "rhs", "pair_freq")
+        .orderBy("merge_rank")
+    },
+    Some(bpeOracleSql(BpeRounds)),
+  )
+
   /** Token-id encoding — documents numericalized against the
     * vocabulary: per doc, the ordered id sequence (OOV → -1, the UNK
     * id), total and OOV token counts. The id sequence crosses the
@@ -624,5 +693,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
-    tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab, tokenIds)
+    tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
+    bpeMerges, tokenIds)
 }
