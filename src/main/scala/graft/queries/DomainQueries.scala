@@ -710,6 +710,55 @@ object DomainQueries {
     vProfiles.oracle, // identical result contract: view == full rebuild
   )
 
+  /** Incremental AGGREGATE-view maintenance differentially proved
+    * against the FULL-rebuild oracle: the segments view (profiles ⟕
+    * history → 13-key aggregate — the reference's expensive nightly
+    * rebuild) is built from a slice of both sides, then refreshed with
+    * a FACT CDC batch (new/updated deals re-aggregate only their
+    * custno buckets) and a DIMENSION CDC batch (profile changes
+    * propagate into the aggregates the same bucket-pruned way), and
+    * the published view must equal `v_customer_segments` over the
+    * whole source — same oracle SQL.
+    *
+    * Pre-filter doctrine as `mv_profiles_refresh`: the master batches
+    * drop soft-deleted rows (the view filters BEFORE its rank) and the
+    * sales batches drop rows failing the validity predicate that
+    * precedes the deal rank; each store's version order replicates its
+    * view's rank order exactly, tiebroken to a total order. */
+  private val mvSegments = Q(
+    "mv_segments_refresh",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mv_seg").toString
+      val av = new graft.etl.AggregateView(
+        root, bucketKeys = Seq("custno"),
+        dimKeys = Seq("custno"),
+        dimOrder = Seq(col("lastupdated").desc, col("dateadded").desc,
+          col("sourcerowid").desc),
+        factKeys = Seq("dealno"),
+        factOrder = Seq(col("rowlastupdatedutc").desc, col("vin").desc),
+        derive = (dimState, factState) =>
+          Customer360.customerSegments(
+            Customer360.customerProfiles(dimState, asOf,
+              Seq(col("sourcerowid").desc)),
+            Customer360.vehicleHistory(factState, asOf), asOf)
+            .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
+            .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")),
+        nBuckets = 16)
+      val dims = customerMaster(s, dir)
+        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      val facts = vehicleSales(s, dir)
+        .filter(col("custno").isNotNull && col("vin").isNotNull &&
+          col("contractdate").isNotNull)
+      av.build(
+        dims.filter(col("sourcerowid") % 4 =!= 0),
+        facts.filter(col("okey") % 4 =!= 0))
+      av.refreshFacts(facts.filter(col("okey") % 4 === 0))
+      av.refreshDims(dims.filter(col("sourcerowid") % 4 === 0))
+      pin(av.view(s)).orderBy("custno")
+    },
+    vSegments.oracle, // identical result contract: view == full rebuild
+  )
+
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles)
+    vPrivacy, mvProfiles, mvSegments)
 }

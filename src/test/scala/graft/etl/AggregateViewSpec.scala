@@ -1,0 +1,116 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Incremental aggregate-view maintenance: REFRESH(batches) must equal
+  * FULL REBUILD(all rows) for CDC on EITHER side — late fact versions,
+  * brand-new fact keys, dimension attribute changes — and a refresh
+  * must leave every untouched bucket partition byte-identical (the
+  * scale contract: only dirty buckets are read or written). */
+class AggregateViewSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  // dims: (id, dversion, name); facts: (fid, id, fversion, amount)
+  private def dims(rs: (Long, Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rs.toDF("id", "dversion", "name")
+  }
+  private def facts(rs: (Long, Long, Long, Long)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rs.toDF("fid", "id", "fversion", "amount")
+  }
+
+  // aggregate derivation keyed on the bucket key: per dim row, the sum
+  // and count of its latest-version facts
+  private def derive(d: DataFrame, f: DataFrame): DataFrame =
+    d.join(
+      f.groupBy("id").agg(sum("amount").as("total"), count(lit(1)).as("n")),
+      Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("n"), lit(0L)).as("n"))
+
+  private def mk(nBuckets: Int = 8) = {
+    val root = Files.createTempDirectory("graft_av").toString
+    (root, new AggregateView(root, Seq("id"),
+      dimKeys = Seq("id"), dimOrder = Seq(col("dversion").desc),
+      factKeys = Seq("fid"), factOrder = Seq(col("fversion").desc),
+      derive, nBuckets))
+  }
+
+  private def viewMap(av: AggregateView): Map[Long, (String, Long, Long)] =
+    av.view(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("fact refresh equals full rebuild: new key, new version, late version") {
+    val d0 = dims((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+    val f0 = facts((10L, 1L, 1L, 100L), (11L, 1L, 5L, 40L), (20L, 2L, 1L, 7L))
+    val fb = facts(
+      (12L, 1L, 1L, 9L),   // brand-new fact for an aggregated key
+      (11L, 1L, 9L, 60L),  // newer version REPLACES the stored 40
+      (20L, 2L, 0L, 999L)) // LATE older version must lose to stored 7
+    val (_, av) = mk()
+    av.build(d0, f0)
+    av.refreshFacts(fb)
+    assert(viewMap(av) == Map(
+      1L -> (("a", 169L, 3L)), 2L -> (("b", 7L, 1L)), 3L -> (("c", 0L, 0L))))
+    val (_, full) = mk()
+    full.build(d0, f0.unionByName(fb))
+    assert(viewMap(av) == viewMap(full))
+  }
+
+  test("dimension refresh propagates into the aggregates, bucket-pruned") {
+    val d0 = dims((1L, 1L, "a"), (2L, 1L, "b"))
+    val f0 = facts((10L, 1L, 1L, 100L), (20L, 2L, 1L, 7L))
+    val (_, av) = mk()
+    av.build(d0, f0)
+    av.refreshDims(dims((1L, 2L, "a-renamed"), (9L, 1L, "new-dim")))
+    assert(viewMap(av) == Map(
+      1L -> (("a-renamed", 100L, 1L)), 2L -> (("b", 7L, 1L)),
+      9L -> (("new-dim", 0L, 0L))))
+  }
+
+  test("fact refresh leaves untouched bucket partitions byte-identical") {
+    val (root, av) = mk(nBuckets = 64)
+    av.build(
+      dims((1L to 40L).map(i => (i, 1L, s"d$i")): _*),
+      facts((1L to 40L).map(i => (i + 100L, i, 1L, i * 10L)): _*))
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    av.refreshFacts(facts((101L, 1L, 2L, 55L)))
+    val after = snapshot()
+    val touched = after.keySet.diff(before.keySet) ++ before.keySet.diff(after.keySet)
+    val touchedBuckets = touched.map(_.replaceAll(".*__mv_bucket=([0-9]+).*", "$1"))
+    // one fact-state bucket + one view bucket (the dim store is
+    // read-only in a fact refresh)
+    assert(touchedBuckets.size <= 2,
+      s"fact refresh touched more than the batch's bucket: $touchedBuckets")
+    assert(before.keySet.intersect(after.keySet)
+      .forall(p => before(p) == after(p)),
+      "an untouched partition's file was rewritten")
+    assert(viewMap(av)(1L) == (("d1", 55L, 1L)))
+  }
+
+  test("a fact batch emptying nothing still handles empty-view buckets safely") {
+    // a dim with no facts aggregates to zero counts rather than
+    // disappearing, and refreshing it twice is idempotent
+    val (_, av) = mk(nBuckets = 1)
+    av.build(dims((5L, 1L, "e")), facts())
+    assert(viewMap(av) == Map(5L -> (("e", 0L, 0L))))
+    av.refreshFacts(facts((50L, 5L, 1L, 3L)))
+    av.refreshFacts(facts((50L, 5L, 1L, 3L)))
+    assert(viewMap(av) == Map(5L -> (("e", 3L, 1L))))
+  }
+}
