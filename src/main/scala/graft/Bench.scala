@@ -60,20 +60,33 @@ object Bench {
         sel
       case None => SparkEntry.allQueries
     }
+    // SPARK_GRAFT_BENCH_REPS=N reports min-of-N per query — machine
+    // contention inflated a full graded round once (BENCH_r06: 2-8× on
+    // an otherwise-idle-identical build); the min de-noises without
+    // changing the default contract (driver never sets it, reps=1).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    if (reps > 1) System.err.println(s"[bench] reporting min of $reps runs per query")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { qu =>
-      val t0 = System.nanoTime()
-      try {
-        val df = qu.run(spark, sfDir)
-        df.write.mode("overwrite").format("noop").save()
-        timings(qu.name) = (System.nanoTime() - t0) / 1e9
-        // release persisted result frames (pair queries) between queries
-        df.unpersist()
-      } catch {
-        case e: Throwable =>
-          errors(qu.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < reps && !errors.contains(qu.name)) {
+        rep += 1
+        val t0 = System.nanoTime()
+        try {
+          val df = qu.run(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          // release persisted result frames (pair queries) between queries
+          df.unpersist()
+        } catch {
+          case e: Throwable =>
+            errors(qu.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
+      if (!errors.contains(qu.name)) timings(qu.name) = best
     }
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
