@@ -749,11 +749,22 @@ object DomainQueries {
       val facts = vehicleSales(s, dir)
         .filter(col("custno").isNotNull && col("vin").isNotNull &&
           col("contractdate").isNotNull)
+      // CDC batches are NARROW custno slices — this is what incremental
+      // maintenance is for: the refresh re-derives only the handful of
+      // buckets those customers hash into (a quarter-of-the-table batch
+      // would dirty every bucket and cost a full rebuild). The dim
+      // slice additionally splits its customers' VERSIONS across
+      // build/refresh (sourcerowid parity), so late-arrival latest-wins
+      // interplay crosses the batch boundary at scale; slices are empty
+      // at sf0.001 (no matching custno) and non-empty from sf0.01 up.
+      val custL = col("custno").cast("long")
+      val dimSlice = custL % 1499 === 0
+      val factSlice = custL % 1499 === 500
       av.build(
-        dims.filter(col("sourcerowid") % 4 =!= 0),
-        facts.filter(col("okey") % 4 =!= 0))
-      av.refreshFacts(facts.filter(col("okey") % 4 === 0))
-      av.refreshDims(dims.filter(col("sourcerowid") % 4 === 0))
+        dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
+        facts.filter(!factSlice))
+      av.refreshFacts(facts.filter(factSlice))
+      av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
       pin(av.view(s)).orderBy("custno")
     },
     vSegments.oracle, // identical result contract: view == full rebuild

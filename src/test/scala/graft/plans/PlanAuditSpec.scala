@@ -180,7 +180,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan behind InMemoryRelation).
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val strata = Set("lang", "source")
-    val offenders = Seq("mix_token_budget", "mix_pack_sequences").flatMap { n =>
+    val offenders = Seq("mix_token_budget", "mix_pack_sequences",
+      "mix_pack_emit").flatMap { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
         case w: LWindow
