@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   * applied to prefix sums. Cost: the slim `(group, order, value)`
   * projection crosses two exchanges (range + the window's hash on
   * `(group, pid)`) instead of one — the price of unserializing the hot
-  * group; the totals branch reuses the range exchange (ReuseExchange)
-  * and its own shuffle carries only the collapsed metadata rows.
+  * group; the totals branch comes back as an AQE ReusedExchange at
+  * stage materialization (plan-pinned in `PlanAuditSpec`), so the
+  * corpus crosses the range exchange once and the totals shuffle
+  * carries only the collapsed metadata rows.
   *
   * The value column must be integral (the running sum is a LongType);
   * `orderCols` may carry directions (`col.desc`) and MUST be a total

@@ -195,6 +195,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-task stratum windows crept back:\n${offenders.mkString("\n")}")
   }
 
+  test("prefix-sum totals branch reuses the range exchange at runtime") {
+    // PrefixSum's scale story says the corpus crosses its range
+    // exchange ONCE — the per-partition-totals branch must come back as
+    // an AQE ReusedExchange, not a second scan+shuffle. Static planning
+    // cannot show this (reuse happens at stage materialization), so
+    // execute and inspect the final adaptive plan.
+    val df = SparkEntry.queries("mix_token_budget")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"prefix-sum totals branch stopped reusing the range exchange:\n$plan")
+  }
+
   test("full query sweep leaves no persisted storage behind") {
     // The round-5 bench showed cross-query pollution: unreleased
     // checkpoint/persist blocks from earlier queries inflated
