@@ -608,6 +608,31 @@ object LlmQueries {
       .select("doc_a", "doc_b")
   }
 
+  /** Session-shared component MAP of the survivor near-dup graph —
+    * the min-label propagation runs ONCE per session
+    * ([[graft.operators.ConnectedComponents.run]] persists the
+    * vertex-sized result and releases its iterative checkpoints), then
+    * `corpus_clean_clustered` and BOTH capstone heads reuse it: three
+    * consumers, one propagation. Same amortization story as the
+    * minhash pair memo; the entry is accounted by
+    * `SharedFrames.entryCount` in the storage-hygiene sweep. */
+  private def survivorComponents(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cachedPrepersisted(s, "survivor_components") {
+      graft.operators.ConnectedComponents.run(
+        survivorEdges(minhashPairs(s, dir), corpusSurvivors(s, dir)),
+        "doc_a", "doc_b")
+    }
+
+  /** Survivors labeled with their cluster id off the shared map
+    * (unmatched rows are singleton clusters — their own id). */
+  private def labeledSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val comp = survivorComponents(s, dir)
+      .select(col("id").as("doc_id"), col("comp").as("__cc"))
+    corpusSurvivors(s, dir).join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc"), col("doc_id")))
+      .drop("__cc")
+  }
+
   /** The cleaning pipeline with the dedup loop CLOSED: pair-wise
     * near-dup detection under-deletes (a↔b, b↔c must collapse to ONE
     * survivor, but pair-wise rank keeps two) — so the survivors of
@@ -625,11 +650,9 @@ object LlmQueries {
   private val corpusCleanClustered = Q(
     "corpus_clean_clustered",
     (s, dir) => {
-      val surv = corpusSurvivors(s, dir) // session-shared, already persisted
-      val edges = survivorEdges(minhashPairs(s, dir), surv)
-      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
-        surv, "doc_id", edges, "doc_a", "doc_b")
-      val out = labeled
+      // labeled off the session-shared component map (one propagation
+      // serves this query and both capstone heads)
+      val out = labeledSurvivors(s, dir)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
         .filter(col("doc_id") === col("cluster_id")) // canonical survivor only
@@ -637,10 +660,9 @@ object LlmQueries {
           col("quality_score"), col("cluster_size"))
         .orderBy("doc_id")
         .persist()
-      // same hygiene contract as dedup_clusters: materialize the (small)
-      // result, release everything internal, harness unpersists `out`
+      // materialize the (small) result; the component map is a shared
+      // memo entry, the harness unpersists `out`
       out.count()
-      releaseComp()
       out
     },
     Some(s"""
@@ -760,16 +782,15 @@ object LlmQueries {
   /** Stages 1-6 of the capstone (clean → cluster → decontaminate →
     * sample → budget → chunk) — ONE implementation shared by
     * `corpus_training_mix` and `corpus_training_tokens`, so the two
-    * capstone heads can never drift. Returns the chunk frame (pre-sort)
-    * and the connected-components release hook the caller must invoke
-    * after materializing. */
-  private def trainingChunkStage(
-      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    val surv = corpusSurvivors(s, dir)
-    val edges = survivorEdges(minhashPairs(s, dir), surv)
-    val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
-      surv, "doc_id", edges, "doc_a", "doc_b")
-    val canon = labeled.filter(col("doc_id") === col("cluster_id"))
+    * capstone heads can never drift. Returns the chunk frame
+    * (pre-sort); cluster labels come from the session-shared
+    * [[survivorComponents]] map, so there is nothing per-call to
+    * release. */
+  private def trainingChunkStage(s: SparkSession, dir: String): DataFrame = {
+    // canon set off the session-shared component map (one propagation
+    // serves corpus_clean_clustered and both capstone heads)
+    val canon = labeledSurvivors(s, dir)
+      .filter(col("doc_id") === col("cluster_id"))
       .select("doc_id", "source", "quality_score")
     val d = Tables.documents(s, dir)
     val withText = canon.join(d.select("doc_id", "text"), Seq("doc_id"))
@@ -793,16 +814,15 @@ object LlmQueries {
         col("token_cnt"), "cum")
       .filter(col("cum") <= 800)
     // context-window chunks — the SAME stage as corpus_chunks
-    (CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source")), releaseComp)
+    CurationQueries.chunkExplode(budgeted, Seq("doc_id", "source"))
   }
 
   private val trainingMix = Q(
     "corpus_training_mix",
     (s, dir) => {
-      val (chunks, releaseComp) = trainingChunkStage(s, dir)
-      val out = chunks.orderBy("doc_id", "chunk_idx").persist()
+      val out = trainingChunkStage(s, dir)
+        .orderBy("doc_id", "chunk_idx").persist()
       out.count()
-      releaseComp()
       out
     },
     Some(s"""
@@ -842,7 +862,7 @@ object LlmQueries {
     "corpus_training_tokens",
     (s, dir) => {
       val L = CurationQueries.SeqLen
-      val (chunks, releaseComp) = trainingChunkStage(s, dir)
+      val chunks = trainingChunkStage(s, dir)
       val asg = graft.operators.PrefixSum.runningSum(
           chunks.select(col("doc_id"), col("source"), col("chunk_idx"),
             col("chunk_len"), col("chunk_text")),
@@ -878,7 +898,6 @@ object LlmQueries {
         .orderBy("source", "seq_id")
         .persist()
       out.count()
-      releaseComp()
       out
     },
     Some(s"""
