@@ -592,7 +592,11 @@ object CurationQueries {
     * MATERIALIZED: each round references the previous twice, so the
     * default inlining would expand the chain 2^k times (and re-open
     * the parquet on every expansion). */
-  private def bpeOracleSql(k: Int): String = {
+  /** The k unrolled merge-round CTEs (w0..wk, p/m per round), shared by
+    * both BPE oracles; each w CTE carries the ORIGINAL word alongside
+    * its evolving symbol sequence so the final round doubles as the
+    * word → segmentation map. */
+  private def bpeRoundCtes(k: Int): String = {
     val d = graft.operators.BpeMerges.Delim
     val rounds = (1 to k).map { i =>
       val prev = s"w${i - 1}"
@@ -606,21 +610,25 @@ object CurationQueries {
         GROUP BY 1, 2),
       m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       w$i AS MATERIALIZED (
-        SELECT replace(seq,
+        SELECT w, replace(seq,
                  '$d' || (SELECT lhs FROM m$i) || '$d$d' || (SELECT rhs FROM m$i) || '$d',
                  '$d' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '$d') AS seq,
                freq
         FROM $prev)"""
     }.mkString(",")
+    s"""w0 AS MATERIALIZED (
+        SELECT w, regexp_replace(w, '(.)', '$d\\1$d', 'g') AS seq,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),$rounds"""
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val heads = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_freq FROM m$i")
       .mkString("\n      UNION ALL ")
     s"""
-      WITH w0 AS MATERIALIZED (
-        SELECT regexp_replace(w, '(.)', '$d\\1$d', 'g') AS seq,
-               CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        GROUP BY w),$rounds
+      WITH ${bpeRoundCtes(k)}
       SELECT merge_rank, lhs, rhs, pair_freq FROM (
       $heads)
       ORDER BY merge_rank"""
@@ -648,6 +656,75 @@ object CurationQueries {
     },
     Some(bpeOracleSql(BpeRounds)),
   )
+
+  /** BPE APPLICATION — the learned merges segmenting the corpus, the
+    * other half of a working subword tokenizer: each document's words
+    * split into the subwords the [[bpeMerges]] rounds converged on
+    * (pieces joined `+` within a word), plus word and subword counts.
+    *
+    * 100 TB design: merges apply on the DISTINCT-WORD table (the same
+    * vocabulary compression as learning) as k chained compiled
+    * `replace` calls — one codegen'd projection, no joins, no
+    * iteration at apply time; the segmented vocabulary then broadcasts
+    * into the positional token explode exactly like the token-id
+    * encoding, and the only corpus-sized exchange is the per-document
+    * regroup. The oracle re-learns the merges through the shared
+    * round CTEs and replays the segmentation arithmetic. */
+  private val bpeEncode = Q(
+    "corpus_bpe_encode",
+    (s, dir) => {
+      val d = graft.operators.BpeMerges.Delim
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeMerges.learn(words, "w", "freq", BpeRounds)
+      val applied = merges.foldLeft(
+          regexp_replace(col("w"), "(.)", s"$d$$1$d"): Column) {
+        case (acc, (_, l, r, _)) =>
+          replace(acc, lit(s"$d$l$d$d$r$d"), lit(s"$d$l$r$d"))
+      }
+      val seg = words.select(col("w"), applied.as("seq"))
+        .select(col("w"),
+          ((length(col("seq")) -
+            length(replace(col("seq"), lit(s"$d$d"), lit("")))) / 2 + 1)
+            .cast("long").as("n_sub"),
+          regexp_replace(replace(col("seq"), lit(s"$d$d"), lit("+")),
+            s"^$d|$d$$", "").as("segtext"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+        .join(broadcast(seg), Seq("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("n_sub")).as("n_subwords"),
+          array_join(sort_array(collect_list(struct(col("pos"), col("segtext"))))
+            .getField("segtext"), " ").as("bpe_text"))
+        .orderBy("doc_id")
+    },
+    Some(bpeEncodeOracleSql(BpeRounds)),
+  )
+
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val d = graft.operators.BpeMerges.Delim
+    s"""
+      WITH ${bpeRoundCtes(k)},
+      seg AS (
+        SELECT w,
+               CAST((length(seq) - length(replace(seq, '$d$d', ''))) // 2 + 1
+                 AS BIGINT) AS n_sub,
+               replace(trim(seq, '$d'), '$d$d', '+') AS segtext
+        FROM w$k),
+      dt AS (
+        SELECT doc_id, ts[CAST(u.i AS INT)] AS w, CAST(u.i AS BIGINT) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             unnest(range(1, len(ts) + 1)) u(i))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             string_agg(segtext, ' ' ORDER BY pos) AS bpe_text
+      FROM dt JOIN seg USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   /** Token-id encoding — documents numericalized against the
     * vocabulary: per doc, the ordered id sequence (OOV → -1, the UNK
@@ -694,5 +771,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
-    bpeMerges, tokenIds)
+    bpeMerges, bpeEncode, tokenIds)
 }

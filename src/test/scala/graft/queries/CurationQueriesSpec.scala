@@ -133,6 +133,27 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 1), "no sequence drew from 2+ docs")
   }
 
+  test("BPE segmentation round-trips and its counts are consistent") {
+    // removing the '+' piece separators must rebuild each document
+    // verbatim (segmentation loses nothing), and n_subwords must equal
+    // tokens + splits; at least one word must actually have merged into
+    // a multi-char symbol (k=8 rounds on this fixture guarantee it)
+    val out = SparkEntry.queries("corpus_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    val textById = docs.map(d => d._1 -> d._2).toMap
+    out.foreach { case (id, nTok, nSub, bpe) =>
+      assert(bpe.replace("+", "") == textById(id), s"doc $id: round-trip broke")
+      assert(nSub == nTok + bpe.count(_ == '+'), s"doc $id: count mismatch")
+      assert(nTok == textById(id).split(" ").length.toLong)
+    }
+    // merges actually shortened something: some word segments into
+    // fewer pieces than its character count
+    assert(out.exists { case (id, _, nSub, _) =>
+      nSub < textById(id).replace(" ", "").length
+    }, "no merge ever applied — segmentation is vacuously char-level")
+  }
+
   test("capstone token streams are model-shaped (sf0.001 lake)") {
     // end-to-end invariants of corpus_training_tokens over the real
     // testdata lake (the differential gate proves value equality; this
