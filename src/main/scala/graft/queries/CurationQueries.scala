@@ -496,7 +496,10 @@ object CurationQueries {
           greatest(col("seq_no") * SeqLen - col("cum_start"), lit(0L)))
         .withColumn("piece_end",
           least(col("token_cnt"), (col("seq_no") + 1) * SeqLen - col("cum_start")))
+        .withColumn("seq_off",
+          greatest(col("cum_start") - col("seq_no") * SeqLen, lit(0L)))
         .select(col("source"), col("seq_no").as("seq_id"), col("cum_start"),
+          col("piece_start"), col("seq_off"),
           (col("piece_end") - col("piece_start")).as("piece_len"),
           array_join(slice(TextFunctions.tokens(col("text")),
             (col("piece_start") + 1).cast("int"),
@@ -508,7 +511,14 @@ object CurationQueries {
           count(lit(1)).as("n_docs"),
           array_join(
             sort_array(collect_list(struct(col("cum_start"), col("piece_text"))))
-              .getField("piece_text"), " ").as("seq_text"))
+              .getField("piece_text"), " ").as("seq_text"),
+          // attention-reset metadata: the within-sequence offsets where
+          // a NEW document begins (piece_start = 0 ⇔ not a straddler's
+          // continuation); collect_list drops the non-boundary NULLs
+          array_join(
+            sort_array(collect_list(when(col("piece_start") === 0L,
+              struct(col("cum_start"), col("seq_off")))))
+              .getField("seq_off").cast("array<string>"), " ").as("doc_starts"))
         .orderBy("source", "seq_id")
     },
     Some(s"""
@@ -522,7 +532,8 @@ object CurationQueries {
       b AS (SELECT *, cum_end - token_cnt AS cum_start FROM a),
       p AS (SELECT source, CAST(u.s AS BIGINT) AS seq_id, cum_start,
                    greatest(u.s * $SeqLen - cum_start, 0) AS st,
-                   least(token_cnt, (u.s + 1) * $SeqLen - cum_start) AS en, t
+                   least(token_cnt, (u.s + 1) * $SeqLen - cum_start) AS en,
+                   greatest(cum_start - u.s * $SeqLen, 0) AS soff, t
             FROM b, unnest(range(cum_start // $SeqLen,
                                  (cum_end - 1) // $SeqLen + 1)) u(s))
       SELECT source, seq_id,
@@ -530,7 +541,9 @@ object CurationQueries {
              CAST(count(*) AS BIGINT) AS n_docs,
              string_agg(
                array_to_string(list_slice(t, CAST(st + 1 AS INT), CAST(en AS INT)), ' '),
-               ' ' ORDER BY cum_start) AS seq_text
+               ' ' ORDER BY cum_start) AS seq_text,
+             coalesce(string_agg(CAST(soff AS VARCHAR), ' ' ORDER BY cum_start)
+               FILTER (WHERE st = 0), '') AS doc_starts
       FROM p GROUP BY source, seq_id ORDER BY source, seq_id"""),
   )
 

@@ -133,6 +133,27 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 1), "no sequence drew from 2+ docs")
   }
 
+  test("pack emit doc-start boundaries are exact attention-reset offsets") {
+    val out = SparkEntry.queries("mix_pack_emit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getString(5)))
+    def starts(s: String) = if (s.isEmpty) Seq.empty
+      else s.split(" ").map(_.toLong).toSeq
+    out.foreach { case (source, id, nDocs, ds) =>
+      val b = starts(ds)
+      // strictly increasing within the sequence window, and matching
+      // n_docs up to the one piece that may continue a straddler
+      assert(b == b.sorted && b.distinct == b, s"$source seq $id: $ds")
+      assert(b.forall(o => o >= 0 && o < 64), s"$source seq $id: $ds")
+      assert(b.size == nDocs || b.size == nDocs - 1, s"$source seq $id: $ds")
+    }
+    // every document starts exactly once somewhere in its source stream
+    out.groupBy(_._1).foreach { case (source, seqs) =>
+      val total = seqs.map(s => starts(s._4).size).sum
+      val expected = docs.count(_._4 == source)
+      assert(total == expected, s"$source: $total starts for $expected docs")
+    }
+  }
+
   test("BPE segmentation round-trips and its counts are consistent") {
     // removing the '+' piece separators must rebuild each document
     // verbatim (segmentation loses nothing), and n_subwords must equal
