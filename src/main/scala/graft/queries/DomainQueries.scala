@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -770,6 +771,49 @@ object DomainQueries {
     vSegments.oracle, // identical result contract: view == full rebuild
   )
 
+  /** SCD Type-2 dimension history — the warehouse-standard "what did
+    * this customer's record say on date X" table the latest-wins views
+    * throw away: every master version becomes a row with its validity
+    * interval `[valid_from, valid_to)` (the next version's timestamp
+    * closes it; the current version stays open) and a dense version
+    * sequence. Interval arithmetic is one `lead` over the SAME total
+    * version order the dedup views rank by, so SCD2 and latest-wins can
+    * never disagree about which row is current.
+    *
+    * 100 TB design: one hash exchange on custno; window groups are
+    * version chains (tens of rows), never a stratum — the single-task
+    * window hazard does not apply. Timestamps cross the oracle
+    * boundary formatted (the driver compare takes strings). */
+  private val scd2History = Q(
+    "scd2_customer_history",
+    (s, dir) => {
+      val w = Window.partitionBy("custno")
+        .orderBy(col("lastupdated"), col("dateadded"), col("sourcerowid"))
+      val next = lead(col("lastupdated"), 1).over(w)
+      customerMaster(s, dir)
+        .select(col("custno"), col("sourcerowid"), col("email"),
+          col("ziporpostalcode"), col("lastupdated"), col("dateadded"))
+        .withColumn("version_seq", row_number().over(w).cast("long"))
+        .withColumn("valid_from",
+          date_format(col("lastupdated"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("valid_to", date_format(next, "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("is_current", next.isNull)
+        .select("custno", "sourcerowid", "version_seq", "email",
+          "ziporpostalcode", "valid_from", "valid_to", "is_current")
+        .orderBy("custno", "version_seq")
+    },
+    Some(withPrelude("""
+      SELECT custno, sourcerowid,
+             CAST(row_number() OVER won AS BIGINT) AS version_seq,
+             email, ziporpostalcode,
+             strftime(lastupdated, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(lead(lastupdated, 1) OVER won, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             (lead(lastupdated, 1) OVER won IS NULL) AS is_current
+      FROM cm
+      WINDOW won AS (PARTITION BY custno ORDER BY lastupdated, dateadded, sourcerowid)
+      ORDER BY custno, version_seq""")),
+  )
+
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments)
+    vPrivacy, mvProfiles, mvSegments, scd2History)
 }
