@@ -739,6 +739,60 @@ object CurationQueries {
       GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Top-k per-source frequent bigrams. */
+  private val TopNgramK = 10
+
+  /** Per-source top bigrams by document frequency — the corpus
+    * inspection report (boilerplate detection, source profiling) that
+    * is ALSO the scale showcase for [[graft.operators.TopKPerGroup]]
+    * at corpus level: at 100 TB the per-source distinct-bigram table is
+    * billions of rows, so a rank window per source would serialize
+    * each source into one task (the same hazard the prefix-sum rework
+    * killed) — the k-bounded packed heap keeps ≤ k·mappers rows per
+    * source crossing the shuffle instead. The heap's unique tiebreak
+    * id is a 60-bit md5 prefix computed identically on both sides
+    * (Spark `conv(hex,16,10)` == DuckDB `CAST('0x…' AS BIGINT)`), and
+    * the k·sources winners broadcast back to re-attach the bigram
+    * text, per the operator's narrow-payload doctrine. */
+  private val topNgrams = Q(
+    "corpus_top_ngrams",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("shingle"))
+        .groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+        .withColumn("sid",
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      val top = counts.groupBy("source")
+        .agg(graft.operators.TopKPerGroup.topK(TopNgramK)(
+          col("df"), col("sid")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("ngram_rank"),
+          col("col._2").as("sid"))
+      counts.join(broadcast(top), Seq("source", "sid"))
+        .select("source", "ngram_rank", "shingle", "df")
+        .orderBy("source", "ngram_rank")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT source, unnest(list_distinct(
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                      ELSE [] END)) AS shingle
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+      c AS (
+        SELECT source, shingle, CAST(count(*) AS BIGINT) AS df,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+        FROM sh GROUP BY source, shingle),
+      r AS (
+        SELECT source, shingle, df,
+               row_number() OVER (PARTITION BY source ORDER BY df DESC, sid) AS rn
+        FROM c)
+      SELECT source, CAST(rn AS BIGINT) AS ngram_rank, shingle, df
+      FROM r WHERE rn <= $TopNgramK
+      ORDER BY source, ngram_rank"""),
+  )
+
   /** Token-id encoding — documents numericalized against the
     * vocabulary: per doc, the ordered id sequence (OOV → -1, the UNK
     * id), total and OOV token counts. The id sequence crosses the
@@ -784,5 +838,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds)
+    bpeMerges, bpeEncode, tokenIds, topNgrams)
 }
