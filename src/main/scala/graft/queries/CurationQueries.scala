@@ -185,6 +185,57 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  /** Per-language epoch weights in integer percent (230 = 2.3 epochs).
+    * One definition feeding both the Spark ladder and the oracle. */
+  private val EpochPct: Seq[(String, Long)] =
+    Seq("en" -> 230L, "fr" -> 100L, "de" -> 50L, "es" -> 150L)
+  private val DefaultEpochPct = 100L
+
+  /** Epoch upsampling — the other half of data mixing: strata can be
+    * REPEATED fractionally ("2.3 epochs of en, half an epoch of de"),
+    * not just rate-downsampled. Each document gets
+    * `floor(w) + (hash-bucket < frac(w) ? 1 : 0)` copies — the same
+    * deterministic multiplicative hash as [[stratifiedSample]], so the
+    * fractional epoch is an exact, reproducible subset (and w < 1
+    * degenerates to plain downsampling: one primitive, both
+    * directions). Emits one row per copy with a dense `copy_idx`, the
+    * repeat tag a downstream packer shuffles into the stream.
+    *
+    * 100 TB design: pure per-row arithmetic + a bounded `sequence`
+    * explode — zero shuffles below the output sort, fully codegen,
+    * and the explode factor is the mix policy's epoch cap, not data. */
+  private val epochUpsample = Q(
+    "mix_epoch_upsample",
+    (s, dir) => {
+      val bucket = mixBucketHash(col("doc_id")) % lit(100L)
+      val pct = EpochPct.foldRight(lit(DefaultEpochPct)) { case ((l, p), acc) =>
+        when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      val n = (pct / 100L).cast("long") +
+        when(bucket < pct % 100L, 1L).otherwise(0L)
+      Tables.documents(s, dir)
+        .withColumn("n_copies", n)
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, lang,
+               ${mixBucketHashSql("doc_id")} % 100 AS bucket,
+               CASE ${EpochPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+                 .mkString(" ")} ELSE $DefaultEpochPct END AS pct
+        FROM documents),
+      n AS (SELECT doc_id, lang,
+                   pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END
+                     AS n_copies
+            FROM b)
+      SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_idx
+      FROM n, unnest(range(0, CAST(n_copies AS INT))) u(c)
+      ORDER BY doc_id, copy_idx"""),
+  )
+
   // ---------------------------------------------- token-budget selection
   /** Per-stratum token budget in whitespace tokens. */
   private val TokenBudget = 3000L
@@ -836,7 +887,7 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, stratifiedSample, tokenBudget, fixedSample,
+  val all: Seq[Q] = Seq(decontam, stratifiedSample, epochUpsample, tokenBudget, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }

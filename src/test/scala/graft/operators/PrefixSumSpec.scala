@@ -66,6 +66,29 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(joined.filter(col("cum") =!= col("expect")).count() == 0)
   }
 
+  test("matches the single window across 25 seeded random shapes") {
+    val spark0 = spark
+    import spark0.implicits._
+    (1 to 25).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val nGroups = 1 + rng.nextInt(6)
+      val rows = (1 to 300 + rng.nextInt(700)).map { i =>
+        // skewed group pick: group 0 absorbs ~half of each draw range
+        val g = math.max(0, rng.nextInt(2 * nGroups) - nGroups)
+        (s"g$g", i.toLong, rng.nextInt(100).toLong)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rng.nextInt(7))
+      val order =
+        if (rng.nextBoolean()) Seq(col("v").desc, col("id")) else Seq(col("id"))
+      val parts = 2 + rng.nextInt(20)
+      val got = PrefixSum.runningSum(df, Seq("g"), order, col("v"), "cum", parts)
+      val expect = singleWindow(df, "g", order)
+      val bad = got.join(expect.select("g", "id", "expect"), Seq("g", "id"))
+        .filter(col("cum") =!= col("expect")).count()
+      assert(bad == 0, s"seed $seed (parts=$parts): $bad diverging rows")
+    }
+  }
+
   test("ascending single-key order and defaults work (packing shape)") {
     val spark0 = spark
     import spark0.implicits._

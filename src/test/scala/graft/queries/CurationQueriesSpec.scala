@@ -27,6 +27,9 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     (3L, "tiny", "en", "web"),                                // no 4-grams
     (4L, "uno dos tres cuatro cinco seis siete ocho", "es", "web"),
     (5L, "ein zwei drei vier funf sechs sieben acht", "de", "web"),
+    // bucket(9) = 69 ≥ de's 50% epoch: this doc must DROP in the
+    // fractional-epoch path (and miss the 25% stratified rate too)
+    (9L, "neun zehn elf zwolf dreizehn vierzehn", "de", "web"),
     (6L, "un deux trois quatre cinq six sept huit", "fr", "web"),
     (8L, "yi er san si wu liu qi ba jiu shi", "zh", "web")) ++
     // five ~700-token docs so the 3000-token budget CUTS (3500 > 3000):
@@ -100,6 +103,26 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allEn = docs.filter(_._3 == "en").map(_._1).toSet
     assert(keptEn.subsetOf(allEn) && keptEn != allEn,
       s"budget cutoff never fired: kept all of $allEn")
+  }
+
+  test("epoch upsampling emits exactly the hash-derived copy counts") {
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 100L
+    val pcts = Map("en" -> 230L, "fr" -> 100L, "de" -> 50L, "es" -> 150L)
+      .withDefaultValue(100L)
+    val expected = docs.flatMap { case (id, _, lang, _) =>
+      val p = pcts(lang)
+      val n = p / 100 + (if (bucket(id) < p % 100) 1L else 0L)
+      (0L until n).map(c => (id, lang, c))
+    }.toSet
+    val got = SparkEntry.queries("mix_epoch_upsample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1)))
+      .map(t => (t._1, t._3, t._2)).toSet
+    assert(got == expected)
+    // both directions actually exercised: some doc repeated, some dropped
+    val copies = got.groupBy(_._1).map(_._2.size)
+    assert(copies.exists(_ >= 2), "no stratum ever upsampled")
+    assert(docs.map(_._1).toSet.diff(got.map(_._1)).nonEmpty,
+      "fractional drop path unverified (doc 9 should vanish)")
   }
 
   test("pack emit materializes exact fixed-length sequences") {
