@@ -195,6 +195,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-task stratum windows crept back:\n${offenders.mkString("\n")}")
   }
 
+  test("round-7 query plan shapes: exchange ceilings") {
+    // Same rationale as the flagship pins: shuffle counts are THE scale
+    // lever, so pin ceilings for the new operators. Counts are STATIC
+    // (pre-AQE): the prefix-sum users print their range exchange twice
+    // (deduplicated at runtime, pinned separately below).
+    def audit(n: String): (Int, String) = {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      df.unpersist()
+      ("Exchange".r.findAllIn(p).length, p)
+    }
+    val ceilings = Seq(
+      // range×2 + local window hash + totals agg + tiny offsets window
+      // + doc_id rejoin (2) + (source, seq_id) regroup + output sort
+      "mix_pack_emit" -> 9,
+      // vocab agg + per-doc regroup + output sort + vocab broadcast
+      "corpus_bpe_encode" -> 4,
+      // counts agg ×2 branches + heap agg + output sort + top broadcast
+      "corpus_top_ngrams" -> 5,
+      // pure per-row arithmetic: the output sort is the ONLY exchange
+      "mix_epoch_upsample" -> 1,
+      // dim join broadcast + version-chain window + output sort
+      "scd2_customer_history" -> 3)
+    ceilings.foreach { case (n, max) =>
+      val (ex, p) = audit(n)
+      assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
+    }
+  }
+
   test("prefix-sum totals branch reuses the range exchange at runtime") {
     // PrefixSum's scale story says the corpus crosses its range
     // exchange ONCE — the per-partition-totals branch must come back as
