@@ -143,6 +143,87 @@ object CurationQueries {
       ORDER BY c.doc_id"""),
   )
 
+  /** Surgical decontamination — span EXCISION, the precision tool
+    * beside [[decontam]]'s whole-document flag: only the token
+    * positions covered by a benchmark-matching 4-gram are removed, the
+    * rest of the document survives (how production pipelines treat
+    * partially-contaminated pages rather than discarding them).
+    *
+    * 100 TB design: the benchmark dictionary broadcasts as in
+    * [[decontam]]; positional 4-grams are `element_at` column
+    * arithmetic off the scan (no HOF); hit positions collapse to ONE
+    * bounded array per document (contamination-sized metadata), and
+    * the kept-token rebuild joins that array back on doc_id and
+    * regroups on the SAME key — the token stream crosses a single
+    * exchange, membership tests are compiled `array_contains`. */
+  private val decontamExcise = Q(
+    "decontam_excise",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val benchDict = d
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+        .filter(expr(BenchPred))
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val toks = d.filter(!expr(BenchPred))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val posSh = toks.filter(col("n") >= 4)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1L), col("n") - 3)).as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ",
+            element_at(col("t"), col("i").cast("int")),
+            element_at(col("t"), col("i").cast("int") + 1),
+            element_at(col("t"), col("i").cast("int") + 2),
+            element_at(col("t"), col("i").cast("int") + 3)).as("shingle"))
+      val hitSets = posSh.join(broadcast(benchDict), Seq("shingle"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 3)).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("hits"))
+      toks.join(hitSets, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("hits"),
+          posexplode(col("t")).as(Seq("p0", "tok")))
+        .withColumn("p", col("p0").cast("long") + 1)
+        .withColumn("hit",
+          coalesce(array_contains(col("hits"), col("p")), lit(false)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(
+            sort_array(collect_list(when(!col("hit"), struct(col("p"), col("tok")))))
+              .getField("tok"), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+      benchsh AS (SELECT DISTINCT unnest(list_distinct(
+                    CASE WHEN len(t) >= 4
+                         THEN list_transform(range(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                         ELSE [] END)) AS shingle
+                  FROM tok WHERE $BenchPred),
+      corpus AS (SELECT doc_id, t, n FROM tok WHERE NOT ($BenchPred)),
+      pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                     t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] || ' '
+                       || t[CAST(u.i AS INT) + 2] || ' ' || t[CAST(u.i AS INT) + 3]
+                       AS shingle
+              FROM corpus, unnest(range(1, CAST(n AS INT) - 2)) u(i)
+              WHERE n >= 4),
+      hits AS (SELECT DISTINCT p.doc_id, CAST(u.p AS BIGINT) AS p
+               FROM pos p JOIN benchsh USING (shingle),
+                    unnest(range(p.i, p.i + 4)) u(p)),
+      allp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[CAST(u.i AS INT)] AS tok
+               FROM corpus, unnest(range(1, CAST(n AS INT) + 1)) u(i))
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(h.p) AS BIGINT) AS n_removed,
+             coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
+               FILTER (WHERE h.p IS NULL), '') AS clean_text
+      FROM allp a LEFT JOIN hits h ON a.doc_id = h.doc_id AND a.p = h.p
+      GROUP BY a.doc_id ORDER BY a.doc_id"""),
+  )
+
   // ------------------------------------------------- stratified sampling
   /** Data-mixing rates per language stratum, in kept-buckets-of-100.
     * One definition feeding both the Spark CASE ladder and the oracle. */
@@ -887,7 +968,7 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, stratifiedSample, epochUpsample, tokenBudget, fixedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, tokenBudget, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }

@@ -65,6 +65,27 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(7L))
   }
 
+  test("span excision removes exactly the benchmark-covered tokens") {
+    val out = SparkEntry.queries("decontam_excise")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 = bench doc 7 (8 tokens) + "india juliett": its 4-gram
+    // windows 1..5 are verbatim bench shingles, covering tokens 1..8 —
+    // exactly those vanish, the clean tail survives
+    assert(out(1L) == ((10L, 8L, "india juliett")), s"doc 1: ${out(1L)}")
+    // disjoint vocabulary → untouched, byte-identical
+    assert(out(2L) == ((9L, 0L, "one two three four five six seven eight nine")))
+    // shorter than a shingle → no window, untouched
+    assert(out(3L) == ((1L, 0L, "tiny")))
+    // the benchmark slice itself is not part of the corpus side
+    assert(!out.contains(7L))
+    // global sanity: n_tokens - n_removed == clean token count
+    out.foreach { case (id, (n, rem, text)) =>
+      val kept = if (text.isEmpty) 0 else text.split(" ").length
+      assert(kept.toLong == n - rem, s"doc $id inconsistent")
+    }
+  }
+
   test("stratified sample is exactly the hash-derived set, twice over") {
     def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 100L
     val rates = Map("en" -> 50L, "fr" -> 75L, "de" -> 25L, "es" -> 25L)
