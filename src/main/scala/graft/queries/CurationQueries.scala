@@ -814,7 +814,12 @@ object CurationQueries {
     * into the positional token explode exactly like the token-id
     * encoding, and the only corpus-sized exchange is the per-document
     * regroup. The oracle re-learns the merges through the shared
-    * round CTEs and replays the segmentation arithmetic. */
+    * round CTEs and replays the segmentation arithmetic.
+    *
+    * Contract: [[BpeRounds]] must not exceed the corpus's merge supply
+    * — the Spark loop stops early when pairs run dry, but the oracle's
+    * unroll is fixed-k (an empty argmax would NULL the replay). The
+    * 31-word vocabulary exhausts far beyond k=8; revisit if k grows. */
   private val bpeEncode = Q(
     "corpus_bpe_encode",
     (s, dir) => {
