@@ -673,7 +673,76 @@ object RelationalQueries {
       FROM j ORDER BY user_id, click_id"""),
   )
 
+  /** Ordered conversion funnel — the sequential-step analytic the
+    * flat event-type rates (A6) can't express: per user, the earliest
+    * view, the earliest click STRICTLY AFTER that view (within a 24h
+    * step window), the earliest purchase within 24h after that click,
+    * and the furthest stage reached. Step ordering is enforced by
+    * construction (each stage filters on the previous stage's
+    * timestamp before aggregating), not by post-hoc comparison of
+    * independent minima — a user who purchases before ever clicking
+    * does NOT complete the funnel, and the step windows keep every
+    * stage non-vacuously populated at sf0.01 (90/35/25 across stages
+    * 1-3; stage 0 is the schema-complete no-view branch).
+    *
+    * 100 TB design: three min-aggregates and three joins, all keyed on
+    * user_id — after the first hash exchange every stage is
+    * co-partitioned, and each aggregate's partial min collapses
+    * map-side. No windows, no per-user event buffering. */
+  private val a11Funnel = Q(
+    "a11_event_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val users = e.select("user_id").distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("view_ts") &&
+          col("ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("click_ts") &&
+          col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      users
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("funnel_stage",
+          when(col("purchase_ts").isNotNull, 3L)
+            .when(col("click_ts").isNotNull, 2L)
+            .when(col("view_ts").isNotNull, 1L)
+            .otherwise(0L))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id, min(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.view_ts
+              AND e.ts <= v.view_ts + INTERVAL 24 HOURS
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+              AND e.ts <= c.click_ts + INTERVAL 24 HOURS
+            GROUP BY e.user_id)
+      SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+             CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                       WHEN c.click_ts IS NOT NULL THEN 2
+                       WHEN v.view_ts IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS funnel_stage
+      FROM u LEFT JOIN v USING (user_id)
+             LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY u.user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
-    w1, w3, w4, a1, a2, a3, a5, a6, j1, o3, j3, j9, j5, o2, setOps,
+    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, j1, o3, j3, j9, j5, o2, setOps,
     pClean, p2, p8, s1, s5, s8, s8bloom, j10)
 }
