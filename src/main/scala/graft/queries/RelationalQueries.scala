@@ -742,7 +742,54 @@ object RelationalQueries {
       ORDER BY u.user_id"""),
   )
 
+  /** Retention cohort matrix — users grouped by their signup week,
+    * counted as active in each week since: the classic retention
+    * triangle behind every "week-4 retention" metric. Weeks are
+    * ISO-Monday truncations (identical in both engines); a user's
+    * cohort anchors at their EARLIEST signup, and only activity at or
+    * after the signup counts.
+    *
+    * 100 TB design: one aggregate to anchor each user's cohort, one
+    * broadcast-or-shuffle join back to the event stream, and the
+    * cohort×week aggregate whose partial distinct collapses map-side —
+    * no windows, and the output is cohortWeeks × maxWeeks rows of
+    * pure metadata. */
+  private val a12Cohorts = Q(
+    "a12_retention_cohorts",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        .withColumn("cohort_week", date_trunc("week", col("signup_ts")))
+      e.join(cohort, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .withColumn("week_n",
+          floor(datediff(col("ts").cast("date"), col("cohort_week").cast("date"))
+            / 7).cast("long"))
+        .groupBy("cohort_week", "week_n")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_n"), col("active_users"))
+        .orderBy("cohort_week", "week_n")
+    },
+    Some("""
+      WITH su AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      co AS (SELECT user_id, signup_ts,
+                    date_trunc('week', signup_ts) AS cohort_week FROM su)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+             CAST(datediff('day', CAST(cohort_week AS DATE), CAST(e.ts AS DATE)) // 7
+               AS BIGINT) AS week_n,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+      FROM events e JOIN co ON e.user_id = co.user_id
+      WHERE e.ts >= co.signup_ts
+      GROUP BY co.cohort_week,
+               datediff('day', CAST(cohort_week AS DATE), CAST(e.ts AS DATE)) // 7
+      ORDER BY cohort_week, week_n"""),
+  )
+
   val all: Seq[Q] = Seq(
-    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, j1, o3, j3, j9, j5, o2, setOps,
-    pClean, p2, p8, s1, s5, s8, s8bloom, j10)
+    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, j1, o3, j3, j9, j5,
+    o2, setOps, pClean, p2, p8, s1, s5, s8, s8bloom, j10)
 }
