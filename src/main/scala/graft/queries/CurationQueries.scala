@@ -361,6 +361,43 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  /** Per-source rank + decile WITHOUT a stratum window — the
+    * `ntile`-at-scale pattern: `row_number() OVER (PARTITION BY
+    * source)` serializes a hot source into one task, but a rank is
+    * just a running COUNT, so it rides [[graft.operators.PrefixSum]]
+    * (value = 1) with bounded tasks; the per-source totals broadcast
+    * back and the decile is closed-form arithmetic. Ranking documents
+    * by length within their source is the binning step behind
+    * per-source quality curricula. */
+  private val rankDeciles = Q(
+    "corpus_rank_deciles",
+    (s, dir) => {
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt"))
+      val counts = sized.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      graft.operators.PrefixSum.runningSum(sized, Seq("source"),
+          Seq(col("token_cnt").desc, col("doc_id")), lit(1L), "src_rank")
+        .join(broadcast(counts), "source")
+        .withColumn("decile",
+          ((col("src_rank") - 1) * 10 / col("n_docs")).cast("long") + 1)
+        .select("doc_id", "source", "token_cnt", "src_rank", "n_docs", "decile")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, token_cnt,
+             CAST(rn AS BIGINT) AS src_rank,
+             CAST(n AS BIGINT) AS n_docs,
+             CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile
+      FROM (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents) t
+      ORDER BY doc_id"""),
+  )
+
   // ------------------------------------------------ fixed-size sampling
   /** Exact-N-per-stratum sampling: the first [[FixedSampleK]] documents
     * of each language in deterministic hash order — "give me exactly
@@ -973,7 +1010,7 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, tokenBudget, fixedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, tokenBudget, rankDeciles, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }

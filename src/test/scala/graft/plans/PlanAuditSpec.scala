@@ -181,7 +181,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val strata = Set("lang", "source")
     val offenders = Seq("mix_token_budget", "mix_pack_sequences",
-      "mix_pack_emit").flatMap { n =>
+      "mix_pack_emit", "corpus_rank_deciles").flatMap { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
         case w: LWindow
