@@ -284,6 +284,26 @@ object LlmQueries {
             ORDER BY doc_id) AS rn2
           FROM exd e) t WHERE rn2 = 1)"""
 
+  /** Survivor near-dup components (edges → min-reachable-id `comp`) —
+    * the oracle spelling of [[survivorComponents]], shared by the
+    * clustered-clean, capstone, and cluster-split oracles. Must follow
+    * `$MINHASH_CTES, $CORPUS_CTES` (uses `pairs` and `fpd`). */
+  private val COMP_CTES = """edges AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5
+        UNION
+        SELECT p.doc_b AS src, p.doc_a AS dst FROM pairs p
+        JOIN fpd a ON p.doc_a = a.doc_id
+        JOIN fpd b ON p.doc_b = b.doc_id
+        WHERE p.jaccard >= 0.5),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)"""
+
   private val corpusClean = Q(
     "corpus_clean",
     (s, dir) => corpusSurvivors(s, dir).orderBy("doc_id"),
@@ -617,7 +637,7 @@ object LlmQueries {
     * minhash pair memo; the entry is accounted by
     * `SharedFrames.entryCount` in the storage-hygiene sweep. */
   private def survivorComponents(s: SparkSession, dir: String): DataFrame =
-    graft.SharedFrames.cachedPrepersisted(s, "survivor_components") {
+    graft.SharedFrames.cachedPrepersisted(s, s"survivor_components:$dir") {
       graft.operators.ConnectedComponents.run(
         survivorEdges(minhashPairs(s, dir), corpusSurvivors(s, dir)),
         "doc_a", "doc_b")
@@ -668,21 +688,7 @@ object LlmQueries {
     Some(s"""
       WITH RECURSIVE $MINHASH_CTES,
       $CORPUS_CTES,
-      edges AS (
-        SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
-        JOIN fpd a ON p.doc_a = a.doc_id
-        JOIN fpd b ON p.doc_b = b.doc_id
-        WHERE p.jaccard >= 0.5
-        UNION
-        SELECT p.doc_b AS src, p.doc_a AS dst FROM pairs p
-        JOIN fpd a ON p.doc_a = a.doc_id
-        JOIN fpd b ON p.doc_b = b.doc_id
-        WHERE p.jaccard >= 0.5),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      $COMP_CTES,
       labeled AS (
         SELECT f.doc_id, f.lang, f.source, f.quality_score,
                coalesce(c.comp, f.doc_id) AS cluster_id
@@ -693,6 +699,55 @@ object LlmQueries {
         FROM labeled)
       SELECT doc_id, lang, source, quality_score, cluster_size
       FROM sized WHERE doc_id = cluster_id ORDER BY doc_id"""),
+  )
+
+  /** Leakage-free train/val/test assignment: the split is decided by a
+    * deterministic hash of the near-dup CLUSTER id, not the document
+    * id — so a document and all its near-duplicates land in the SAME
+    * split by construction. Splitting on doc_id would leak train
+    * documents into eval through their near-copies, silently inflating
+    * held-out scores; cluster-keyed assignment is how production
+    * corpora (and the reference's cross-record identity collapse,
+    * `README.md:124`, applied to splits) keep eval honest.
+    *
+    * 100 TB design: rides the session-shared survivor component map
+    * ([[survivorComponents]] — one propagation per session) plus a
+    * pure per-row hash; no shuffle beyond the cluster-label join,
+    * which co-partitions on doc_id. The 90/5/5 thresholds are hash
+    * buckets, so splits are reproducible run-to-run, survive task
+    * retries, and a document's fate never changes as the corpus grows
+    * (the same determinism contract as `mix_stratified_sample`). */
+  private val clusterSplits = Q(
+    "mix_cluster_splits",
+    (s, dir) => {
+      val bucket =
+        CurationQueries.mixBucketHash(col("cluster_id")) % lit(100L)
+      val out = labeledSurvivors(s, dir)
+        .withColumn("split",
+          when(bucket < 90L, lit("train"))
+            .when(bucket < 95L, lit("val"))
+            .otherwise(lit("test")))
+        .select("doc_id", "lang", "source", "cluster_id", "split")
+        .orderBy("doc_id")
+        .persist()
+      // materialize off the shared component map; the harness
+      // unpersists `out`, the map is a session-accounted memo entry
+      out.count()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      $COMP_CTES,
+      labeled AS (
+        SELECT f.doc_id, f.lang, f.source,
+               coalesce(c.comp, f.doc_id) AS cluster_id
+        FROM fpd f LEFT JOIN comp c ON f.doc_id = c.id)
+      SELECT doc_id, lang, source, cluster_id,
+             CASE WHEN ${CurationQueries.mixBucketHashSql("cluster_id")} % 100 < 90 THEN 'train'
+                  WHEN ${CurationQueries.mixBucketHashSql("cluster_id")} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labeled ORDER BY doc_id"""),
   )
 
   // ----------------------------------------------------- training mix
@@ -720,21 +775,7 @@ object LlmQueries {
     * `starts`) — ONE spelling shared by both capstone heads, mirroring
     * [[trainingChunkStage]] on the Spark side. Must be preceded by
     * `WITH RECURSIVE $MINHASH_CTES, $CORPUS_CTES,`. */
-  private val TRAINING_CTES = s"""edges AS (
-        SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p
-        JOIN fpd a ON p.doc_a = a.doc_id
-        JOIN fpd b ON p.doc_b = b.doc_id
-        WHERE p.jaccard >= 0.5
-        UNION
-        SELECT p.doc_b AS src, p.doc_a AS dst FROM pairs p
-        JOIN fpd a ON p.doc_a = a.doc_id
-        JOIN fpd b ON p.doc_b = b.doc_id
-        WHERE p.jaccard >= 0.5),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+  private val TRAINING_CTES = s"""$COMP_CTES,
       canon AS (
         SELECT f.doc_id, f.source, f.quality_score, f.text
         FROM fpd f LEFT JOIN comp c ON f.doc_id = c.id
@@ -1146,7 +1187,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
-    corpusCleanClustered, trainingMix, trainingTokens, dedupExact, minhash,
+    corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
     multimodal)
 }
