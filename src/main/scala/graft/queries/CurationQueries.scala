@@ -317,6 +317,53 @@ object CurationQueries {
       ORDER BY doc_id, copy_idx"""),
   )
 
+  /** Temperature-flattened language mixing at α = 0.5: each stratum
+    * keeps `p = sqrt(n_min / n)` of its documents, so sampled counts
+    * become `sqrt(n_min · n)` — the geometric mean between the natural
+    * distribution and uniform, the standard move for keeping
+    * low-resource languages from drowning in a majority-language crawl
+    * (the multilingual analog of the reference's per-location balance,
+    * `scripts/glue_vehicle_sales_etl.py:300-320`). The smallest
+    * stratum keeps everything (p = 1) — flattening only ever removes
+    * from the majority.
+    *
+    * α = 0.5 is chosen deliberately: `sqrt`, like `/`, is an
+    * IEEE-correctly-rounded primitive, so `keep_p` is bit-identical
+    * across engines and the keep decision (`hash < p · 2³²`) is
+    * oracle-exact — a general `pow(x, α)` would not be.
+    *
+    * 100 TB design: the per-stratum counts are a metadata-sized
+    * aggregate broadcast back; the keep decision is then a pure
+    * per-row hash filter — zero corpus shuffles, fully codegen'd,
+    * deterministic across retries and corpus growth (same contract as
+    * `mix_stratified_sample`). */
+  private val temperatureSample = Q(
+    "mix_temperature_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val counts = d.groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+      val probs = counts.crossJoin(broadcast(nMin))
+        .withColumn("keep_p", sqrt(col("n_min") / col("n_docs")))
+        .select("lang", "keep_p")
+      d.join(broadcast(probs), "lang")
+        .filter(mixBucketHash(col("doc_id")).cast("double") <
+          col("keep_p") * 4294967296.0)
+        .select("doc_id", "lang", "source", "keep_p")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+                 FROM documents GROUP BY lang),
+      m AS (SELECT min(n_docs) AS n_min FROM c),
+      p AS (SELECT lang, sqrt(n_min / n_docs) AS keep_p FROM c, m)
+      SELECT d.doc_id, d.lang, d.source, p.keep_p
+      FROM documents d JOIN p USING (lang)
+      WHERE CAST(${mixBucketHashSql("d.doc_id")} AS DOUBLE) < keep_p * 4294967296
+      ORDER BY d.doc_id"""),
+  )
+
   // ---------------------------------------------- token-budget selection
   /** Per-stratum token budget in whitespace tokens. */
   private val TokenBudget = 3000L
@@ -1010,7 +1057,7 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, tokenBudget, rankDeciles, fixedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
     tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }

@@ -789,7 +789,48 @@ object RelationalQueries {
       ORDER BY cohort_week, week_n"""),
   )
 
+  /** A13 — hopping (sliding) time-window aggregation: 6-hour windows
+    * advancing every 2 hours, so each event contributes to exactly
+    * three overlapping windows — the standard smoothed-traffic /
+    * rolling-error-rate shape that a tumbling daily rollup (A5) cannot
+    * express. Spark-first: the built-in `window()` generator expands
+    * the slot membership INSIDE codegen (no explode of a handcrafted
+    * array), and the aggregate behind it is an ordinary partial-final
+    * groupBy — one shuffle of (window × type) partial rows, metadata-
+    * sized output. The oracle replays slot assignment with integer
+    * micros arithmetic (`start_k = (⌊us/hop⌋ − k)·hop`, k ∈ 0..2 —
+    * every event lands in exactly width/hop = 3 slots).
+    *
+    * 100 TB design: partial aggregation collapses each task to
+    * (windows × types) rows before the exchange — slot fan-out never
+    * reaches the shuffle; window starts are epoch-aligned so the same
+    * query incrementalizes per arriving hop in Structured Streaming. */
+  private val a13Hopping = Q(
+    "a13_hopping_windows",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("users"),
+          sumd(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("users"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT strftime(make_timestamp((epoch_us(ts) // 7200000000 - k.k) * 7200000000),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events, unnest(range(0, 3)) k(k)
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
-    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, j1, o3, j3, j9, j5,
-    o2, setOps, pClean, p2, p8, s1, s5, s8, s8bloom, j10)
+    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping, j1, o3,
+    j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8, s8bloom, j10)
 }

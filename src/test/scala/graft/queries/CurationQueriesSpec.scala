@@ -246,4 +246,24 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.map(_._4).sum > 0, "OOV encoding path never exercised")
   }
+
+  test("temperature mixing flattens the majority and keeps every minimum stratum") {
+    val out = SparkEntry.queries("mix_temperature_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // langs with the minimum count (es/fr/zh: 1 doc each) have p = 1
+    // exactly — sqrt(n_min/n_min) — so every document survives
+    Seq("es", "fr", "zh").foreach { l =>
+      assert(out.count(_._2 == l) == 1, s"minimum stratum $l not fully kept")
+      assert(out.filter(_._2 == l).forall(_._3 == 1.0))
+    }
+    // the majority stratum (en, 9 docs) is strictly downsampled — the
+    // flattening is non-vacuous — but never emptied
+    val en = out.filter(_._2 == "en")
+    assert(en.nonEmpty && en.length < 9, s"en kept ${en.length} of 9")
+    assert(en.forall(t => math.abs(t._3 - math.sqrt(1.0 / 9)) < 1e-15))
+    // deterministic: the same set on a second run
+    val again = SparkEntry.queries("mix_temperature_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
