@@ -814,6 +814,64 @@ object DomainQueries {
       ORDER BY custno, version_seq""")),
   )
 
+  /** J11 — point-in-interval attribution: each order lands on the SCD2
+    * customer version whose validity interval contains the order
+    * timestamp — "which version of the customer record placed this
+    * order", the temporal-join backbone of any as-was reporting layer
+    * (the reference's warehouse answers this with nightly snapshots;
+    * SCD2 + interval join answers it exactly). Orders that predate the
+    * customer's first version keep a NULL version — the left join
+    * surfaces coverage gaps instead of silently dropping them.
+    *
+    * Plan shape: an equi-join on custno with the interval bounds as a
+    * residual range predicate — SortMergeJoin/shuffle on the customer
+    * key, never a cartesian; version chains are per-customer and
+    * bounded, so the residual scan inside each key is tiny at any
+    * corpus size. Intervals are half-open [valid_from, next valid_from)
+    * and therefore disjoint by construction — at most one version
+    * matches, no post-join dedup needed. */
+  private val j11Interval = Q(
+    "j11_interval_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("custno")
+        .orderBy(col("lastupdated"), col("dateadded"), col("sourcerowid"))
+      val versions = customerMaster(s, dir)
+        .select(col("custno"), col("lastupdated"), col("dateadded"), col("sourcerowid"))
+        .withColumn("version_seq", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("lastupdated"), 1).over(w))
+        .select(col("custno").as("v_custno"), col("version_seq"),
+          col("lastupdated").as("valid_from"), col("valid_to"))
+      val facts = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey").cast("string").as("custno"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      facts.join(versions,
+          facts("custno") === versions("v_custno") &&
+            facts("ots") >= versions("valid_from") &&
+            (versions("valid_to").isNull || facts("ots") < versions("valid_to")),
+          "left")
+        .select(col("o_orderkey"), col("custno"),
+          date_format(col("ots"), "yyyy-MM-dd").as("order_date"),
+          col("version_seq"))
+        .orderBy("o_orderkey")
+    },
+    Some(withPrelude("""
+      , versioned AS (
+        SELECT custno,
+               CAST(row_number() OVER won AS BIGINT) AS version_seq,
+               lastupdated AS valid_from,
+               lead(lastupdated, 1) OVER won AS valid_to
+        FROM cm
+        WINDOW won AS (PARTITION BY custno ORDER BY lastupdated, dateadded, sourcerowid))
+      SELECT o.o_orderkey, CAST(o.o_custkey AS VARCHAR) AS custno,
+             strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
+             v.version_seq
+      FROM orders o LEFT JOIN versioned v
+        ON CAST(o.o_custkey AS VARCHAR) = v.custno
+       AND CAST(o.o_orderdate AS TIMESTAMP) >= v.valid_from
+       AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < v.valid_to)
+      ORDER BY o.o_orderkey""")),
+  )
+
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments, scd2History)
+    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval)
 }

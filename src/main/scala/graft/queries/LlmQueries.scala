@@ -75,6 +75,91 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------------------- BM25
+  /** Fixed keyword query for the BM25 scorer — common / stopword /
+    * rare, so the idf spread is real (df ≈ 402 / 388 / 25 at sf0.01). */
+  private val Bm25Terms = Seq("batch", "the", "dup")
+
+  /** BM25 relevance scoring of every document against a fixed keyword
+    * query — the retrieval primitive behind corpus search and
+    * quality-targeted selection ("find training docs about X").
+    *
+    * Shape: term frequencies ride the scan as compiled `replace`-based
+    * counts (no explode, no posting-list shuffle — the query is k fixed
+    * terms, so tf is k extra columns); the corpus stats the formula
+    * needs (N, Σdl, per-term df) collapse to ONE metadata row broadcast
+    * back; the score is then closed-form column arithmetic. Zero
+    * corpus-sized shuffles at any scale — a 100 TB corpus pays one
+    * stats aggregate and one codegen'd projection pass.
+    *
+    * Oracle exactness: every aggregate is summed as LONG (exact, order-
+    * independent — the double-sum ordering trap never arises), and the
+    * score tree uses only IEEE-correctly-rounded ops plus `ln`, which
+    * this container's JVM and DuckDB produce bit-identically (probed
+    * over the relevant input range); both engines evaluate the SAME
+    * association order, so the doubles hash-match. */
+  private val bm25 = Q(
+    "doc_bm25_scores",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val withTf = d.select(
+        col("doc_id") +: col("lang") +: col("source") +:
+          TextFunctions.tokenCount(col("text")).as("dl") +:
+          Bm25Terms.map(t =>
+            TextFunctions.tokenOccurrences(col("text"), t).as(s"tf_$t")): _*)
+      val stats = withTf.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl") +:
+          Bm25Terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      // one metadata row; avgdl divides two exact longs — deterministic
+      def nD = col("n_docs").cast("double")
+      val scored = withTf.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / nD)
+      def part(t: String): Column = {
+        val tf = col(s"tf_$t").cast("double")
+        val df = col(s"df_$t").cast("double")
+        log((nD - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      }
+      scored
+        .withColumn("bm25",
+          round(Bm25Terms.map(part).reduceLeft(_ + _), 8))
+        .filter(col("bm25") > 0)
+        .select("doc_id", "lang", "source", "dl", "bm25")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+    Some {
+      val tfSql = Bm25Terms.map { t =>
+        s"(length(pt) - length(replace(pt, ' $t ', ''))) // ${t.length + 2} AS tf_$t"
+      }.mkString(",\n               ")
+      val dfSql = Bm25Terms.map { t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t"
+      }.mkString(", ")
+      val partSql = Bm25Terms.map { t =>
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+           / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf_$t AS DOUBLE) * 2.2)
+           / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+      }.mkString(" + ")
+      s"""
+      WITH tf AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               $tfSql
+        FROM (SELECT *, ' ' || replace(text, ' ', '  ') || ' ' AS pt FROM documents) p),
+      stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSql FROM tf),
+      scored AS (
+        SELECT doc_id, lang, source, dl,
+               round($partSql, 8) AS bm25
+        FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM stats) s)
+      SELECT doc_id, lang, source, dl, bm25 FROM scored
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id"""
+    },
+  )
+
   // ---------------------------------------------------------- fingerprint
   /** Document fingerprinting: md5 over the sorted vocabulary; cluster
     * size via a count window — order-insensitive near-dup key. */
@@ -1186,7 +1271,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, fingerprint, winnowQ, winnowPairs, corpusClean,
+    textStats, bm25, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
     multimodal)

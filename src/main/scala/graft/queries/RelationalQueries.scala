@@ -830,7 +830,58 @@ object RelationalQueries {
       GROUP BY 1, 2 ORDER BY window_start, event_type"""),
   )
 
+  /** ST6 (batch form) — gap-close sessionization as an oracle-checked
+    * query: a session is a maximal run of one user's events with no
+    * 30-minute silence inside it (the same gap contract as the
+    * streaming sessionizer, `streaming/Streams.scala:133` — this is
+    * its batch/backfill twin over the events lake). Spark-first:
+    * batch `session_window` — Catalyst's native merging-session
+    * operator — rather than the lag/flag/running-sum window idiom;
+    * the oracle replays sessionization with exactly that independent
+    * lag + cumulative-flag algorithm in DuckDB, so a session-merge
+    * bug on either side cannot self-confirm.
+    *
+    * 100 TB design: one shuffle on user_id (high-cardinality key,
+    * bounded per-user rows — the benign window shape, not a corpus
+    * stratum), partial session-merge map-side, metadata-sized output. */
+  private val st6Sessions = Q(
+    "st6_session_rollup",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sumd(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("n_types"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             count(*) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+  )
+
   val all: Seq[Q] = Seq(
-    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping, j1, o3,
-    j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8, s8bloom, j10)
+    w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
+    st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
+    s8bloom, j10)
 }
