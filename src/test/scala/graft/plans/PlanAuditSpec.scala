@@ -217,7 +217,27 @@ class PlanAuditSpec extends AnyFunSuite {
       // pure per-row arithmetic: the output sort is the ONLY exchange
       "mix_epoch_upsample" -> 1,
       // dim join broadcast + version-chain window + output sort
-      "scd2_customer_history" -> 3)
+      "scd2_customer_history" -> 3,
+      // prefix-sum shape (range×2 static + local window + totals +
+      // offsets) + per-source counts join + output sort
+      "corpus_rank_deciles" -> 9,
+      // survivor pipeline (dedup windows ×2) + LSH pair build + CC
+      // label join + output sort — the pair/component stages are
+      // session-memoized, so repeat consumers pay none of these
+      "mix_cluster_splits" -> 12,
+      // count-distinct two-phase agg + output sort; the ×3 slot
+      // fan-out collapses in partial agg BEFORE the first exchange
+      "a13_hopping_windows" -> 3,
+      // per-lang counts agg (two-phase) + min agg + broadcast keep-p
+      // join + output sort — never a corpus-wide shuffle
+      "mix_temperature_sample" -> 6,
+      // ONE stats agg + 1-row broadcast + output sort: tf rides the
+      // scan, so the corpus is shuffled zero times before the sort
+      "doc_bm25_scores" -> 3,
+      // one user_id shuffle for session_window merge + output sort
+      "st6_session_rollup" -> 2,
+      // SMJ shuffle both sides + version-chain window + output sort
+      "j11_interval_attribution" -> 4)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
