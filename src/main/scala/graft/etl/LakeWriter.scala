@@ -84,4 +84,68 @@ object LakeWriter {
         Some((vendor, table, s"$table/year=$y/month=$m/day=$d"))
       case _ => None
     }
+
+  /** One compacted leaf partition: path, files before, files after. */
+  final case class CompactionReport(partition: String, before: Int, after: Int)
+
+  /** Small-file compaction for an append-heavy partitioned table: every
+    * micro-batch/daily append (`writePartitioned` runs in append mode)
+    * leaves another file set in each touched partition, and at 100 TB
+    * the scan cost of a fragmented lake is dominated by task-per-file
+    * scheduling and parquet footer reads, not bytes. Each leaf
+    * partition whose file count exceeds ⌈bytes / targetBytes⌉ is
+    * rewritten to exactly that many files; partitions already at or
+    * under the target are left byte-untouched (no blanket rewrite —
+    * compaction must not churn the 99% of a lake that is already
+    * healthy, or every run rewrites 100 TB).
+    *
+    * Directory walking and the swap are driver-side by nature (a
+    * metadata-plane operation, like [[latestFile]]); the rewrite itself
+    * is a distributed read + coalesce write. The new files land in a
+    * sibling temp dir first and replace the originals only after the
+    * write succeeds — a crash mid-compaction leaves the partition's
+    * original files intact. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[CompactionReport] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    def leaves(d: java.io.File): Seq[java.io.File] = {
+      // a crashed prior run can leave a ._compact_tmp sibling behind —
+      // never treat it as a partition (its files are an incomplete copy)
+      if (d.getName.endsWith("._compact_tmp")) Nil
+      else {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        val here =
+          if (kids.exists(f => f.isFile && f.getName.endsWith(".parquet"))) Seq(d)
+          else Nil
+        here ++ kids.filter(_.isDirectory).flatMap(leaves)
+      }
+    }
+    leaves(new java.io.File(tableRoot)).flatMap { leaf =>
+      val files = leaf.listFiles().filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length()).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= want) None
+      else {
+        val tmp = new java.io.File(leaf.getParentFile, leaf.getName + "._compact_tmp")
+        // read THIS leaf only — no partition columns in scope, so the
+        // rewrite round-trips the file schema exactly
+        spark.read.parquet(leaf.getPath)
+          .coalesce(want)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        val newFiles = tmp.listFiles().filter(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+        files.foreach(_.delete())
+        newFiles.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(leaf, f.getName).toPath)
+        }
+        tmp.listFiles().foreach(_.delete()) // _SUCCESS, .crc leftovers
+        tmp.delete()
+        Some(CompactionReport(leaf.getPath, files.length, newFiles.length))
+      }
+    }
+  }
 }
