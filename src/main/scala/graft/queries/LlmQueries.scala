@@ -160,6 +160,84 @@ object LlmQueries {
     },
   )
 
+  // ------------------------------------------------------- perplexity
+  /** CCNet-style perplexity quality gate: score every document by its
+    * average negative log-probability under a unigram LM trained on
+    * the corpus's English slice (add-one smoothed), flag the
+    * high-perplexity tail. This is the classic model-based quality
+    * filter — cheap LM, trained on in-domain text, scores the crawl;
+    * what the heuristic `quality_score` approximates with counts, this
+    * does with a real (if tiny) language model.
+    *
+    * Determinism contract: each token's `-ln p` term is cast to
+    * DECIMAL(28,12) BEFORE the per-document sum, making the sum exact
+    * and order-independent (a raw double sum varies with partition
+    * order); the double→decimal rounding and `ln` itself are probed
+    * bit-identical JVM↔DuckDB. The OOV floor term (`1/(t+v)`) is part
+    * of the formula but unexercised on this lake — the synthetic
+    * corpus shares one 31-token vocabulary across languages, so no
+    * token is out-of-vocabulary at any SF (noted per the fixture-
+    * vacuity discipline; `PerplexitySpec` exercises the OOV path on a
+    * planted fixture instead).
+    *
+    * 100 TB design: the LM is a vocabulary-sized aggregate broadcast
+    * back (never a corpus shuffle); scoring explodes tokens but the
+    * per-doc partial aggregate collapses them map-side — the one
+    * shuffle carries a row per document, not per token. */
+  private val perplexity = Q(
+    "doc_perplexity",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val lm = d.filter(col("lang") === "en")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = lm.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      val probs = lm.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          ((col("c").cast("double") + 1.0) /
+            (col("t").cast("double") + col("v").cast("double"))).as("pr"))
+      val floorP = tot.select((lit(1.0) /
+        (col("t").cast("double") + col("v").cast("double"))).as("prf"))
+      val scored = toks.join(broadcast(probs), Seq("tok"), "left")
+        .crossJoin(broadcast(floorP))
+        .select(col("doc_id"),
+          (-log(coalesce(col("pr"), col("prf")))).cast("decimal(28,12)").as("nll_term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll_sum").cast("double") / col("n_tokens").cast("double"), 8)
+            .as("avg_nll"))
+      d.select(col("doc_id"), col("lang"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("high_perplexity", col("avg_nll") > 3.43)
+        .select("doc_id", "lang", "source", "n_tokens", "avg_nll", "high_perplexity")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      lm AS (SELECT tok, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok),
+      tot AS (SELECT sum(c) AS t, count(*) AS v FROM lm),
+      p AS (SELECT tok, (CAST(c AS DOUBLE) + 1.0)
+                        / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)) AS pr
+            FROM lm, tot),
+      terms AS (
+        SELECT t2.doc_id,
+               CAST(-ln(coalesce(p.pr,
+                 1.0 / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))))
+                 AS DECIMAL(28,12)) AS nll_term
+        FROM toks t2 LEFT JOIN p USING (tok), tot),
+      sc AS (SELECT doc_id, count(*) AS n_tokens, sum(nll_term) AS nll_sum
+             FROM terms GROUP BY doc_id)
+      SELECT d.doc_id, d.lang, d.source, sc.n_tokens,
+             round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) AS avg_nll,
+             round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) > 3.43
+               AS high_perplexity
+      FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+  )
+
   // ---------------------------------------------------------- fingerprint
   /** Document fingerprinting: md5 over the sorted vocabulary; cluster
     * size via a count window — order-insensitive near-dup key. */
@@ -1271,7 +1349,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, bm25, fingerprint, winnowQ, winnowPairs, corpusClean,
+    textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
     multimodal)
