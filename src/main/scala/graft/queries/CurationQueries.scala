@@ -498,13 +498,13 @@ object CurationQueries {
     * `ExactQuantilesSpec` independently pins equivalence to Spark's
     * built-in exact percentile. */
   // ------------------------------------------------- count-min sketch
-  private val CmsDepth = 4
-  private val CmsWidth = 16L
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 16L
 
   /** Row-`d` cell index of `key`: the same 60-bit md5 bridge the
     * packed-heap uses (Spark `conv(hex,16,10)` == DuckDB
     * `CAST('0x…' AS BIGINT)`), salted with the row number. */
-  private def cmsIdx(d: Int, key: Column): Column =
+  private[queries] def cmsIdx(d: Int, key: Column): Column =
     pmod(conv(substring(md5(concat(lit(d.toString), key)), 1, 15), 16, 10)
       .cast("long"), lit(CmsWidth))
 
