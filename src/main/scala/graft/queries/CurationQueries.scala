@@ -416,21 +416,26 @@ object CurationQueries {
     * back and the decile is closed-form arithmetic. Ranking documents
     * by length within their source is the binning step behind
     * per-source quality curricula. */
+  /** Per-doc length rank + decile within its source — ONE derivation
+    * shared by `corpus_rank_deciles` and the curriculum composition:
+    * `(doc_id, source, token_cnt, src_rank, n_docs, decile)`. */
+  private[queries] def docDeciles(d: DataFrame): DataFrame = {
+    val sized = d.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("token_cnt"))
+    val counts = sized.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    graft.operators.PrefixSum.runningSum(sized, Seq("source"),
+        Seq(col("token_cnt").desc, col("doc_id")), lit(1L), "src_rank")
+      .join(broadcast(counts), "source")
+      .withColumn("decile",
+        ((col("src_rank") - 1) * 10 / col("n_docs")).cast("long") + 1)
+  }
+
   private val rankDeciles = Q(
     "corpus_rank_deciles",
-    (s, dir) => {
-      val sized = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("token_cnt"))
-      val counts = sized.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      graft.operators.PrefixSum.runningSum(sized, Seq("source"),
-          Seq(col("token_cnt").desc, col("doc_id")), lit(1L), "src_rank")
-        .join(broadcast(counts), "source")
-        .withColumn("decile",
-          ((col("src_rank") - 1) * 10 / col("n_docs")).cast("long") + 1)
+    (s, dir) =>
+      docDeciles(Tables.documents(s, dir))
         .select("doc_id", "source", "token_cnt", "src_rank", "n_docs", "decile")
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""
       SELECT doc_id, source, token_cnt,
              CAST(rn AS BIGINT) AS src_rank,
@@ -746,6 +751,61 @@ object CurationQueries {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
         FROM documents) t
       ORDER BY doc_id"""),
+  )
+
+  /** Curriculum ordering — the final "in what order do the sequences
+    * reach the model" step: each packed sequence inherits the mean
+    * per-source length decile ([[rankDeciles]]) of the documents that
+    * START in it, and the training stream is the global sort by that
+    * difficulty signal (quality-first curricula feed easy/typical data
+    * before tail data). Composes two already-oracle-proven stages —
+    * the two-phase pack assignment and the two-phase decile ranking —
+    * so the check is their COMPOSITION, same doctrine as the capstone.
+    *
+    * 100 TB design: deliberately NO global rank column — a
+    * `row_number()` over all sequences would serialize the corpus
+    * into one window task; the curriculum IS the total output order,
+    * and a global range-exchange sort is the distributed shape for
+    * that. Mean decile is an exact long-sum ÷ count, so the sort key
+    * is deterministic. */
+  private val curriculumOrder = Q(
+    "mix_curriculum_order",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val deciles = docDeciles(d).select("doc_id", "decile")
+      packAssignments(d)
+        .join(deciles, Seq("doc_id"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("decile")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_decile"))
+        .select("source", "seq_id", "n_docs", "mean_decile")
+        .orderBy("mean_decile", "source", "seq_id")
+    },
+    Some(s"""
+      WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt
+        FROM documents),
+      dec AS (
+        SELECT doc_id,
+               CAST((row_number() OVER (PARTITION BY source
+                      ORDER BY token_cnt DESC, doc_id) - 1) * 10
+                    // count(*) OVER (PARTITION BY source) + 1 AS BIGINT) AS decile
+        FROM sized),
+      asg AS (
+        SELECT doc_id, source,
+               (cum_end - token_cnt) // $SeqLen AS seq_id
+        FROM (SELECT doc_id, source, token_cnt,
+                     CAST(sum(token_cnt) OVER (PARTITION BY source
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+              FROM sized) t)
+      SELECT a.source, a.seq_id, count(*) AS n_docs,
+             round(CAST(sum(d.decile) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_decile
+      FROM asg a JOIN dec d USING (doc_id)
+      GROUP BY a.source, a.seq_id
+      ORDER BY mean_decile, source, seq_id"""),
   )
 
   /** The pack EMIT stage — materialize the actual fixed-length training
@@ -1128,6 +1188,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
-    cmsCounts, tokenQuantiles, repetitionStats, chunks, packing, packEmit, vocab,
+    cmsCounts, tokenQuantiles, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams)
 }
