@@ -237,7 +237,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id shuffle for session_window merge + output sort
       "st6_session_rollup" -> 2,
       // SMJ shuffle both sides + version-chain window + output sort
-      "j11_interval_attribution" -> 4)
+      "j11_interval_attribution" -> 4,
+      // cells agg + exact agg + broadcast sketch join + output sort
+      "corpus_cms_counts" -> 4,
+      // LM agg + totals + three broadcasts + per-doc agg + doc rejoin
+      // + output sort (broadcast exchanges count in the static total)
+      "doc_perplexity" -> 11,
+      // TWO prefix-sum shapes (range×2 static each) + decile/pack
+      // joins + seq agg + output sort; AQE dedups the ranges at runtime
+      "mix_curriculum_order" -> 17)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
