@@ -188,10 +188,12 @@ object LlmQueries {
     "doc_perplexity",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = d.select(col("doc_id"),
+      // lang/source ride the explode as grouping keys — ONE corpus
+      // scan and ONE per-doc shuffle; a rejoin back to documents for
+      // the label columns would shuffle the corpus a second time
+      val toks = d.select(col("doc_id"), col("lang"), col("source"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
-      val lm = d.filter(col("lang") === "en")
-        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val lm = toks.filter(col("lang") === "en")
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = lm.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
       val probs = lm.crossJoin(broadcast(tot))
@@ -200,19 +202,16 @@ object LlmQueries {
             (col("t").cast("double") + col("v").cast("double"))).as("pr"))
       val floorP = tot.select((lit(1.0) /
         (col("t").cast("double") + col("v").cast("double"))).as("prf"))
-      val scored = toks.join(broadcast(probs), Seq("tok"), "left")
+      toks.join(broadcast(probs), Seq("tok"), "left")
         .crossJoin(broadcast(floorP))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lang"), col("source"),
           (-log(coalesce(col("pr"), col("prf")))).cast("decimal(28,12)").as("nll_term"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang", "source")
         .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_sum"))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
           round(col("nll_sum").cast("double") / col("n_tokens").cast("double"), 8)
             .as("avg_nll"))
-      d.select(col("doc_id"), col("lang"), col("source"))
-        .join(scored, Seq("doc_id"))
         .withColumn("high_perplexity", col("avg_nll") > 3.43)
-        .select("doc_id", "lang", "source", "n_tokens", "avg_nll", "high_perplexity")
         .orderBy("doc_id")
     },
     Some("""

@@ -240,9 +240,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "j11_interval_attribution" -> 4,
       // cells agg + exact agg + broadcast sketch join + output sort
       "corpus_cms_counts" -> 4,
-      // LM agg + totals + three broadcasts + per-doc agg + doc rejoin
-      // + output sort (broadcast exchanges count in the static total)
-      "doc_perplexity" -> 11,
+      // LM agg + totals + three broadcasts + ONE per-doc agg shuffle
+      // + output sort — lang/source ride the explode as grouping keys,
+      // so there is no corpus rejoin (broadcasts count in the static total)
+      "doc_perplexity" -> 10,
       // TWO prefix-sum shapes (range×2 static each) + decile/pack
       // joins + seq agg + output sort; AQE dedups the ranges at runtime
       "mix_curriculum_order" -> 17)
