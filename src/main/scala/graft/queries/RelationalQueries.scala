@@ -880,8 +880,80 @@ object RelationalQueries {
       ORDER BY user_id, session_start"""),
   )
 
+  /** Weighted PageRank over the event-type TRANSITION graph — "which
+    * journey stage is central": consecutive events per user (ordered
+    * by ts, event_id) define src→dst edges weighted by transition
+    * counts; [[graft.operators.PageRank]] then ranks the stages in
+    * exact fixed-point LONG arithmetic (reference domain: the
+    * website-tracker clickstream, `identity-resolution/
+    * website-tracker.js` — funnel stages ranked by how journeys
+    * concentrate on them, not just raw visit counts like A6).
+    *
+    * The oracle unrolls the SAME eight rounds as materialized DuckDB
+    * CTEs with `//` floor division — per-edge floors before exact
+    * integer sums make the comparison bit-level, something float
+    * PageRank could never pass.
+    *
+    * 100 TB design: the corpus-sized work is the lead-window (one
+    * shuffle on user_id, the benign high-cardinality key) and the
+    * transition aggregate whose partials collapse map-side to ≤
+    * |types|² rows; the 8-round loop then iterates on that collapsed
+    * edge frame — metadata-sized, checkpoint-hygienic
+    * ([[graft.Lineage.checkpointed]] per round). */
+  private val graphPagerank = Q(
+    "graph_event_pagerank",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = e
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val pr = graft.operators.PageRank.run(trans, "src", "dst", "w", iterations = 8)
+      val out = pr
+        .select(col("id").as("event_type"), col("pr").as("pr_scaled"))
+        .orderBy("event_type")
+        .persist()
+      // materialize, then drop the operator's internal result frame —
+      // same hygiene contract as dedup_clusters: the harness unpersists
+      // the returned frame, everything internal is already released
+      out.count()
+      pr.unpersist()
+      out
+    },
+    Some(prOracle),
+  )
+
+  private def prOracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""r$i AS MATERIALIZED (
+        SELECT v.id, 150000000 + coalesce(c.s, 0) AS pr
+        FROM v LEFT JOIN (
+          SELECT e.dst AS id,
+                 CAST(sum((85 * r${i - 1}.pr * e.p) // 100000000) AS BIGINT) AS s
+          FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY e.dst) c
+        ON v.id = c.id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH s AS MATERIALIZED (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t AS (SELECT event_type AS src, nxt AS dst, count(*) AS w FROM s
+            WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM t GROUP BY src),
+      e AS MATERIALIZED (SELECT t.src, t.dst, (1000000 * t.w) // ow.outw AS p
+           FROM t JOIN ow ON t.src = ow.src),
+      v AS MATERIALIZED (SELECT DISTINCT src AS id
+           FROM (SELECT src FROM e UNION ALL SELECT dst FROM e) u),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM v),
+      $rounds
+      SELECT id AS event_type, pr AS pr_scaled FROM r8 ORDER BY event_type"""
+  }
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10)
+    s8bloom, j10, graphPagerank)
 }

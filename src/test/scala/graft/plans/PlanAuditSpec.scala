@@ -246,7 +246,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "doc_perplexity" -> 10,
       // TWO prefix-sum shapes (range×2 static each) + decile/pack
       // joins + seq agg + output sort; AQE dedups the ranges at runtime
-      "mix_curriculum_order" -> 17)
+      "mix_curriculum_order" -> 17,
+      // returned frame is the persisted (vertex-sized) rank map + its
+      // output sort; the 8-round loop's per-round join+agg runs against
+      // the COLLAPSED edge frame only (hygiene pinned in PageRankSpec)
+      "graph_event_pagerank" -> 2)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
