@@ -952,8 +952,73 @@ object RelationalQueries {
       SELECT id AS event_type, pr AS pr_scaled FROM r8 ORDER BY event_type"""
   }
 
+  /** A14 — multi-level CUBE aggregation: every (status × priority)
+    * subtotal level in ONE pass, disambiguated by `grouping_id()`
+    * (rollup-null vs data-null can't be confused). The warehouse-report
+    * shape Redshift serves with GROUPING SETS; Spark plans it as a
+    * single Expand + one aggregate — 4× row fan-out collapses in
+    * partial agg before the only exchange, so at 100 TB the shuffle
+    * carries ≤ |status|×|priority|×4 partial rows, not the corpus. */
+  private val a14Cube = Q(
+    "a14_cube_subtotals",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("gid"), col("n_orders"), col("sum_price"))
+        .orderBy("gid", "status", "priority")
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS priority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority"""),
+  )
+
+  /** A15 — pivot to a fixed column set: per-user activity matrix with
+    * one column per event type (the BI-export shape). Spark-first:
+    * `pivot` with EXPLICIT values — the pinned value list skips the
+    * distinct-key discovery job and makes the schema static (the only
+    * sane contract at 100 TB). The plan is two agg phases — a
+    * (user, type) pre-count, then pivotfirst keyed on user whose
+    * exchange carries ≤ users×types pre-collapsed rows — one exchange
+    * more than hand-written FILTER counts, bought back in API
+    * generality; absent combinations coalesce to 0 exactly like the
+    * oracle's FILTER counts. */
+  private val a15Pivot = Q(
+    "a15_event_pivot",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = e.groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      piv.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'error') AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank)
+    s8bloom, j10, graphPagerank, a14Cube, a15Pivot)
 }

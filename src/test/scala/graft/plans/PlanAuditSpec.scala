@@ -250,7 +250,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // returned frame is the persisted (vertex-sized) rank map + its
       // output sort; the 8-round loop's per-round join+agg runs against
       // the COLLAPSED edge frame only (hygiene pinned in PageRankSpec)
-      "graph_event_pagerank" -> 2)
+      "graph_event_pagerank" -> 2,
+      // ONE Expand+aggregate (4× fan-out collapses in partial agg
+      // before the exchange) + output sort
+      "a14_cube_subtotals" -> 2,
+      // pivot with explicit values skips the distinct-key discovery
+      // pass but still plans two agg phases — the (user, type) count
+      // exchange, then pivotfirst keyed on user (carries ≤ users×types
+      // rows) — plus the output sort
+      "a15_event_pivot" -> 3)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
