@@ -364,4 +364,79 @@ object Multimodal {
         col("media_id"), col("frame_no"),
         expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
+
+  /** Perceptual average-hash (aHash) of one image payload: decode,
+    * nearest-neighbor-sample a `gridW×gridH` luminance grid with the
+    * engine's OWN deterministic `src = dst·srcDim/dstDim` mapping (the
+    * same sampling [[resizeImage]] uses), then threshold each cell at
+    * the integer mean — bit set iff `lum ≥ mean`, MSB-first row-major.
+    * All-integer, so identical on every JVM; tolerant of re-encoding
+    * and resizing (the property dedup wants), unlike the exact content
+    * md5 [[decodeImages]] also emits. None when the payload doesn't
+    * decode; grids up to 8×8 fit the LONG. */
+  def perceptualHash(bytes: Array[Byte], gridW: Int = 8, gridH: Int = 8): Option[Long] = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64,
+      s"aHash grid must fit 64 bits: ${gridW}x$gridH")
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val n = gridW * gridH
+      val lum = new Array[Int](n)
+      var sum = 0L
+      var y = 0
+      while (y < gridH) {
+        val sy = y * img.getHeight / gridH
+        var x = 0
+        while (x < gridW) {
+          val rgb = img.getRGB(x * img.getWidth / gridW, sy)
+          val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          lum(y * gridW + x) = l
+          sum += l
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / n // integer mean: exact, codec-independent
+      var hash = 0L
+      var i = 0
+      while (i < n) {
+        if (lum(i) >= mean) hash |= 1L << (n - 1 - i)
+        i += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Output of the perceptual-hash stage, per blob. */
+  val phashType: StructType = StructType(Seq(
+    StructField("phash", LongType),
+    StructField("phash_bits", IntegerType)))
+
+  /** Batch perceptual hashing — the near-duplicate-image screen of a
+    * multimodal training pipeline (exact-md5 dedup misses re-encoded /
+    * resized copies; matching aHashes, or hashes within a small
+    * Hamming radius via a banded self-join on hash prefixes, catch
+    * them). Same mapPartitions shape as [[decodeImages]]:
+    * partition-local, stateless, no collects. Undecodable payloads
+    * pass through with null hash columns. */
+  def hashImages(packed: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    val outSchema = StructType(packed.schema.fields ++ phashType.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]]("payload")
+        perceptualHash(if (raw == null) Array.emptyByteArray else raw, gridW, gridH) match {
+          case Some(h) =>
+            // Seq[Any]: a plain Seq(Long, Int) would unify to Seq[Long]
+            // and silently widen the bit count past the INT field type
+            Row.fromSeq(r.toSeq ++ Seq[Any](h, java.lang.Long.bitCount(h)))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+        }
+      }
+    }(enc)
+  }
 }

@@ -881,6 +881,49 @@ object MiscQueries {
       FROM documents ORDER BY media_id"""),
   )
 
+  /** REAL perceptual hashing (aHash), differentially verified with no
+    * codec in the oracle: on synth(k) — 4×4, first w=k%17 pixels white
+    * — a 4×4-grid aHash samples the identity grid, so the integer mean
+    * is ⌊255w/16⌋ and the hash is pure arithmetic on k: white cells
+    * are always ≥ mean (first w bits set, MSB-first), black cells pass
+    * only when w=0 (mean 0 → ALL 16 bits set — the degenerate
+    * flat-image case, exercised non-vacuously by every doc_id ≡ 0 mod
+    * 17). A wrong luma formula, bit order, grid mapping, or mean
+    * rounding all shift the value. This is the near-duplicate-IMAGE
+    * screen: re-encoded/resized copies keep their aHash while changing
+    * their content md5. */
+  private val mmPhash = Q(
+    "multimodal_phash",
+    (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+      val withImg = Tables.documents(s, dir).select("doc_id")
+        .mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), Multimodal.syntheticImage(r.getLong(0))))
+        }(enc)
+      val packed = Multimodal.pack(withImg, "doc_id", "payload",
+        "image/png", "synthetic")
+      Multimodal.hashImages(packed, gridW = 4, gridH = 4)
+        .select(
+          col("media_id"),
+          col("phash"),
+          col("phash_bits").cast("long").as("phash_bits"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(CASE WHEN doc_id % 17 = 0 THEN 65535
+                  ELSE 65536 - (CAST(1 AS BIGINT)
+                                << CAST(16 - doc_id % 17 AS INTEGER))
+                  END AS BIGINT) AS phash,
+             CAST(CASE WHEN doc_id % 17 = 0 THEN 16 ELSE doc_id % 17 END
+               AS BIGINT) AS phash_bits
+      FROM documents ORDER BY media_id"""),
+  )
+
   /** REAL audio decode, differentially verified with no codec in the
     * oracle (the WAV analog of `multimodal_decode`): syntheticWav(k)
     * holds k%17 loud 10-frame segments of amplitude exactly 0.5 in 160
@@ -1021,5 +1064,5 @@ object MiscQueries {
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, streamScreen, streamLsh, mmFeatures,
-    mmFrames, mmDecode, mmResize, mmAudio, a10)
+    mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10)
 }

@@ -136,4 +136,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.AudioDecoder.decode(Multimodal.syntheticImage(3L)).isEmpty)
     assert(Multimodal.ImageDecoder.decode(Multimodal.syntheticWav(3L)).isEmpty)
   }
+
+  test("perceptualHash: exact bits on goldens; survives re-encode/resize") {
+    // synth(5) at 4x4 grid = identity sampling: mean ⌊255·5/16⌋, white
+    // cells ≥ mean, black below → first 5 bits set MSB-first
+    val h5 = Multimodal.perceptualHash(Multimodal.syntheticImage(5L), 4, 4)
+    assert(h5.contains((0xffffL << (16 - 5)) & 0xffffL))
+    // flat image (w=0): integer mean 0, every cell passes ≥ 0 → all set
+    assert(Multimodal.perceptualHash(Multimodal.syntheticImage(0L), 4, 4)
+      .contains(0xffffL))
+    // THE aHash property: a 2x resize + PNG re-encode changes the
+    // content md5 but must keep the perceptual hash
+    val up = Multimodal.resizeImage(Multimodal.syntheticImage(5L), 8, 8).get
+    assert(Multimodal.perceptualHash(up, 4, 4) == h5)
+    assert(!java.util.Arrays.equals(up, Multimodal.syntheticImage(5L)))
+    // junk and empty degrade to None, oversized grids are rejected
+    assert(Multimodal.perceptualHash("not an image".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.perceptualHash(Array.emptyByteArray).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHash(Multimodal.syntheticImage(1L), 9, 9)
+    }
+  }
+
+  test("hashImages appends (phash, phash_bits); nulls for undecodable rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticImage(5L)),
+      (2L, "junk".getBytes),
+      (3L, Multimodal.syntheticImage(0L)))
+      .toDF("id", "payload")
+    val packed = Multimodal.pack(rows, "id", "payload", "image/png", "unit-test")
+    val got = Multimodal.hashImages(packed, 4, 4)
+      .select("media_id", "phash", "phash_bits")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+    assert(got(1L) == Some((0xf800L, 5)))
+    assert(got(2L) == None)
+    assert(got(3L) == Some((0xffffL, 16)))
+  }
 }
