@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -872,6 +872,71 @@ object DomainQueries {
       ORDER BY o.o_orderkey""")),
   )
 
+  /** Data-quality audit — the pipeline-health dashboard row counts a
+    * production lake job publishes every run (missing/invalid contact
+    * data, soft-deletes, version fan-out, referential orphans). The
+    * reference does this ad hoc in validation SQL; here it is ONE
+    * query with a fixed (dq_check, failing_rows) contract.
+    *
+    * Scale shape: every master-side check is a conditional aggregate
+    * in a SINGLE scan — partials collapse map-side to one row, then
+    * explode to the metric rows (N checks never cost N scans). The
+    * referential check is a key-only anti-join aggregated to one row.
+    * All checks but the orphan count are non-vacuous by construction
+    * on the dirty master fixture. */
+  private val dqAudit = Q(
+    "dq_audit",
+    (s, dir) => {
+      val cm = customerMaster(s, dir)
+      def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+      val agg = cm.agg(
+        count(lit(1)).as("total_rows"),
+        cnt(col("email").isNull || col("email") === "").as("missing_email"),
+        cnt(col("email").isNotNull && col("email") =!= "" &&
+          !col("email").contains("@")).as("invalid_email"),
+        cnt(col("email") === "none@x.com").as("placeholder_email"),
+        cnt(col("telephone").isNull).as("missing_phone"),
+        cnt(col("isdeleted") === true || col("deletedataflag") === true)
+          .as("soft_deleted"),
+        cnt(col("optoutflag") === true).as("opted_out"),
+        (count(lit(1)) - countDistinct(col("custno"))).as("extra_versions"))
+      val names = Seq("total_rows", "missing_email", "invalid_email",
+        "placeholder_email", "missing_phone", "soft_deleted", "opted_out",
+        "extra_versions")
+      val checks = agg.select(explode(array(
+          names.map(n => struct(lit(n).as("dq_check"), col(n).as("failing_rows"))): _*))
+          .as("kv"))
+        .select(col("kv.dq_check").as("dq_check"), col("kv.failing_rows").as("failing_rows"))
+      val orphans = Tables.lineitem(s, dir).select("l_orderkey")
+        .join(Tables.orders(s, dir).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("failing_rows"))
+        .select(lit("orphan_lineitems").as("dq_check"), col("failing_rows"))
+      checks.unionByName(orphans).orderBy("dq_check")
+    },
+    Some(withPrelude("""
+      SELECT dq_check, failing_rows FROM (
+        SELECT 'total_rows' AS dq_check, CAST(count(*) AS BIGINT) AS failing_rows FROM cm
+        UNION ALL
+        SELECT 'missing_email', CAST(count(*) FILTER (WHERE email IS NULL OR email = '') AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'invalid_email', CAST(count(*) FILTER (WHERE email IS NOT NULL AND email <> '' AND email NOT LIKE '%@%') AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'placeholder_email', CAST(count(*) FILTER (WHERE email = 'none@x.com') AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'missing_phone', CAST(count(*) FILTER (WHERE telephone IS NULL) AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'soft_deleted', CAST(count(*) FILTER (WHERE isdeleted = TRUE OR deletedataflag = TRUE) AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'opted_out', CAST(count(*) FILTER (WHERE optoutflag = TRUE) AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'extra_versions', CAST(count(*) - count(DISTINCT custno) AS BIGINT) FROM cm
+        UNION ALL
+        SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      ) t ORDER BY dq_check""")),
+  )
+
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval)
+    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit)
 }

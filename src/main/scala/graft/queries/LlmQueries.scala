@@ -737,26 +737,39 @@ object LlmQueries {
     * The oracle recomputes the same components with a recursive CTE
     * (min reachable id per vertex) — a genuinely independent algorithm,
     * so a propagation bug on the Spark side cannot self-confirm. */
+  /** Session-shared component map of the FULL-corpus near-dup graph
+    * (jaccard ≥ 0.5 LSH pairs) — the propagation runs once, then
+    * `dedup_clusters` and `dedup_canonical_quality` both label against
+    * it. Same amortization story as [[survivorComponents]]; entry
+    * accounted by `SharedFrames.entryCount` in the storage sweep. */
+  private def clusterComponents(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cachedPrepersisted(s, s"cluster_components:$dir") {
+      graft.operators.ConnectedComponents.run(
+        minhashPairs(s, dir).filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+    }
+
+  /** `df` (must carry doc_id) labeled with its near-dup `cluster_id`
+    * off the shared full-corpus map; edge-less docs are singletons. */
+  private def clusterLabeled(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val comp = clusterComponents(s, dir)
+      .select(col("id").as("doc_id"), col("comp").as("__cc"))
+    df.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc"), col("doc_id")))
+      .drop("__cc")
+  }
+
   private val dedupClusters = Q(
     "dedup_clusters",
     (s, dir) => {
-      val pairs = minhashPairs(s, dir)
-      val edges = pairs.filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-      val (labeled, releaseComp) = graft.operators.ConnectedComponents.label(
-        Tables.documents(s, dir).select("doc_id"), "doc_id",
-        edges, "doc_a", "doc_b")
-      val out = labeled
+      val labeled = clusterLabeled(s, dir,
+        Tables.documents(s, dir).select("doc_id"))
+      labeled
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
         .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
         .orderBy("doc_id")
-        .persist()
-      // materialize the result, then drop the component map — same
-      // hygiene contract as minhashPairs: the harness unpersists the
-      // returned frame, everything internal is already released
-      out.count()
-      releaseComp()
-      out
     },
     Some(s"""
       WITH RECURSIVE $MINHASH_CTES,
@@ -775,6 +788,47 @@ object LlmQueries {
       FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) t
       ORDER BY doc_id"""),
+  )
+
+  /** Canonical selection by QUALITY, not by id: within each near-dup
+    * cluster keep the LONGEST document (n_chars desc, doc_id
+    * tiebreak) — what a curation pipeline actually wants from cluster
+    * resolution (the min-id canonical of `dedup_clusters` is
+    * deterministic but arbitrary; dropping the longer member throws
+    * away content). Same shared pair + component maps; the keep-pick
+    * window partitions on cluster_id — high-cardinality, member
+    * counts are cluster sizes (single digits), so the single-task
+    * stratum hazard does not apply at any scale. */
+  private val dedupCanonical = Q(
+    "dedup_canonical_quality",
+    (s, dir) => {
+      val labeled = clusterLabeled(s, dir,
+        Tables.documents(s, dir).select("doc_id", "n_chars"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.5),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      lab AS (SELECT d.doc_id, d.n_chars,
+                     coalesce(c.comp, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT doc_id, cluster_id, n_chars,
+             (row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) = 1) AS keep
+      FROM lab ORDER BY doc_id"""),
   )
 
   /** Near-dup edges (jaccard >= 0.5) restricted to surviving
@@ -1350,6 +1404,6 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
     textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
-    incrementalScreen, dedupClusters, ngramJaccard, simhash, annTopK,
-    multimodal)
+    incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
+    annTopK, multimodal)
 }

@@ -1017,8 +1017,67 @@ object RelationalQueries {
       FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** A16 — market-basket co-purchase lift: part pairs bought together
+    * in one order, with support counts and lift (the "customers who
+    * bought X also bought Y" analytic; reference domain: accessory /
+    * service attach-rate mining on the deals feed).
+    *
+    * Scale shape: baskets are distinct (order, part) — one shuffle;
+    * the pair stage is a SELF-JOIN ON THE ORDER KEY, so Spark reuses
+    * one hash exchange for both sides and pair fan-out is bounded by
+    * the per-order item count (≤ 7 in this lake), never all-pairs
+    * across the catalog; per-part counts come back as broadcasts and
+    * the order total as a 1-row broadcast. Lift is integer products
+    * cast to DOUBLE with ONE correctly-rounded division — the exact
+    * FP tree the oracle mirrors, so the hash compare is bit-level. */
+  private val a16Basket = Q(
+    "a16_copurchase_lift",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val totals = li.select(countDistinct("l_orderkey").as("n_orders"))
+      val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(broadcast(counts.select(col("l_partkey").as("part_a"),
+          col("n_item").as("n_a"))), "part_a")
+        .join(broadcast(counts.select(col("l_partkey").as("part_b"),
+          col("n_item").as("n_b"))), "part_b")
+        .crossJoin(broadcast(totals))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("part_a", "part_b")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      cnt AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+      p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT part_a, part_b,
+             CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(ca.n_item AS BIGINT) AS n_a,
+             CAST(cb.n_item AS BIGINT) AS n_b,
+             CAST(n_ab * n_orders AS DOUBLE)
+               / CAST(ca.n_item * cb.n_item AS DOUBLE) AS lift
+      FROM p
+      JOIN cnt ca ON part_a = ca.l_partkey
+      JOIN cnt cb ON part_b = cb.l_partkey
+      CROSS JOIN tot
+      ORDER BY part_a, part_b"""),
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, a14Cube, a15Pivot)
+    s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket)
 }

@@ -254,6 +254,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // ONE Expand+aggregate (4× fan-out collapses in partial agg
       // before the exchange) + output sort
       "a14_cube_subtotals" -> 2,
+      // the ONE basket-distinct exchange prints 4× static (self-join
+      // sides + both count branches — AQE-reused at runtime) + pair
+      // agg + 2 per-part count aggs + 3 broadcast exchanges + 1-row
+      // total agg + output sort
+      "a16_copurchase_lift" -> 14,
+      // ONE conditional-agg scan (partial+final) + key-only anti-join
+      // (2 sides) + orphan 1-row agg + output sort
+      "dq_audit" -> 7,
       // pivot with explicit values skips the distinct-key discovery
       // pass but still plans two agg phases — the (user, type) count
       // exchange, then pivotfirst keyed on user (carries ≤ users×types
