@@ -1187,7 +1187,44 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Balanced output sharding — assign each document to a fixed-size
+    * output shard within its language stream (training jobs read
+    * shards, and a shard 10× its siblings is a straggler at read
+    * time): shard = exclusive-prefix-token-count div ShardTokens, in
+    * stable doc_id order, so every shard holds ~ShardTokens tokens
+    * and assignment is reproducible batch over batch.
+    *
+    * The running count rides [[graft.operators.PrefixSum]] — bounded
+    * tasks under a hot language, same as every corpus prefix sum here
+    * (a raw `Window.partitionBy(lang)` is plan-pinned away). */
+  private val ShardTokens = 2000L
+  private val shardAssign = Q(
+    "mix_shard_assign",
+    (s, dir) =>
+      graft.operators.PrefixSum.runningSum(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              TextFunctions.tokenCount(col("text")).as("token_cnt")),
+          Seq("lang"), Seq(col("doc_id")),
+          col("token_cnt"), "cum_tokens")
+        .withColumn("shard",
+          expr(s"(cum_tokens - token_cnt) div $ShardTokens"))
+        .select("doc_id", "lang", "token_cnt", "shard")
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, lang, token_cnt,
+             (cum_tokens - token_cnt) // $ShardTokens AS shard
+      FROM (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM documents) t
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
     cmsCounts, tokenQuantiles, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, shardAssign)
 }

@@ -1076,8 +1076,89 @@ object RelationalQueries {
       ORDER BY part_a, part_b"""),
   )
 
+  /** W5 — rolling time-RANGE window: trailing-7-day spend per customer
+    * at each order (the "rolling revenue" metric every BI layer wants)
+    * — a RANGE frame over day numbers, the one window frame shape the
+    * rows-frame queries (W1-W4, prefix sums) can't express: peers at
+    * the same day aggregate together regardless of tiebreak, so the
+    * result is deterministic without a total order on the frame key.
+    *
+    * 100 TB design: one hash exchange on custkey; window groups are
+    * per-customer order chains (tens of rows), never a stratum. Day
+    * numbers are integer datediffs from epoch — identical arithmetic
+    * both engines; the sum is decimal-exact before the double cast. */
+  private val w5Rolling = Q(
+    "w5_rolling_7d_spend",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          col("day").cast("long").as("day"),
+          sum(col("price")).over(w).cast("double").as("spend_7d"),
+          count(lit(1)).over(w).as("orders_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+             CAST(count(*) OVER w AS BIGINT) AS orders_7d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
+  /** J12 — FULL OUTER reconciliation: the CRM extract (BUILDING
+    * segment) against the orders feed — matched customers, CRM rows
+    * with no orders, and order activity outside the extract, in ONE
+    * pass with presence flags (the reconciliation report shape of
+    * every two-system migration). The aggregate side collapses
+    * map-side before the join; the join key is the high-cardinality
+    * custkey, so the full-outer SMJ shuffles both sides once. */
+  private val j12Reconcile = Q(
+    "j12_full_outer_reconcile",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("in_crm"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"),
+          col("acctbal"))
+        .orderBy("custkey")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+                 FROM customer WHERE c_mktsegment = 'BUILDING'),
+      o AS (SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+            FROM orders GROUP BY o_custkey)
+      SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             c_custkey IS NOT NULL AS in_crm,
+             o_custkey IS NOT NULL AS has_orders,
+             coalesce(n_orders, 0) AS n_orders,
+             coalesce(spend, 0.0) AS spend,
+             acctbal
+      FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      ORDER BY custkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket)
+    s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket, w5Rolling,
+    j12Reconcile)
 }

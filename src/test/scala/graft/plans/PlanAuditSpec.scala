@@ -262,6 +262,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // ONE conditional-agg scan (partial+final) + key-only anti-join
       // (2 sides) + orphan 1-row agg + output sort
       "dq_audit" -> 7,
+      // one custkey window exchange + output sort — RANGE frame rides
+      // the same exchange a rows-frame would
+      "w5_rolling_7d_spend" -> 2,
+      // orders agg + full-outer SMJ (2 sides) + output sort
+      "j12_full_outer_reconcile" -> 5,
       // pivot with explicit values skips the distinct-key discovery
       // pass but still plans two agg phases — the (user, type) count
       // exchange, then pivotfirst keyed on user (carries ≤ users×types
