@@ -1156,9 +1156,130 @@ object RelationalQueries {
       ORDER BY custkey"""),
   )
 
+  /** W6 — calendar-spine gap filling with forward-fill: one row per
+    * customer per MONTH between their first and last order (inactive
+    * months included at zero), with the last known monthly spend
+    * carried forward (`last(…, ignoreNulls)` over the running frame) —
+    * the time-series densification every retention/LTV model needs,
+    * and the IGNORE NULLS window surface nothing else here exercises.
+    *
+    * 100 TB design: the spine explodes per-customer month ranges
+    * in-place (narrow fan-out of a metadata-sized span frame, no
+    * cross join against a calendar table); the fill window is one
+    * custkey exchange over per-customer chains — never a stratum. */
+  private val w6GapFill = Q(
+    "w6_month_spine_fill",
+    (s, dir) => {
+      val b = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val om = Tables.orders(s, dir)
+        .join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("month_spend"))
+      val spine = om.groupBy("o_custkey")
+        .agg(min("m").as("lo"), max("m").as("hi"))
+        .select(col("o_custkey"),
+          explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+      val w = Window.partitionBy("o_custkey").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(om, Seq("o_custkey", "m"), "left")
+        .select(col("o_custkey"),
+          date_format(col("m"), "yyyy-MM").as("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("month_spend"), lit(0.0)).as("month_spend"),
+          last(col("month_spend"), ignoreNulls = true).over(w).as("latest_spend"))
+        .orderBy("o_custkey", "month")
+    },
+    Some("""
+      WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      om AS (SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                    count(*) AS n_orders,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_spend
+             FROM orders JOIN b ON o_custkey = c_custkey
+             GROUP BY 1, 2),
+      span AS (SELECT o_custkey, min(m) AS lo, max(m) AS hi FROM om GROUP BY 1),
+      spine AS (SELECT o_custkey, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+                FROM span)
+      SELECT s.o_custkey,
+             strftime(s.m, '%Y-%m') AS month,
+             coalesce(om.n_orders, 0) AS n_orders,
+             coalesce(om.month_spend, 0.0) AS month_spend,
+             last_value(om.month_spend IGNORE NULLS) OVER (
+               PARTITION BY s.o_custkey ORDER BY s.m
+               ROWS UNBOUNDED PRECEDING) AS latest_spend
+      FROM spine s LEFT JOIN om ON s.o_custkey = om.o_custkey AND s.m = om.m
+      ORDER BY s.o_custkey, month"""),
+  )
+
+  /** A17 — distribution statistics (stddev, correlation) that the hash
+    * gate can actually check: the built-in `stddev`/`corr` are
+    * single-pass Welford updates whose float result depends on
+    * partition merge order — unreproducible across engines (or even
+    * runs). Here the MOMENTS are exact DECIMAL sums (associative, so
+    * shuffle order is irrelevant), and the closed-form formulas run in
+    * DOUBLE on the final one-row-per-group values with an expression
+    * tree the oracle mirrors operation for operation — deterministic
+    * to the last bit. Same partial-agg shuffle shape as A1; the
+    * quantity/price moment columns ride one scan. */
+  private val a17Stats = Q(
+    "a17_group_stats",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      val agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("p") * col("p")).as("spp"))
+      val nd = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val varQ = nd * d("sqq") - d("sq") * d("sq")
+      val varP = nd * d("spp") - d("sp") * d("sp")
+      agg.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          (d("sq") / nd).as("avg_qty"),
+          sqrt(varQ / (nd * (nd - 1))).as("std_qty"),
+          ((nd * d("sqp") - d("sq") * d("sp")) / (sqrt(varQ) * sqrt(varP)))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               sum(q) AS sq, sum(p) AS sp,
+               sum(q * q) AS sqq, sum(q * p) AS sqp, sum(p * p) AS spp
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+              FROM lineitem) t
+        GROUP BY 1, 2),
+      -- DECIMAL→DOUBLE through VARCHAR: DuckDB's direct decimal cast
+      -- double-rounds (int128 → double, then /10^scale) and can land
+      -- one ulp off the correctly-rounded value Spark's BigDecimal
+      -- conversion produces; strtod is correctly rounded.
+      d AS (SELECT l_returnflag, l_linestatus, n,
+                   CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd,
+                   CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS spd,
+                   CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqqd,
+                   CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS sqpd,
+                   CAST(CAST(spp AS VARCHAR) AS DOUBLE) AS sppd,
+                   CAST(n AS DOUBLE) AS nd
+            FROM m)
+      SELECT l_returnflag, l_linestatus, n,
+             sqd / nd AS avg_qty,
+             sqrt((nd * sqqd - sqd * sqd) / (nd * (nd - 1))) AS std_qty,
+             (nd * sqpd - sqd * spd)
+               / (sqrt(nd * sqqd - sqd * sqd)
+                  * sqrt(nd * sppd - spd * spd)) AS corr_qty_price
+      FROM d ORDER BY l_returnflag, l_linestatus"""),
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile)
+    j12Reconcile, w6GapFill, a17Stats)
 }

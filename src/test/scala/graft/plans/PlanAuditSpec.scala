@@ -267,6 +267,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "w5_rolling_7d_spend" -> 2,
       // orders agg + full-outer SMJ (2 sides) + output sort
       "j12_full_outer_reconcile" -> 5,
+      // monthly agg + span agg + spine/actual join (2 sides static,
+      // AQE-reused) + fill window custkey exchange + output sort
+      "w6_month_spine_fill" -> 8,
+      // ONE moment-aggregate (partial+final = 1 exchange) + output
+      // sort — five moments ride the same scan
+      "a17_group_stats" -> 2,
       // pivot with explicit values skips the distinct-key discovery
       // pass but still plans two agg phases — the (user, type) count
       // exchange, then pivotfirst keyed on user (carries ≤ users×types
