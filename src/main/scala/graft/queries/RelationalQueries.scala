@@ -1277,9 +1277,114 @@ object RelationalQueries {
       FROM d ORDER BY l_returnflag, l_linestatus"""),
   )
 
+  /** W7 — inter-purchase gap statistics: `lag` the previous order date
+    * per customer, diff in days, then per-customer count/avg/max of the
+    * gaps — the purchase-cadence signal behind every churn model (days
+    * since last order vs the customer's OWN typical gap), and the only
+    * place the engine exercises the `lag` offset-window surface.
+    *
+    * 100 TB design: one custkey exchange feeds BOTH the lag window and
+    * the per-customer aggregate (the agg rides the window's hash
+    * partitioning — no second shuffle); per-customer chains are tens of
+    * rows, never a stratum. Exact arithmetic: gaps are integer days,
+    * the average is ONE correctly-rounded division of exact longs. */
+  private val w7Gaps = Q(
+    "w7_order_gaps",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("gap"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), count(col("gap")).as("n_gaps"),
+          sum(col("gap")).as("sum_gap"), max(col("gap")).as("max_gap_days"))
+        .filter(col("n_gaps") > 0)
+        .select(col("o_custkey"), col("n_orders"), col("n_gaps"),
+          (col("sum_gap").cast("double") / col("n_gaps").cast("double"))
+            .as("avg_gap_days"),
+          col("max_gap_days"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS gap
+        FROM orders)
+      SELECT o_custkey, count(*) AS n_orders, count(gap) AS n_gaps,
+             CAST(sum(gap) AS DOUBLE) / CAST(count(gap) AS DOUBLE) AS avg_gap_days,
+             max(gap) AS max_gap_days
+      FROM g GROUP BY 1 HAVING count(gap) > 0 ORDER BY o_custkey"""),
+  )
+
+  /** W8 — trailing exponentially-decayed monthly spend (half-life 1
+    * observation, 16-term horizon): each customer-month's score is
+    * Σ_{i=0..15} cents_{t-i}·2^{-i} — the recency-weighted LTV signal a
+    * plain trailing average flattens.
+    *
+    * Bit-exactness by construction (the reason this is hash-checkable
+    * at all): weights are powers of two, so every term cents·2^{-i} is
+    * an EXACT double (mantissa unchanged, exponent shifted), and the
+    * 16-term sum spans ≤ 31+4+15 < 53 mantissa bits — exact regardless
+    * of association order. The oracle mirrors the identical 16-term
+    * expression; both engines fold left. A general α would NOT replay
+    * (pow is not correctly rounded cross-engine) — α=1/2 is the
+    * deliberately chosen reproducible point, same trick as the
+    * temperature-mix α=0.5.
+    *
+    * 100 TB design: monthly pre-aggregation collapses map-side before
+    * its (custkey, month) shuffle; the 16 lags are ONE window pass on
+    * the custkey exchange (per-customer chains, never a stratum). */
+  private val w8Ewma = {
+    // 2^-i as exact decimal literals, shared by both expression trees.
+    val halfPow: Int => java.math.BigDecimal =
+      i => new java.math.BigDecimal(0.5).pow(i)
+    Q(
+      "w8_ewma_spend",
+      (s, dir) => {
+        val om = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("o_custkey").orderBy("m")
+        val terms = (0 until 16).map { i =>
+          val c = if (i == 0) col("cents")
+                  else coalesce(lag(col("cents"), i).over(w), lit(0L))
+          c.cast("double") * lit(halfPow(i).doubleValue)
+        }
+        om.select(col("o_custkey"), date_format(col("m"), "yyyy-MM").as("month"),
+            (col("cents").cast("double") / lit(100.0)).as("month_spend"),
+            (terms.reduce(_ + _) / lit(100.0)).as("ewma_spend"))
+          .orderBy("o_custkey", "month")
+      },
+      Some {
+        val terms = (0 until 16).map { i =>
+          val c = if (i == 0) "cents"
+                  else s"coalesce(lag(cents, $i) OVER w, 0)"
+          s"CAST($c AS DOUBLE) * ${halfPow(i).toPlainString}"
+        }
+        s"""
+        WITH om AS (
+          SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2)
+        SELECT o_custkey, strftime(m, '%Y-%m') AS month,
+               CAST(cents AS DOUBLE) / 100.0 AS month_spend,
+               (${terms.mkString("\n                + ")}) / 100.0 AS ewma_spend
+        FROM om
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY m)
+        ORDER BY o_custkey, month"""
+      },
+    )
+  }
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats)
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma)
 }

@@ -273,6 +273,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // ONE moment-aggregate (partial+final = 1 exchange) + output
       // sort — five moments ride the same scan
       "a17_group_stats" -> 2,
+      // one custkey exchange feeds lag window AND per-customer agg
+      // (agg rides the window's partitioning) + output sort
+      "w7_order_gaps" -> 2,
+      // (custkey, month) agg exchange + custkey window exchange (all
+      // 16 lags in ONE window pass) + output sort
+      "w8_ewma_spend" -> 3,
       // pivot with explicit values skips the distinct-key discovery
       // pass but still plans two agg phases — the (user, type) count
       // exchange, then pivotfirst keyed on user (carries ≤ users×types
