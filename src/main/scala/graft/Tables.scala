@@ -38,10 +38,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * TimestampType (micros) rejects outright. Read nanos as long and
-    * truncate to micros — the same conversion DuckDB applies on read,
-    * so oracle results line up. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * drops: TIMESTAMP(NANOS) (readable only as nanos longs under
+    * `nanosAsLong`, then truncated to micros — the same conversion
+    * DuckDB applies on read) and plain micros TIMESTAMP_NTZ. Normalize
+    * either to micros `TimestampType`; with the session TZ pinned to
+    * UTC the NTZ→instant cast is wall-clock identity, so downstream
+    * window/date arithmetic and the DuckDB oracle line up in both
+    * cases. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Engine-owned session builders (Verify, Bench, the test harness) set
     // this at construction; the write-once guard here covers foreign
@@ -50,8 +54,16 @@ object Tables {
     // concurrent first call is benign (both writers set the same value).
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
@@ -59,8 +71,10 @@ object Tables {
   /** Register every table as a temp view so Spark SQL text composes
     * the same way the reference's layered warehouse views do
     * (`sql/customer_360_views.sql:23-742`). `events` must go through
-    * its nanos-aware accessor — a raw load of TIMESTAMP(NANOS) parquet
-    * throws PARQUET_TYPE_ILLEGAL (caught by TablesSpec). */
+    * its ts-normalizing accessor — a raw load of a TIMESTAMP(NANOS)
+    * drop throws PARQUET_TYPE_ILLEGAL, and an NTZ drop would leak a
+    * second timestamp flavor into the query layer (TablesSpec pins the
+    * normalized type). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach {
       case "events" => events(spark, dir).createOrReplaceTempView("events")

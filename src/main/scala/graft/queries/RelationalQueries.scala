@@ -1382,9 +1382,102 @@ object RelationalQueries {
     )
   }
 
+  /** A18 — HyperLogLog approximate distinct counts
+    * ([[graft.operators.HllSketch]]): per event type, the approximate
+    * distinct-user count (raw-estimate branch) and distinct-active-day
+    * count (small enough for the linear-counting branch) next to the
+    * exact `COUNT(DISTINCT …)` and the signed estimation error.
+    *
+    * Why a sketch when A6/A8 already do exact distincts: at 100 TB a
+    * high-cardinality `COUNT(DISTINCT)` shuffles every distinct key —
+    * the single most expensive aggregate in a warehouse. The register
+    * sketch's exchange carries ≤ groups × 64 `(register, rho)` rows of
+    * metadata instead, and registers are mergeable (element-wise max)
+    * so daily partial sketches roll up without rescanning history —
+    * the operator doc and `HllSketchSpec` pin that algebra. Unlike
+    * Spark's built-in `approx_count_distinct` (opaque binary buffer),
+    * the registers are plain rows an independent engine can replay:
+    * the oracle rebuilds the identical md5-bridge hash, rho, exact
+    * power-of-two harmonic sum and one-division estimate in DuckDB and
+    * matches to the bit. The exact side rides the SAME keyed frame, so
+    * the reported `err` is self-auditing. */
+  private val a18Hll = Q(
+    "a18_hll_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val keyed = ev
+        .select(col("event_type"), lit("users").as("metric"),
+          col("user_id").cast("string").as("k"))
+        .unionByName(ev.select(col("event_type"), lit("days").as("metric"),
+          to_date(col("ts")).cast("string").as("k")))
+        // event_id is unique per row — thousands of distinct keys per
+        // type at sf0.01, so the raw harmonic branch fires in the gate
+        // (users/days stay small enough for linear counting)
+        .unionByName(ev.select(col("event_type"), lit("events").as("metric"),
+          col("event_id").cast("string").as("k")))
+      val groups = Seq("event_type", "metric")
+      val approx = graft.operators.HllSketch.estimate(
+        graft.operators.HllSketch.registers(keyed, groups, "k"), groups)
+      val exact = keyed.groupBy(groups.map(col): _*)
+        .agg(countDistinct(col("k")).as("exact_distinct"))
+      exact.join(approx, groups)
+        .select(col("event_type"), col("metric"), col("exact_distinct"),
+          col("approx_distinct"),
+          (col("approx_distinct") - col("exact_distinct").cast("double"))
+            .as("err"))
+        .orderBy("event_type", "metric")
+    },
+    Some {
+      import graft.operators.HllSketch.{AlphaM2Pow, LcThreshold, M, RhoMax}
+      s"""
+      WITH keyed AS (
+        SELECT event_type, 'users' AS metric, CAST(user_id AS VARCHAR) AS k
+        FROM events
+        UNION ALL
+        SELECT event_type, 'days' AS metric,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+        FROM events
+        UNION ALL
+        SELECT event_type, 'events' AS metric, CAST(event_id AS VARCHAR) AS k
+        FROM events),
+      h AS (SELECT event_type, metric,
+                   CAST(concat('0x', substring(md5(k), 1, 15)) AS BIGINT) AS h
+            FROM keyed),
+      regs AS (SELECT event_type, metric, h % $M AS register,
+                      max(CASE WHEN h // $M = 0 THEN $RhoMax
+                               ELSE $RhoMax - length(bin(h // $M)) END) AS rho
+               FROM h GROUP BY 1, 2, 3),
+      est AS (SELECT event_type, metric,
+                     sum(CAST(1 AS BIGINT) << ($RhoMax - rho)) AS s_present,
+                     count(*) AS n_present
+              FROM regs GROUP BY 1, 2),
+      fin AS (SELECT event_type, metric,
+                     s_present
+                       + ($M - n_present) * (CAST(1 AS BIGINT) << $RhoMax)
+                       AS s_scaled,
+                     $M - n_present AS zeros
+              FROM est),
+      appx AS (SELECT event_type, metric,
+                      CASE WHEN $AlphaM2Pow / CAST(s_scaled AS DOUBLE)
+                                  <= $LcThreshold
+                                AND zeros > 0
+                           THEN ${M.toDouble}
+                                  * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+                           ELSE $AlphaM2Pow / CAST(s_scaled AS DOUBLE)
+                      END AS approx_distinct
+               FROM fin),
+      ex AS (SELECT event_type, metric, count(DISTINCT k) AS exact_distinct
+             FROM keyed GROUP BY 1, 2)
+      SELECT ex.event_type, ex.metric, ex.exact_distinct, a.approx_distinct,
+             a.approx_distinct - CAST(ex.exact_distinct AS DOUBLE) AS err
+      FROM ex JOIN appx a USING (event_type, metric)
+      ORDER BY event_type, metric"""
+    },
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma)
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll)
 }

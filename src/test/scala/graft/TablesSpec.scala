@@ -28,7 +28,7 @@ class TablesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("/tmp/does-not-exist/orders.parquet"))
   }
 
-  test("events reads TIMESTAMP(NANOS) parquet as micros timestamps") {
+  test("events normalizes ts to micros TimestampType whatever the drop's physical type") {
     val schema = Tables.events(spark, dir).schema
     assert(schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
   }
