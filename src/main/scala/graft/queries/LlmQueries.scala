@@ -98,66 +98,76 @@ object LlmQueries {
     * this container's JVM and DuckDB produce bit-identically (probed
     * over the relevant input range); both engines evaluate the SAME
     * association order, so the doubles hash-match. */
-  private val bm25 = Q(
-    "doc_bm25_scores",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val withTf = d.select(
-        col("doc_id") +: col("lang") +: col("source") +:
-          TextFunctions.tokenCount(col("text")).as("dl") +:
-          Bm25Terms.map(t =>
-            TextFunctions.tokenOccurrences(col("text"), t).as(s"tf_$t")): _*)
-      val stats = withTf.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl") +:
-          Bm25Terms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
-      // one metadata row; avgdl divides two exact longs — deterministic
-      def nD = col("n_docs").cast("double")
-      val scored = withTf.crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl").cast("double") / nD)
-      def part(t: String): Column = {
-        val tf = col(s"tf_$t").cast("double")
-        val df = col(s"df_$t").cast("double")
-        log((nD - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-      }
-      scored
-        .withColumn("bm25",
-          round(Bm25Terms.map(part).reduceLeft(_ + _), 8))
-        .filter(col("bm25") > 0)
-        .select("doc_id", "lang", "source", "dl", "bm25")
-        .orderBy(col("bm25").desc, col("doc_id"))
-    },
-    Some {
-      val tfSql = Bm25Terms.map { t =>
-        s"(length(pt) - length(replace(pt, ' $t ', ''))) // ${t.length + 2} AS tf_$t"
-      }.mkString(",\n               ")
-      val dfSql = Bm25Terms.map { t =>
-        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t"
-      }.mkString(", ")
-      val partSql = Bm25Terms.map { t =>
-        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
-           / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
-           * (CAST(tf_$t AS DOUBLE) * 2.2)
-           / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
-      }.mkString(" + ")
-      s"""
-      WITH tf AS (
+  /** Shared BM25 frame: `(doc_id, lang, source, dl, bm25)` for docs
+    * with a positive score, unordered — the `doc_bm25_scores` gate
+    * query orders it, the RRF fusion ranks its top pool. */
+  private def bm25Frame(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val withTf = d.select(
+      col("doc_id") +: col("lang") +: col("source") +:
+        TextFunctions.tokenCount(col("text")).as("dl") +:
+        Bm25Terms.map(t =>
+          TextFunctions.tokenOccurrences(col("text"), t).as(s"tf_$t")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    // one metadata row; avgdl divides two exact longs — deterministic
+    def nD = col("n_docs").cast("double")
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / nD)
+    def part(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      log((nD - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }
+    scored
+      .withColumn("bm25",
+        round(Bm25Terms.map(part).reduceLeft(_ + _), 8))
+      .filter(col("bm25") > 0)
+      .select("doc_id", "lang", "source", "dl", "bm25")
+  }
+
+  /** Shared BM25 oracle CTE chain ending in relation
+    * `bm25_scored(doc_id, lang, source, dl, bm25)` (positive scores
+    * only) — the textual twin of [[bm25Frame]]. */
+  private val bm25OracleCtes: String = {
+    val tfSql = Bm25Terms.map { t =>
+      s"(length(pt) - length(replace(pt, ' $t ', ''))) // ${t.length + 2} AS tf_$t"
+    }.mkString(",\n               ")
+    val dfSql = Bm25Terms.map { t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t"
+    }.mkString(", ")
+    val partSql = Bm25Terms.map { t =>
+      s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+         / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(tf_$t AS DOUBLE) * 2.2)
+         / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+    }.mkString(" + ")
+    s"""tf AS (
         SELECT doc_id, lang, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
                $tfSql
         FROM (SELECT *, ' ' || replace(text, ' ', '  ') || ' ' AS pt FROM documents) p),
       stats AS (
         SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSql FROM tf),
-      scored AS (
-        SELECT doc_id, lang, source, dl,
-               round($partSql, 8) AS bm25
-        FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
-                  FROM stats) s)
-      SELECT doc_id, lang, source, dl, bm25 FROM scored
-      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id"""
-    },
+      bm25_scored AS (
+        SELECT * FROM (
+          SELECT doc_id, lang, source, dl, round($partSql, 8) AS bm25
+          FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                    FROM stats) s) q
+        WHERE bm25 > 0)"""
+  }
+
+  private val bm25 = Q(
+    "doc_bm25_scores",
+    (s, dir) => bm25Frame(s, dir).orderBy(col("bm25").desc, col("doc_id")),
+    Some(s"""
+      WITH $bm25OracleCtes
+      SELECT doc_id, lang, source, dl, bm25 FROM bm25_scored
+      ORDER BY bm25 DESC, doc_id"""),
   )
 
   // ------------------------------------------------------- perplexity
@@ -1343,39 +1353,118 @@ object LlmQueries {
     * This is the correctness baseline; `ext.Similarity` holds the fast
     * double-precision production path and the LSH-bucketed scale path.
     */
-  private val annTopK = Q(
-    "ann_cosine_topk",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .toDF("vec_id", "pos", "x")
-        .withColumn("xq", floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
-      val qv = e.filter(col("vec_id") === 0).select(col("pos"), col("xq").as("qq"))
-      val qn = qv.agg(sum(col("qq") * col("qq")).as("qnorm2"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(qv), "pos")
-        .groupBy("vec_id")
-        .agg(sum(col("xq") * col("qq")).as("dot"), sum(col("xq") * col("xq")).as("norm2"))
-        .crossJoin(broadcast(qn))
-        .select(col("vec_id"),
-          round(col("dot").cast("double") /
-            (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))), 6)
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(10)
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
-                 FROM embeddings),
+  /** Shared exact-quantized cosine frame: `(vec_id, cosine)` of every
+    * vector ≠ 0 against the fixed query vector (vec_id 0), unordered.
+    * Components floor-quantized to 1e-6 integers so the dot product is
+    * exact 64-bit arithmetic; only the final score is a double. */
+  private def cosineFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos", "x")
+      .withColumn("xq", floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+    val qv = e.filter(col("vec_id") === 0).select(col("pos"), col("xq").as("qq"))
+    val qn = qv.agg(sum(col("qq") * col("qq")).as("qnorm2"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(qv), "pos")
+      .groupBy("vec_id")
+      .agg(sum(col("xq") * col("qq")).as("dot"), sum(col("xq") * col("xq")).as("norm2"))
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))), 6)
+          .as("cosine"))
+  }
+
+  /** Shared cosine oracle CTE chain ending in `cos_scored(vec_id,
+    * cosine)` — the textual twin of [[cosineFrame]]. */
+  private val cosineOracleCtes: String = """e AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
+        FROM embeddings),
       eq AS (SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq FROM e),
       q AS (SELECT pos, xq AS qq FROM eq WHERE vec_id = 0),
       qn AS (SELECT sum(qq * qq) AS qnorm2 FROM q),
-      d AS (SELECT vec_id, sum(xq * qq) AS dot, sum(xq * xq) AS norm2
-            FROM eq JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
-      SELECT vec_id,
-             round(CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS cosine
-      FROM d, qn
+      cos_scored AS (
+        SELECT vec_id,
+               round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS cosine
+        FROM (SELECT vec_id, sum(xq * qq) AS dot, sum(xq * xq) AS norm2
+              FROM eq JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id) d, qn)"""
+
+  private val annTopK = Q(
+    "ann_cosine_topk",
+    (s, dir) => cosineFrame(s, dir)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10),
+    Some(s"""
+      WITH $cosineOracleCtes
+      SELECT vec_id, cosine FROM cos_scored
       ORDER BY cosine DESC, vec_id LIMIT 10"""),
+  )
+
+  // ------------------------------------------------- hybrid retrieval
+  /** RRF constant (Cormack & Clarke's k = 60) and per-ranker candidate
+    * pool size. */
+  private val RrfK = 60.0
+  private val RagPoolK = 100
+  private val RagTopK = 20
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion of the lexical (BM25)
+    * and semantic (cosine) rankings: each ranker contributes
+    * 1/(60 + rank) for its top-100 candidates, candidates outside a
+    * pool contribute 0, and the fused top-20 is the answer the RAG
+    * serving layer returns. The classic two-tower retrieval pattern —
+    * both towers are the already-oracle-proven scorers REUSED verbatim
+    * ([[bm25Frame]], [[cosineFrame]]), so this query checks the
+    * composition.
+    *
+    * 100 TB design: each pool is `orderBy().limit(K)` —
+    * TakeOrderedAndProject (per-partition heaps + a K-row driver
+    * merge), never a global sort; the rank window then runs over K
+    * METADATA rows (same discipline as `corpus_vocab`'s K-row rank),
+    * and the fusion join touches ≤ 2K rows. Zero corpus-sized shuffles
+    * beyond what the two scorers already pay.
+    *
+    * Determinism: ranks are integers from total orders on already-
+    * deterministic rounded scores; each RRF term is ONE correctly-
+    * rounded division 1/(60+rank) and the fused score one sum of two
+    * such doubles — identical in any IEEE engine. */
+  private val ragHybrid = Q(
+    "rag_hybrid_topk",
+    (s, dir) => {
+      val bmPool = bm25Frame(s, dir).select("doc_id", "bm25")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(RagPoolK)
+        .withColumn("bm25_rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val cosPool = cosineFrame(s, dir)
+        .orderBy(col("cosine").desc, col("vec_id")).limit(RagPoolK)
+        .withColumn("cos_rank", row_number()
+          .over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      def rrfTerm(rank: Column): Column =
+        when(rank.isNotNull, lit(1.0) / (lit(RrfK) + rank.cast("double")))
+          .otherwise(lit(0.0))
+      bmPool.join(cosPool, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+          col("bm25"), col("bm25_rank"), col("cosine"), col("cos_rank"),
+          (rrfTerm(col("bm25_rank")) + rrfTerm(col("cos_rank"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(RagTopK)
+    },
+    Some(s"""
+      WITH $bm25OracleCtes,
+      $cosineOracleCtes,
+      bm AS (SELECT doc_id, bm25,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+             FROM bm25_scored ORDER BY bm25 DESC, doc_id LIMIT $RagPoolK),
+      cs AS (SELECT vec_id, cosine,
+                    row_number() OVER (ORDER BY cosine DESC, vec_id) AS cos_rank
+             FROM cos_scored ORDER BY cosine DESC, vec_id LIMIT $RagPoolK),
+      f AS (SELECT coalesce(bm.doc_id, cs.vec_id) AS id,
+                   bm.bm25, bm.bm25_rank, cs.cosine, cs.cos_rank,
+                   coalesce(1.0 / ($RrfK + CAST(bm25_rank AS DOUBLE)), 0.0)
+                     + coalesce(1.0 / ($RrfK + CAST(cos_rank AS DOUBLE)), 0.0) AS rrf
+            FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.vec_id)
+      SELECT id, bm25, bm25_rank, cosine, cos_rank, rrf
+      FROM f ORDER BY rrf DESC, id LIMIT $RagTopK"""),
   )
 
   // ----------------------------------------------------------- multimodal
@@ -1405,5 +1494,5 @@ object LlmQueries {
     textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
-    annTopK, multimodal)
+    annTopK, ragHybrid, multimodal)
 }

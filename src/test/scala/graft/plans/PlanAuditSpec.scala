@@ -283,7 +283,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // pass but still plans two agg phases — the (user, type) count
       // exchange, then pivotfirst keyed on user (carries ≤ users×types
       // rows) — plus the output sort
-      "a15_event_pivot" -> 3)
+      "a15_event_pivot" -> 3,
+      // register agg + estimate agg + exact count-distinct (expand,
+      // 2 phases) + approx/exact join + output sort — the exchanges
+      // carry ≤ groups×64 register rows and per-group counts, never
+      // the keyed frame
+      "a18_hll_distinct" -> 8,
+      // the two scorers' own exchanges (bm25 stats agg + broadcast;
+      // cosine per-vector agg + query broadcasts) + a single-partition
+      // rank window per 100-row pool + the pool fusion join + final
+      // top-k — everything after the scorers is metadata-sized
+      "rag_hybrid_topk" -> 12)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
