@@ -617,6 +617,114 @@ object CurationQueries {
       FROM r GROUP BY lang ORDER BY lang"""),
   )
 
+  // ------------------------------------------------- robust outliers
+  /** Robust outlier cutoff on the modified z-score (Iglewicz-Hodges
+    * shape; 2.5 is the standard "moderate" cutoff and is sized against
+    * the synthetic token-length spread so the flag path is non-vacuous
+    * at sf0.01 — 5 docs flagged, max |z| ≈ 3.0; the same
+    * non-vacuity discipline as the CMS width). */
+  private val OutlierZ = 2.5
+
+  /** Per-source robust outlier filter — flag documents whose token
+    * count sits more than [[OutlierZ]] modified z-scores
+    * (0.6745·(x−median)/MAD) from their source's median. Median/MAD is
+    * the outlier detector that survives the contamination mean/stddev
+    * z-scores die from: a batch of degenerate 10M-token docs drags a
+    * mean-based gate toward itself (masking), while the median and MAD
+    * barely move — exactly the failure mode crawl-source length gates
+    * exist for.
+    *
+    * Composition: median via [[graft.operators.ExactQuantiles]] (rank
+    * arithmetic, O(1) task memory), MAD as a SECOND quantile pass over
+    * the |x−median| deviations built by broadcasting the ≤-sources-row
+    * median frame back onto the scan — two bounded exchanges, no
+    * stratum-sized window anywhere. A MAD of 0 (a constant-length
+    * source) yields a NULL z and an unflagged doc rather than a
+    * division blow-up; `CurationQueriesSpec` pins that degenerate
+    * path on a planted fixture.
+    *
+    * Determinism: med/mad are 4-dp rounded quantiles; the z tree is
+    * one subtraction, one multiply, one division in the SAME
+    * association order both sides — raw IEEE doubles, deliberately
+    * unrounded (see the inline note). */
+  private val outlierFilter = Q(
+    "corpus_outlier_filter",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("token_cnt"))
+      val med = graft.operators.ExactQuantiles.perGroup(
+          toks, Seq("source"), "token_cnt", Seq(0.5 -> "med"))
+        .select(col("source"), col("med"))
+      val dev = toks.join(broadcast(med), "source")
+        .withColumn("absdev", abs(col("token_cnt").cast("double") - col("med")))
+      val mad = graft.operators.ExactQuantiles.perGroup(
+          dev, Seq("source"), "absdev", Seq(0.5 -> "mad"))
+        .select(col("source"), col("mad"))
+      dev.join(broadcast(mad), "source")
+        // NOT rounded: 0.6745·(x−med) lands on exact decimal halves
+        // (x−med is often a .5 multiple), where Spark's BigDecimal
+        // HALF_UP and DuckDB's round() disagree by one ulp — the raw
+        // IEEE tree (subtract, multiply, divide in this association
+        // order) is already bit-identical cross-engine
+        .withColumn("robust_z",
+          when(col("mad") > 0.0,
+            lit(0.6745) * (col("token_cnt").cast("double") - col("med"))
+              / col("mad")))
+        .withColumn("is_outlier",
+          coalesce(abs(col("robust_z")) > OutlierZ, lit(false)))
+        .select("doc_id", "source", "token_cnt", "med", "mad", "robust_z",
+          "is_outlier")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt
+                 FROM documents),
+      rm AS (SELECT doc_id, source, token_cnt,
+                    CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY CAST(token_cnt AS DOUBLE)) - 1 AS BIGINT) AS rn,
+                    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             FROM t),
+      med AS (SELECT source,
+                     round(sum(CASE
+                       WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT)
+                         THEN CAST(token_cnt AS DOUBLE)
+                              * (1.0 - ((n-1) * 0.5 - floor((n-1) * 0.5)))
+                       WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                            AND (n-1) * 0.5 - floor((n-1) * 0.5) > 0
+                         THEN CAST(token_cnt AS DOUBLE)
+                              * ((n-1) * 0.5 - floor((n-1) * 0.5))
+                       ELSE 0.0 END), 4) AS med
+              FROM rm GROUP BY source),
+      dev AS (SELECT t.doc_id, t.source, t.token_cnt, med.med,
+                     abs(CAST(t.token_cnt AS DOUBLE) - med.med) AS absdev
+              FROM t JOIN med USING (source)),
+      rd AS (SELECT source, absdev,
+                    CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY absdev) - 1 AS BIGINT) AS rn,
+                    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             FROM dev),
+      mad AS (SELECT source,
+                     round(sum(CASE
+                       WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT)
+                         THEN absdev * (1.0 - ((n-1) * 0.5 - floor((n-1) * 0.5)))
+                       WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                            AND (n-1) * 0.5 - floor((n-1) * 0.5) > 0
+                         THEN absdev * ((n-1) * 0.5 - floor((n-1) * 0.5))
+                       ELSE 0.0 END), 4) AS mad
+              FROM rd GROUP BY source),
+      z AS (SELECT dev.doc_id, dev.source, dev.token_cnt, dev.med, mad.mad,
+                   CASE WHEN mad.mad > 0.0
+                        THEN 0.6745 * (CAST(dev.token_cnt AS DOUBLE) - dev.med)
+                             / mad.mad
+                   END AS robust_z
+            FROM dev JOIN mad USING (source))
+      SELECT doc_id, source, token_cnt, med, mad, robust_z,
+             coalesce(abs(robust_z) > $OutlierZ, false) AS is_outlier
+      FROM z ORDER BY doc_id"""),
+  )
+
   // -------------------------------------------------- repetition signals
   /** Within-document repetition signals — the Gopher/RefinedWeb-style
     * quality rules that catch boilerplate and degenerate generations:
@@ -1225,6 +1333,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
-    cmsCounts, tokenQuantiles, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
+    cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, shardAssign)
 }

@@ -293,7 +293,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // cosine per-vector agg + query broadcasts) + a single-partition
       // rank window per 100-row pool + the pool fusion join + final
       // top-k — everything after the scorers is metadata-sized
-      "rag_hybrid_topk" -> 12)
+      "rag_hybrid_topk" -> 12,
+      // two quantile passes (source exchange each, agg rides the
+      // window's partitioning) + two ≤-sources-row broadcasts + output
+      // sort — no stratum-sized window anywhere
+      "corpus_outlier_filter" -> 8)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")

@@ -266,4 +266,21 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("robust outlier filter: MAD=0 source degenerates to null z, spread source flags the extreme") {
+    // columns: doc_id, source, token_cnt, med, mad, robust_z, is_outlier
+    val out = SparkEntry.queries("corpus_outlier_filter")(spark, dir).collect()
+    // 'bulk' docs are all exactly 700 tokens → MAD = 0: the z must be
+    // NULL (no division blow-up) and nothing flagged
+    val bulk = out.filter(_.getString(1) == "bulk")
+    assert(bulk.length == 5)
+    assert(bulk.forall(r => r.getDouble(4) == 0.0 && r.isNullAt(5) && !r.getBoolean(6)))
+    // 'web' counts [1,6,8,8,8,8,9,10,10]: med 8, MAD 1 — only the
+    // 1-token doc (id 3, z = -4.7215) clears the 2.5 cutoff
+    val flagged = out.filter(r => r.getString(1) == "web" && r.getBoolean(6))
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(3L), s"flagged $flagged")
+    val z3 = out.find(_.getLong(0) == 3L).get.getDouble(5)
+    assert(math.abs(z3 - (-4.7215)) < 1e-9, s"z3=$z3")
+  }
 }
