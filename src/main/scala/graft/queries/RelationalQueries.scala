@@ -1076,6 +1076,101 @@ object RelationalQueries {
       ORDER BY part_a, part_b"""),
   )
 
+  /** GRAPH-2 — per-node triangle counting + local clustering
+    * coefficient on the repeat-co-purchase graph (edges = part pairs
+    * co-ordered ≥ 2 times, the same support valve as A16): the
+    * community-structure signal behind bundle detection and
+    * neighborhood-quality scoring, and the classic "can your engine do
+    * graph analytics without a graph engine" test.
+    *
+    * Scale shape — DEGREE ORIENTATION: each undirected edge is
+    * directed from its (degree, id)-smaller endpoint to the larger,
+    * making the edge set a DAG whose out-degrees are O(√m); the wedge
+    * self-join `u→v→w` then enumerates O(m^{3/2}) candidates TOTAL
+    * (Σ out-deg², the Schank-Wagner bound) instead of Σ deg² — on a
+    * power-law co-purchase graph the difference between a hot-hub
+    * blow-up and a bounded join; closure is one more equi-join on the
+    * oriented (u,w). Orientation totally orders any triangle, so each
+    * is emitted exactly once — no /3 correction, no double counting.
+    * Per-node counts are one explode + aggregate; everything exchanges
+    * on node/edge keys, no window anywhere.
+    *
+    * Determinism: counts are exact longs; clustering = 2T/(d(d−1)) is
+    * ONE correctly-rounded division of exact longs. */
+  private val graphTriangles = Q(
+    "graph_copurchase_triangles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select("x", "y")
+      val deg = edges.select(col("x").as("node"))
+        .unionByName(edges.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val fwd = col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y"))
+      val e = edges
+        .join(deg.select(col("node").as("x"), col("degree").as("dx")), "x")
+        .join(deg.select(col("node").as("y"), col("degree").as("dy")), "y")
+        .select(when(fwd, col("x")).otherwise(col("y")).as("u"),
+          when(fwd, col("y")).otherwise(col("x")).as("v"))
+      val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+        .join(e.as("e3"),
+          col("a") === col("e3.u") && col("c") === col("e3.v"))
+        .select("a", "b", "c")
+      val nodeTri = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      deg.join(nodeTri, Seq("node"), "left")
+        .select(col("node").as("partkey"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("clustering",
+          when(col("degree") >= 2,
+            (col("triangles") * 2).cast("double")
+              / (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("partkey")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT x AS node FROM p UNION ALL SELECT y AS node FROM p) n
+              GROUP BY 1),
+      e AS (SELECT CASE WHEN dx.degree < dy.degree
+                          OR (dx.degree = dy.degree AND x < y)
+                        THEN x ELSE y END AS u,
+                   CASE WHEN dx.degree < dy.degree
+                          OR (dx.degree = dy.degree AND x < y)
+                        THEN y ELSE x END AS v
+            FROM p JOIN deg dx ON p.x = dx.node
+                   JOIN deg dy ON p.y = dy.node),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      nt AS (SELECT node, count(*) AS triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b AS node FROM tri
+             UNION ALL SELECT c AS node FROM tri) x GROUP BY 1)
+      SELECT deg.node AS partkey, deg.degree,
+             coalesce(nt.triangles, CAST(0 AS BIGINT)) AS triangles,
+             CASE WHEN deg.degree >= 2
+                  THEN CAST(coalesce(nt.triangles, 0) * 2 AS DOUBLE)
+                       / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                  ELSE 0.0 END AS clustering
+      FROM deg LEFT JOIN nt ON deg.node = nt.node
+      ORDER BY partkey"""),
+  )
+
   /** W5 — rolling time-RANGE window: trailing-7-day spend per customer
     * at each order (the "rolling revenue" metric every BI layer wants)
     * — a RANGE frame over day numbers, the one window frame shape the
@@ -1478,6 +1573,6 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, a14Cube, a15Pivot, a16Basket, w5Rolling,
+    s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll)
 }

@@ -297,11 +297,30 @@ class PlanAuditSpec extends AnyFunSuite {
       // two quantile passes (source exchange each, agg rides the
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
-      "corpus_outlier_filter" -> 8)
+      "corpus_outlier_filter" -> 8,
+      // the oriented-edge subtree (basket distinct + pair agg + degree
+      // agg + orientation joins) prints once per self-join leg — e1/e2/
+      // e3 + the degree spine — so the static count is ~9 exchanges × 9
+      // identical reprints; the legs are bit-identical subtrees, which
+      // AQE collapses to ONE materialization each (ReusedExchange pinned
+      // at runtime below). No window anywhere.
+      "graph_copurchase_triangles" -> 90)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
     }
+  }
+
+  test("triangle query's self-join legs collapse to reused exchanges at runtime") {
+    // The static plan reprints the oriented-edge subtree once per
+    // wedge/closure leg (ceiling above); the scale story requires the
+    // edge set to materialize ONCE and be re-read — assert AQE does.
+    val df = SparkEntry.queries("graph_copurchase_triangles")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).length >= 2,
+      s"triangle self-join legs stopped reusing the edge exchange:\n$plan")
   }
 
   test("prefix-sum totals branch reuses the range exchange at runtime") {
