@@ -156,6 +156,67 @@ object CurationQueries {
     * the kept-token rebuild joins that array back on doc_id and
     * regroups on the SAME key — the token stream crosses a single
     * exchange, membership tests are compiled `array_contains`. */
+  /** Shared span-excision stage: remove every token position covered
+    * by a 4-gram in `dict` from `toks` (`doc_id`, token array `t`,
+    * length `n`) → `(doc_id, n_tokens, n_removed, clean_text)`. ONE
+    * implementation behind `decontam_excise` (benchmark dictionary)
+    * and `corpus_boilerplate_strip` (corpus-df dictionary): positional
+    * 4-grams are `element_at` arithmetic off the scan, hit positions
+    * collapse to one bounded array per doc, and the kept-token rebuild
+    * joins that array back on doc_id and regroups on the SAME key —
+    * the token stream crosses a single exchange. */
+  private[queries] def exciseByDict(toks: DataFrame, dict: DataFrame): DataFrame = {
+    val posSh = toks.filter(col("n") >= 4)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), col("n") - 3)).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ",
+          element_at(col("t"), col("i").cast("int")),
+          element_at(col("t"), col("i").cast("int") + 1),
+          element_at(col("t"), col("i").cast("int") + 2),
+          element_at(col("t"), col("i").cast("int") + 3)).as("shingle"))
+    val hitSets = posSh.join(broadcast(dict), Seq("shingle"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 3)).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("hits"))
+    toks.join(hitSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hits"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0").cast("long") + 1)
+      .withColumn("hit",
+        coalesce(array_contains(col("hits"), col("p")), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          sort_array(collect_list(when(!col("hit"), struct(col("p"), col("tok")))))
+            .getField("tok"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Textual twin of [[exciseByDict]]: the pos/hits/allp CTEs + final
+    * select, over a corpus CTE `(doc_id, t, n)` named `corpusCte` and
+    * a dictionary CTE `(shingle)` named `dictCte`. Callers prepend
+    * their own `WITH` chain defining both. */
+  private def exciseSql(corpusCte: String, dictCte: String): String = s"""
+      pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                     t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] || ' '
+                       || t[CAST(u.i AS INT) + 2] || ' ' || t[CAST(u.i AS INT) + 3]
+                       AS shingle
+              FROM $corpusCte, unnest(range(1, CAST(n AS INT) - 2)) u(i)
+              WHERE n >= 4),
+      hits AS (SELECT DISTINCT p.doc_id, CAST(u.p AS BIGINT) AS p
+               FROM pos p JOIN $dictCte USING (shingle),
+                    unnest(range(p.i, p.i + 4)) u(p)),
+      allp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[CAST(u.i AS INT)] AS tok
+               FROM $corpusCte, unnest(range(1, CAST(n AS INT) + 1)) u(i))
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(h.p) AS BIGINT) AS n_removed,
+             coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
+               FILTER (WHERE h.p IS NULL), '') AS clean_text
+      FROM allp a LEFT JOIN hits h ON a.doc_id = h.doc_id AND a.p = h.p
+      GROUP BY a.doc_id ORDER BY a.doc_id"""
+
   private val decontamExcise = Q(
     "decontam_excise",
     (s, dir) => {
@@ -167,32 +228,7 @@ object CurationQueries {
       val toks = d.filter(!expr(BenchPred))
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .withColumn("n", size(col("t")).cast("long"))
-      val posSh = toks.filter(col("n") >= 4)
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1L), col("n") - 3)).as("i"))
-        .select(col("doc_id"), col("i"),
-          concat_ws(" ",
-            element_at(col("t"), col("i").cast("int")),
-            element_at(col("t"), col("i").cast("int") + 1),
-            element_at(col("t"), col("i").cast("int") + 2),
-            element_at(col("t"), col("i").cast("int") + 3)).as("shingle"))
-      val hitSets = posSh.join(broadcast(benchDict), Seq("shingle"))
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 3)).as("p"))
-        .groupBy("doc_id").agg(collect_set(col("p")).as("hits"))
-      toks.join(hitSets, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("hits"),
-          posexplode(col("t")).as(Seq("p0", "tok")))
-        .withColumn("p", col("p0").cast("long") + 1)
-        .withColumn("hit",
-          coalesce(array_contains(col("hits"), col("p")), lit(false)))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("n_removed"),
-          array_join(
-            sort_array(collect_list(when(!col("hit"), struct(col("p"), col("tok")))))
-              .getField("tok"), " ").as("clean_text"))
-        .orderBy("doc_id")
+      exciseByDict(toks, benchDict)
     },
     Some(s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
@@ -205,23 +241,63 @@ object CurationQueries {
                          ELSE [] END)) AS shingle
                   FROM tok WHERE $BenchPred),
       corpus AS (SELECT doc_id, t, n FROM tok WHERE NOT ($BenchPred)),
-      pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
-                     t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] || ' '
-                       || t[CAST(u.i AS INT) + 2] || ' ' || t[CAST(u.i AS INT) + 3]
-                       AS shingle
-              FROM corpus, unnest(range(1, CAST(n AS INT) - 2)) u(i)
-              WHERE n >= 4),
-      hits AS (SELECT DISTINCT p.doc_id, CAST(u.p AS BIGINT) AS p
-               FROM pos p JOIN benchsh USING (shingle),
-                    unnest(range(p.i, p.i + 4)) u(p)),
-      allp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[CAST(u.i AS INT)] AS tok
-               FROM corpus, unnest(range(1, CAST(n AS INT) + 1)) u(i))
-      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(count(h.p) AS BIGINT) AS n_removed,
-             coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
-               FILTER (WHERE h.p IS NULL), '') AS clean_text
-      FROM allp a LEFT JOIN hits h ON a.doc_id = h.doc_id AND a.p = h.p
-      GROUP BY a.doc_id ORDER BY a.doc_id"""),
+      ${exciseSql("corpus", "benchsh")}"""),
+  )
+
+  // ------------------------------------------------ boilerplate strip
+  /** A 4-gram is boilerplate when it recurs across at least this many
+    * DISTINCT documents. Pairs (df = 2) are just duplicated documents
+    * — the dedup stages own those; 3+ is template text. 100 shingles
+    * clear the valve at sf0.01 touching 52 docs — non-vacuous both
+    * ways. */
+  private val BoilerDf = 3
+
+  /** Corpus boilerplate stripping — the RefinedWeb/CCNet-style line-
+    * dedup applied at the span level: 4-grams that recur across
+    * [[BoilerDf]]+ distinct documents (headers, footers, template
+    * text) are excised from every document IN PLACE, the document
+    * survives. Same positional machinery as `decontam_excise`
+    * ([[exciseByDict]] — literally the same stage), different
+    * dictionary: corpus document-frequency instead of an external
+    * benchmark set.
+    *
+    * 100 TB design: the df pass is one shingle-keyed exchange of
+    * per-doc DISTINCT shingles (the same shape every shingle-dedup
+    * stage here pays) collapsing map-side; the surviving dictionary is
+    * df-valved — Zipf guarantees high-df spans are FEW, which is what
+    * makes the broadcast side bounded even when the corpus is not.
+    * Excision itself crosses one doc_id exchange. */
+  private val boilerStrip = Q(
+    "corpus_boilerplate_strip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      // shingles() is per-doc DISTINCT, so count(*) here IS document
+      // frequency
+      val dict = d
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 4)).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerDf)
+        .select("shingle")
+      val toks = d
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      exciseByDict(toks, dict)
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      dict AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING count(*) >= $BoilerDf),
+      corpus AS (SELECT doc_id, t, n FROM tok),
+      ${exciseSql("corpus", "dict")}"""),
   )
 
   // ------------------------------------------------- stratified sampling
@@ -1332,7 +1408,7 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, shardAssign)
 }

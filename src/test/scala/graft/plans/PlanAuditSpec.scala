@@ -298,6 +298,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
       "corpus_outlier_filter" -> 8,
+      // shingle-df exchange (map-side collapsed) + df-valved broadcast
+      // + positional-hit doc_id agg + kept-token regroup riding the
+      // same key + output sort — the excise stage shared with
+      // decontam_excise
+      "corpus_boilerplate_strip" -> 7,
       // the oriented-edge subtree (basket distinct + pair agg + degree
       // agg + orientation joins) prints once per self-join leg — e1/e2/
       // e3 + the degree spine — so the static count is ~9 exchanges × 9

@@ -267,6 +267,32 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("boilerplate strip removes exactly the cross-document template span") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir2 = Files.createTempDirectory("boiler_docs").toString
+    val footer = "subscribe to our newsletter" // the planted template 4-gram
+    val docs2 = Seq(
+      (1L, s"alpha beta gamma $footer"),   // trailing footer
+      (2L, s"delta epsilon $footer zeta"), // mid-document footer
+      (3L, footer),                        // footer-only doc → stripped empty
+      (4L, "unique words only here"))      // untouched
+    docs2.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = SparkEntry.queries("corpus_boilerplate_strip")(spark, dir2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // only the footer reaches df >= 3; boundary-spanning 4-grams differ
+    // per document (df 1) and must not widen the excision
+    assert(out == Map(
+      1L -> ((7L, 4L, "alpha beta gamma")),
+      2L -> ((7L, 4L, "delta epsilon zeta")),
+      3L -> ((4L, 4L, "")),
+      4L -> ((4L, 0L, "unique words only here"))), out.toString)
+  }
+
   test("robust outlier filter: MAD=0 source degenerates to null z, spread source flags the extreme") {
     // columns: doc_id, source, token_cnt, med, mad, robust_z, is_outlier
     val out = SparkEntry.queries("corpus_outlier_filter")(spark, dir).collect()
