@@ -566,6 +566,63 @@ object CurationQueries {
       ORDER BY lang, sample_rank"""),
   )
 
+  // ---------------------------------------------- weighted sampling
+  private val WeightedK = 15
+
+  /** Weighted sampling without replacement — Efraimidis-Spirakis A-ES
+    * with a HASH-derived uniform, so the draw is deterministic,
+    * retry-safe and incremental like every sampler here: each doc gets
+    * u = (hash(id)+1)/2^32 ∈ (0,1] and survives by the k largest
+    * u^(1/w) per stratum, w = token count — longer documents
+    * proportionally likelier, the "sample by token budget, not by doc
+    * count" primitive quality-weighted mixing needs.
+    *
+    * The rank key is ln(u)/w — the LOGARITHM of u^(1/w), same order,
+    * but free of pow() (not correctly rounded cross-engine). u is
+    * exact (the +1 keeps it nonzero; /2^32 is an exponent shift) and w
+    * an exact long — but ln NEAR 1 is ill-conditioned and JVM/DuckDB
+    * diverge by tens of ulps there (measured: 33 ulps at u=0.9826),
+    * unlike the >1 arguments the bm25/perplexity lns see. So the key
+    * is QUANTIZED to 9 dp before ranking — the same
+    * round-before-compare discipline as the perplexity decimal cast —
+    * and doc_id breaks any quantization ties totally. A zero-weight
+    * doc keys to -∞ and can never be drawn.
+    *
+    * 100 TB design: same shape as `mix_fixed_sample` — the k-bounded
+    * packed-heap aggregator keeps ≤ k rows per (stratum, mapper), so
+    * k·mappers rows cross the shuffle, not the corpus; the oracle's
+    * rank-window spelling would shuffle every row. */
+  private val weightedSample = Q(
+    "mix_weighted_sample",
+    (s, dir) => {
+      val u = (mixBucketHash(col("doc_id")) + 1L).cast("double") /
+        lit(4294967296.0)
+      val key = round(
+        log(u) / TextFunctions.tokenCount(col("text")).cast("double"), 9)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), key.as("es_key"))
+        .groupBy("lang")
+        .agg(graft.operators.TopKPerGroup.topK(WeightedK)(
+          col("es_key"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+          col("col._2").as("doc_id"), col("col._1").as("es_key"))
+        .orderBy("lang", "sample_rank")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT lang, doc_id,
+               round(ln((${mixBucketHashSql("doc_id")} + 1) / 4294967296.0)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS es_key
+        FROM documents),
+      r AS (SELECT lang, doc_id, es_key,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY es_key DESC, doc_id) AS rn
+            FROM scored)
+      SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id, es_key
+      FROM r WHERE rn <= $WeightedK ORDER BY lang, sample_rank"""),
+  )
+
   // ------------------------------------------------------ corpus stats
   /** Per-stratum token-count distribution — median/p90/p99 token counts
     * per language, the "what does this corpus look like" report that
@@ -1408,7 +1465,7 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, shardAssign)
 }

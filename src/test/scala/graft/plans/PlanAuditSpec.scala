@@ -298,6 +298,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
       "corpus_outlier_filter" -> 8,
+      // k-bounded packed-heap agg (one lang exchange of k·mappers
+      // rows) + posexplode + output sort — same shape as
+      // mix_fixed_sample
+      "mix_weighted_sample" -> 2,
       // shingle-df exchange (map-side collapsed) + df-valved broadcast
       // + positional-hit doc_id agg + kept-token regroup riding the
       // same key + output sort — the excise stage shared with
