@@ -1346,6 +1346,82 @@ object CurationQueries {
     * (Spark `conv(hex,16,10)` == DuckDB `CAST('0x…' AS BIGINT)`), and
     * the k·sources winners broadcast back to re-attach the bigram
     * text, per the operator's narrow-payload doctrine. */
+  /** A bigram needs this many occurrences before its PMI is trusted —
+    * the sparse-count guard every collocation recipe applies (PMI of a
+    * count-1 pair is pure noise). */
+  private val MinPairCount = 5
+
+  /** PMI collocation mining — pointwise mutual information of adjacent
+    * token pairs, ln(p(ab)/(p(a)p(b))): the phrase-detection signal
+    * behind word2vec-style phrase merging and multiword tokenizer
+    * entries, and the statistical complement to `corpus_top_ngrams`'
+    * raw frequency ranking (frequency finds "of the"; PMI finds pairs
+    * that co-occur far above chance).
+    *
+    * Exactness: every count is an exact long; the PMI argument is ONE
+    * division of two exact integer products (c_ab·N² / (N_b·c_a·c_b) —
+    * bounded within long up to corpus sizes where the counts
+    * themselves would overflow first), then one ln, QUANTIZED to 9 dp
+    * because near-independent pairs put the argument near 1 where
+    * JVM/DuckDB ln diverges by ulps (the `mix_weighted_sample`
+    * finding); the output sort tiebreaks on the bigram text.
+    *
+    * 100 TB design: unigram and bigram counts collapse map-side into
+    * vocabulary-sized aggregates (occurrence counts, positional
+    * `element_at` bigrams — no HOF, no self-join); the unigram table
+    * broadcasts like the tokenizer vocabulary (Zipf-bounded), totals
+    * are 1-row broadcasts, and the valved bigram table is the only
+    * shuffled relation. */
+  private val pmiBigrams = Q(
+    "corpus_pmi_bigrams",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val uniTotal = uni.agg(sum(col("c")).as("n_uni"))
+      val bi = toks.filter(col("n") >= 2)
+        .select(col("t"), explode(sequence(lit(1L), col("n") - 1)).as("i"))
+        .select(
+          element_at(col("t"), col("i").cast("int")).as("w1"),
+          element_at(col("t"), col("i").cast("int") + 1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= MinPairCount)
+      val biTotal = toks.filter(col("n") >= 2).agg(sum(col("n") - 1).as("n_bi"))
+      bi
+        .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("c_ab"), col("c_a"), col("c_b"),
+          round(log(
+            (col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 9)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+      uni AS (SELECT u.tok AS tok, CAST(count(*) AS BIGINT) AS c
+              FROM tok, unnest(t) u(tok) GROUP BY 1),
+      tot AS (SELECT sum(c) AS n_uni FROM uni),
+      bic AS (SELECT t[CAST(u.i AS INT)] AS w1,
+                     t[CAST(u.i AS INT) + 1] AS w2,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM tok, unnest(range(1, CAST(n AS INT))) u(i)
+              WHERE n >= 2
+              GROUP BY 1, 2 HAVING count(*) >= $MinPairCount),
+      bt AS (SELECT sum(n - 1) AS n_bi FROM tok WHERE n >= 2)
+      SELECT w1 || ' ' || w2 AS bigram, c_ab, a.c AS c_a, b.c AS c_b,
+             round(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE)
+                      / CAST(n_bi * a.c * b.c AS DOUBLE)), 9) AS pmi
+      FROM bic JOIN uni a ON w1 = a.tok JOIN uni b ON w2 = b.tok, tot, bt
+      ORDER BY pmi DESC, bigram"""),
+  )
+
   private val topNgrams = Q(
     "corpus_top_ngrams",
     (s, dir) => {
@@ -1467,5 +1543,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, shardAssign)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, shardAssign)
 }

@@ -298,6 +298,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
       "corpus_outlier_filter" -> 8,
+      // unigram agg + positional-bigram agg (both map-side collapsed
+      // to vocabulary size) + two vocab broadcasts + two 1-row total
+      // broadcasts + output sort; the unigram subtree prints once per
+      // broadcast leg statically (AQE-reused at runtime)
+      "corpus_pmi_bigrams" -> 11,
       // k-bounded packed-heap agg (one lang exchange of k·mappers
       // rows) + posexplode + output sort — same shape as
       // mix_fixed_sample
