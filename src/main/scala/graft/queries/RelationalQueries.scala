@@ -1570,9 +1570,120 @@ object RelationalQueries {
     },
   )
 
+  private val HistBins = 32
+  private val HistQs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+
+  /** A19 — histogram quantile sketch: per event type, p50/p90/p99 of
+    * `value` estimated from a fixed 32-bin equi-width histogram, next
+    * to the EXACT rank-arithmetic values so the estimation error is
+    * self-auditing (the same discipline as the HLL and CMS rows). This
+    * completes the mergeable-sketch trio — distinct (HLL), frequency
+    * (CMS), distribution (histogram): bin counts are plain summable
+    * rows, so per-day/per-partition histograms union and re-aggregate
+    * into the global sketch without touching raw values again — the
+    * Redshift/warehouse "approximate percentile over a pre-aggregated
+    * cube" pattern Spark's buffering `percentile` can't serve at
+    * 100 TB.
+    *
+    * Shape: one 1-row min/max aggregate broadcast back, one
+    * (group, bin) aggregate that collapses map-side to ≤ groups×32
+    * rows, cumulative windows over those METADATA rows (never the
+    * data), and the exact side rides [[graft.operators.ExactQuantiles]].
+    * Estimate arithmetic is identical-association IEEE: bin edges from
+    * exact min/max doubles, counts exact longs, one interpolation per
+    * quantile. */
+  private val a19Hist = Q(
+    "a19_histogram_quantiles",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .withColumn("width", (col("hi") - col("lo")) / lit(HistBins.toDouble))
+        .withColumn("bin", least(lit(HistBins - 1L),
+          floor((col("value") - col("lo")) / col("width")).cast("long")))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = binned
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("width", (col("hi") - col("lo")) / lit(HistBins.toDouble))
+      val estAggs = HistQs.map { case (q, name) =>
+        val p = col("n").cast("double") * lit(q)
+        min(when(col("cum").cast("double") >= p &&
+            col("cum_before").cast("double") < p,
+          col("lo") + col("width") * (col("bin").cast("double") +
+            (p - col("cum_before").cast("double")) / col("cnt").cast("double"))))
+          .as(s"est_$name")
+      }
+      val est = c.groupBy("event_type")
+        .agg(max(col("n")).as("n_events"), estAggs: _*)
+      val exact = graft.operators.ExactQuantiles.perGroup(
+          ev, Seq("event_type"), "value",
+          HistQs.map { case (q, name) => (q, s"ex_$name") })
+        .drop("n_value")
+      est.join(exact, "event_type")
+        .select(col("event_type") +: col("n_events") +:
+          HistQs.flatMap { case (_, n) => Seq(col(s"est_$n"), col(s"ex_$n")) }: _*)
+        .orderBy("event_type")
+    },
+    Some {
+      val estSql = HistQs.map { case (q, name) =>
+        s"""min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * $q
+                      AND CAST(cum_before AS DOUBLE) < CAST(n AS DOUBLE) * $q
+                     THEN lo + width * (CAST(bin AS DOUBLE)
+                          + (CAST(n AS DOUBLE) * $q - CAST(cum_before AS DOUBLE))
+                            / CAST(cnt AS DOUBLE))
+                END) AS est_$name"""
+      }.mkString(",\n             ")
+      val exSql = HistQs.map { case (q, name) =>
+        s"""round(sum(CASE WHEN rn = CAST(floor((n-1) * $q) AS BIGINT)
+                             THEN val * (1.0 - ((n-1) * $q - floor((n-1) * $q)))
+                           WHEN rn = CAST(floor((n-1) * $q) AS BIGINT) + 1
+                                AND (n-1) * $q - floor((n-1) * $q) > 0
+                             THEN val * ((n-1) * $q - floor((n-1) * $q))
+                           ELSE 0.0 END), 4) AS ex_$name"""
+      }.mkString(",\n             ")
+      s"""
+      WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      b AS (SELECT min(value) AS lo, max(value) AS hi,
+                   (max(value) - min(value)) / ${HistBins}.0 AS width
+            FROM ev),
+      binned AS (SELECT event_type,
+                        least(${HistBins - 1},
+                          CAST(floor((value - lo) / width) AS BIGINT)) AS bin,
+                        count(*) AS cnt
+                 FROM ev, b GROUP BY 1, 2),
+      c AS (SELECT event_type, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM binned),
+      c2 AS (SELECT c.*, cum - cnt AS cum_before, b.lo, b.width FROM c, b),
+      est AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+             $estSql
+             FROM c2 GROUP BY 1),
+      r AS (SELECT event_type, CAST(value AS DOUBLE) AS val,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY CAST(value AS DOUBLE)) - 1 AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM ev),
+      ex AS (SELECT event_type,
+             $exSql
+             FROM r GROUP BY 1)
+      SELECT est.event_type, est.n_events,
+             ${HistQs.map { case (_, n) => s"est.est_$n, ex.ex_$n" }.mkString(", ")}
+      FROM est JOIN ex USING (event_type)
+      ORDER BY event_type"""
+    },
+  )
+
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll)
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist)
 }

@@ -298,6 +298,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
       "corpus_outlier_filter" -> 8,
+      // 1-row min/max agg + broadcast + (group, bin) agg collapsing
+      // map-side to ≤ groups×32 rows + cumulative windows over that
+      // metadata + the exact-quantile pass's group exchange + final
+      // 5-row join + output sort
+      "a19_histogram_quantiles" -> 12,
       // unigram agg + positional-bigram agg (both map-side collapsed
       // to vocabulary size) + two vocab broadcasts + two 1-row total
       // broadcasts + output sort; the unigram subtree prints once per
