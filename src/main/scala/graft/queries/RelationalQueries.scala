@@ -1570,6 +1570,64 @@ object RelationalQueries {
     },
   )
 
+  /** A20 — time-weighted average (TWAP-style): per user, the average
+    * of `value` weighted by how LONG each value was the user's latest
+    * — Σ value·Δt / ΣΔt with Δt the micros until the next event. The
+    * metric behind session-quality and exposure analytics that a
+    * plain AVG silently mis-states when events cluster (a spike held
+    * for 1 s shouldn't weigh like a level held for a day), and the
+    * only consumer of the lead()-over-time surface.
+    *
+    * Exactness: value is 2-dp → exact integer cents; Δt is exact
+    * micros from the lead; each cents·Δt product is cast to
+    * DECIMAL(38,0) BEFORE the sum (a LONG sum would wrap at ~70
+    * day-scale events — DuckDB's HUGEINT sum is exact the same way),
+    * so both sides divide the IDENTICAL exact integers once. The
+    * decimal→double goes through VARCHAR on the DuckDB side (its
+    * direct cast double-rounds; strtod is correctly rounded — the
+    * a17_group_stats finding).
+    *
+    * 100 TB design: one user_id exchange feeds the lead window AND the
+    * per-user aggregate (the agg rides the window's partitioning);
+    * per-user chains are tens of rows, never a stratum. */
+  private val a20Twap = Q(
+    "a20_time_weighted_value",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("dt", lead(col("tus"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("tus").asc, col("event_id").asc)) - col("tus"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_micros"),
+          sum((col("cents") * col("dt")).cast("decimal(38,0)")).as("ws"))
+        .select(col("user_id"), col("n_intervals"), col("span_micros"),
+          (col("ws").cast("double") / (col("span_micros") * 100L).cast("double"))
+            .as("twap"))
+        .orderBy("user_id")
+      },
+    Some("""
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                        epoch_us(ts) AS tus
+                 FROM events),
+      d AS (SELECT user_id, cents, tus,
+                   lead(tus) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) - tus AS dt
+            FROM e),
+      a AS (SELECT user_id, count(*) AS n_intervals,
+                   CAST(sum(dt) AS BIGINT) AS span_micros,
+                   sum(cents * dt) AS ws
+            FROM d WHERE dt IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_intervals, span_micros,
+             CAST(CAST(ws AS VARCHAR) AS DOUBLE)
+               / CAST(span_micros * 100 AS DOUBLE) AS twap
+      FROM a ORDER BY user_id"""),
+  )
+
   private val HistBins = 32
   private val HistQs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
 
@@ -1685,5 +1743,6 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist)
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
+    a20Twap)
 }

@@ -298,6 +298,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // window's partitioning) + two ≤-sources-row broadcasts + output
       // sort — no stratum-sized window anywhere
       "corpus_outlier_filter" -> 8,
+      // one user_id exchange feeds the lead window AND the per-user
+      // agg (agg rides the window's partitioning) + output sort
+      "a20_time_weighted_value" -> 2,
       // 1-row min/max agg + broadcast + (group, bin) agg collapsing
       // map-side to ≤ groups×32 rows + cumulative windows over that
       // metadata + the exact-quantile pass's group exchange + final
