@@ -1346,6 +1346,80 @@ object CurationQueries {
     * (Spark `conv(hex,16,10)` == DuckDB `CAST('0x…' AS BIGINT)`), and
     * the k·sources winners broadcast back to re-attach the bigram
     * text, per the operator's narrow-payload doctrine. */
+  /** Zipf power-law fit — per language, the least-squares slope and
+    * intercept of ln(frequency) against ln(rank) over the token
+    * frequency table: natural language sits near slope −1, so this is
+    * the one-number "does this corpus look like language or like
+    * noise" diagnostic (the synthetic lake's near-uniform vocabulary
+    * fits ≈ 0 — honestly reported, the diagnostic WORKING). Complements
+    * the per-doc quality signals with a corpus-level one.
+    *
+    * Determinism: ln(rank)/ln(freq) are quantized to 9 dp (the ln-ulp
+    * discipline) and cast to DECIMAL(12,9), so the Σx/Σy/Σxy/Σx²
+    * moments are EXACT decimal sums — order-independent, the
+    * a17_group_stats trick — and both engines evaluate the identical
+    * closed-form slope/intercept on identical one-row-per-lang values
+    * (decimal→double via VARCHAR on the oracle side).
+    *
+    * 100 TB design: the frequency table collapses map-side to
+    * vocabulary size; the rank window and moment aggregate run over
+    * vocab-sized METADATA per language, never the corpus. */
+  private val zipfFit = Q(
+    "corpus_zipf_fit",
+    (s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val ranked = freq.withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+      val xy = ranked.select(col("lang"),
+        round(log(col("r").cast("double")), 9).cast("decimal(12,9)").as("x"),
+        round(log(col("c").cast("double")), 9).cast("decimal(12,9)").as("y"))
+      val m = xy.groupBy("lang").agg(count(lit(1)).as("n_vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      def d(c: String) = col(c).cast("double")
+      val nD = col("n_vocab").cast("double")
+      val slope = (nD * d("sxy") - d("sx") * d("sy")) /
+        (nD * d("sxx") - d("sx") * d("sx"))
+      m.select(col("lang"), col("n_vocab"),
+          slope.as("zipf_slope"),
+          ((d("sy") - slope * d("sx")) / nD).as("zipf_intercept"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH freq AS (SELECT lang, u.tok AS tok, count(*) AS c
+                    FROM (SELECT lang, string_split(text, ' ') AS t
+                          FROM documents), unnest(t) u(tok)
+                    GROUP BY 1, 2),
+      ranked AS (SELECT lang, c,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY c DESC, tok) AS r
+                 FROM freq),
+      xy AS (SELECT lang,
+                    CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+                    CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+             FROM ranked),
+      m AS (SELECT lang, count(*) AS n_vocab,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY 1),
+      -- decimal → double through VARCHAR: strtod is correctly rounded,
+      -- DuckDB's direct decimal cast is not (a17_group_stats finding)
+      dd AS (SELECT lang, n_vocab,
+                    CAST(n_vocab AS DOUBLE) AS nd,
+                    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+            FROM m)
+      SELECT lang, n_vocab,
+             (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS zipf_slope,
+             (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+               / nd AS zipf_intercept
+      FROM dd ORDER BY lang"""),
+  )
+
   /** A bigram needs this many occurrences before its PMI is trusted —
     * the sparse-count guard every collocation recipe applies (PMI of a
     * count-1 pair is pure noise). */
@@ -1543,5 +1617,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, shardAssign)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign)
 }

@@ -311,6 +311,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcasts + output sort; the unigram subtree prints once per
       // broadcast leg statically (AQE-reused at runtime)
       "corpus_pmi_bigrams" -> 11,
+      // (lang, tok) frequency agg collapsing map-side + rank window
+      // and moment agg over vocab-sized metadata (window exchange on
+      // lang) + output sort
+      "corpus_zipf_fit" -> 4,
       // k-bounded packed-heap agg (one lang exchange of k·mappers
       // rows) + posexplode + output sort — same shape as
       // mix_fixed_sample
