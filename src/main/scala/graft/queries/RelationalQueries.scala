@@ -1628,6 +1628,73 @@ object RelationalQueries {
       FROM a ORDER BY user_id"""),
   )
 
+  /** A21 — first/last-touch conversion attribution: every purchase is
+    * attributed to the user's earliest and latest non-purchase event
+    * inside a 7-day lookback, then conversions roll up per channel
+    * under both models side by side — the marketing-attribution core
+    * of the reference's activation layer (the Segment feed exists to
+    * power exactly this analytic downstream;
+    * `scripts/lambda_redshift_to_segment.py:327-424`).
+    *
+    * Shape: purchases equi-join the user's touch events on user_id
+    * with the lookback as a residual range predicate (per-user
+    * bounded, the J5/J11 class — never a cartesian); first/last touch
+    * are ONE min/max of a (tus, event_id, event_type) struct per
+    * purchase — lexicographic on a unique (time, id) prefix, so both
+    * engines pick the identical row without a window; the channel
+    * rollup is a conditional-count aggregate over the two models
+    * unioned. All outputs are exact counts. */
+  private val a21Attribution = Q(
+    "a21_touch_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("tus").as("ptus"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+      val lookback = 7L * 86400L * 1000000L
+      val attrib = purch.join(touches,
+          purch("user_id") === touches("user_id") &&
+            touches("tus") < purch("ptus") &&
+            touches("tus") >= purch("ptus") - lookback)
+        .groupBy(col("pid"))
+        .agg(
+          min(struct(col("tus"), col("event_id"), col("event_type"))).as("ft"),
+          max(struct(col("tus"), col("event_id"), col("event_type"))).as("lt"))
+      attrib.select(col("ft.event_type").as("channel"), lit(1L).as("first"),
+          lit(0L).as("last"))
+        .unionByName(attrib.select(col("lt.event_type").as("channel"),
+          lit(0L).as("first"), lit(1L).as("last")))
+        .groupBy("channel")
+        .agg(sum(col("first")).as("first_touch_convs"),
+          sum(col("last")).as("last_touch_convs"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                  FROM events),
+      p AS (SELECT user_id, event_id AS pid, tus AS ptus FROM ev
+            WHERE event_type = 'purchase'),
+      t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+      j AS (SELECT p.pid, t.event_type, t.tus, t.event_id
+            FROM p JOIN t ON p.user_id = t.user_id
+                         AND t.tus < p.ptus
+                         AND t.tus >= p.ptus - 604800000000),
+      r AS (SELECT pid, event_type,
+                   row_number() OVER (PARTITION BY pid
+                     ORDER BY tus, event_id) AS rf,
+                   row_number() OVER (PARTITION BY pid
+                     ORDER BY tus DESC, event_id DESC) AS rl
+            FROM j),
+      u AS (SELECT event_type AS channel, 1 AS first, 0 AS last
+            FROM r WHERE rf = 1
+            UNION ALL
+            SELECT event_type, 0, 1 FROM r WHERE rl = 1)
+      SELECT channel, CAST(sum(first) AS BIGINT) AS first_touch_convs,
+             CAST(sum(last) AS BIGINT) AS last_touch_convs
+      FROM u GROUP BY channel ORDER BY channel"""),
+  )
+
   private val HistBins = 32
   private val HistQs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
 
@@ -1744,5 +1811,5 @@ object RelationalQueries {
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
-    a20Twap)
+    a20Twap, a21Attribution)
 }

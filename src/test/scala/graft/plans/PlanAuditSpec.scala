@@ -301,6 +301,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id exchange feeds the lead window AND the per-user
       // agg (agg rides the window's partitioning) + output sort
       "a20_time_weighted_value" -> 2,
+      // purchase/touch SMJ on user_id (2 sides, one scan reprinted) +
+      // per-purchase struct min/max agg + channel rollup of the
+      // two-model union + output sort
+      "a21_touch_attribution" -> 7,
       // 1-row min/max agg + broadcast + (group, bin) agg collapsing
       // map-side to ≤ groups×32 rows + cumulative windows over that
       // metadata + the exact-quantile pass's group exchange + final
