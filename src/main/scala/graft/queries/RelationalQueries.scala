@@ -1628,6 +1628,70 @@ object RelationalQueries {
       FROM a ORDER BY user_id"""),
   )
 
+  /** J13 — snowflake join chain (TPC-H Q5 shape): yearly revenue per
+    * nation for one region — region ⋈ nation ⋈ customer ⋈ orders ⋈
+    * lineitem, the deepest join tree in the suite and the
+    * representative of the multi-way dimensional queries every
+    * warehouse report runs.
+    *
+    * Scale shape: the region filter prunes nation BEFORE it reaches
+    * customer, region/nation broadcast (dimension tables), customer
+    * broadcasts under the default threshold at test scale and
+    * shuffle-joins at 100 TB — either way the ONLY big-table exchanges
+    * are orders⋈lineitem on the order key; the date filter pushes into
+    * the orders scan (PushedFilters pinned below). Revenue is
+    * Σ price·(1−disc) in exact DECIMAL (products exact at (22,4),
+    * order-independent), one double cast at the end. */
+  private val j13Snowflake = Q(
+    "j13_snowflake_revenue",
+    (s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .as("rev"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue"))
+        .select(col("n_name"), col("o_year").cast("long").as("o_year"),
+          col("n_items"), col("revenue").cast("double").as("revenue"))
+        .orderBy("n_name", "o_year")
+    },
+    Some("""
+      WITH n AS (SELECT n_nationkey, n_name FROM nation
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'ASIA'),
+      c AS (SELECT c_custkey, n_name FROM customer
+            JOIN n ON c_nationkey = n_nationkey),
+      o AS (SELECT o_orderkey, o_custkey,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'),
+      li AS (SELECT l_orderkey,
+                    CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2))) AS rev
+             FROM lineitem)
+      SELECT n_name, o_year, count(*) AS n_items,
+             CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM o JOIN c ON o_custkey = c_custkey
+             JOIN li ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   /** A21 — first/last-touch conversion attribution: every purchase is
     * attributed to the user's earliest and latest non-purchase event
     * inside a 7-day lookback, then conversions roll up per channel
@@ -1811,5 +1875,5 @@ object RelationalQueries {
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
-    a20Twap, a21Attribution)
+    a20Twap, a21Attribution, j13Snowflake)
 }

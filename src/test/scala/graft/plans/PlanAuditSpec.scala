@@ -301,6 +301,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id exchange feeds the lead window AND the per-user
       // agg (agg rides the window's partitioning) + output sort
       "a20_time_weighted_value" -> 2,
+      // dims broadcast (region→nation→customer chain) + the one big
+      // orders⋈lineitem exchange pair + final agg + output sort; the
+      // date filter reaches the orders scan (pinned below)
+      "j13_snowflake_revenue" -> 8,
       // purchase/touch SMJ on user_id (2 sides, one scan reprinted) +
       // per-purchase struct min/max agg + channel rollup of the
       // two-model union + output sort
@@ -339,6 +343,14 @@ class PlanAuditSpec extends AnyFunSuite {
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
     }
+  }
+
+  test("snowflake join pushes the date range into the orders scan") {
+    val plan = SparkEntry.queries("j13_snowflake_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      s"date filter no longer reaches the orders parquet scan:\n$plan")
   }
 
   test("triangle query's self-join legs collapse to reused exchanges at runtime") {
