@@ -1759,6 +1759,53 @@ object RelationalQueries {
       FROM u GROUP BY channel ORDER BY channel"""),
   )
 
+  /** A22 — behavioral transition matrix: P(next event type | current)
+    * per user journey — the first-order Markov model behind next-best-
+    * action scoring and journey anomaly detection (the funnel A11
+    * checks ONE prescribed path; this measures every observed edge).
+    *
+    * Shape: one user_id exchange feeds the lead window (per-user
+    * chains, never a stratum); transitions collapse map-side to the
+    * 5×5 type matrix; row totals come back as a ≤types-row broadcast;
+    * the probability is ONE division of exact longs. */
+  private val a22Transitions = Q(
+    "a22_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus").asc, col("event_id").asc)
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = trans.groupBy("from_type")
+        .agg(sum(col("n_transitions")).as("n_from"))
+      trans.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          (col("n_transitions").cast("double") / col("n_from").cast("double"))
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      t AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) AS to_type
+            FROM e),
+      c AS (SELECT from_type, to_type, count(*) AS n_transitions
+            FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n_transitions,
+             CAST(c.n_transitions AS DOUBLE) / CAST(t2.n_from AS DOUBLE) AS p
+      FROM c JOIN tot t2 USING (from_type)
+      ORDER BY from_type, to_type"""),
+  )
+
   private val HistBins = 32
   private val HistQs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
 
@@ -1875,5 +1922,5 @@ object RelationalQueries {
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
-    a20Twap, a21Attribution, j13Snowflake)
+    a20Twap, a21Attribution, a22Transitions, j13Snowflake)
 }

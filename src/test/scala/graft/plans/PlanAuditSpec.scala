@@ -301,6 +301,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id exchange feeds the lead window AND the per-user
       // agg (agg rides the window's partitioning) + output sort
       "a20_time_weighted_value" -> 2,
+      // one user_id exchange for the lead window + 5×5 matrix agg
+      // (map-side collapsed) + totals agg + broadcast + output sort;
+      // the transition subtree prints once per join leg statically
+      // (AQE-reused at runtime)
+      "a22_event_transitions" -> 7,
       // dims broadcast (region→nation→customer chain) + the one big
       // orders⋈lineitem exchange pair + final agg + output sort; the
       // date filter reaches the orders scan (pinned below)
