@@ -1806,6 +1806,90 @@ object RelationalQueries {
       ORDER BY from_type, to_type"""),
   )
 
+  private val WilsonZ = 1.96
+
+  /** A23 — conversion rates with Wilson 95% confidence intervals: each
+    * non-purchase event is a trial, converting when the same user
+    * purchases within 24 h after it; per channel the rate ships with
+    * its Wilson score interval — the uncertainty-aware readout an A/B
+    * or channel-mix decision actually needs (a raw rate from 20 trials
+    * and one from 20,000 look identical without the interval; Wilson
+    * stays sane near 0/1 where the normal approximation dies).
+    *
+    * Determinism: trials/conversions are exact counts; the interval is
+    * a fixed IEEE expression tree — divisions, one sqrt (correctly
+    * rounded BY IEEE-754 REQUIREMENT, unlike ln) — evaluated in the
+    * identical association order both sides, z² interpolated from one
+    * Scala constant so both engines parse the same double.
+    *
+    * Shape: the 24 h conversion join is the J5 class (user equi-join +
+    * residual range, per-user bounded); the distinct converted-trial
+    * set and the channel rollup collapse map-side. */
+  private val a23Wilson = Q(
+    "a23_conversion_wilson",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tus").as("ptus"))
+      val converted = touches.join(purch,
+          touches("user_id") === col("p_user") &&
+            col("ptus") > touches("tus") &&
+            col("ptus") <= touches("tus") + lit(86400000000L))
+        .select(touches("event_id")).distinct()
+      val agg = touches
+        .join(converted.withColumn("hit", lit(1L)), Seq("event_id"), "left")
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_trials"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_converted"))
+      val z2 = WilsonZ * WilsonZ
+      val nD = col("n_trials").cast("double")
+      val p = col("n_converted").cast("double") / nD
+      val denom = lit(1.0) + lit(z2) / nD
+      val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+      val half = lit(WilsonZ) * sqrt(p * (lit(1.0) - p) / nD +
+        lit(z2) / (lit(4.0) * nD * nD)) / denom
+      agg.select(col("channel"), col("n_trials"), col("n_converted"),
+          p.as("conv_rate"), (center - half).as("wilson_lo"),
+          (center + half).as("wilson_hi"))
+        .orderBy("channel")
+    },
+    Some {
+      val z2 = WilsonZ * WilsonZ
+      s"""
+      WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                  FROM events),
+      t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+      pu AS (SELECT user_id AS p_user, tus AS ptus FROM ev
+             WHERE event_type = 'purchase'),
+      s AS (SELECT DISTINCT t.event_id
+            FROM t JOIN pu ON t.user_id = p_user
+                          AND ptus > t.tus
+                          AND ptus <= t.tus + 86400000000),
+      agg AS (SELECT event_type AS channel,
+                     CAST(count(*) AS BIGINT) AS n_trials,
+                     CAST(sum(CASE WHEN s.event_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_converted
+              FROM t LEFT JOIN s USING (event_id) GROUP BY 1),
+      d AS (SELECT channel, n_trials, n_converted,
+                   CAST(n_trials AS DOUBLE) AS nd,
+                   CAST(n_converted AS DOUBLE) AS xd
+            FROM agg)
+      SELECT channel, n_trials, n_converted,
+             xd / nd AS conv_rate,
+             (xd / nd + $z2 / (2.0 * nd)) / (1.0 + $z2 / nd)
+               - $WilsonZ * sqrt(xd / nd * (1.0 - xd / nd) / nd
+                                 + $z2 / (4.0 * nd * nd))
+                 / (1.0 + $z2 / nd) AS wilson_lo,
+             (xd / nd + $z2 / (2.0 * nd)) / (1.0 + $z2 / nd)
+               + $WilsonZ * sqrt(xd / nd * (1.0 - xd / nd) / nd
+                                 + $z2 / (4.0 * nd * nd))
+                 / (1.0 + $z2 / nd) AS wilson_hi
+      FROM d ORDER BY channel"""
+    },
+  )
+
   private val HistBins = 32
   private val HistQs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
 
@@ -1922,5 +2006,5 @@ object RelationalQueries {
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
-    a20Twap, a21Attribution, a22Transitions, j13Snowflake)
+    a20Twap, a21Attribution, a22Transitions, a23Wilson, j13Snowflake)
 }

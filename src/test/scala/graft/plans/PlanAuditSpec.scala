@@ -301,6 +301,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id exchange feeds the lead window AND the per-user
       // agg (agg rides the window's partitioning) + output sort
       "a20_time_weighted_value" -> 2,
+      // touch/purchase SMJ on user_id (2 sides) + converted-trial
+      // distinct + trial/hit join + channel agg (map-side collapsed)
+      // + output sort; subtrees print per leg statically
+      "a23_conversion_wilson" -> 10,
       // one user_id exchange for the lead window + 5×5 matrix agg
       // (map-side collapsed) + totals agg + broadcast + output sort;
       // the transition subtree prints once per join leg statically
