@@ -1806,6 +1806,74 @@ object RelationalQueries {
       ORDER BY from_type, to_type"""),
   )
 
+  /** A24 — cohort LTV curves: customers grouped by first-order month,
+    * then cumulative revenue per cohort at each age-month and the
+    * running LTV per cohort customer — the payback-curve view that
+    * turns A12's retention counts into money (when does a cohort's
+    * cumulative value cross acquisition cost).
+    *
+    * Shape: first-order months are one custkey aggregate joined back
+    * (the cohort assignment); the (cohort, age) revenue aggregate
+    * collapses map-side to cohorts×months METADATA rows, and the
+    * cumulative window runs over those month chains — a window above
+    * an Aggregate, never a stratum. Revenue stays DECIMAL through the
+    * cumulative sum (exact, order-independent); the per-customer LTV
+    * is ONE double division, decimal→double via the VARCHAR bridge on
+    * the oracle side. */
+  private val a24CohortLtv = Q(
+    "a24_cohort_ltv",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+      val sizes = first.groupBy("cohort_m")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      val rev = o.join(first, "o_custkey")
+        .withColumn("age_months",
+          months_between(col("m"), col("cohort_m")).cast("long"))
+        .groupBy("cohort_m", "age_months")
+        .agg(sum(col("price")).as("month_rev"))
+      val w = Window.partitionBy("cohort_m").orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev", sum(col("month_rev")).over(w))
+        .join(broadcast(sizes), "cohort_m")
+        .select(date_format(col("cohort_m"), "yyyy-MM").as("cohort"),
+          col("age_months"), col("n_customers"),
+          col("month_rev").cast("double").as("month_rev"),
+          col("cum_rev").cast("double").as("cum_rev"),
+          (col("cum_rev").cast("double") / col("n_customers").cast("double"))
+            .as("ltv_per_customer"))
+        .orderBy("cohort", "age_months")
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey,
+                        date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                 FROM orders),
+      f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+      sz AS (SELECT cohort_m, CAST(count(DISTINCT o_custkey) AS BIGINT)
+                      AS n_customers
+             FROM f GROUP BY 1),
+      rev AS (SELECT f.cohort_m,
+                     CAST(date_diff('month', f.cohort_m, o.m) AS BIGINT)
+                       AS age_months,
+                     sum(o.price) AS month_rev
+              FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      c AS (SELECT cohort_m, age_months, month_rev,
+                   sum(month_rev) OVER (PARTITION BY cohort_m
+                     ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS cum_rev
+            FROM rev)
+      SELECT strftime(c.cohort_m, '%Y-%m') AS cohort, c.age_months,
+             sz.n_customers,
+             CAST(CAST(c.month_rev AS VARCHAR) AS DOUBLE) AS month_rev,
+             CAST(CAST(c.cum_rev AS VARCHAR) AS DOUBLE) AS cum_rev,
+             CAST(CAST(c.cum_rev AS VARCHAR) AS DOUBLE)
+               / CAST(sz.n_customers AS DOUBLE) AS ltv_per_customer
+      FROM c JOIN sz USING (cohort_m)
+      ORDER BY cohort, age_months"""),
+  )
+
   private val WilsonZ = 1.96
 
   /** A23 — conversion rates with Wilson 95% confidence intervals: each
@@ -2006,5 +2074,6 @@ object RelationalQueries {
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
-    a20Twap, a21Attribution, a22Transitions, a23Wilson, j13Snowflake)
+    a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
+    j13Snowflake)
 }

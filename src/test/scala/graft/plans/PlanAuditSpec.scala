@@ -301,6 +301,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // one user_id exchange feeds the lead window AND the per-user
       // agg (agg rides the window's partitioning) + output sort
       "a20_time_weighted_value" -> 2,
+      // first-order agg + cohort join + (cohort, age) agg collapsing
+      // map-side to cohorts×months metadata + cumulative window over
+      // that metadata + sizes broadcast + output sort
+      "a24_cohort_ltv" -> 8,
       // touch/purchase SMJ on user_id (2 sides) + converted-trial
       // distinct + trial/hit join + channel agg (map-side collapsed)
       // + output sort; subtrees print per leg statically
