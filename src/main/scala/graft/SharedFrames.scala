@@ -29,6 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SharedFrames {
 
   private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  private val locks = new ConcurrentHashMap[(String, String), Object]()
 
   /** Drop entries whose owning session has been stopped — their frames
     * are unusable and would otherwise pin the dead session (and its
@@ -39,6 +40,30 @@ object SharedFrames {
       catch { case scala.util.control.NonFatal(_) => true }
     }
 
+  /** Double-checked per-key memoization that tolerates NESTED builds:
+    * one memoized frame's `build` may consume another memo (the
+    * survivor-component map builds on the minhash pair stage), so the
+    * build must run OUTSIDE any map bin lock — `computeIfAbsent` here
+    * threw `IllegalStateException: Recursive update` whenever the
+    * outer memo computed before the inner one existed (iteration-order
+    * dependent, so it surfaced as a flaky plan-audit failure). Nested
+    * keys take distinct per-key monitors, so cross-key reentrancy is
+    * deadlock-free; `build` still runs at most once per key. */
+  private def memo(key: (String, String))(make: => DataFrame): DataFrame = {
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = cache.get(key)
+      if (again != null) again
+      else {
+        purgeStopped()
+        val df = make
+        cache.put(key, df)
+        df
+      }
+    }
+  }
+
   /** The memoized, persisted, MATERIALIZED build of `name` for this
     * session. `build` runs at most once per (session, name); the
     * returned frame is already persisted, callers must NOT unpersist
@@ -47,19 +72,18 @@ object SharedFrames {
     * replacement session rebuilds rather than reusing a dead plan, and
     * no identity-hash collision can hand one session another's frame. */
   def cached(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name), { _ =>
-      purgeStopped()
+    memo((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name)) {
       val df = build.persist()
       df.count() // eager: consumers time their own work, not the memo's
       df
-    })
+    }
 
   /** Memoize a frame whose `build` already persists AND materializes it
     * (the pair-stage queries follow that pattern so they can release
     * their corpus-sized intermediates before returning). Runs at most
     * once per (session, name); consumers must not unpersist the result. */
   def cachedPrepersisted(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name), { _ => purgeStopped(); build })
+    memo((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name))(build)
 
   /** Live memo entries — each holds exactly one persisted RDD (its
     * materialized InMemoryRelation / checkpoint blocks). The storage-
@@ -74,5 +98,6 @@ object SharedFrames {
       catch { case _: Exception => () } // session already stopped
     }
     cache.clear()
+    locks.clear()
   }
 }

@@ -985,6 +985,52 @@ object RelationalQueries {
       ORDER BY gid, status, priority"""),
   )
 
+  /** A14b — hierarchical ROLLUP subtotals: revenue by region → nation
+    * with per-region subtotals and a grand total, the drill-down
+    * report shape (CUBE's sibling — ROLLUP emits only the prefix
+    * hierarchy's grouping sets, 3 levels here vs CUBE's 4, which at
+    * 100 TB is the difference between a report and a blow-up when the
+    * hierarchy is deep). Same single Expand+aggregate plan as A14:
+    * the level fan-out collapses in partial aggregation before the
+    * one exchange; dims broadcast onto the customer→orders spine. */
+  private val a14bRollup = Q(
+    "a14b_rollup_totals",
+    (s, dir) => {
+      val n = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      Tables.orders(s, dir)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("gid"), col("n_orders"), col("sum_price"))
+        .orderBy("gid", "region", "nation")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey)
+      SELECT coalesce(r_name, '(all)') AS region,
+             coalesce(n_name, '(all)') AS nation,
+             CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN c ON o_custkey = c_custkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY gid, region, nation"""),
+  )
+
   /** A15 — pivot to a fixed column set: per-user activity matrix with
     * one column per event type (the BI-export shape). Spark-first:
     * `pivot` with EXPLICIT values — the pinned value list skips the
@@ -2072,7 +2118,7 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a15Pivot, a16Basket, w5Rolling,
+    s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)

@@ -41,4 +41,26 @@ class SharedFramesSpec extends AnyFunSuite {
     assert(mine.count() == 2)
     assert(SharedFrames.entryCount == before + 2)
   }
+
+  test("a memo whose build consumes another memo does not blow up (nested entry)") {
+    // the survivor-components memo builds ON the minhash-pair memo;
+    // ConcurrentHashMap.computeIfAbsent threw 'Recursive update' for
+    // exactly this shape whenever the outer memo computed first —
+    // iteration-order dependent, so it surfaced as FLAKY plan-audit
+    // failures. Both entries must build, once each.
+    val spark0 = spark
+    import spark0.implicits._
+    var innerBuilds, outerBuilds = 0
+    def inner() = SharedFrames.cachedPrepersisted(spark, "sfspec_inner") {
+      innerBuilds += 1
+      val df = Seq(10, 20).toDF("v").persist(); df.count(); df
+    }
+    val outer = SharedFrames.cachedPrepersisted(spark, "sfspec_outer") {
+      outerBuilds += 1
+      val df = inner().filter("v > 10").persist(); df.count(); df
+    }
+    assert(outer.count() == 1)
+    assert(inner().count() == 2) // inner entry exists independently
+    assert(innerBuilds == 1 && outerBuilds == 1)
+  }
 }

@@ -254,6 +254,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // ONE Expand+aggregate (4× fan-out collapses in partial agg
       // before the exchange) + output sort
       "a14_cube_subtotals" -> 2,
+      // dim broadcasts onto the customer→orders spine + ONE
+      // Expand+aggregate (3-level fan-out collapses partial) +
+      // output sort
+      "a14b_rollup_totals" -> 6,
       // the ONE basket-distinct exchange prints 4× static (self-join
       // sides + both count branches — AQE-reused at runtime) + pair
       // agg + 2 per-part count aggs + 3 broadcast exchanges + 1-row
