@@ -976,6 +976,66 @@ object LlmQueries {
       FROM labeled ORDER BY doc_id"""),
   )
 
+  /** Dedup observability report — per source: raw docs, survivors of
+    * the clean+exact+fingerprint stage, canonical count after near-dup
+    * clustering, docs sitting inside multi-doc clusters, and the
+    * overall dedup rate. The pipeline-health dashboard every curation
+    * run is judged by ("which crawl source is 40% duplicates?"), and
+    * the observability face of machinery that is otherwise only
+    * consumed by downstream stages. A cluster spanning two sources
+    * counts toward each source's canonical tally (per-source view of a
+    * global cluster — documented, mirrored by the oracle).
+    *
+    * Shape: rides the session-shared survivor component map (built
+    * once per session); everything above it is counts collapsing
+    * map-side to source cardinality; dedup rate is ONE double
+    * division. */
+  private val dedupReport = Q(
+    "dedup_report",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val clusterSizes = labeledSurvivors(s, dir)
+        .groupBy("source", "cluster_id").agg(count(lit(1)).as("sz"))
+      val stats = clusterSizes.groupBy("source").agg(
+        sum(col("sz")).as("n_survivors"),
+        count(lit(1)).as("n_canonical"),
+        sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).as("n_near_dup_docs"))
+      docs.join(stats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          coalesce(col("n_canonical"), lit(0L)).as("n_canonical"),
+          coalesce(col("n_near_dup_docs"), lit(0L)).as("n_near_dup_docs"),
+          (lit(1.0) - coalesce(col("n_canonical"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("dedup_rate"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $MINHASH_CTES,
+      $CORPUS_CTES,
+      $COMP_CTES,
+      labeled AS (
+        SELECT f.doc_id, f.source, coalesce(c.comp, f.doc_id) AS cluster_id
+        FROM fpd f LEFT JOIN comp c ON f.doc_id = c.id),
+      cs AS (SELECT source, cluster_id, count(*) AS sz
+             FROM labeled GROUP BY 1, 2),
+      st AS (SELECT source,
+                    CAST(sum(sz) AS BIGINT) AS n_survivors,
+                    CAST(count(*) AS BIGINT) AS n_canonical,
+                    CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+                      AS n_near_dup_docs
+             FROM cs GROUP BY 1),
+      d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT d.source, d.n_docs,
+             CAST(coalesce(st.n_survivors, 0) AS BIGINT) AS n_survivors,
+             CAST(coalesce(st.n_canonical, 0) AS BIGINT) AS n_canonical,
+             CAST(coalesce(st.n_near_dup_docs, 0) AS BIGINT) AS n_near_dup_docs,
+             1.0 - CAST(coalesce(st.n_canonical, 0) AS DOUBLE)
+                   / CAST(d.n_docs AS DOUBLE) AS dedup_rate
+      FROM d LEFT JOIN st USING (source)
+      ORDER BY source"""),
+  )
+
   // ----------------------------------------------------- training mix
   /** The CAPSTONE pipeline — everything between a raw crawl and a
     * training-ready token stream, composed as ONE declarative plan:
@@ -1492,7 +1552,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
-    corpusCleanClustered, clusterSplits, trainingMix, trainingTokens, dedupExact, minhash,
+    corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
     annTopK, ragHybrid, multimodal)
 }

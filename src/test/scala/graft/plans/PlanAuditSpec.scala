@@ -225,6 +225,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // label join + output sort — the pair/component stages are
       // session-memoized, so repeat consumers pay none of these
       "mix_cluster_splits" -> 12,
+      // same survivor/component spine (memoized after the first
+      // consumer) + cluster-size agg + per-source rollup + raw-docs
+      // agg + left join + output sort
+      "dedup_report" -> 14,
       // count-distinct two-phase agg + output sort; the ×3 slot
       // fan-out collapses in partial agg BEFORE the first exchange
       "a13_hopping_windows" -> 3,
