@@ -677,6 +677,126 @@ object DomainQueries {
       ORDER BY custno""")),
   )
 
+  /** RFM customer segmentation — recency/frequency/monetary quintile
+    * scores and the marketing segment ladder over them: the classic
+    * CDP segmentation the reference's customer-360 layer feeds
+    * (`sql/customer_360_views.sql:473-482`'s value ladder is the M
+    * axis; this adds R and F and the standard 5×5×5 coding).
+    *
+    * Scale shape — the reason this is NOT a global ntile: `ntile(5)
+    * OVER (ORDER BY …)` serializes every customer into ONE task AND
+    * couples every row to the global sort. Here only the quintile
+    * BOUNDARY stage reads the whole customer aggregate (via
+    * [[graft.operators.ExactQuantiles]] with a constant group — one
+    * sorter over customer-level rows; at billions of customers swap
+    * that 12-number stage for `approx_percentile` or the two-phase
+    * PrefixSum without touching the scoring contract), and the
+    * SCORING — the part that touches every row — is closed-form
+    * comparison arithmetic against a broadcast 1-row threshold frame:
+    * zero windows, fully codegen, embarrassingly parallel. As-of date
+    * is the lake's max order date, so the query is deterministic with
+    * no wall clock.
+    *
+    * Determinism: metrics are exact (datediff days, counts, decimal
+    * spend); thresholds are 4-dp quantiles; scores use strict `>`
+    * comparisons — identical on both sides. */
+  private val rfm = Q(
+    "rfm_segments",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val asof = o.agg(max(col("o_orderdate")).as("asof"))
+      val m = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f_orders"),
+        sum(col("p")).cast("double").as("m_spend"))
+        .crossJoin(broadcast(asof))
+        .select(col("o_custkey"),
+          datediff(col("asof"), col("last_order")).cast("long").as("r_days"),
+          col("f_orders"), col("m_spend"), lit(1).as("g"))
+      val qs = Seq(0.2 -> "q20", 0.4 -> "q40", 0.6 -> "q60", 0.8 -> "q80")
+      def th(colName: String, prefix: String) =
+        graft.operators.ExactQuantiles
+          .perGroup(m, Seq("g"), colName, qs.map { case (q, n) => (q, s"$prefix$n") })
+          .drop(s"n_$colName")
+      val thresholds =
+        th("r_days", "r_").join(th("f_orders", "f_"), "g").join(th("m_spend", "m_"), "g")
+      def rank(v: Column, p: String) =
+        lit(1) + qs.map { case (_, n) =>
+          when(v > col(s"$p$n"), 1).otherwise(0) }.reduce(_ + _)
+      val scored = m.join(broadcast(thresholds), "g")
+        .select(col("o_custkey"), col("r_days"), col("f_orders"), col("m_spend"),
+          (lit(6) - rank(col("r_days").cast("double"), "r_")).as("r_score"),
+          rank(col("f_orders").cast("double"), "f_").as("f_score"),
+          rank(col("m_spend"), "m_").as("m_score"))
+      scored
+        .withColumn("rfm_code",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+            .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+            .when(col("r_score") <= 2 && col("m_score") >= 4, "at_risk_high_value")
+            .when(col("r_score") <= 2, "lapsed")
+            .otherwise("regular"))
+        .select("o_custkey", "r_days", "f_orders", "m_spend",
+          "r_score", "f_score", "m_score", "rfm_code", "segment")
+        .orderBy("o_custkey")
+    },
+    Some {
+      def qCte(src: String, valExpr: String, prefix: String) = {
+        val terms = Seq(0.2 -> "q20", 0.4 -> "q40", 0.6 -> "q60", 0.8 -> "q80")
+          .map { case (q, n) =>
+            s"""round(sum(CASE WHEN rn = CAST(floor((cnt-1) * $q) AS BIGINT)
+                     THEN val * (1.0 - ((cnt-1) * $q - floor((cnt-1) * $q)))
+                   WHEN rn = CAST(floor((cnt-1) * $q) AS BIGINT) + 1
+                        AND (cnt-1) * $q - floor((cnt-1) * $q) > 0
+                     THEN val * ((cnt-1) * $q - floor((cnt-1) * $q))
+                   ELSE 0.0 END), 4) AS $prefix$n"""
+          }.mkString(",\n               ")
+        s"""${prefix}r AS (
+          SELECT CAST($valExpr AS DOUBLE) AS val,
+                 CAST(row_number() OVER (ORDER BY CAST($valExpr AS DOUBLE)) - 1
+                      AS BIGINT) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS cnt
+          FROM $src),
+        ${prefix}t AS (SELECT $terms FROM ${prefix}r)"""
+      }
+      def rankSql(v: String, p: String) =
+        s"(1 + ${Seq("q20", "q40", "q60", "q80")
+          .map(n => s"(CASE WHEN $v > $p$n THEN 1 ELSE 0 END)").mkString(" + ")})"
+      s"""
+      WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                 FROM orders),
+      ao AS (SELECT max(od) AS ad FROM o),
+      m AS (SELECT o_custkey,
+                   CAST(ad - max(od) AS BIGINT) AS r_days,
+                   CAST(count(*) AS BIGINT) AS f_orders,
+                   CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS m_spend
+            FROM o, ao GROUP BY o_custkey, ad),
+      ${qCte("m", "r_days", "r_")},
+      ${qCte("m", "f_orders", "f_")},
+      ${qCte("m", "m_spend", "m_")},
+      sc AS (SELECT o_custkey, r_days, f_orders, m_spend,
+                    6 - ${rankSql("CAST(r_days AS DOUBLE)", "r_")} AS r_score,
+                    ${rankSql("CAST(f_orders AS DOUBLE)", "f_")} AS f_score,
+                    ${rankSql("m_spend", "m_")} AS m_score
+             FROM m, r_t, f_t, m_t)
+      SELECT o_custkey, r_days, f_orders, m_spend,
+             r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm_code,
+             CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                  WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                  WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk_high_value'
+                  WHEN r_score <= 2 THEN 'lapsed'
+                  ELSE 'regular' END AS segment
+      FROM sc ORDER BY o_custkey"""
+    },
+  )
+
   /** Incremental materialized-view maintenance differentially proved
     * against the FULL-rebuild oracle: the source is split 3 ways, the
     * profiles view is built from the first slice and refreshed with the
@@ -938,5 +1058,5 @@ object DomainQueries {
   )
 
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit)
+    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit, rfm)
 }

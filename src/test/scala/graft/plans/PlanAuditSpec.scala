@@ -229,6 +229,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // consumer) + cluster-size agg + per-source rollup + raw-docs
       // agg + left join + output sort
       "dedup_report" -> 14,
+      // per-customer metric agg (+ as-of 1-row broadcast) + the three
+      // 12-number threshold passes + threshold broadcast + output
+      // sort; the metric subtree prints once per quantile leg
+      // statically (AQE-reused at runtime); scoring is windowless
+      "rfm_segments" -> 22,
       // count-distinct two-phase agg + output sort; the ×3 slot
       // fan-out collapses in partial agg BEFORE the first exchange
       "a13_hopping_windows" -> 3,
