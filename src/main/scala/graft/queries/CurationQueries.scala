@@ -1615,7 +1615,124 @@ object CurationQueries {
       ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------- DSIR selection
+  /** Hashed-feature buckets and selection size for DSIR. 64 buckets is
+    * sized against the lake's 31-token vocabulary (31² possible
+    * bigrams) so bucket collisions are real at test scale — the same
+    * non-vacuity discipline as the CMS width. */
+  private val DsirBuckets = 64L
+  private val DsirK = 25
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) — score
+    * each raw-pool document by how target-like its hashed n-gram
+    * feature distribution is, then keep the top-K. The published recipe:
+    * hash word bigrams into B buckets, fit smoothed bag-of-buckets
+    * unigram models p̂_target / p̂_raw, and weight each document by
+    * Σ_features ln p̂_t(b) − ln p̂_r(b). The `lang = 'en'` slice stands
+    * in for the curated target corpus; every other document is the raw
+    * pool being scored. (The paper samples with Gumbel noise; rank +
+    * doc_id tiebreak is the deterministic equivalent, per the
+    * `mix_weighted_sample` doctrine.) The synthetic lake's bigram
+    * distributions are near-uniform across languages, so scores sit
+    * near 0 with a real but small spread — honestly reported, the same
+    * stance as `corpus_zipf_fit`.
+    *
+    * Determinism: bucket = 60-bit md5 prefix mod B (the CMS bridge,
+    * identical in both engines); each ln is QUANTIZED to 9 dp then
+    * cast DECIMAL(12,9) — near-uniform profiles put the ln argument in
+    * its ill-conditioned zone — so the per-bucket weight and every
+    * per-document score are EXACT order-independent decimal sums; the
+    * decimal reaches double through VARCHAR on the oracle side (the
+    * a17 strtod finding).
+    *
+    * 100 TB design: both feature profiles collapse map-side to B
+    * metadata rows (the CMS shape) and their totals are 1-row
+    * broadcasts; the B-row weight table BROADCASTS into the raw
+    * feature stream, and the ONE corpus-sized exchange in the whole
+    * query is the per-document score aggregate (which collapses
+    * map-side); selection is TakeOrdered per-partition heaps (never a
+    * global sort materialization), and the rank window runs over the
+    * K surviving metadata rows only. */
+  private val dsirSample = Q(
+    "mix_dsir_sample",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val feats = toks.filter(col("n") >= 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(sequence(lit(1L), col("n") - 1)).as("i"), col("t"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          pmod(conv(substring(md5(concat_ws(" ",
+              element_at(col("t"), col("i").cast("int")),
+              element_at(col("t"), col("i").cast("int") + 1))), 1, 15), 16, 10)
+            .cast("long"), lit(DsirBuckets)).as("bucket"))
+      val isTarget = col("lang") === "en"
+      val tc = feats.filter(isTarget).groupBy("bucket").agg(count(lit(1)).as("tc"))
+      val rc = feats.filter(!isTarget).groupBy("bucket").agg(count(lit(1)).as("rc"))
+      val spine = s.range(DsirBuckets).toDF("bucket")
+        .join(broadcast(tc), Seq("bucket"), "left")
+        .join(broadcast(rc), Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"),
+          coalesce(col("rc"), lit(0L)).as("rc"))
+      val tTot = tc.agg(coalesce(sum("tc"), lit(0L)).as("nt"))
+      val rTot = rc.agg(coalesce(sum("rc"), lit(0L)).as("nr"))
+      val weights = spine.crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+        .select(col("bucket"),
+          (round(log((col("tc") + 1).cast("double") /
+              (col("nt") + DsirBuckets).cast("double")), 9).cast("decimal(12,9)") -
+            round(log((col("rc") + 1).cast("double") /
+              (col("nr") + DsirBuckets).cast("double")), 9).cast("decimal(12,9)"))
+            .as("w"))
+      // per-occurrence broadcast join + ONE per-doc decimal-sum
+      // aggregate — no intermediate (doc, bucket) regroup
+      val scored = feats.filter(!isTarget)
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum(col("w")).as("sc"))
+      scored.orderBy(col("sc").desc, col("doc_id")).limit(DsirK)
+        .withColumn("sample_rank",
+          row_number().over(Window.orderBy(col("sc").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("sample_rank"), col("doc_id"), col("lang"), col("source"),
+          col("sc").cast("double").as("dsir_score"))
+        .orderBy("sample_rank")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+      f AS (SELECT doc_id, lang, source,
+                   CAST(concat('0x', substring(md5(
+                     t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1]),
+                     1, 15)) AS BIGINT) % $DsirBuckets AS bucket
+            FROM tok, unnest(range(1, CAST(n AS INT))) u(i) WHERE n >= 2),
+      spine AS (SELECT unnest(range(0, $DsirBuckets)) AS bucket),
+      tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM f
+             WHERE lang = 'en' GROUP BY 1),
+      rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM f
+             WHERE lang <> 'en' GROUP BY 1),
+      tt AS (SELECT coalesce(sum(tc), 0) AS nt FROM tc),
+      rt AS (SELECT coalesce(sum(rc), 0) AS nr FROM rc),
+      w AS (SELECT s.bucket,
+                   CAST(round(ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+                     / CAST(nt + $DsirBuckets AS DOUBLE)), 9) AS DECIMAL(12,9))
+                 - CAST(round(ln(CAST(coalesce(rc.rc, 0) + 1 AS DOUBLE)
+                     / CAST(nr + $DsirBuckets AS DOUBLE)), 9) AS DECIMAL(12,9)) AS w
+            FROM spine s LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket),
+                 tt, rt),
+      scored AS (SELECT doc_id, lang, source, sum(w.w) AS sc
+                 FROM f JOIN w USING (bucket)
+                 WHERE lang <> 'en' GROUP BY 1, 2, 3)
+      SELECT CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT)
+               AS sample_rank,
+             doc_id, lang, source,
+             CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS dsir_score
+      FROM scored ORDER BY sample_rank LIMIT $DsirK"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample)
 }

@@ -364,7 +364,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // identical reprints; the legs are bit-identical subtrees, which
       // AQE collapses to ONE materialization each (ReusedExchange pinned
       // at runtime below). No window anywhere.
-      "graph_copurchase_triangles" -> 90)
+      "graph_copurchase_triangles" -> 90,
+      // profile aggs (target/raw + their 1-row totals, tc/rc subtrees
+      // reprinted statically under the totals) + 4 metadata broadcasts
+      // + weight broadcast + ONE per-doc score agg + single-partition
+      // rank window over the K survivors + output sort
+      "mix_dsir_sample" -> 12)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")

@@ -309,4 +309,53 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val z3 = out.find(_.getLong(0) == 3L).get.getDouble(5)
     assert(math.abs(z3 - (-4.7215)) < 1e-9, s"z3=$z3")
   }
+
+  test("DSIR selection matches an independent plain-Scala reference exactly") {
+    // Independent re-derivation of the whole DSIR arithmetic (md5
+    // bucket, Laplace-smoothed profiles, 9-dp-quantized ln weights,
+    // exact decimal doc scores) — a bucketing or smoothing bug on the
+    // Spark side cannot self-confirm through the shared DuckDB oracle
+    // the way it could here if this replayed the same SQL.
+    val B = 64
+    def bucket(bigram: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bigram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % B).toInt
+    }
+    def lnQ(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val featsOf = (text: String) => {
+      val t = text.split(" ")
+      (0 until t.length - 1).map(i => bucket(t(i) + " " + t(i + 1)))
+    }
+    val (target, raw) = docs.partition(_._3 == "en")
+    val tCnt = target.flatMap(d => featsOf(d._2)).groupBy(identity).view.mapValues(_.size)
+    val rCnt = raw.flatMap(d => featsOf(d._2)).groupBy(identity).view.mapValues(_.size)
+    val (nt, nr) = (tCnt.values.sum, rCnt.values.sum)
+    val w = (0 until B).map(b =>
+      b -> (lnQ((tCnt.getOrElse(b, 0) + 1).toDouble / (nt + B)) -
+        lnQ((rCnt.getOrElse(b, 0) + 1).toDouble / (nr + B))))
+      .toMap
+    val expected = raw.filter(_._2.split(" ").length >= 2)
+      .map(d => d._1 -> featsOf(d._2).map(w).sum)
+      .sortBy { case (id, sc) => (-sc, id) }
+
+    val out = SparkEntry.queries("mix_dsir_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // exactly the raw pool, ranked by the reference scores; no target
+    // ('en') doc ever selected
+    assert(out.map(_._2).toSeq == expected.map(_._1),
+      s"selection/order mismatch: ${out.toSeq} vs $expected")
+    out.zip(expected).foreach { case ((rank, id, sc), (refId, refSc)) =>
+      assert(rank == out.indexWhere(_._2 == id) + 1L)
+      assert(sc == refSc.toDouble, s"doc $id score $sc != ref $refSc")
+    }
+    // non-vacuous: the fixture raw docs have distinct bucket multisets,
+    // so the ranking is decided by score, not the doc_id tiebreak
+    assert(out.map(_._3).distinct.length > 1)
+    // deterministic batch over batch
+    val again = SparkEntry.queries("mix_dsir_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.sameElements(again))
+  }
 }
