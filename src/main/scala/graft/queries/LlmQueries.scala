@@ -620,6 +620,75 @@ object LlmQueries {
       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""),
   )
 
+  // ------------------------------------------------- LSH estimator audit
+  /** MinHash estimator self-audit — for every LSH candidate pair, the
+    * SIGNATURE-estimated Jaccard (fraction of the 12 minhash components
+    * that agree) next to the exact shingle Jaccard the pair stage
+    * already computes, plus the signed estimator error. Completes the
+    * self-auditing-sketch doctrine (HLL / CMS / histogram rows): the
+    * near-dup pipeline thresholds on MinHash theory, and this query
+    * measures that estimator's spread on exactly the pairs the
+    * pipeline acts on (banding biases candidates toward high
+    * similarity, so the audit runs where the decisions happen, not on
+    * random pairs).
+    *
+    * 100 TB design: the candidate pair frame is the session-memoized
+    * [[minhashPairs]] output — tiny next to the corpus — and it
+    * BROADCASTS into the signature frame twice (doc_a then doc_b), so
+    * the corpus-sized signature scan is never shuffled; the signature
+    * rebuild is one compiled [[graft.expressions.MinHashSignatures]]
+    * pass (the shared pair build releases its own intermediates, so
+    * signatures are recomputed rather than held corpus-sized in
+    * storage). The component-agreement count is a closed-form sum of
+    * 12 `element_at` comparisons — no HOF lambda, fully codegen. */
+  private val lshAudit = Q(
+    "dedup_lsh_audit",
+    (s, dir) => {
+      // must match minhashPairsBuild's signature geometry (nPerm = 12)
+      val nPerm = 12
+      val pairs = minhashPairs(s, dir)
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          graft.expressions.MinHashSignatures.of(col("sh"), nPerm).as("hs"))
+      val withA = sig.as("a").join(
+        broadcast(pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))),
+        col("a.doc_id") === col("doc_a"))
+      val both = sig.as("b").join(broadcast(withA), col("b.doc_id") === col("doc_b"))
+      val nEq = (0 until nPerm).map(i =>
+        when(element_at(col("a.hs"), i + 1) === element_at(col("b.hs"), i + 1),
+          1L).otherwise(0L)).reduce(_ + _)
+      both.select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(nEq.cast("double") / lit(nPerm.toDouble), 4).as("est_jaccard"))
+        .withColumn("est_error", round(col("est_jaccard") - col("jaccard"), 4))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $MINHASH_CTES,
+      est AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               round((  CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END
+                      + CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) / 12.0,
+                 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig a ON p.doc_a = a.doc_id
+        JOIN sig b ON p.doc_b = b.doc_id)
+      SELECT doc_a, doc_b, jaccard, est_jaccard,
+             round(est_jaccard - jaccard, 4) AS est_error
+      FROM est ORDER BY doc_a, doc_b"""),
+  )
+
   // ------------------------------------------------- incremental screen
   /** Incremental corpus dedup — screen a NEW batch of documents against
     * the EXISTING corpus without recomputing (or reshuffling) the
@@ -1553,6 +1622,6 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
     textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
-    incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
+    lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
     annTopK, ragHybrid, multimodal)
 }

@@ -161,6 +161,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val screen = plan("dedup_incremental_screen")
     assert(screen.contains("BroadcastHashJoin"),
       s"incremental screen batch side must broadcast:\n$screen")
+    // the estimator audit's candidate pairs must broadcast into the
+    // signature scan (twice) — a sort-merge join would shuffle the
+    // corpus-sized signature frame to rendezvous with a tiny pair set
+    val audit = plan("dedup_lsh_audit")
+    assert(!audit.contains("SortMergeJoin") &&
+      "BroadcastHashJoin".r.findAllIn(audit).length >= 2,
+      s"lsh audit pair side must broadcast into the signature scan:\n$audit")
     // the mixing filter is a pure scan: no exchange before the output sort
     val sample = plan("mix_stratified_sample")
     val preSort = sample.split("Sort ").last
