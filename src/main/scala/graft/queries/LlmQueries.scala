@@ -1530,6 +1530,107 @@ object LlmQueries {
       ORDER BY cosine DESC, vec_id LIMIT 10"""),
   )
 
+  // --------------------------------------------- hard-negative mining
+  /** Negatives per anchor, and the deterministic anchor slice (the
+    * "mini-batch" being mined — every 100th vector). */
+  private val HardNegK = 5
+
+  /** Hard-negative mining for contrastive training — for each anchor
+    * vector, the top-k most-cosine-similar vectors with a DIFFERENT
+    * label: the negatives that sit closest to the decision boundary,
+    * which is what a contrastive/triplet objective actually needs
+    * (random negatives are trivially separable and contribute ~zero
+    * gradient). The anchor slice stands in for the training mini-batch;
+    * candidates are the rest of the corpus, same-label candidates are
+    * excluded BEFORE ranking.
+    *
+    * Exactness: the [[cosineFrame]] discipline — components floor-
+    * quantized to 1e-6 integers so every dot/norm is exact 64-bit
+    * arithmetic; only the final score is a double, rounded to 6 dp,
+    * with vec_id the total tiebreak.
+    *
+    * 100 TB design: this is the exact brute-force baseline (the
+    * `ann_cosine_topk` doctrine — `ext.Similarity`'s IVF bucket path is
+    * the scale route for the candidate side): the anchor batch
+    * BROADCASTS into one candidate scan, the per-(anchor, candidate)
+    * dot-product aggregate collapses map-side, the candidate label
+    * rides the aggregate keys (functionally dependent on vec_id — no
+    * corpus rejoin), and per-anchor top-k is the k-bounded
+    * [[graft.operators.TopKPerGroup]] heap (k·mappers rows per anchor
+    * cross the shuffle, never a per-anchor rank-window task); winner
+    * labels re-attach by broadcasting the k·anchors winner set back to
+    * the narrow label column, per the heap's narrow-payload doctrine. */
+  private val hardNegatives = Q(
+    "emb_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val e = emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "pos", "x")
+        .withColumn("xq", floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+      val isAnchor = col("vec_id") % 100 === 0
+      val anchors = e.filter(isAnchor)
+        .select(col("vec_id").as("anchor_id"), col("pos"), col("xq").as("aq"))
+      val aNorm = anchors.groupBy("anchor_id")
+        .agg(sum(col("aq") * col("aq")).as("anorm2"))
+      val aLab = emb.filter(isAnchor)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+      val scored = e.filter(!isAnchor)
+        .join(broadcast(anchors), "pos")
+        .groupBy("anchor_id", "vec_id", "label")
+        .agg(sum(col("xq") * col("aq")).as("dot"),
+          sum(col("xq") * col("xq")).as("norm2"))
+        .join(broadcast(aNorm), "anchor_id")
+        .join(broadcast(aLab), "anchor_id")
+        .filter(col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+          round(col("dot").cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("anorm2").cast("double"))),
+            6).as("cosine"))
+      val winners = scored.groupBy("anchor_id", "anchor_label")
+        .agg(graft.operators.TopKPerGroup.topK(HardNegK)(
+          col("cosine"), col("vec_id")).as("top"))
+        .select(col("anchor_id"), col("anchor_label"), posexplode(col("top")))
+        .select(col("anchor_id"), col("anchor_label"),
+          (col("pos") + 1).cast("long").as("neg_rank"),
+          col("col._2").as("vec_id"), col("col._1").as("cosine"))
+      emb.select(col("vec_id"), col("label"))
+        .join(broadcast(winners), "vec_id")
+        .select(col("anchor_id"), col("anchor_label"), col("neg_rank"),
+          col("vec_id"), col("label"), col("cosine"))
+        .orderBy("anchor_id", "neg_rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings),
+      eq AS (SELECT vec_id, label, pos,
+                    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+             FROM e),
+      a AS (SELECT vec_id AS anchor_id, pos, xq AS aq FROM eq
+            WHERE vec_id % 100 = 0),
+      an AS (SELECT anchor_id, sum(aq * aq) AS anorm2 FROM a GROUP BY 1),
+      al AS (SELECT vec_id AS anchor_id, label AS anchor_label
+             FROM embeddings WHERE vec_id % 100 = 0),
+      s AS (SELECT a.anchor_id, c.vec_id, c.label,
+                   sum(c.xq * a.aq) AS dot, sum(c.xq * c.xq) AS norm2
+            FROM eq c JOIN a USING (pos)
+            WHERE c.vec_id % 100 <> 0 GROUP BY 1, 2, 3),
+      sc AS (SELECT s.anchor_id, al.anchor_label, s.vec_id, s.label,
+                    round(CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(anorm2 AS DOUBLE))),
+                      6) AS cosine
+             FROM s JOIN an USING (anchor_id) JOIN al USING (anchor_id)
+             WHERE s.label <> al.anchor_label),
+      r AS (SELECT anchor_id, anchor_label, vec_id, label, cosine,
+                   row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cosine DESC, vec_id) AS rn
+            FROM sc)
+      SELECT anchor_id, anchor_label, CAST(rn AS BIGINT) AS neg_rank,
+             vec_id, label, cosine
+      FROM r WHERE rn <= $HardNegK ORDER BY anchor_id, neg_rank"""),
+  )
+
   // ------------------------------------------------- hybrid retrieval
   /** RRF constant (Cormack & Clarke's k = 60) and per-ranker candidate
     * pool size. */
@@ -1623,5 +1724,5 @@ object LlmQueries {
     textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
-    annTopK, ragHybrid, multimodal)
+    annTopK, hardNegatives, ragHybrid, multimodal)
 }

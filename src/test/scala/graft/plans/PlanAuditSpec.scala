@@ -376,7 +376,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // reprinted statically under the totals) + 4 metadata broadcasts
       // + weight broadcast + ONE per-doc score agg + single-partition
       // rank window over the K survivors + output sort
-      "mix_dsir_sample" -> 12)
+      "mix_dsir_sample" -> 12,
+      // anchor/norm/label broadcasts into ONE candidate scan + the
+      // per-(anchor, candidate) agg + k-bounded heap agg + winner
+      // broadcast back to labels + output sort — the candidate frame
+      // is never sort-merge-shuffled
+      "emb_hard_negatives" -> 8)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
