@@ -67,18 +67,51 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     if (reps > 1) System.err.println(s"[bench] reporting min of $reps runs per query")
+
+    // Per-query shuffle/spill accounting: wall time says WHETHER a query
+    // got slower; shuffled bytes say WHY (the scale lever the plan pins
+    // guard statically, measured here at runtime). Listener sums are
+    // cumulative; the bus is flushed before every snapshot so task-end
+    // events never bleed into the next query's bucket.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def metricsSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.GraftCoreShim.flushListeners(spark.sparkContext)
+      (shufWrite.get, shufRead.get, spilled.get)
+    }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { qu =>
       var best = Double.MaxValue
       var rep = 0
       while (rep < reps && !errors.contains(qu.name)) {
         rep += 1
+        val (w0, _, s0) = metricsSnapshot()
         val t0 = System.nanoTime()
         try {
           val df = qu.run(spark, sfDir)
           df.write.mode("overwrite").format("noop").save()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          // the LAST rep's bytes are reported: shuffle volume is
+          // plan-determined and rep-stable, unlike wall time
+          val (w1, _, s1) = metricsSnapshot()
+          shuffleMb(qu.name) = (w1 - w0) / 1e6
+          spillMb(qu.name) = (s1 - s0) / 1e6
           // release persisted result frames (pair queries) between queries
           df.unpersist()
         } catch {
@@ -88,11 +121,21 @@ object Bench {
       }
       if (!errors.contains(qu.name)) timings(qu.name) = best
     }
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${q(k)}:${BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)}" }
+        .mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val totalShuffleMb =
+      BigDecimal(shuffleMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val totalSpillMb =
+      BigDecimal(spillMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,""" +
+        s""""shuffle_write_mb":${jmap(shuffleMb)},"spill_mb":${jmap(spillMb)},""" +
+        s""""total_shuffle_write_mb":$totalShuffleMb,"total_spill_mb":$totalSpillMb,""" +
+        s""""sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

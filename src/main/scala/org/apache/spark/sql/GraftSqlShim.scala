@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * (`org.apache.spark.sql.classic.ExpressionUtils`), so graft's native
   * Catalyst expressions get a Column API without requiring every
   * session to pre-register SQL functions. Signatures expose only
-  * public types. This is the one file outside the `graft` package —
-  * deliberately, since `private[sql]` access is scoped to this package.
+  * public types. Deliberately outside the `graft` package, since
+  * `private[sql]` access is scoped to this package (its spark-core
+  * twin is `org.apache.spark.GraftCoreShim`).
   */
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
