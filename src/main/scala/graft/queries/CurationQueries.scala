@@ -1732,7 +1732,94 @@ object CurationQueries {
       FROM scored ORDER BY sample_rank LIMIT $DsirK"""),
   )
 
+  // ------------------------------------------------- distribution drift
+  /** Per-source distribution drift — KL(p̂_source ‖ p̂_corpus) over the
+    * same hashed-unigram B-bucket profiles the DSIR selector uses: the
+    * ingest monitoring number that catches a source going off-profile
+    * (a crawler stuck on boilerplate, an encoding regression, a spam
+    * flood) before it contaminates a training mix. Laplace-smoothed on
+    * both sides so empty buckets never divide by zero.
+    *
+    * Exactness: the summand is (c_sb+1) · ln-ratio with the ln
+    * QUANTIZED to 9 dp then DECIMAL(12,9) — integer × decimal, so the
+    * per-source sum is exact and order-independent; the ln argument is
+    * one double division of two exact integer products (exact to 2^53;
+    * correctly rounded — hence engine-identical — beyond); the final
+    * normalization by (n_s + B) is the only post-sum double op, with
+    * the decimal reaching double through VARCHAR on the oracle side.
+    *
+    * 100 TB design: the corpus is touched by exactly two map-side-
+    * collapsing count aggregates — (source, bucket) at sources×B rows
+    * and (bucket) at B rows; everything after is arithmetic over
+    * broadcast metadata. No corpus reshuffle, no window, nothing
+    * driver-side. */
+  private val driftKl = Q(
+    "corpus_drift_kl",
+    (s, dir) => {
+      val f = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+            lit(DsirBuckets)).as("bucket"))
+      val sc_ = f.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+      val qc = f.groupBy("bucket").agg(count(lit(1)).as("c_qb"))
+      val ns = sc_.groupBy("source").agg(sum("c_sb").as("n_s"))
+      val nq = qc.agg(sum("c_qb").as("n_q"))
+      val spine = ns.crossJoin(broadcast(s.range(DsirBuckets).toDF("bucket")))
+      val full = spine
+        .join(broadcast(sc_), Seq("source", "bucket"), "left")
+        .join(broadcast(qc), Seq("bucket"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("source"), col("n_s"),
+          coalesce(col("c_sb"), lit(0L)).as("c_sb"),
+          coalesce(col("c_qb"), lit(0L)).as("c_qb"), col("n_q"))
+      val lnRatio = round(log(
+        ((col("c_sb") + 1).cast("double") * (col("n_q") + DsirBuckets).cast("double")) /
+          ((col("c_qb") + 1).cast("double") * (col("n_s") + DsirBuckets).cast("double"))),
+        9).cast("decimal(12,9)")
+      full
+        .groupBy("source", "n_s")
+        .agg(sum((col("c_sb") + 1).cast("decimal(20,0)") * lnRatio).as("klSum"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          (col("klSum").cast("double") /
+            (col("n_s") + DsirBuckets).cast("double")).as("kl_to_corpus"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT source,
+               CAST(concat('0x', substring(md5(u.tok), 1, 15)) AS BIGINT)
+                 % $DsirBuckets AS bucket
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+             unnest(t) u(tok)),
+      sc_ AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb
+              FROM f GROUP BY 1, 2),
+      qc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_qb FROM f GROUP BY 1),
+      ns AS (SELECT source, sum(c_sb) AS n_s FROM sc_ GROUP BY 1),
+      nq AS (SELECT sum(c_qb) AS n_q FROM qc),
+      spine AS (SELECT ns.source, ns.n_s, b.bucket
+                FROM ns, (SELECT unnest(range(0, $DsirBuckets)) AS bucket) b),
+      fl AS (SELECT s.source, s.n_s, s.bucket,
+                      coalesce(sc_.c_sb, 0) AS c_sb,
+                      coalesce(qc.c_qb, 0) AS c_qb, n_q
+               FROM spine s
+               LEFT JOIN sc_ ON s.source = sc_.source AND s.bucket = sc_.bucket
+               LEFT JOIN qc ON s.bucket = qc.bucket, nq),
+      summed AS (
+        SELECT source, n_s,
+               sum(CAST(c_sb + 1 AS DECIMAL(20,0)) *
+                   CAST(round(ln(
+                     (CAST(c_sb + 1 AS DOUBLE) * CAST(n_q + $DsirBuckets AS DOUBLE))
+                     / (CAST(c_qb + 1 AS DOUBLE) * CAST(n_s + $DsirBuckets AS DOUBLE))),
+                     9) AS DECIMAL(12,9))) AS kl_sum
+        FROM fl GROUP BY 1, 2)
+      SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+             CAST(CAST(kl_sum AS VARCHAR) AS DOUBLE)
+               / CAST(n_s + $DsirBuckets AS DOUBLE) AS kl_to_corpus
+      FROM summed ORDER BY source"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl)
 }

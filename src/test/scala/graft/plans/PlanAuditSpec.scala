@@ -381,7 +381,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // per-(anchor, candidate) agg + k-bounded heap agg + winner
       // broadcast back to labels + output sort — the candidate frame
       // is never sort-merge-shuffled
-      "emb_hard_negatives" -> 8)
+      "emb_hard_negatives" -> 8,
+      // two map-side-collapsing count aggs (source×B and B rows; their
+      // subtrees reprint statically under the totals + spine legs,
+      // AQE-reused at runtime) + metadata broadcasts + the final
+      // sources-sized agg + output sort — never a corpus reshuffle
+      "corpus_drift_kl" -> 11)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")

@@ -310,6 +310,46 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(z3 - (-4.7215)) < 1e-9, s"z3=$z3")
   }
 
+  test("KL drift monitor: off-profile source screams, scores match the plain-Scala replay") {
+    val B = 64
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % B).toInt
+    }
+    def lnQ(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val toks = docs.map(d => d._4 -> d._2.split(" ").toSeq)
+    val byBucket = (cnts: Seq[Int]) =>
+      cnts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val qCnt = byBucket(toks.flatMap(_._2).map(bucket))
+    val nQ = toks.map(_._2.size).sum.toLong
+    val expected = toks.groupBy(_._1).map { case (src, ds) =>
+      val sCnt = byBucket(ds.flatMap(_._2).map(bucket))
+      val nS = ds.map(_._2.size).sum.toLong
+      val sum = (0 until B).map { b =>
+        val (cs, cq) = (sCnt.getOrElse(b, 0L), qCnt.getOrElse(b, 0L))
+        BigDecimal(cs + 1) * lnQ(
+          ((cs + 1).toDouble * (nQ + B)) / ((cq + 1).toDouble * (nS + B)))
+      }.sum
+      src -> (nS, sum.toDouble / (nS + B))
+    }
+    val out = SparkEntry.queries("corpus_drift_kl")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (src, (n, kl)) =>
+      assert(out(src)._1 == n, s"$src n_tokens ${out(src)._1} != $n")
+      assert(out(src)._2 == kl, s"$src kl ${out(src)._2} != replay $kl")
+    }
+    // the reference profile is the POOLED corpus, and bulk contributes
+    // 3500 of its ~3568 tokens — the dominant source defines the
+    // profile (KL ≈ 0) while the minority web source's disjoint
+    // vocabulary diverges hard from it. Non-vacuity: the monitor must
+    // separate the two by orders of magnitude.
+    assert(out("web")._2 > 100 * out("bulk")._2,
+      s"minority off-profile source not flagged: $out")
+  }
+
   test("DSIR selection matches an independent plain-Scala reference exactly") {
     // Independent re-derivation of the whole DSIR arithmetic (md5
     // bucket, Laplace-smoothed profiles, 9-dp-quantized ln weights,
