@@ -1331,6 +1331,82 @@ object CurationQueries {
       GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Tokenizer fertility per language — average BPE pieces per word
+    * (token-occurrence-weighted) under the [[bpeMerges]] vocabulary:
+    * THE per-language tokenizer-equity number. A language whose
+    * fertility runs high gets fewer effective context tokens and pays
+    * more compute per sentence — the published multilingual-tokenizer
+    * audits flag exactly this ratio, and a mixing pipeline reads it
+    * next to `corpus_drift_kl` before committing a vocabulary.
+    *
+    * Exactness: subword counts are exact longs summed per language;
+    * fertility is ONE division of two exact longs — correctly rounded,
+    * engine-identical, left unrounded (the `corpus_outlier_filter`
+    * doctrine: a raw IEEE division is bit-stable where a rounded tie
+    * need not be).
+    *
+    * 100 TB design: the merge loop and segmentation run on the
+    * DISTINCT-WORD table ([[graft.operators.BpeMerges]] doctrine); the
+    * segmented vocabulary BROADCASTS into the token explode and the
+    * per-language aggregate collapses map-side to `langs` rows — the
+    * corpus is scanned once and shuffled never (the final exchange
+    * carries one row per language). */
+  private val bpeFertility = Q(
+    "corpus_bpe_fertility",
+    (s, dir) => {
+      val d = graft.operators.BpeMerges.Delim
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeMerges.learn(words, "w", "freq", BpeRounds)
+      val applied = merges.foldLeft(
+          regexp_replace(col("w"), "(.)", s"$d$$1$d"): Column) {
+        case (acc, (_, l, r, _)) =>
+          replace(acc, lit(s"$d$l$d$d$r$d"), lit(s"$d$l$r$d"))
+      }
+      val seg = words.select(col("w"), applied.as("seq"))
+        .select(col("w"), length(col("w")).cast("long").as("n_chars"),
+          ((length(col("seq")) -
+            length(replace(col("seq"), lit(s"$d$d"), lit("")))) / 2 + 1)
+            .cast("long").as("n_sub"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .join(broadcast(seg), Seq("w"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("n_sub")).as("n_subwords"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_tokens"), col("n_subwords"),
+          (col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+            .as("chars_per_piece"))
+        .orderBy("lang")
+    },
+    Some {
+      val d = graft.operators.BpeMerges.Delim
+      s"""
+      WITH ${bpeRoundCtes(BpeRounds)},
+      seg AS (
+        SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+               CAST((length(seq) - length(replace(seq, '$d$d', ''))) // 2 + 1
+                 AS BIGINT) AS n_sub
+        FROM w$BpeRounds),
+      lt AS (
+        SELECT lang, u.w AS w
+        FROM (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+             unnest(ts) u(w))
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+             CAST(sum(seg.n_chars) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE)
+               AS chars_per_piece
+      FROM lt JOIN seg USING (w)
+      GROUP BY lang ORDER BY lang"""
+    },
+  )
+
   /** Top-k per-source frequent bigrams. */
   private val TopNgramK = 10
 
@@ -1821,5 +1897,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility)
 }

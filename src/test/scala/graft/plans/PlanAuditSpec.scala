@@ -386,7 +386,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // subtrees reprint statically under the totals + spine legs,
       // AQE-reused at runtime) + metadata broadcasts + the final
       // sources-sized agg + output sort — never a corpus reshuffle
-      "corpus_drift_kl" -> 11)
+      "corpus_drift_kl" -> 11,
+      // distinct-word agg + segmented-vocab broadcast + one map-side-
+      // collapsing per-lang agg + output sort; the 8-round learn loop
+      // runs driver-side actions outside this plan
+      "corpus_bpe_fertility" -> 4)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")

@@ -350,6 +350,31 @@ class CurationQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"minority off-profile source not flagged: $out")
   }
 
+  test("BPE fertility aggregates are consistent with the per-doc segmentation") {
+    // corpus_bpe_encode's per-document (n_tokens, n_subwords) are
+    // independently oracle-replayed; the per-language fertility must be
+    // exactly their lang-rollup — a drifted merge table, a broadcast
+    // that dropped words, or a weighting bug would break the equality.
+    val langOf = docs.map(d => d._1 -> d._3).toMap
+    val enc = SparkEntry.queries("corpus_bpe_encode")(spark, dir).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val expected = enc.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val out = SparkEntry.queries("corpus_bpe_fertility")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (lang, (nTok, nSub)) =>
+      val (t, s0, f) = out(lang)
+      assert(t == nTok && s0 == nSub, s"$lang rollup ($t,$s0) != ($nTok,$nSub)")
+      assert(f == nSub.toDouble / nTok, s"$lang fertility $f")
+    }
+    // non-vacuous: at least one language actually merged below
+    // one-piece-per-char (fertility < mean word length) and fertilities
+    // are not all identical across languages on the disjoint fixture
+    assert(out.values.map(_._3).toSet.size > 1, s"flat fertility: $out")
+  }
+
   test("DSIR selection matches an independent plain-Scala reference exactly") {
     // Independent re-derivation of the whole DSIR arithmetic (md5
     // bucket, Laplace-smoothed profiles, 9-dp-quantized ln weights,
