@@ -870,45 +870,64 @@ object CurationQueries {
     * The flag thresholds (30% repeated tokens / 15% repeated bigrams)
     * follow the published rules' shape; the continuous columns carry
     * the differential signal either way. */
+  /** Gopher-style repetition cutoffs, shared with the composed
+    * `corpus_quality_gate` — one definition, no drift. */
+  private[queries] val DupTokenGate = "0.3"
+  private[queries] val DupBigramGate = "0.15"
+
+  /** The per-row duplicate-fraction columns over `text` — ONE
+    * implementation shared by `corpus_repetition_stats` and the
+    * composed quality gate. */
+  private[queries] def dupTokenFrac: Column = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    round((nTok - size(array_distinct(toks)).cast("long")).cast("double") /
+      nullif(nTok, lit(0L)).cast("double"), 4)
+  }
+  private[queries] def dupBigramFrac: Column = {
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+    val nBigram = greatest(nTok - 1, lit(0L))
+    coalesce(round(
+      (nBigram - size(TextFunctions.shingles(col("text"), 2)).cast("long"))
+        .cast("double") / nullif(nBigram, lit(0L)).cast("double"), 4), lit(0.0))
+  }
+
+  /** The oracle twin of [[dupTokenFrac]]/[[dupBigramFrac]]: a CTE
+    * `rep(doc_id, n_tok, dup_token_frac, dup_bigram_frac)`. */
+  private[queries] val REP_CTE = """rep AS (
+        SELECT doc_id, n_tok,
+               round(CAST(n_tok - n_dis AS DOUBLE) / nullif(n_tok, 0), 4)
+                 AS dup_token_frac,
+               coalesce(round(CAST(n_bi - n_bi_dis AS DOUBLE) / nullif(n_bi, 0), 4),
+                 0.0) AS dup_bigram_frac
+        FROM (SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_tok,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_dis,
+                CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bi,
+                CAST(len(list_distinct(
+                  CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END)) AS BIGINT) AS n_bi_dis
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) t0) m0)"""
+
   private val repetitionStats = Q(
     "corpus_repetition_stats",
     (s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val nTok = size(toks).cast("long")
-      val nDistinct = size(array_distinct(toks)).cast("long")
-      val nBigram = greatest(nTok - 1, lit(0L))
-      val nBigramDistinct = size(TextFunctions.shingles(col("text"), 2)).cast("long")
-      val dupTok = round((nTok - nDistinct).cast("double") /
-        nullif(nTok, lit(0L)).cast("double"), 4)
-      val dupBigram = coalesce(round((nBigram - nBigramDistinct).cast("double") /
-        nullif(nBigram, lit(0L)).cast("double"), 4), lit(0.0))
+      val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
       Tables.documents(s, dir).select(
         col("doc_id"), nTok.as("n_tokens"),
-        dupTok.as("dup_token_frac"),
-        dupBigram.as("dup_bigram_frac"),
-        (dupTok > 0.3 || dupBigram > 0.15).as("is_repetitive"))
+        dupTokenFrac.as("dup_token_frac"),
+        dupBigramFrac.as("dup_bigram_frac"),
+        (dupTokenFrac > DupTokenGate.toDouble ||
+          dupBigramFrac > DupBigramGate.toDouble).as("is_repetitive"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      m AS (SELECT doc_id,
-              CAST(len(t) AS BIGINT) AS n_tok,
-              CAST(len(list_distinct(t)) AS BIGINT) AS n_dis,
-              CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bi,
-              CAST(len(list_distinct(
-                CASE WHEN len(t) >= 2
-                     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                     ELSE [] END)) AS BIGINT) AS n_bi_dis
-            FROM t)
-      SELECT doc_id, n_tok AS n_tokens,
-             round(CAST(n_tok - n_dis AS DOUBLE) / nullif(n_tok, 0), 4)
-               AS dup_token_frac,
-             coalesce(round(CAST(n_bi - n_bi_dis AS DOUBLE) / nullif(n_bi, 0), 4),
-               0.0) AS dup_bigram_frac,
-             (round(CAST(n_tok - n_dis AS DOUBLE) / nullif(n_tok, 0), 4) > 0.3
-              OR coalesce(round(CAST(n_bi - n_bi_dis AS DOUBLE) / nullif(n_bi, 0), 4),
-                   0.0) > 0.15) AS is_repetitive
-      FROM m ORDER BY doc_id"""),
+    Some(s"""
+      WITH $REP_CTE
+      SELECT doc_id, n_tok AS n_tokens, dup_token_frac, dup_bigram_frac,
+             (dup_token_frac > $DupTokenGate
+              OR dup_bigram_frac > $DupBigramGate) AS is_repetitive
+      FROM rep ORDER BY doc_id"""),
   )
 
   // ----------------------------------------------------------- chunking

@@ -194,39 +194,51 @@ object LlmQueries {
     * back (never a corpus shuffle); scoring explodes tokens but the
     * per-doc partial aggregate collapses them map-side — the one
     * shuffle carries a row per document, not per token. */
-  private val perplexity = Q(
-    "doc_perplexity",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      // lang/source ride the explode as grouping keys — ONE corpus
-      // scan and ONE per-doc shuffle; a rejoin back to documents for
-      // the label columns would shuffle the corpus a second time
-      val toks = d.select(col("doc_id"), col("lang"), col("source"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      val lm = toks.filter(col("lang") === "en")
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = lm.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
-      val probs = lm.crossJoin(broadcast(tot))
-        .select(col("tok"),
-          ((col("c").cast("double") + 1.0) /
-            (col("t").cast("double") + col("v").cast("double"))).as("pr"))
-      val floorP = tot.select((lit(1.0) /
-        (col("t").cast("double") + col("v").cast("double"))).as("prf"))
-      toks.join(broadcast(probs), Seq("tok"), "left")
-        .crossJoin(broadcast(floorP))
-        .select(col("doc_id"), col("lang"), col("source"),
-          (-log(coalesce(col("pr"), col("prf")))).cast("decimal(28,12)").as("nll_term"))
-        .groupBy("doc_id", "lang", "source")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_sum"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
-          round(col("nll_sum").cast("double") / col("n_tokens").cast("double"), 8)
-            .as("avg_nll"))
-        .withColumn("high_perplexity", col("avg_nll") > 3.43)
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-                    FROM documents),
+  /** The avg-NLL cutoff shared by `doc_perplexity` and the composed
+    * `corpus_quality_gate` — one definition, no drift. */
+  private[queries] val PplGate = 3.43
+
+  /** ONE implementation of the CCNet scorer, shared by `doc_perplexity`
+    * and the composed quality gate: per-document `(doc_id, lang,
+    * source, extraCols…, n_tokens, avg_nll)`. `extraCols` are computed
+    * on the DOCUMENT row before the token explode and ride the
+    * aggregate as grouping keys (functionally dependent on doc_id) —
+    * the same no-corpus-rejoin trick lang/source use. */
+  private[queries] def perplexityScored(
+      s: SparkSession, dir: String,
+      extraCols: Seq[(String, Column)] = Nil): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val keyNames = Seq("doc_id", "lang", "source") ++ extraCols.map(_._1)
+    val toks = d.select(
+      Seq(col("doc_id"), col("lang"), col("source")) ++
+        extraCols.map { case (n, c) => c.as(n) } :+
+        explode(TextFunctions.tokens(col("text"))).as("tok"): _*)
+    val lm = toks.filter(col("lang") === "en")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = lm.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val probs = lm.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        ((col("c").cast("double") + 1.0) /
+          (col("t").cast("double") + col("v").cast("double"))).as("pr"))
+    val floorP = tot.select((lit(1.0) /
+      (col("t").cast("double") + col("v").cast("double"))).as("prf"))
+    toks.join(broadcast(probs), Seq("tok"), "left")
+      .crossJoin(broadcast(floorP))
+      .select(keyNames.map(col) :+
+        (-log(coalesce(col("pr"), col("prf")))).cast("decimal(28,12)").as("nll_term"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_sum"))
+      .select(keyNames.map(col) ++ Seq(col("n_tokens"),
+        round(col("nll_sum").cast("double") / col("n_tokens").cast("double"), 8)
+          .as("avg_nll")): _*)
+  }
+
+  /** The LM-scorer oracle CTE chain ending in `ppl_sc(doc_id, n_tokens,
+    * nll_sum)` — the textual twin of [[perplexityScored]], shared by
+    * the perplexity query and the composed quality gate. */
+  private[queries] val PPL_CTES = """toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
       lm AS (SELECT tok, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok),
       tot AS (SELECT sum(c) AS t, count(*) AS v FROM lm),
       p AS (SELECT tok, (CAST(c AS DOUBLE) + 1.0)
@@ -238,13 +250,96 @@ object LlmQueries {
                  1.0 / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))))
                  AS DECIMAL(28,12)) AS nll_term
         FROM toks t2 LEFT JOIN p USING (tok), tot),
-      sc AS (SELECT doc_id, count(*) AS n_tokens, sum(nll_term) AS nll_sum
-             FROM terms GROUP BY doc_id)
-      SELECT d.doc_id, d.lang, d.source, sc.n_tokens,
+      ppl_sc AS (SELECT doc_id, count(*) AS n_tokens, sum(nll_term) AS nll_sum
+             FROM terms GROUP BY doc_id)"""
+
+  private val perplexity = Q(
+    "doc_perplexity",
+    (s, dir) =>
+      // lang/source ride the explode as grouping keys — ONE corpus
+      // scan and ONE per-doc shuffle; a rejoin back to documents for
+      // the label columns would shuffle the corpus a second time
+      perplexityScored(s, dir)
+        .withColumn("high_perplexity", col("avg_nll") > PplGate)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $PPL_CTES
+      SELECT d.doc_id, d.lang, d.source, ppl_sc.n_tokens,
              round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) AS avg_nll,
-             round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) > 3.43
+             round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) > $PplGate
                AS high_perplexity
-      FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+      FROM documents d JOIN ppl_sc USING (doc_id) ORDER BY d.doc_id"""),
+  )
+
+
+  // ------------------------------------------------------ quality gate
+  /** Length cutoffs, sized against the synthetic lake (token counts run
+    * 10–99 at every SF) so BOTH failure paths are non-vacuous — the
+    * CMS-width discipline. A web-scale run would use ~50/100k. */
+  private val MinTokensGate = 16L
+  private val MaxTokensGate = 96L
+
+  /** The composed quality gate — the FineWeb/CCNet-style multi-signal
+    * document filter as ONE operator: repetition (Gopher cutoffs),
+    * LM perplexity (CCNet cutoff), and length bounds, each already
+    * oracle-proven standalone (`corpus_repetition_stats`,
+    * `doc_perplexity`), composed here through the SHARED
+    * implementations ([[CurationQueries.dupTokenFrac]],
+    * [[perplexityScored]]) so this query checks the COMPOSITION — the
+    * per-doc verdict plus machine-readable failure reasons a curation
+    * run logs before dropping a document.
+    *
+    * 100 TB design: the repetition fractions are per-row arithmetic
+    * computed BEFORE the token explode and ride the LM aggregate as
+    * grouping keys (functionally dependent on doc_id — no corpus
+    * rejoin); the gate then adds ZERO exchanges to the perplexity
+    * plan: one corpus scan into the map-side-collapsing per-doc
+    * aggregate, vocabulary-sized LM broadcasts, verdict arithmetic on
+    * the aggregated rows. */
+  private val qualityGate = Q(
+    "corpus_quality_gate",
+    (s, dir) => {
+      val scored = perplexityScored(s, dir, Seq(
+        "dup_token_frac" -> CurationQueries.dupTokenFrac,
+        "dup_bigram_frac" -> CurationQueries.dupBigramFrac))
+      val reasons = concat_ws(",",
+        when(col("dup_token_frac") > CurationQueries.DupTokenGate.toDouble ||
+          col("dup_bigram_frac") > CurationQueries.DupBigramGate.toDouble,
+          lit("repetitive")),
+        when(col("avg_nll") > PplGate, lit("high_perplexity")),
+        when(col("n_tokens") < MinTokensGate, lit("too_short")),
+        when(col("n_tokens") > MaxTokensGate, lit("too_long")))
+      scored
+        .withColumn("fail_reasons", reasons)
+        .withColumn("keep", col("fail_reasons") === "")
+        .select("doc_id", "lang", "source", "n_tokens", "dup_token_frac",
+          "dup_bigram_frac", "avg_nll", "fail_reasons", "keep")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $PPL_CTES,
+      ${CurationQueries.REP_CTE},
+      g AS (
+        SELECT d.doc_id, d.lang, d.source, ppl_sc.n_tokens,
+               rep.dup_token_frac, rep.dup_bigram_frac,
+               round(CAST(nll_sum AS DOUBLE) / CAST(ppl_sc.n_tokens AS DOUBLE), 8)
+                 AS avg_nll
+        FROM documents d
+        JOIN ppl_sc USING (doc_id) JOIN rep USING (doc_id)),
+      v AS (
+        SELECT g.*,
+               concat_ws(',',
+                 CASE WHEN dup_token_frac > ${CurationQueries.DupTokenGate}
+                        OR dup_bigram_frac > ${CurationQueries.DupBigramGate}
+                      THEN 'repetitive' END,
+                 CASE WHEN avg_nll > $PplGate THEN 'high_perplexity' END,
+                 CASE WHEN n_tokens < $MinTokensGate THEN 'too_short' END,
+                 CASE WHEN n_tokens > $MaxTokensGate THEN 'too_long' END)
+                 AS fail_reasons
+        FROM g)
+      SELECT doc_id, lang, source, n_tokens, dup_token_frac, dup_bigram_frac,
+             avg_nll, fail_reasons, fail_reasons = '' AS keep
+      FROM v ORDER BY doc_id"""),
   )
 
   // ---------------------------------------------------------- fingerprint
@@ -1721,7 +1816,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, bm25, perplexity, fingerprint, winnowQ, winnowPairs, corpusClean,
+    textStats, bm25, perplexity, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
     annTopK, hardNegatives, ragHybrid, multimodal)

@@ -390,7 +390,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // distinct-word agg + segmented-vocab broadcast + one map-side-
       // collapsing per-lang agg + output sort; the 8-round learn loop
       // runs driver-side actions outside this plan
-      "corpus_bpe_fertility" -> 4)
+      "corpus_bpe_fertility" -> 4,
+      // the perplexity plan + ZERO added exchanges: the repetition
+      // fractions ride the per-doc aggregate as grouping keys
+      "corpus_quality_gate" -> 10)
     ceilings.foreach { case (n, max) =>
       val (ex, p) = audit(n)
       assert(ex <= max, s"$n gained shuffles ($ex > $max):\n$p")
