@@ -870,27 +870,16 @@ object CurationQueries {
     * The flag thresholds (30% repeated tokens / 15% repeated bigrams)
     * follow the published rules' shape; the continuous columns carry
     * the differential signal either way. */
-  /** Gopher-style repetition cutoffs, shared with the composed
-    * `corpus_quality_gate` — one definition, no drift. */
-  private[queries] val DupTokenGate = "0.3"
-  private[queries] val DupBigramGate = "0.15"
-
-  /** The per-row duplicate-fraction columns over `text` — ONE
-    * implementation shared by `corpus_repetition_stats` and the
-    * composed quality gate. */
-  private[queries] def dupTokenFrac: Column = {
-    val toks = TextFunctions.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    round((nTok - size(array_distinct(toks)).cast("long")).cast("double") /
-      nullif(nTok, lit(0L)).cast("double"), 4)
-  }
-  private[queries] def dupBigramFrac: Column = {
-    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
-    val nBigram = greatest(nTok - 1, lit(0L))
-    coalesce(round(
-      (nBigram - size(TextFunctions.shingles(col("text"), 2)).cast("long"))
-        .cast("double") / nullif(nBigram, lit(0L)).cast("double"), 4), lit(0.0))
-  }
+  /** Gopher-style repetition cutoffs and per-row duplicate-fraction
+    * columns — the [[graft.functions.GateSignals]] definitions, shared
+    * with the composed `corpus_quality_gate` AND the streaming ingest
+    * gate: one implementation, no drift. */
+  private[queries] val DupTokenGate = graft.functions.GateSignals.DupTokenGate
+  private[queries] val DupBigramGate = graft.functions.GateSignals.DupBigramGate
+  private[queries] def dupTokenFrac: Column =
+    graft.functions.GateSignals.dupTokenFrac(col("text"))
+  private[queries] def dupBigramFrac: Column =
+    graft.functions.GateSignals.dupBigramFrac(col("text"))
 
   /** The oracle twin of [[dupTokenFrac]]/[[dupBigramFrac]]: a CTE
     * `rep(doc_id, n_tok, dup_token_frac, dup_bigram_frac)`. */

@@ -194,43 +194,31 @@ object LlmQueries {
     * back (never a corpus shuffle); scoring explodes tokens but the
     * per-doc partial aggregate collapses them map-side — the one
     * shuffle carries a row per document, not per token. */
-  /** The avg-NLL cutoff shared by `doc_perplexity` and the composed
-    * `corpus_quality_gate` — one definition, no drift. */
-  private[queries] val PplGate = 3.43
+  /** The avg-NLL cutoff shared by `doc_perplexity`, the composed
+    * `corpus_quality_gate`, and the streaming ingest gate — the
+    * [[graft.functions.GateSignals]] definition. */
+  private[queries] val PplGate = graft.functions.GateSignals.PplGate
 
-  /** ONE implementation of the CCNet scorer, shared by `doc_perplexity`
-    * and the composed quality gate: per-document `(doc_id, lang,
-    * source, extraCols…, n_tokens, avg_nll)`. `extraCols` are computed
-    * on the DOCUMENT row before the token explode and ride the
-    * aggregate as grouping keys (functionally dependent on doc_id) —
-    * the same no-corpus-rejoin trick lang/source use. */
+  /** ONE implementation of the CCNet scorer — train + score through
+    * [[graft.functions.GateSignals]], the same code the streaming
+    * ingest gate freezes — shared by `doc_perplexity` and the composed
+    * quality gate: per-document `(doc_id, lang, source, extraCols…,
+    * n_tokens, avg_nll)`. `extraCols` are computed on the DOCUMENT row
+    * before the token explode and ride the aggregate as grouping keys
+    * (functionally dependent on doc_id) — the same no-corpus-rejoin
+    * trick lang/source use. */
   private[queries] def perplexityScored(
       s: SparkSession, dir: String,
       extraCols: Seq[(String, Column)] = Nil): DataFrame = {
     val d = Tables.documents(s, dir)
-    val keyNames = Seq("doc_id", "lang", "source") ++ extraCols.map(_._1)
-    val toks = d.select(
+    val (probs, floorP) = graft.functions.GateSignals.trainUnigramLm(
+      d, col("text"), col("lang") === "en")
+    val keyed = d.select(
       Seq(col("doc_id"), col("lang"), col("source")) ++
-        extraCols.map { case (n, c) => c.as(n) } :+
-        explode(TextFunctions.tokens(col("text"))).as("tok"): _*)
-    val lm = toks.filter(col("lang") === "en")
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = lm.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
-    val probs = lm.crossJoin(broadcast(tot))
-      .select(col("tok"),
-        ((col("c").cast("double") + 1.0) /
-          (col("t").cast("double") + col("v").cast("double"))).as("pr"))
-    val floorP = tot.select((lit(1.0) /
-      (col("t").cast("double") + col("v").cast("double"))).as("prf"))
-    toks.join(broadcast(probs), Seq("tok"), "left")
-      .crossJoin(broadcast(floorP))
-      .select(keyNames.map(col) :+
-        (-log(coalesce(col("pr"), col("prf")))).cast("decimal(28,12)").as("nll_term"): _*)
-      .groupBy(keyNames.map(col): _*)
-      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_sum"))
-      .select(keyNames.map(col) ++ Seq(col("n_tokens"),
-        round(col("nll_sum").cast("double") / col("n_tokens").cast("double"), 8)
-          .as("avg_nll")): _*)
+        extraCols.map { case (n, c) => c.as(n) } :+ col("text"): _*)
+    graft.functions.GateSignals.nllScored(keyed,
+      Seq("doc_id", "lang", "source") ++ extraCols.map(_._1),
+      col("text"), probs, floorP)
   }
 
   /** The LM-scorer oracle CTE chain ending in `ppl_sc(doc_id, n_tokens,
@@ -302,16 +290,7 @@ object LlmQueries {
       val scored = perplexityScored(s, dir, Seq(
         "dup_token_frac" -> CurationQueries.dupTokenFrac,
         "dup_bigram_frac" -> CurationQueries.dupBigramFrac))
-      val reasons = concat_ws(",",
-        when(col("dup_token_frac") > CurationQueries.DupTokenGate.toDouble ||
-          col("dup_bigram_frac") > CurationQueries.DupBigramGate.toDouble,
-          lit("repetitive")),
-        when(col("avg_nll") > PplGate, lit("high_perplexity")),
-        when(col("n_tokens") < MinTokensGate, lit("too_short")),
-        when(col("n_tokens") > MaxTokensGate, lit("too_long")))
-      scored
-        .withColumn("fail_reasons", reasons)
-        .withColumn("keep", col("fail_reasons") === "")
+      graft.functions.GateSignals.verdict(scored, MinTokensGate, MaxTokensGate)
         .select("doc_id", "lang", "source", "n_tokens", "dup_token_frac",
           "dup_bigram_frac", "avg_nll", "fail_reasons", "keep")
         .orderBy("doc_id")

@@ -46,11 +46,25 @@ object CorpusIngest {
       input: Long, lowQuality: Long, dupInBatch: Long,
       dupExact: Long, dupNear: Long, accepted: Long)
 
+  /** A FROZEN multi-signal admission gate — the batch curation pass's
+    * `corpus_quality_gate` verdict ([[graft.functions.GateSignals]])
+    * applied at the stream boundary: `probs`/`floorP` are the unigram
+    * LM the last batch curation trained ([[GateSignals.trainUnigramLm]]
+    * output, persisted and re-loaded — NEVER retrained per micro-batch,
+    * which would let a spam flood teach the gate its own vocabulary),
+    * plus the length bounds. Train/serve consistency is the contract:
+    * a document the stream admits is exactly a document the nightly
+    * batch gate would keep, pinned by `GateStreamParitySpec`. */
+  final case class FrozenGate(
+      probs: DataFrame, floorP: DataFrame,
+      minTokens: Long, maxTokens: Long)
+
   /** Ingest one micro-batch of `(idCol, textCol, …)` documents. Returns
     * the per-stage counts (cheap — every count is on an already-small
     * or already-materialized frame except the input scan). Call from
     * [[Streams.deliverStream]]'s `onBatch` for the streaming form, or
-    * directly for a backfill. */
+    * directly for a backfill. `frozenGate` upgrades stage 1 from the
+    * stateless heuristic score to the frozen multi-signal batch gate. */
   def ingestBatch(
       batch: DataFrame,
       idCol: String,
@@ -58,13 +72,14 @@ object CorpusIngest {
       corpusBands: DataFrame, // (doc_id, band) — the TextLsh index
       statePath: String,
       acceptPath: String,
-      minQuality: Double = 0.25): BatchStats = {
+      minQuality: Double = 0.25,
+      frozenGate: Option[FrozenGate] = None): BatchStats = {
     // the stage counts + the two writes drive several actions over this
     // batch; pin it once so a file-backed micro-batch isn't re-read per
     // action (released before returning)
     val pinned = batch.persist()
     try ingestPinned(pinned, idCol, textCol, corpusBands, statePath,
-      acceptPath, minQuality)
+      acceptPath, minQuality, frozenGate)
     finally pinned.unpersist()
   }
 
@@ -75,12 +90,33 @@ object CorpusIngest {
       corpusBands: DataFrame,
       statePath: String,
       acceptPath: String,
-      minQuality: Double): BatchStats = {
+      minQuality: Double,
+      frozenGate: Option[FrozenGate]): BatchStats = {
     val input = batch.count()
-    val gated = batch
-      .filter(col(textCol).isNotNull &&
-        TextFunctions.qualityScore(col(textCol)) >= minQuality)
-      .withColumn("__hash", md5(col(textCol)))
+    val nonNull = batch.filter(col(textCol).isNotNull)
+    val admitted = frozenGate match {
+      case None =>
+        nonNull.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      case Some(g) =>
+        // the repetition fractions ride the LM aggregate as grouping
+        // keys (functionally dependent on the id) — the batch-query
+        // shape; survivors rejoin the batch semi-style on the id so
+        // arbitrary payload columns pass through untouched
+        val scored = graft.functions.GateSignals.nllScored(
+          nonNull.select(col(idCol),
+            graft.functions.GateSignals.dupTokenFrac(col(textCol))
+              .as("dup_token_frac"),
+            graft.functions.GateSignals.dupBigramFrac(col(textCol))
+              .as("dup_bigram_frac"),
+            col(textCol)),
+          Seq(idCol, "dup_token_frac", "dup_bigram_frac"),
+          col(textCol), g.probs, g.floorP)
+        val keeps = graft.functions.GateSignals
+          .verdict(scored, g.minTokens, g.maxTokens)
+          .filter(col("keep")).select(col(idCol))
+        nonNull.join(keeps, Seq(idCol), "left_semi")
+    }
+    val gated = admitted.withColumn("__hash", md5(col(textCol)))
     val nGated = gated.count()
 
     // 2: one winner per content hash inside the batch (lowest id — the
