@@ -1030,6 +1030,175 @@ object MiscQueries {
       ORDER BY vec_id, match_id"""),
   )
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space (deterministic
+    * centroid table, same init as the IVF index), emit within-cluster
+    * near-dup PAIRS (cosine ≥ 0.35 on this random corpus — a real
+    * corpus would use ~0.95), collapse pairs into duplicate GROUPS with
+    * [[graft.operators.ConnectedComponents]] (a↔b↔c must cost TWO
+    * deletions, not one), and per group KEEP the member with the LOWEST
+    * cosine to its cluster centroid — the paper's rule: the far-from-
+    * center outlier carries the information, the center-mass copies are
+    * redundant. Ties break on vec_id. Edge-less vectors are their own
+    * group and survive.
+    *
+    * 100 TB design: candidate generation is the centroid-bucketed
+    * self-join (never all-pairs — [[Similarity.nearDupPairs]]); the
+    * component loop runs on the PAIR list (tiny vs corpus) with
+    * per-round checkpoint release; the keep-pick window partitions on
+    * group_id whose member counts are near-dup group sizes (single
+    * digits) — the benign window shape, no single-task stratum hazard.
+    *
+    * The oracle replays the whole pipeline independently: assignment
+    * by rank, brute within-bucket pairs, a recursive-CTE reachability
+    * for the components (a genuinely different algorithm from min-label
+    * pointer jumping), and the same keep rule. */
+  private val embSemDedup = Q(
+    "emb_semdedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      val withSim = assigned
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .withColumn("c_sim",
+          round(Similarity.cosine(col("embedding"), col("centroid")), 6))
+        .select("vec_id", "centroid_id", "c_sim")
+      val pairs = Similarity.nearDupPairs(assigned, threshold = 0.35)
+      val comps = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id").orderBy(col("c_sim").asc, col("vec_id").asc)
+      val out = withSim
+        .join(comps.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+        .withColumn("group_id", coalesce(col("comp"), col("vec_id")))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("vec_id", "centroid_id", "group_id", "c_sim", "keep")
+        .orderBy("vec_id")
+        .persist()
+      out.count() // materialize before releasing the component map
+      comps.unpersist()
+      out
+    },
+    Some("""
+      WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                           FROM embeddings ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      cp AS (
+        SELECT e.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(e.embedding)+1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM e, c),
+      assigned AS (
+        SELECT t.vec_id, t.centroid_id, t.sim, e.embedding FROM (
+          SELECT vec_id, centroid_id, sim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM cp) t JOIN e ON t.vec_id = e.vec_id WHERE t.rn = 1),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT id_a, id_b,
+          list_sum(list_transform(range(1, len(va)+1),
+            i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM cand),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored WHERE cos >= 0.35
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM scored WHERE cos >= 0.35),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e2.dst, reach.r FROM reach JOIN edges e2 ON e2.src = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      lab AS (
+        SELECT a.vec_id, a.centroid_id, round(a.sim, 6) AS c_sim,
+               coalesce(k.comp, a.vec_id) AS group_id
+        FROM assigned a LEFT JOIN comp k ON a.vec_id = k.id)
+      SELECT vec_id, centroid_id, group_id, c_sim,
+             (row_number() OVER (PARTITION BY group_id
+                ORDER BY c_sim ASC, vec_id) = 1) AS keep
+      FROM lab ORDER BY vec_id"""),
+  )
+
+  /** Join-key SKEW audit — the diagnostic that decides whether a key
+    * needs salting ([[graft.operators.SaltedJoin]]) or AQE skew
+    * handling before a 100 TB join on it: exact hot-key and count-
+    * distribution statistics for `orders.o_custkey` in one row
+    * (key cardinality, max multiplicity, p50/p90/p99 of the per-key
+    * count, the hottest key, and max/mean skew ratio).
+    *
+    * 100 TB design — the insight is COUNT-OF-COUNTS: the per-key count
+    * table can be billions of rows, but the HISTOGRAM of multiplicities
+    * (cnt → how many keys have it) collapses to at most |distinct
+    * multiplicities| rows — metadata-sized. Exact percentiles then come
+    * from rank arithmetic over the histogram's cumulative sums
+    * (percentile_disc: smallest cnt whose cumulative key count reaches
+    * `ceil(q·n)`), so the plan is two hash aggregates (key, then cnt)
+    * plus window/joins over a few-hundred-row frame. No global sort,
+    * no per-group buffering, nothing driver-side. */
+  private val keySkew = Q(
+    "stats_key_skew",
+    (s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        // min key among the argmax multiplicity, deterministically
+        (-max(struct(col("cnt"), (-col("key")).as("nk"))).getField("nk")).as("top1_key"))
+      val hist = counts.groupBy("cnt").agg(count(lit(1)).as("k"))
+      val cume = hist.withColumn("cume",
+        sum(col("k")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("cnt")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      def pick(q: Double, name: String) =
+        min(when(col("cume") >= ceil(lit(q) * col("n_keys").cast("double")),
+          col("cnt"))).as(name)
+      val qs = cume.crossJoin(broadcast(tot.select("n_keys")))
+        .agg(pick(0.5, "p50_cnt"), pick(0.9, "p90_cnt"), pick(0.99, "p99_cnt"))
+      tot.crossJoin(broadcast(qs))
+        .withColumn("skew_ratio", round(
+          col("max_cnt").cast("double") * col("n_keys").cast("double")
+            / col("total_rows").cast("double"), 6))
+        .select("n_keys", "total_rows", "max_cnt", "top1_key",
+          "p50_cnt", "p90_cnt", "p99_cnt", "skew_ratio")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+      hist AS (SELECT cnt, count(*) AS k FROM counts GROUP BY 1),
+      cume AS (SELECT cnt, sum(k) OVER (ORDER BY cnt
+                 ROWS UNBOUNDED PRECEDING) AS cume FROM hist),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(cnt) AS BIGINT) AS total_rows,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt
+              FROM counts),
+      t1 AS (SELECT min(key) AS top1_key FROM counts
+             WHERE cnt = (SELECT max(cnt) FROM counts)),
+      qs AS (SELECT
+               min(CASE WHEN cume >= ceil(0.5 * CAST(t.n_keys AS DOUBLE))
+                        THEN cnt END) AS p50_cnt,
+               min(CASE WHEN cume >= ceil(0.9 * CAST(t.n_keys AS DOUBLE))
+                        THEN cnt END) AS p90_cnt,
+               min(CASE WHEN cume >= ceil(0.99 * CAST(t.n_keys AS DOUBLE))
+                        THEN cnt END) AS p99_cnt
+             FROM cume, tot t)
+      SELECT t.n_keys, t.total_rows, t.max_cnt, t1.top1_key,
+             qs.p50_cnt, qs.p90_cnt, qs.p99_cnt,
+             round(CAST(t.max_cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+                   / CAST(t.total_rows AS DOUBLE), 6) AS skew_ratio
+      FROM tot t, t1, qs"""),
+  )
+
   // ----------------------------------------------------------------- A10
   /** A10 — top-k per group WITHOUT a rank window
     * (`operators/TopKPerGroup.scala`): the k-bounded Aggregator buffer
@@ -1063,6 +1232,6 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
-    embNearDup, embNearDupQ, embLsh, streamScreen, streamLsh, mmFeatures,
-    mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10)
+    embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
+    mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew)
 }

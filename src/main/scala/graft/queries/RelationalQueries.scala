@@ -2115,7 +2115,90 @@ object RelationalQueries {
     },
   )
 
+  /** J14 — INTERVAL-OVERLAP (range) join, big-big, without a cartesian:
+    * which user pairs were active at the same time, and for how long
+    * ("household / shared-device co-presence" — the identity-resolution
+    * signal one step beyond `id_match_edges`' exact-contact fallback).
+    * Sessions come from the same gap-close sessionizer as
+    * `st6_session_rollup` (end = last event + 30 min, half-open
+    * `[start, end)`); two sessions of DIFFERENT users overlap iff
+    * `a.start < b.end AND b.start < a.end`.
+    *
+    * Spark has no native band/range join, and the naive spelling is a
+    * theta self-join = CartesianProduct. This plans it as an EQUI-join:
+    * each session explodes to its covered hour buckets
+    * (`sequence(date_trunc(hour, start), date_trunc(hour, end))`), the
+    * self-join runs on the bucket key, and the true overlap predicate
+    * filters inside the bucket. A pair spanning many shared hours would
+    * double-count, so emission is OWNED by exactly one bucket — the
+    * hour containing `greatest(a.start, b.start)` (the overlap's first
+    * instant, provably inside both sessions' bucket ranges): exactly-
+    * once emission with zero `distinct`/dedup shuffle.
+    *
+    * 100 TB design: two narrow exploded scans + ONE shuffle on the
+    * bucket key + a hash aggregate on (user_a, user_b); per-bucket
+    * fanout is (concurrent sessions per hour)², bounded by picking the
+    * bucket width near the median interval length — at higher
+    * concurrency, narrow the bucket, never widen to a theta join. The
+    * oracle brute-forces the same overlap with a plain theta join in
+    * DuckDB, so the blocking scheme's exactly-once emission is what the
+    * differential check proves. */
+  private val j14Overlap = Q(
+    "j14_session_overlap",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val sess = e
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"))
+      val buckets = sess.withColumn("bucket",
+        explode(sequence(
+          date_trunc("hour", col("s_start")),
+          date_trunc("hour", col("s_end")),
+          expr("interval 1 hour"))))
+      val a = buckets.select(col("bucket"), col("user_id").as("user_a"),
+        col("s_start").as("start_a"), col("s_end").as("end_a"))
+      val b = buckets.select(col("bucket"), col("user_id").as("user_b"),
+        col("s_start").as("start_b"), col("s_end").as("end_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("user_a") < col("user_b"))
+        .filter(col("start_a") < col("end_b") && col("start_b") < col("end_a"))
+        .filter(col("bucket") ===
+          date_trunc("hour", greatest(col("start_a"), col("start_b"))))
+        .withColumn("ov_us",
+          unix_micros(least(col("end_a"), col("end_b"))) -
+            unix_micros(greatest(col("start_a"), col("start_b"))))
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("total_overlap_us"))
+        .orderBy("user_a", "user_b")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      s2 AS (
+        SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM sess GROUP BY user_id, sid)
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS n_overlaps,
+             CAST(sum(epoch_us(least(a.s_end, b.s_end))
+                      - epoch_us(greatest(a.s_start, b.s_start))) AS BIGINT)
+               AS total_overlap_us
+      FROM s2 a JOIN s2 b
+        ON a.user_id < b.user_id
+       AND a.s_start < b.s_end AND b.s_start < a.s_end
+      GROUP BY 1, 2 ORDER BY user_a, user_b"""),
+  )
+
   val all: Seq[Q] = Seq(
+    j14Overlap,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
