@@ -750,6 +750,55 @@ object CurationQueries {
       FROM r GROUP BY lang ORDER BY lang"""),
   )
 
+  /** Token-MASS quantiles per source — the weighted twin of
+    * `corpus_token_quantiles`: "below what document length does half
+    * (90%, 99%) of the TOKEN MASS sit". A row-count median is blind to
+    * a handful of huge documents carrying most of a source's tokens —
+    * exactly the documents that dominate a token-budgeted training mix
+    * — so budget/packing decisions need the weighted distribution
+    * ([[graft.operators.WeightedQuantiles]]: value = doc token count,
+    * weight = the same token count).
+    *
+    * 100 TB shape: the corpus collapses to per-source LENGTH HISTOGRAMS
+    * in the first hash aggregate; the running weight rides the
+    * [[graft.operators.PrefixSum]] two-phase prefix sum (a hot source
+    * never serializes into one task); picks are conditional mins. The
+    * oracle replays histogram → cumulative weight → threshold pick
+    * with the identical integer/double arithmetic. */
+  private val tokenMass = Q(
+    "corpus_token_mass_quantiles",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+      graft.operators.WeightedQuantiles.perGroup(
+          toks, Seq("source"), "n_tok", "n_tok",
+          Seq(0.5 -> "mass_p50", 0.9 -> "mass_p90", 0.99 -> "mass_p99"))
+        .withColumnRenamed("w_total", "total_tokens")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (SELECT source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+      hist AS (SELECT source, n_tok, sum(n_tok) AS w
+               FROM tok GROUP BY 1, 2 HAVING sum(n_tok) > 0),
+      cum AS (SELECT source, n_tok,
+                     sum(w) OVER (PARTITION BY source ORDER BY n_tok
+                       ROWS UNBOUNDED PRECEDING) AS cumw
+              FROM hist),
+      tot AS (SELECT source, max(cumw) AS tot FROM cum GROUP BY 1)
+      SELECT c.source,
+             CAST(t.tot AS BIGINT) AS total_tokens,
+             min(CASE WHEN CAST(cumw AS DOUBLE) >= 0.5 * CAST(t.tot AS DOUBLE)
+                      THEN n_tok END) AS mass_p50,
+             min(CASE WHEN CAST(cumw AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE)
+                      THEN n_tok END) AS mass_p90,
+             min(CASE WHEN CAST(cumw AS DOUBLE) >= 0.99 * CAST(t.tot AS DOUBLE)
+                      THEN n_tok END) AS mass_p99
+      FROM cum c JOIN tot t USING (source)
+      GROUP BY c.source, t.tot ORDER BY c.source"""),
+  )
+
   // ------------------------------------------------- robust outliers
   /** Robust outlier cutoff on the modified z-score (Iglewicz-Hodges
     * shape; 2.5 is the standard "moderate" cutoff and is sized against
@@ -1904,6 +1953,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
-    cmsCounts, tokenQuantiles, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
+    cmsCounts, tokenQuantiles, tokenMass, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility)
 }

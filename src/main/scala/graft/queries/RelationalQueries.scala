@@ -2115,6 +2115,59 @@ object RelationalQueries {
     },
   )
 
+  /** A25 — CORRELATED SUBQUERY, decorrelated (TPC-H Q17 shape): revenue
+    * sitting in "small" order lines, where small means below 20% of
+    * that PART's average quantity — the correlated scalar subquery
+    * `l_quantity < (SELECT 0.2·avg(l_quantity) WHERE same part)` that
+    * a naive engine re-executes per outer row. Spark-first the
+    * decorrelation is explicit: ONE per-part aggregate over the fact
+    * table, an equi-join back on the part key, a compiled filter — the
+    * subquery becomes a same-key shuffle join (AQE broadcasts the
+    * collapsed aggregate side when it fits).
+    *
+    * The 0.2·avg threshold is evaluated in EXACT integer arithmetic:
+    * quantities are integral, so `qty < 0.2·(sum/n)` ⟺ `5·n·qty < sum`
+    * — no double division on either side, hence no last-ulp boundary
+    * row to disagree about with the oracle.
+    *
+    * 100 TB design: the per-part aggregate collapses map-side to
+    * |parts| rows before its exchange; the fact table crosses ONE
+    * exchange on l_partkey shared by the aggregate and the join
+    * (co-partitioned, AQE-reused); the brand dimension broadcasts. */
+  private val a25SmallQty = Q(
+    "a25_small_quantity_revenue",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      val stats = l.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      l.join(stats, Seq("l_partkey"))
+        .filter(col("qty") * lit(5L) * col("n") < col("sq"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small_lines"),
+          sumd(col("l_extendedprice")).as("small_revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                        l_extendedprice
+                 FROM lineitem),
+      s AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM l GROUP BY 1)
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_revenue
+      FROM l JOIN s USING (l_partkey)
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE qty * 5 * n < sq
+      GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** J14 — INTERVAL-OVERLAP (range) join, big-big, without a cartesian:
     * which user pairs were active at the same time, and for how long
     * ("household / shared-device co-presence" — the identity-resolution
@@ -2198,7 +2251,7 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(
-    j14Overlap,
+    j14Overlap, a25SmallQty,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
