@@ -88,18 +88,19 @@ final class AggregateView(
     Option(new java.io.File(path).listFiles())
       .exists(_.exists(_.getName.startsWith(s"$bucketCol=")))
 
-  /** Full initial build of both states and the view. */
+  /** Full initial build of both states and the view. The state writes
+    * ARE the dedups' materialization (no checkpoint pass — a fresh root
+    * has no read-overwrite hazard); the derive then re-reads both
+    * stores it just wrote, a column-pruned scan of fresh compressed
+    * parquet instead of full-width block copies held across the pass. */
   def build(dims: DataFrame, facts: DataFrame): Unit = {
-    val (ds, relD) = graft.Lineage.checkpointed(
-      Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder))
-    val (fs, relF) = graft.Lineage.checkpointed(
-      Dedup.latestByKey(withBucket(facts), factKeys, factOrder))
-    try {
-      writeState(ds, dimsPath)
-      writeState(fs, factsPath)
-      clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol))))
-        .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
-    } finally { relD(); relF() }
+    writeState(Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder), dimsPath)
+    writeState(Dedup.latestByKey(withBucket(facts), factKeys, factOrder), factsPath)
+    val spark = dims.sparkSession
+    val ds = spark.read.parquet(dimsPath)
+    val fs = spark.read.parquet(factsPath)
+    clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol))))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
   }
 
   /** CDC batch of fact rows: re-aggregate only the batch's buckets. */

@@ -94,19 +94,19 @@ final class MaterializedView(
       pmod(xxhash64(lit("__mv_salt") +: keys.map(col): _*),
         lit(writeTasksPerBucket.toLong)))
 
-  /** Full initial build: every bucket of state and view. One eager
-    * checkpoint feeds both writes — the dedup window runs once and the
-    * view derivation reads memory blocks instead of re-reading the
-    * state parquet it just wrote. */
+  /** Full initial build: every bucket of state and view. The state
+    * write IS the dedup's materialization (no checkpoint pass — unlike
+    * [[refresh]] there is no read-overwrite hazard on a fresh root);
+    * the view derivation then re-reads the state it just wrote, which
+    * is a COLUMN-PRUNED scan of freshly-written compressed parquet —
+    * cheaper than holding a full-width block copy of the state in
+    * executor memory for the one derive pass. */
   def build(source: DataFrame): Unit = {
-    val (state, release) = graft.Lineage.checkpointed(
-      Dedup.latestByKey(withBucket(source), keys, order))
-    try {
-      clustered(state)
-        .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
-      clustered(withBucket(derive(state.drop(bucketCol))))
-        .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
-    } finally release()
+    clustered(Dedup.latestByKey(withBucket(source), keys, order))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+    val state = source.sparkSession.read.parquet(statePath)
+    clustered(withBucket(derive(state.drop(bucketCol))))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
   }
 
   /** Incremental refresh from a CDC batch: recompute winners and view
