@@ -1616,6 +1616,113 @@ object RelationalQueries {
     },
   )
 
+  /** A26 — SKETCH ROLLUP (partial reaggregation): daily HLL register
+    * tables merged to WEEKLY and ALL-TIME distinct-user estimates
+    * without ever rescanning the raw events — the warehouse pattern
+    * that makes multi-granularity distinct counts affordable at 100 TB:
+    * the corpus is scanned ONCE into per-(type, day) registers
+    * (metadata — ≤ M rows per group), persisted, and every coarser
+    * granularity is an element-wise `max(rho)` over those register
+    * rows. `COUNT(DISTINCT)` does not reaggregate (a day's distinct
+    * counts cannot sum to a week's); the sketch's register algebra does,
+    * exactly — `HllSketchSpec` pins registers(A∪B) == merge(registers).
+    *
+    * Each estimate sits beside its exact twin (affordable at bench
+    * scale) so the error is self-auditing, same doctrine as
+    * `a18_hll_distinct`. The oracle replays daily registers, both
+    * merges, and the estimator arithmetic in SQL. */
+  private val a26HllRollup = Q(
+    "a26_hll_rollup",
+    (s, dir) => {
+      val groupsW = Seq("event_type", "week")
+      val keyed = Tables.events(s, dir).select(
+        col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        to_date(col("ts")).cast("string").as("day"),
+        col("user_id").cast("string").as("k"))
+      // ONE raw scan; every granularity below reads these ~|types·days·M|
+      // register rows
+      val daily = graft.operators.HllSketch
+        .registers(keyed, Seq("event_type", "week", "day"), "k")
+        .persist()
+      val weekly = graft.operators.HllSketch.estimate(
+        daily.groupBy(col("register"), col("event_type"), col("week"))
+          .agg(max(col("rho")).as("rho")), groupsW)
+      val total = graft.operators.HllSketch.estimate(
+        daily.groupBy(col("register"), col("event_type"))
+          .agg(max(col("rho")).as("rho")), Seq("event_type"))
+        .withColumn("week", lit("ALL"))
+      val exactW = keyed.groupBy("event_type", "week")
+        .agg(countDistinct(col("k")).as("exact_distinct"))
+      val exactA = keyed.groupBy("event_type")
+        .agg(countDistinct(col("k")).as("exact_distinct"))
+        .withColumn("week", lit("ALL"))
+      val out = exactW.unionByName(exactA)
+        .join(weekly.unionByName(total.select(weekly.columns.map(col): _*)),
+          Seq("event_type", "week"))
+        .select(col("event_type"), col("week"), col("exact_distinct"),
+          col("approx_distinct"),
+          (col("approx_distinct") - col("exact_distinct").cast("double"))
+            .as("err"))
+        .orderBy("event_type", "week")
+        .persist()
+      out.count() // materialize before releasing the register table
+      daily.unpersist()
+      out
+    },
+    Some {
+      import graft.operators.HllSketch.{AlphaM2Pow, LcThreshold, M, RhoMax}
+      def estSql(regs: String, keys: String): String = s"""
+        (SELECT $keys,
+                CASE WHEN $AlphaM2Pow / CAST(s_present
+                            + ($M - n_present) * (CAST(1 AS BIGINT) << $RhoMax)
+                            AS DOUBLE) <= $LcThreshold
+                          AND $M - n_present > 0
+                     THEN ${M.toDouble}
+                            * ln(${M.toDouble} / CAST($M - n_present AS DOUBLE))
+                     ELSE $AlphaM2Pow / CAST(s_present
+                            + ($M - n_present) * (CAST(1 AS BIGINT) << $RhoMax)
+                            AS DOUBLE)
+                END AS approx_distinct
+         FROM (SELECT $keys,
+                      sum(CAST(1 AS BIGINT) << ($RhoMax - rho)) AS s_present,
+                      count(*) AS n_present
+               FROM $regs GROUP BY $keys) t)"""
+      s"""
+      WITH keyed AS (
+        SELECT event_type,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(user_id AS VARCHAR) AS k
+        FROM events),
+      h AS (SELECT event_type, week, day,
+                   CAST(concat('0x', substring(md5(k), 1, 15)) AS BIGINT) AS h
+            FROM keyed),
+      daily AS (SELECT event_type, week, day, h % $M AS register,
+                       max(CASE WHEN h // $M = 0 THEN $RhoMax
+                                ELSE $RhoMax - length(bin(h // $M)) END) AS rho
+                FROM h GROUP BY 1, 2, 3, 4),
+      wregs AS (SELECT event_type, week, register, max(rho) AS rho
+                FROM daily GROUP BY 1, 2, 3),
+      aregs AS (SELECT event_type, register, max(rho) AS rho
+                FROM daily GROUP BY 1, 2),
+      wappx AS ${estSql("wregs", "event_type, week")},
+      aappx AS ${estSql("aregs", "event_type")},
+      appx AS (SELECT * FROM wappx
+               UNION ALL
+               SELECT event_type, 'ALL' AS week, approx_distinct FROM aappx),
+      ex AS (SELECT event_type, week, count(DISTINCT k) AS exact_distinct
+             FROM keyed GROUP BY 1, 2
+             UNION ALL
+             SELECT event_type, 'ALL' AS week, count(DISTINCT k)
+             FROM keyed GROUP BY 1)
+      SELECT ex.event_type, ex.week, ex.exact_distinct, a.approx_distinct,
+             a.approx_distinct - CAST(ex.exact_distinct AS DOUBLE) AS err
+      FROM ex JOIN appx a USING (event_type, week)
+      ORDER BY event_type, week"""
+    },
+  )
+
   /** A20 — time-weighted average (TWAP-style): per user, the average
     * of `value` weighted by how LONG each value was the user's latest
     * — Σ value·Δt / ΣΔt with Δt the micros until the next event. The
@@ -2255,7 +2362,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
