@@ -1496,6 +1496,98 @@ object LlmQueries {
       ORDER BY c.doc_a, c.doc_b"""),
   )
 
+  /** EXACT-COMPLETE set-similarity self-join via PPJoin/AllPairs-style
+    * PREFIX FILTERING (Bayardo et al. 2007; Xiao et al. 2008) — the
+    * provably lossless upgrade of `dedup_ngram_jaccard`'s df-valve:
+    * the valve drops hot shingles from candidate generation, which is
+    * complete only while every true pair still shares a RARE shingle —
+    * eleven copies of one document push every shared shingle's df past
+    * any fixed cutoff and the whole cluster silently vanishes. Prefix
+    * filtering keeps the candidate join bounded WITHOUT that failure
+    * mode: order shingles by a global (df ASC, shingle) total order;
+    * each document emits only its first `n − ceil(t·n) + 1` shingles
+    * as candidate keys. If J(a,b) ≥ t, the globally-smallest common
+    * shingle is provably inside BOTH prefixes (were it outside a's,
+    * all |a∩b| ≥ t·n_a common shingles would sit in a suffix of size
+    * ceil(t·n_a) − 1 < t·n_a), so joining prefix-to-prefix misses
+    * nothing; hot shingles sort LAST and rarely enter any prefix, so
+    * the df² blowup they cause under a raw inverted-index join never
+    * materializes.
+    *
+    * 100 TB shape: one corpus exchange on shingle (df join), a per-doc
+    * rank window (groups = one document's shingles — bounded by doc
+    * length, never a stratum), the prefix self-join, exact in-row
+    * Jaccard on survivors. The oracle is the UNfiltered complete
+    * inverted-index join — the differential gate is literally checking
+    * that prefix filtering lost nothing. */
+  private val jaccardPrefix = Q(
+    "dedup_jaccard_prefix",
+    (s, dir) => {
+      val t = 0.5
+      val withSh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      val sh = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("df").asc, col("shingle").asc)
+      val pref = sh.join(dfTab, "shingle")
+        .withColumn("rnk", row_number().over(w))
+        .join(withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n")),
+          "doc_id")
+        .filter(col("rnk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+        .select("doc_id", "shingle")
+        .persist()
+      val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sets = withSh.select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
+      val out = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .orderBy("doc_a", "doc_b")
+        .persist()
+      out.count() // keep the pair result, release the corpus-sized tables
+      withSh.unpersist()
+      pref.unpersist()
+      out
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON c.doc_a = sa.doc_id
+                JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY c.doc_a, c.doc_b)
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 4) AS jaccard
+      FROM cand c
+      JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes na ON c.doc_a = na.doc_id
+      JOIN sizes nb ON c.doc_b = nb.doc_id
+      WHERE round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 4) >= 0.5
+      ORDER BY c.doc_a, c.doc_b"""),
+  )
+
   // -------------------------------------------------------------- SimHash
   /** SimHash near-dup signature: 16 bits, bit b = majority of the high
     * bit of md5 hex digit b+1 over the distinct token set. Identical
@@ -1797,6 +1889,6 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
     textStats, bm25, perplexity, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
-    lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, simhash,
+    lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
     annTopK, hardNegatives, ragHybrid, multimodal)
 }
