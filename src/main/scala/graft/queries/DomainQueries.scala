@@ -1057,6 +1057,91 @@ object DomainQueries {
       ) t ORDER BY dq_check""")),
   )
 
+  /** Order-independent TABLE CHECKSUM — the migration/replication
+    * reconciliation primitive: prove two engines (or two pipeline
+    * versions) produced the IDENTICAL table without sorting it, moving
+    * it, or comparing row-by-row. Each row serializes canonically
+    * (pipe-joined pinned-format fields — decimals at fixed scale,
+    * timestamps formatted; float repr is never serialized raw), hashes
+    * to a 60-bit md5 prefix, and the checksums are exact SUMS of those
+    * hashes as DECIMAL — commutative, so no global sort exists anywhere
+    * and partials combine map-side to ONE row per table. A derived
+    * frame (per-customer order rollup) is checksummed alongside the two
+    * base tables: reconciliation of pipeline OUTPUT, not just inputs.
+    *
+    * The complement of `j12_reconcile` (row-level full-outer diff):
+    * checksum first at O(1) output cost; reconcile row-level only the
+    * tables whose checksums disagree. The DuckDB oracle recomputes the
+    * identical serialization + hash sums — this differential check IS
+    * the cross-engine reconciliation the operator exists for. */
+  private val dqChecksum = Q(
+    "dq_table_checksum",
+    (s, dir) => {
+      def h(sCol: Column): Column =
+        conv(substring(md5(sCol), 1, 15), 16, 10).cast("long")
+      def sums(df: DataFrame, name: String, ser: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(h(ser).cast("decimal(20,0)")).cast("string").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val serO = concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))
+      val serC = concat_ws("|",
+        col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"),
+        col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        col("c_mktsegment"))
+      val derived = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val serD = concat_ws("|", col("o_custkey").cast("string"),
+        col("cnt").cast("string"), col("spend").cast("string"))
+      sums(o, "orders", serO)
+        .unionByName(sums(c, "customer", serC))
+        .unionByName(sums(derived, "orders_by_customer", serD))
+        .orderBy("table_name")
+    },
+    Some("""
+      WITH so AS (SELECT CAST(concat('0x', substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(o_custkey AS VARCHAR) || '|' ||
+                    o_orderstatus || '|' ||
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                    o_orderpriority), 1, 15)) AS BIGINT) AS h
+                  FROM orders),
+      sc AS (SELECT CAST(concat('0x', substring(md5(
+                    CAST(c_custkey AS VARCHAR) || '|' ||
+                    c_name || '|' ||
+                    CAST(c_nationkey AS VARCHAR) || '|' ||
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                    c_mktsegment), 1, 15)) AS BIGINT) AS h
+             FROM customer),
+      d AS (SELECT o_custkey, count(*) AS cnt,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY 1),
+      sd AS (SELECT CAST(concat('0x', substring(md5(
+                    CAST(o_custkey AS VARCHAR) || '|' ||
+                    CAST(cnt AS VARCHAR) || '|' ||
+                    CAST(spend AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             FROM d)
+      SELECT table_name, n_rows, checksum FROM (
+        SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(h) AS VARCHAR) AS checksum FROM so
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT), CAST(sum(h) AS VARCHAR) FROM sc
+        UNION ALL
+        SELECT 'orders_by_customer', CAST(count(*) AS BIGINT),
+               CAST(sum(h) AS VARCHAR) FROM sd
+      ) t ORDER BY table_name"""),
+  )
+
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit, rfm)
+    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit,
+    dqChecksum, rfm)
 }

@@ -1059,7 +1059,9 @@ object MiscQueries {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = Similarity.trainCentroidsById(emb, 16)
-      val assigned = Similarity.assignToCentroids(emb, centroids)
+      // two consumers (the c_sim projection and the pair join's both
+      // sides) — materialize the assignment once
+      val assigned = Similarity.assignToCentroids(emb, centroids).persist()
       val withSim = assigned
         .join(broadcast(centroids), Seq("centroid_id"))
         .withColumn("c_sim",
@@ -1076,8 +1078,9 @@ object MiscQueries {
         .select("vec_id", "centroid_id", "group_id", "c_sim", "keep")
         .orderBy("vec_id")
         .persist()
-      out.count() // materialize before releasing the component map
+      out.count() // materialize before releasing the internal frames
       comps.unpersist()
+      assigned.unpersist()
       out
     },
     Some("""
