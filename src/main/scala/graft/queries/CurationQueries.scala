@@ -799,6 +799,80 @@ object CurationQueries {
       GROUP BY c.source, t.tot ORDER BY c.source"""),
   )
 
+  /** MIX RECIPE solver — the PLANNING step upstream of every sampling
+    * operator here: given target mix weights (config: the five "high
+    * quality" sources count double) and a token budget (60% of the
+    * corpus), derive per source the target token count, the effective
+    * sampling RATE, and — where the target exceeds what the source has
+    * — the epoch plan (`n_full_epochs` + fractional-epoch rate) that
+    * `mix_epoch_upsample` executes. One corpus aggregate (per-source
+    * token totals collapse map-side to |sources| rows); everything
+    * after is closed-form column arithmetic over that metadata frame —
+    * broadcast totals, zero extra shuffles at any corpus size.
+    *
+    * Rates are true doubles (a planning output, not a money sum) with
+    * both engines computing the identical division order; epoch counts
+    * come from floor() on those doubles, identical by IEEE. */
+  private val mixRecipe = Q(
+    "mix_recipe",
+    (s, dir) => {
+      val premium = Seq("src0", "src1", "src2", "src3", "src4")
+      val avail = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(TextFunctions.tokenCount(col("text"))).as("available_tokens"))
+        .withColumn("w_raw",
+          when(col("source").isin(premium: _*), 2.0).otherwise(1.0))
+      val tot = avail.agg(
+        sum(col("available_tokens")).as("corpus_tokens"),
+        sum(col("w_raw")).as("w_sum"))
+      avail.crossJoin(broadcast(tot))
+        .withColumn("weight", col("w_raw") / col("w_sum"))
+        .withColumn("budget",
+          floor(col("corpus_tokens").cast("double") * 0.6).cast("long"))
+        .withColumn("target_tokens",
+          floor(col("weight") * col("budget").cast("double")).cast("long"))
+        .withColumn("rate",
+          col("target_tokens").cast("double")
+            / col("available_tokens").cast("double"))
+        .withColumn("n_full_epochs", floor(col("rate")).cast("long"))
+        .withColumn("frac_epoch_rate",
+          round(col("rate") - floor(col("rate")), 6))
+        .select(col("source"), col("available_tokens"),
+          round(col("weight"), 6).as("weight"), col("target_tokens"),
+          round(col("rate"), 6).as("rate"), col("n_full_epochs"),
+          col("frac_epoch_rate"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH avail AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 2.0 ELSE 1.0 END AS w_raw
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(available_tokens) AS BIGINT) AS corpus_tokens,
+                     sum(w_raw) AS w_sum
+              FROM avail),
+      calc AS (
+        SELECT a.source, a.available_tokens,
+               a.w_raw / t.w_sum AS weight,
+               CAST(floor(CAST(t.corpus_tokens AS DOUBLE) * 0.6) AS BIGINT) AS budget
+        FROM avail a, tot t),
+      tgt AS (
+        SELECT source, available_tokens, weight,
+               CAST(floor(weight * CAST(budget AS DOUBLE)) AS BIGINT) AS target_tokens
+        FROM calc),
+      r AS (
+        SELECT *, CAST(target_tokens AS DOUBLE)
+                    / CAST(available_tokens AS DOUBLE) AS rate
+        FROM tgt)
+      SELECT source, available_tokens, round(weight, 6) AS weight,
+             target_tokens, round(rate, 6) AS rate,
+             CAST(floor(rate) AS BIGINT) AS n_full_epochs,
+             round(rate - floor(rate), 6) AS frac_epoch_rate
+      FROM r ORDER BY source"""),
+  )
+
   // ------------------------------------------------- robust outliers
   /** Robust outlier cutoff on the modified z-score (Iglewicz-Hodges
     * shape; 2.5 is the standard "moderate" cutoff and is sized against
@@ -1953,6 +2027,6 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
-    cmsCounts, tokenQuantiles, tokenMass, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
+    cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility)
 }

@@ -1537,10 +1537,16 @@ object LlmQueries {
         .join(withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n")),
           "doc_id")
         .filter(col("rnk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
         .persist()
+      // PPJoin's LENGTH filter rides the candidate join: J ≥ t bounds
+      // the size ratio (J ≤ min/max), so pairs with t·max(n) > min(n)
+      // can be dropped before the distinct — a pure candidate pruner,
+      // never a correctness lever (the complete oracle still checks)
       val cand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && lit(t) * greatest(col("a.n"), col("b.n")) <=
+            least(col("a.n"), col("b.n")).cast("double"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val sets = withSh.select(col("doc_id"), col("sh"),
