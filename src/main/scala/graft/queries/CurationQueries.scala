@@ -2026,7 +2026,168 @@ object CurationQueries {
       FROM summed ORDER BY source"""),
   )
 
+  // ---------------------------------------------------------------- PII
+  /** PII regex needles, one per category. Plain-ASCII patterns chosen
+    * to mean the same thing under Java regex (Spark) and RE2 (DuckDB):
+    * no backreferences, no lookaround, `\b` word boundaries only
+    * against non-word neighbours (space / dot / dash), non-capturing
+    * groups. Masking order is fixed (email → ssn → phone → ipv4); the
+    * four categories are mutually non-overlapping on any input — an
+    * email has no 3-2-4 dash run, the phone's NANP tail is 3-4, an
+    * IPv4 literal has no `@`/dash — so counts taken on the RAW text
+    * equal counts taken mid-masking regardless of order. */
+  private[queries] val PiiNeedles: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+1 \\(\\d{3}\\) \\d{3}-\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IPV4>"))
+
+  /** Deterministic PII-bearing corpus: the documents table with
+    * contact-shaped strings appended, keyed off doc_id (the same
+    * derived-fixture device as the dirty CDP master in
+    * [[DomainQueries]] — the synthetic lake carries no real contact
+    * strings, and a redactor proven on zero matches proves nothing).
+    * Identical arithmetic on both sides; 1/3 of docs get an email,
+    * 1/2 a phone, 1/3 an IP, 1/5 an SSN — and doc_ids ≡ 2 (mod 3)
+    * that are odd non-multiples of 5 (e.g. 17, 23) carry NOTHING, so
+    * `has_pii = false` rows exist and the flag is non-vacuous. */
+  private[queries] def piiRawDocs(docs: DataFrame): DataFrame = {
+    val k = col("doc_id")
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(k % 3 === 1,
+          concat(lit(" reach cust"), (k % 1000).cast("string"), lit("@shop"),
+            (k % 7).cast("string"), lit(".net"))).otherwise(lit("")),
+        when(k % 2 === 0,
+          concat(lit(" call +1 (555) 010-"),
+            lpad((k % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(k % 3 === 0,
+          concat(lit(" from 192.168."), (k % 256).cast("string"), lit("."),
+            ((k * 7) % 256).cast("string"))).otherwise(lit("")),
+        when(k % 5 === 0,
+          concat(lit(" id 987-65-"),
+            lpad((k % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+      ).as("raw_text"))
+  }
+
+  /** SQL twin of [[piiRawDocs]] as a CTE body over `documents`. */
+  private def piiRawSql: String = s"""
+      raw AS (SELECT doc_id, source, text
+          || CASE WHEN doc_id % 3 = 1
+                  THEN ' reach cust' || CAST(doc_id % 1000 AS VARCHAR)
+                       || '@shop' || CAST(doc_id % 7 AS VARCHAR) || '.net'
+                  ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+                  THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN ' id 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS raw_text
+        FROM documents)"""
+
+  /** Shared per-document PII scan: raw docs → per-category match
+    * counts + the fully masked text. ONE implementation behind
+    * `corpus_pii_redact` (per-doc) and `corpus_pii_report`
+    * (per-source rollup). Every column is a compiled regex expression
+    * riding the scan — zero shuffles added. */
+  private[queries] def piiScan(raw: DataFrame): DataFrame = {
+    val counted = PiiNeedles.foldLeft(raw) { case (df, (cat, re, _)) =>
+      df.withColumn(s"n_$cat", regexp_count(col("raw_text"), lit(re)))
+    }
+    val masked = PiiNeedles.foldLeft(col("raw_text")) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
+    }
+    counted
+      .withColumn("clean_text", masked)
+      .withColumn("has_pii",
+        PiiNeedles.map { case (cat, _, _) => col(s"n_$cat") > 0 }
+          .reduce(_ || _))
+  }
+
+  /** SQL twin of [[piiScan]]'s derived columns over CTE `raw`. */
+  private def piiScanSql: String = {
+    val counts = PiiNeedles.map { case (cat, re, _) =>
+      s"CAST(len(regexp_extract_all(raw_text, '$re')) AS INT) AS n_$cat"
+    }.mkString(",\n             ")
+    val masked = PiiNeedles.foldLeft("raw_text") {
+      case (s, (_, re, tag)) => s"regexp_replace($s, '$re', '$tag', 'g')"
+    }
+    val hasPii = PiiNeedles
+      .map { case (cat, re, _) => s"len(regexp_extract_all(raw_text, '$re')) > 0" }
+      .mkString(" OR ")
+    s"""scan AS (SELECT doc_id, source,
+             $counts,
+             $masked AS clean_text,
+             ($hasPii) AS has_pii
+        FROM raw)"""
+  }
+
+  /** Corpus PII redaction — the anonymization pass every published
+    * web-scale training pipeline runs before release (CCNet/ROOTS/
+    * FineWeb-style): detect emails, US-SSN shapes, NANP phone numbers
+    * and IPv4 literals, count them per document, and mask each span
+    * with a category tag so downstream training never memorizes a
+    * contact string. Detection is pure compiled-regex column
+    * arithmetic (Java regex under codegen; the needle list is data,
+    * so extending categories is a one-line change).
+    *
+    * 100 TB design: the scan adds ZERO exchanges — counts and the
+    * masked rebuild are per-row expressions fused into the parquet
+    * scan's codegen stage; the output sort is only the differential
+    * determinism contract. There is deliberately no "PII dictionary"
+    * join: category regexes are closed-form, so the 100 TB side never
+    * shuffles and the work parallelizes embarrassingly per split. */
+  private val piiRedact = Q(
+    "corpus_pii_redact",
+    (s, dir) => piiScan(piiRawDocs(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("source"), col("n_email"), col("n_ssn"),
+        col("n_phone"), col("n_ipv4"), col("has_pii"), col("clean_text"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $piiRawSql,
+      $piiScanSql
+      SELECT doc_id, source, n_email, n_ssn, n_phone, n_ipv4, has_pii, clean_text
+      FROM scan ORDER BY doc_id"""),
+  )
+
+  /** Per-source PII incidence report — the compliance dashboard over
+    * [[piiRedact]]'s scan stage: how many documents per source carry
+    * each PII category, and the per-category span totals. The rollup
+    * is ONE hash aggregate that collapses map-side to |sources| rows;
+    * at 100 TB the report costs the same single corpus scan as the
+    * redaction itself (and a session running both pays the scan once
+    * — same Q-family sharing discipline as the dedup report). */
+  private val piiReport = Q(
+    "corpus_pii_report",
+    (s, dir) => piiScan(piiRawDocs(Tables.documents(s, dir)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_email").cast("long")).as("email_spans"),
+        sum(col("n_ssn").cast("long")).as("ssn_spans"),
+        sum(col("n_phone").cast("long")).as("phone_spans"),
+        sum(col("n_ipv4").cast("long")).as("ipv4_spans"))
+      .orderBy("source"),
+    Some(s"""
+      WITH $piiRawSql,
+      $piiScanSql
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(sum(n_email) AS BIGINT) AS email_spans,
+             CAST(sum(n_ssn) AS BIGINT) AS ssn_spans,
+             CAST(sum(n_phone) AS BIGINT) AS phone_spans,
+             CAST(sum(n_ipv4) AS BIGINT) AS ipv4_spans
+      FROM scan GROUP BY source ORDER BY source"""),
+  )
+
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
-    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility)
+    bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
+    piiRedact, piiReport)
 }
