@@ -1892,9 +1892,149 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------- exact duplicated spans
+  /** Duplicated-span gram length: long enough that a shared run means
+    * copying, not chance (published ExactSubstr uses 50 tokens over
+    * web text; the ~50-token synthetic docs need L=8 to be selective
+    * yet non-vacuous — 47 of 500 docs carry a shared 8-gram at
+    * sf0.01, all from the planted near-dup families). */
+  private val DupSpanL = 8
+
+  /** Positions of every cross-document duplicated token span, merged
+    * maximal: `(doc_id, t, n)` tokens → `(doc_id, span_start,
+    * span_end, span_len)`. ONE implementation behind
+    * `corpus_dup_spans` (span rows) and `corpus_dup_profile` (per-doc
+    * duplicated-mass rollup).
+    *
+    * This is the Spark-native re-expression of suffix-array
+    * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): a suffix array is a single-node
+    * structure, so instead the corpus builds a positional L-gram
+    * inverted index — (a) positional L-grams as `element_at` column
+    * arithmetic off the scan; (b) grams appearing in ≥2 DISTINCT
+    * documents found with one map-side-collapsing aggregate; (c)
+    * positions of shared grams recovered by an equi-join on the gram
+    * (at 100 TB key this join on xxhash64(gram) to cut shuffle bytes
+    * — raw text kept here so the DuckDB replay is bit-identical); (d)
+    * overlapping-or-adjacent hits (gap ≤ L) merged into maximal spans
+    * with a gaps-and-islands window PARTITIONed BY doc_id — bounded
+    * by document length, never a stratum. No stage enumerates
+    * document pairs, so the plan survives a corpus where a hot
+    * boilerplate span appears in millions of documents (the df≥2 set
+    * is metadata-sized; its positions scale with the corpus, not with
+    * pairs of it). */
+  private def dupSpanFrame(toks: DataFrame): DataFrame = {
+    val pos = toks.filter(col("n") >= DupSpanL)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n") - (DupSpanL - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", (0 until DupSpanL).map(o =>
+          element_at(col("t"), col("i").cast("int") + o)): _*).as("g"))
+    val shared = pos.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") >= 2).select("g")
+    val hits = pos.join(shared, Seq("g")).select(col("doc_id"), col("i"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    hits
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > DupSpanL, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (DupSpanL - 1)).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .select("doc_id", "span_start", "span_end", "span_len")
+  }
+
+  /** SQL twin of [[dupSpanFrame]] as CTEs over `tok(doc_id, t)`. */
+  private def dupSpanSql: String = {
+    val g = (0 until DupSpanL).map(o =>
+      if (o == 0) "t[CAST(u.i AS INT)]" else s"t[CAST(u.i AS INT) + $o]")
+      .mkString(" || ' ' || ")
+    s"""pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, $g AS g
+              FROM tok, unnest(range(1, CAST(len(t) AS INT) - ${DupSpanL - 2})) u(i)
+              WHERE len(t) >= $DupSpanL),
+      sharedg AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT p.doc_id, p.i FROM pos p JOIN sharedg USING (g)),
+      brk AS (SELECT doc_id, i,
+                CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > $DupSpanL
+                     THEN 1 ELSE 0 END AS b
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      isl AS (SELECT doc_id, i,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+              FROM brk),
+      spans AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+                       CAST(max(i) + ${DupSpanL - 1} AS BIGINT) AS span_end,
+                       CAST(max(i) + ${DupSpanL - 1} - min(i) + 1 AS BIGINT) AS span_len
+                FROM isl GROUP BY doc_id, island)"""
+  }
+
+  /** Exact cross-document duplicated spans — which token ranges of
+    * which documents also occur verbatim elsewhere in the corpus (the
+    * span-level complement of the document-level near-dup family: LSH
+    * finds similar DOCUMENTS, this finds copied PASSAGES inside
+    * otherwise-distinct ones). See [[dupSpanFrame]] for the 100 TB
+    * design. */
+  private val dupSpans = Q(
+    "corpus_dup_spans",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      dupSpanFrame(toks).orderBy("doc_id", "span_start")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      $dupSpanSql
+      SELECT doc_id, span_start, span_end, span_len
+      FROM spans ORDER BY doc_id, span_start"""),
+  )
+
+  /** Per-document duplicated-mass profile — the drop/trim decision
+    * input ExactSubstr pipelines act on: how many tokens of each doc
+    * sit inside a cross-document duplicated span. Spans are disjoint
+    * by construction (the islands merge), so the duplicated mass is a
+    * plain sum; docs with no duplicated span report 0/0.0 via the
+    * left join, keeping both polarities non-vacuous. */
+  private val dupProfile = Q(
+    "corpus_dup_profile",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val perDoc = dupSpanFrame(toks)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      toks.select(col("doc_id"), col("n").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_fraction",
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      $dupSpanSql,
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                        CAST(sum(span_len) AS BIGINT) AS dup_tokens
+                 FROM spans GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+             coalesce(p.n_spans, 0) AS n_spans,
+             coalesce(p.dup_tokens, 0) AS dup_tokens,
+             round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.t), 4) AS dup_fraction
+      FROM tok t LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY t.doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     textStats, bm25, perplexity, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
-    annTopK, hardNegatives, ragHybrid, multimodal)
+    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile)
 }
