@@ -1233,8 +1233,118 @@ object MiscQueries {
       WHERE rnk <= 3 ORDER BY o_custkey, rnk"""),
   )
 
+  // ------------------------------------------- embedding dim stats
+  /** Embeddings exploded to one row per (vec_id, dimension) with the
+    * component quantized to DECIMAL(12,6) — the engine's exact-sum
+    * discipline applied to float vectors (float→double widening is
+    * exact, the 6-dp round is identical cross-engine, and decimal
+    * sums are order-independent, so per-dimension moments hash-match
+    * DuckDB bit-for-bit). Shared by `emb_dim_stats` and
+    * `emb_standardize`. */
+  private def embDimExploded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("dim"),
+        round(col("x").cast("double"), 6).cast("decimal(12,6)").as("xq"))
+
+  private val EmbDimExplodedSql = """
+      ex AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
+                    CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE), 6)
+                         AS DECIMAL(12,6)) AS xq
+             FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+      st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vectors,
+                    sum(xq) AS sum_q, sum(xq*xq) AS ssq_q,
+                    min(xq) AS mn, max(xq) AS mx
+             FROM ex GROUP BY dim)"""
+
+  /** Per-dimension corpus statistics over the embedding column — the
+    * feature-health profile (dead dims, scale drift, outlier ranges)
+    * every vector pipeline checks before training an index or a
+    * projection head.
+    *
+    * 100 TB design: the explode multiplies rows by |dims| but the
+    * per-dimension hash aggregate collapses MAP-SIDE to |dims| partial
+    * rows per task before the exchange — the shuffle carries
+    * dims × tasks metadata rows, never data. Moments are exact
+    * decimal sums converted to double once, at the end (the a17/zipf
+    * discipline), so no float accumulation order exists anywhere. */
+  private val embDimStats = Q(
+    "emb_dim_stats",
+    (s, dir) => {
+      val d = embDimExploded(s, dir)
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("xq")).as("sum_q"),
+          sum(col("xq") * col("xq")).as("ssq_q"),
+          min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+      def toD(c: String) = col(c).cast("string").cast("double")
+      val n = col("n_vectors").cast("double")
+      d.select(col("dim"), col("n_vectors"),
+        (toD("sum_q") / n).as("mean_x"),
+        ((toD("ssq_q") - toD("sum_q") * toD("sum_q") / n) / n).as("var_x"),
+        toD("mn").as("min_x"), toD("mx").as("max_x"))
+        .orderBy("dim")
+    },
+    Some(s"""
+      WITH $EmbDimExplodedSql
+      SELECT dim, n_vectors,
+             CAST(CAST(sum_q AS VARCHAR) AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS mean_x,
+             (CAST(CAST(ssq_q AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(sum_q AS VARCHAR) AS DOUBLE) * CAST(CAST(sum_q AS VARCHAR) AS DOUBLE)
+                 / CAST(n_vectors AS DOUBLE)) / CAST(n_vectors AS DOUBLE) AS var_x,
+             CAST(CAST(mn AS VARCHAR) AS DOUBLE) AS min_x,
+             CAST(CAST(mx AS VARCHAR) AS DOUBLE) AS max_x
+      FROM st ORDER BY dim"""),
+  )
+
+  /** Per-component z-score standardization against the corpus
+    * per-dimension moments — the normalization pass before cosine/ANN
+    * when dimensions carry unequal scales (and the mean-centering
+    * SemDeDup prescribes). Output stays in exploded (vec_id, dim, z)
+    * form: the array rebuild is a caller concern (and the driver
+    * compare takes no ARRAY columns).
+    *
+    * 100 TB design: the |dims|-row stats frame BROADCASTS back onto
+    * the exploded scan — the 100 TB side crosses zero exchanges
+    * before the output sort; scoring is compiled double arithmetic on
+    * exact-decimal-derived inputs, so results are bit-identical
+    * cross-engine without any tolerance. */
+  private val embStandardize = Q(
+    "emb_standardize",
+    (s, dir) => {
+      val d = embDimExploded(s, dir)
+      val stats = d.groupBy("dim")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("xq")).as("sum_q"),
+          sum(col("xq") * col("xq")).as("ssq_q"))
+      def toD(c: String) = col(c).cast("string").cast("double")
+      val n = col("n_vectors").cast("double")
+      val moments = stats.select(col("dim"),
+        (toD("sum_q") / n).as("mean_x"),
+        ((toD("ssq_q") - toD("sum_q") * toD("sum_q") / n) / n).as("var_x"))
+      d.join(broadcast(moments), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          round((col("xq").cast("string").cast("double") - col("mean_x"))
+            / sqrt(col("var_x")), 6).as("z"))
+        .orderBy("vec_id", "dim")
+    },
+    Some(s"""
+      WITH $EmbDimExplodedSql,
+      mom AS (SELECT dim,
+                CAST(CAST(sum_q AS VARCHAR) AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS mean_x,
+                (CAST(CAST(ssq_q AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sum_q AS VARCHAR) AS DOUBLE) * CAST(CAST(sum_q AS VARCHAR) AS DOUBLE)
+                    / CAST(n_vectors AS DOUBLE)) / CAST(n_vectors AS DOUBLE) AS var_x
+              FROM st)
+      SELECT e.vec_id, e.dim,
+             round((CAST(CAST(e.xq AS VARCHAR) AS DOUBLE) - m.mean_x) / sqrt(m.var_x), 6) AS z
+      FROM ex e JOIN mom m USING (dim)
+      ORDER BY e.vec_id, e.dim"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
-    mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew)
+    mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
+    embDimStats, embStandardize)
 }
