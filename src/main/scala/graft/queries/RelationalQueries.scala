@@ -2357,8 +2357,68 @@ object RelationalQueries {
       GROUP BY 1, 2 ORDER BY user_a, user_b"""),
   )
 
+  // --------------------------------------- J15: sole-late supplier (Q21)
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": for each
+    * supplier, how many multi-supplier orders had THAT supplier as the
+    * only one with a returned line. (This lake carries no
+    * receipt/commit dates, so `l_returnflag = 'R'` stands in for
+    * "late" — the join topology, which is the operator under test, is
+    * unchanged.) The textbook phrasing is a correlated
+    * EXISTS (another supplier in the order) + NOT EXISTS (another
+    * LATE supplier) — and the DuckDB oracle runs EXACTLY that
+    * phrasing, so the differential proves the rewrite below.
+    *
+    * 100 TB design: the correlated sub-queries decorrelate into
+    * per-(order, supplier) flags + two windowed counts over the ORDER
+    * — a window whose group is one order's suppliers (single digits),
+    * never a stratum. The fact table crosses two exchanges (the
+    * (orderkey, suppkey) aggregate, then the orderkey window); the
+    * EXISTS/NOT-EXISTS never materialize as self-joins, so there is
+    * no second corpus-sized shuffle pair. Supplier and nation dims
+    * broadcast. */
+  private val j15SoleLate = Q(
+    "j15_sole_late_supplier",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("is_late"))
+      val win = Window.partitionBy("l_orderkey")
+      val sole = perSupp
+        .withColumn("n_supp", count(lit(1)).over(win))
+        .withColumn("n_late", sum(col("is_late")).over(win))
+        .filter(col("is_late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
+      val numwait = sole.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+      numwait
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
+    Some("""
+      WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                    FROM lineitem WHERE l_returnflag = 'R'),
+      alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      sole AS (SELECT l.l_orderkey, l.l_suppkey FROM late l
+               WHERE EXISTS (SELECT 1 FROM alls a
+                             WHERE a.l_orderkey = l.l_orderkey
+                               AND a.l_suppkey <> l.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM late o
+                                 WHERE o.l_orderkey = l.l_orderkey
+                                   AND o.l_suppkey <> l.l_suppkey))
+      SELECT s.s_suppkey, s.s_name, n.n_name,
+             CAST(count(*) AS BIGINT) AS numwait
+      FROM sole j
+      JOIN supplier s ON j.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+      ORDER BY numwait DESC, s.s_suppkey"""),
+  )
+
   val all: Seq[Q] = Seq(
-    j14Overlap, a25SmallQty,
+    j14Overlap, a25SmallQty, j15SoleLate,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,

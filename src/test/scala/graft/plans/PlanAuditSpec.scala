@@ -214,6 +214,20 @@ class PlanAuditSpec extends AnyFunSuite {
       ("Exchange".r.findAllIn(p).length, p)
     }
     val ceilings = Seq(
+      // (orderkey, suppkey) agg + orderkey window + suppkey agg +
+      // output sort + 2 dim broadcasts — the EXISTS/NOT-EXISTS pair
+      // decorrelates into the window, so no self-join shuffles exist
+      "j15_sole_late_supplier" -> 6,
+      // per-dim agg + moments broadcast + output sort — the corpus
+      // side of the standardization must NOT shuffle pre-sort
+      "emb_standardize" -> 4,
+      // pure regex column arithmetic: the output sort is the ONLY
+      // exchange in the whole redaction pass
+      "corpus_pii_redact" -> 1,
+      // gram-df agg + position rejoin + doc window + islands regroup
+      // + output sort (static pre-AQE count; dup-profile adds the
+      // left-join back to the token table)
+      "corpus_dup_spans" -> 6,
       // range×2 + local window hash + totals agg + tiny offsets window
       // + doc_id rejoin (2) + (source, seq_id) regroup + output sort
       "mix_pack_emit" -> 9,
