@@ -1342,9 +1342,131 @@ object MiscQueries {
       ORDER BY e.vec_id, e.dim"""),
   )
 
+  // --------------------------------------------- PCA (power iteration)
+  /** Power-iteration steps for [[embPca]]. Fixed and replayed exactly
+    * by the oracle — the output is DEFINED as "8 steps from the
+    * all-ones vector", so convergence is a quality property (spec'd
+    * via the norm-ratio eigenvalue estimate), not a correctness one. */
+  private val PcaIters = 8
+
+  /** Top principal component of the embedding corpus — the projection/
+    * whitening primitive vector pipelines run before clustering or
+    * SemDeDup-style dedup. Two genuinely-distributed stages and one
+    * metadata stage:
+    *
+    *   1. per-dimension means — the [[embDimStats]] aggregate;
+    *   2. the 64×64 Gram matrix S_ij = Σ x_i·x_j via a per-vector
+    *      self-join of the exploded frame (≤64×64 rows per vec_id,
+    *      never corpus×corpus) whose (i,j) hash aggregate collapses
+    *      MAP-SIDE to 4096 partial rows per task — the exchange
+    *      carries dims² metadata regardless of corpus size (at 100 TB
+    *      the explode+join pair would become one native outer-product
+    *      Aggregator pass, same exchange shape);
+    *   3. covariance C = S/n − μμᵀ and 8 power-iteration matvecs
+    *      v ← C·v DRIVER-SIDE on the collected dims² = 4096-row Gram
+    *      matrix — the same metadata size class as the collected IVF
+    *      centroids ([[graft.ext.Similarity]]), and the corpus is
+    *      never touched again after stage 2.
+    *
+    * Cross-engine exactness: every sum that crosses rows is an exact
+    * DECIMAL sum of 9-dp-rounded double products (the dsir/zipf
+    * discipline), and every double expression has identical shape on
+    * both sides — so even the 8-deep iteration replays bit-for-bit
+    * in DuckDB with no tolerance. The loading sign follows the
+    * all-ones init deterministically. */
+  private val embPca = Q(
+    "emb_pca_power",
+    (s, dir) => {
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      // d9: exactly what `CAST(round(x, 9) AS DECIMAL(28,9))` lands on
+      // in both engines — Spark's round IS BigDecimal HALF_UP, and the
+      // double→decimal(·,9) cast recovers the same 9-dp value
+      def d9(x: Double): JBD = new JBD(x).setScale(9, RoundingMode.HALF_UP)
+      def toD(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+
+      val ex = embDimExploded(s, dir)
+      val exd = ex.select(col("vec_id"), col("dim"), toD(col("xq")).as("xd"))
+      // ONE distributed pass: per-dim decimal sums + the Gram matrix,
+      // both map-side-collapsing to ≤ dims² metadata rows per task
+      val nVec = ex.agg(countDistinct(col("vec_id"))).collect()(0).getLong(0).toDouble
+      val mu: Map[Long, Double] = ex.groupBy("dim")
+        .agg(sum(col("xq")).cast("string").as("sum_q")).collect()
+        .map(r => r.getAs[Long]("dim") ->
+          new JBD(r.getAs[String]("sum_q")).doubleValue / nVec).toMap
+      val gram = exd.as("a").join(exd.as("b"), "vec_id")
+        .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+        .agg(sum(round(col("a.xd") * col("b.xd"), 9).cast("decimal(28,9)"))
+          .cast("string").as("s_q"))
+        .collect() // dims² = 4096 metadata rows — the centroid-collect size class
+      val cov: Map[(Long, Long), Double] = gram.map { r =>
+        val i = r.getAs[Long]("i"); val j = r.getAs[Long]("j")
+        (i, j) -> d9(new JBD(r.getAs[String]("s_q")).doubleValue / nVec
+          - mu(i) * mu(j)).doubleValue
+      }.toMap
+      // metadata stage: 8 exact matvecs on the 64-vector — decimal sums
+      // of 9-dp-rounded products, one double conversion per component
+      val dims = mu.keys.toSeq.sorted
+      var v: Map[Long, Double] = dims.map(_ -> 1.0).toMap
+      for (_ <- 1 to PcaIters) {
+        val t = dims.map { i =>
+          val sum = dims.foldLeft(JBD.ZERO)((acc, j) => acc.add(d9(cov((i, j)) * v(j))))
+          i -> sum.doubleValue
+        }.toMap
+        // max-abs rescale: without it the 9-dp product rounding sends
+        // the shrinking iterate to exactly zero within a few steps
+        val m = t.values.map(math.abs).max
+        v = t.map { case (i, x) => i -> d9(x / m).doubleValue }
+      }
+      val nrm = math.sqrt(
+        dims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(v(i) * v(i)))).doubleValue)
+      val spark = s
+      import spark.implicits._
+      dims.map(i => (i, new JBD(v(i) / nrm).setScale(6, RoundingMode.HALF_UP).doubleValue))
+        .toDF("dim", "loading")
+        .orderBy("dim")
+    },
+    Some {
+      val iters = (1 to PcaIters).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""t$k AS MATERIALIZED (SELECT c.i AS dim,
+                 CAST(CAST(sum(CAST(round(c.c * v.x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS x
+               FROM cov c JOIN $prev v ON c.j = v.dim GROUP BY c.i),
+      v$k AS MATERIALIZED (SELECT dim,
+                 CAST(CAST(CAST(round(x / (SELECT max(abs(x)) FROM t$k), 9)
+                      AS DECIMAL(28,9)) AS VARCHAR) AS DOUBLE) AS x
+               FROM t$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ex AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
+                    CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE), 6)
+                         AS DECIMAL(12,6)) AS xq
+             FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+      nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ex),
+      mu AS (SELECT dim,
+               CAST(CAST(sum(xq) AS VARCHAR) AS DOUBLE) / (SELECT n FROM nn) AS mu
+             FROM ex GROUP BY dim),
+      exd AS (SELECT vec_id, dim, CAST(CAST(xq AS VARCHAR) AS DOUBLE) AS xd FROM ex),
+      gram AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+                 sum(CAST(round(a.xd * b.xd, 9) AS DECIMAL(28,9))) AS s_q
+               FROM exd a JOIN exd b USING (vec_id) GROUP BY 1, 2),
+      cov AS MATERIALIZED (SELECT g.i, g.j,
+                round(CAST(CAST(g.s_q AS VARCHAR) AS DOUBLE) / (SELECT n FROM nn)
+                      - mi.mu * mj.mu, 9) AS c
+              FROM gram g
+              JOIN mu mi ON g.i = mi.dim
+              JOIN mu mj ON g.j = mj.dim),
+      v0 AS (SELECT dim, 1.0 AS x FROM mu),
+      $iters,
+      nrm AS (SELECT sqrt(CAST(CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS nrm
+              FROM v$PcaIters)
+      SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS loading
+      FROM v$PcaIters v ORDER BY v.dim"""
+    },
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize)
+    embDimStats, embStandardize, embPca)
 }
