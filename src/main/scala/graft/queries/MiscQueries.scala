@@ -1464,9 +1464,110 @@ object MiscQueries {
     },
   )
 
+  // ------------------------------------------------ ANN recall harness
+  /** Batched ANN self-evaluation — recall@10 / recall@20 /
+    * nearest-found of the IVF probe against brute-force ground truth
+    * for a query SET, in one plan. This is the eval harness a vector
+    * store runs after every index build: the recall numbers, not the
+    * index, are the deliverable.
+    *
+    * 100 TB design: the query set (10 rows) broadcasts against the
+    * corpus for ground truth, and both candidate lists collapse
+    * through the k-bounded [[TopKPerGroup]] packed heap — only
+    * k·(map partitions) rows per query cross any shuffle, never a
+    * rank window over the corpus partitioned by query. The IVF side
+    * scores probed buckets only (nprobe/16 of the corpus), exactly
+    * the production probe shape, and the per-query probe pick is a
+    * 16-row metadata window. Ground truth IS a full corpus scan by
+    * definition — that is what makes it ground truth — so eval runs
+    * on a sampled query set, not per user query. */
+  private val annEvalK = 20
+  private val annEval = Q(
+    "ann_eval_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      def topIds(scored: org.apache.spark.sql.DataFrame) = scored
+        .groupBy("q_id")
+        .agg(graft.operators.TopKPerGroup.topK(annEvalK)(col("cosine"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "sc")))
+        .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+          col("sc").getField("_2").as("vec_id"))
+      val brute = topIds(
+        emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id")) // self-match excluded: rank 1 must be a NEIGHBOR
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cosine")))
+      val cpairs = centroids.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("centroid_id"),
+          Similarity.cosine(col("centroid"), col("qv")).as("sim"))
+      val wprobe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("centroid_id"))
+      val probed = cpairs.withColumn("rn", row_number().over(wprobe))
+        .filter(col("rn") <= 4).select("q_id", "centroid_id")
+      val ivf = topIds(
+        assigned.join(broadcast(probed), Seq("centroid_id"))
+          .join(broadcast(queries), Seq("q_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cosine")))
+      ivf.as("i").join(brute.as("b"), Seq("q_id", "vec_id"))
+        .groupBy("q_id")
+        .agg(
+          (sum(when(col("b.rnk") <= 10 && col("i.rnk") <= 10, 1L).otherwise(0L))
+            .cast("double") / 10.0).as("recall_at_10"),
+          (count(lit(1)).cast("double") / annEvalK).as("recall_at_20"),
+          (max(when(col("b.rnk") === 1, 1L).otherwise(0L)) === 1L).as("nearest_found"))
+        .orderBy("q_id")
+    },
+    Some(IVF_ORACLE_PRELUDE + s""",
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      bs AS (SELECT q.q_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM e, q WHERE e.vec_id <> q.q_id),
+      brute AS (SELECT q_id, vec_id, rnk FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                  FROM bs) WHERE rnk <= $annEvalK),
+      cp AS (SELECT q.q_id, c.centroid_id,
+               list_sum(list_transform(range(1, len(c.centroid)+1),
+                 i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+             FROM c, q),
+      probed AS (SELECT q_id, centroid_id FROM (
+                   SELECT q_id, centroid_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, centroid_id) AS rn
+                   FROM cp) WHERE rn <= 4),
+      iscored AS (SELECT p.q_id, a.vec_id,
+               list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM assigned a JOIN probed p USING (centroid_id) JOIN q USING (q_id)
+             WHERE a.vec_id <> q_id),
+      ivf AS (SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                FROM iscored) WHERE rnk <= $annEvalK)
+      SELECT i.q_id,
+             CAST(sum(CASE WHEN b.rnk <= 10 AND i.rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+               AS recall_at_10,
+             CAST(count(*) AS DOUBLE) / $annEvalK AS recall_at_20,
+             max(CASE WHEN b.rnk = 1 THEN 1 ELSE 0 END) = 1 AS nearest_found
+      FROM ivf i JOIN brute b USING (q_id, vec_id)
+      GROUP BY i.q_id ORDER BY i.q_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize, embPca)
+    embDimStats, embStandardize, embPca, annEval)
 }
