@@ -1723,6 +1723,113 @@ object RelationalQueries {
     },
   )
 
+  /** A27 — sketch-algebra audience overlap: |click ∩ purchase| users
+    * estimated from HLL registers by inclusion–exclusion
+    * (|A| + |B| − |A∪B|, with |A∪B| the element-wise register max —
+    * the ONLY set operation HLL supports natively), beside the exact
+    * overlap as a self-auditing twin. The flagship CDP question —
+    * "how much do these two segments overlap?" — answered from
+    * metadata-sized sketches without rescanning raw events: at 100 TB
+    * the per-segment register tables are what's stored (a26 persists
+    * them daily), and ANY pair of segments intersects in O(M)
+    * register arithmetic. Intersection error grows as the overlap
+    * shrinks relative to the union (inclusion–exclusion subtracts two
+    * large estimates), which is why the exact twin rides along: the
+    * operator reports its own trustworthiness.
+    *
+    * One raw scan builds the 2×M register table (map-side collapse);
+    * every estimate below reads those ~128 metadata rows. */
+  private val a27Overlap = Q(
+    "a27_segment_overlap",
+    (s, dir) => {
+      import graft.operators.HllSketch
+      // segments chosen to overlap PARTIALLY (at sf0.01: 32 / 29 / 7
+      // shared) — every user both clicks and purchases at least once,
+      // so plain type membership would make A = B = A∪B and the
+      // intersection estimate vacuous
+      val keyed = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase") && col("value") >= 200)
+        .select(col("event_type"), col("user_id").cast("string").as("k"))
+      val regs = HllSketch.registers(keyed, Seq("event_type"), "k").persist()
+      val ab = HllSketch.estimate(regs, Seq("event_type"))
+      val u = HllSketch.estimate(
+        regs.groupBy("register").agg(max(col("rho")).as("rho"))
+          .withColumn("seg", lit("u")),
+        Seq("seg"))
+      val a = ab.filter(col("event_type") === "click")
+        .select(col("approx_distinct").as("approx_click"))
+      val b = ab.filter(col("event_type") === "purchase")
+        .select(col("approx_distinct").as("approx_purchase"))
+      val uu = u.select(col("approx_distinct").as("approx_union"))
+      val exact = keyed.groupBy("k")
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2)
+        .agg(count(lit(1)).as("exact_overlap"))
+      val out = a.crossJoin(broadcast(b)).crossJoin(broadcast(uu))
+        .crossJoin(broadcast(exact))
+        .select(
+          lit("click*purchase").as("pair"),
+          col("approx_click"), col("approx_purchase"), col("approx_union"),
+          (col("approx_click") + col("approx_purchase") - col("approx_union"))
+            .as("approx_overlap"),
+          col("exact_overlap"),
+          (col("approx_click") + col("approx_purchase") - col("approx_union")
+            - col("exact_overlap").cast("double")).as("overlap_err"))
+        .persist()
+      out.count() // materialize before releasing the register table
+      regs.unpersist()
+      out
+    },
+    Some {
+      import graft.operators.HllSketch.{AlphaM2Pow, LcThreshold, M, RhoMax}
+      def estSql(regs: String, keys: String): String = s"""
+        (SELECT $keys,
+                CASE WHEN $AlphaM2Pow / CAST(s_present
+                            + ($M - n_present) * (CAST(1 AS BIGINT) << $RhoMax)
+                            AS DOUBLE) <= $LcThreshold
+                          AND $M - n_present > 0
+                     THEN ${M.toDouble}
+                            * ln(${M.toDouble} / CAST($M - n_present AS DOUBLE))
+                     ELSE $AlphaM2Pow / CAST(s_present
+                            + ($M - n_present) * (CAST(1 AS BIGINT) << $RhoMax)
+                            AS DOUBLE)
+                END AS approx_distinct
+         FROM (SELECT $keys,
+                      sum(CAST(1 AS BIGINT) << ($RhoMax - rho)) AS s_present,
+                      count(*) AS n_present
+               FROM $regs GROUP BY $keys) t)"""
+      s"""
+      WITH keyed AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS k
+        FROM events WHERE event_type IN ('click', 'purchase') AND value >= 200),
+      h AS (SELECT event_type,
+                   CAST(concat('0x', substring(md5(k), 1, 15)) AS BIGINT) AS h
+            FROM keyed),
+      regs AS (SELECT event_type, h % $M AS register,
+                      max(CASE WHEN h // $M = 0 THEN $RhoMax
+                               ELSE $RhoMax - length(bin(h // $M)) END) AS rho
+               FROM h GROUP BY 1, 2),
+      uregs AS (SELECT 'u' AS seg, register, max(rho) AS rho
+                FROM regs GROUP BY 2),
+      ab AS ${estSql("regs", "event_type")},
+      uu AS ${estSql("uregs", "seg")},
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+               SELECT k FROM keyed GROUP BY k
+               HAVING count(DISTINCT event_type) = 2))
+      SELECT 'click*purchase' AS pair,
+             a.approx_distinct AS approx_click,
+             b.approx_distinct AS approx_purchase,
+             u.approx_distinct AS approx_union,
+             a.approx_distinct + b.approx_distinct - u.approx_distinct AS approx_overlap,
+             ex.exact_overlap,
+             a.approx_distinct + b.approx_distinct - u.approx_distinct
+               - CAST(ex.exact_overlap AS DOUBLE) AS overlap_err
+      FROM (SELECT approx_distinct FROM ab WHERE event_type = 'click') a,
+           (SELECT approx_distinct FROM ab WHERE event_type = 'purchase') b,
+           (SELECT approx_distinct FROM uu) u, ex"""
+    },
+  )
+
   /** A20 — time-weighted average (TWAP-style): per user, the average
     * of `value` weighted by how LONG each value was the user's latest
     * — Σ value·Δt / ΣΔt with Δt the micros until the next event. The
@@ -2422,7 +2529,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
