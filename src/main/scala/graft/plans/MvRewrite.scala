@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Transparent materialized-view substitution — the warehouse feature
+  * the reference leans on Redshift for (its analytical layers ARE
+  * materialized views the dashboards re-query): when a query plan
+  * CONTAINS a registered view's defining plan as a subtree, the
+  * optimizer swaps that subtree for a scan of the view's parquet, so
+  * consumers keep writing queries against base tables and silently
+  * read the precomputed rollup instead.
+  *
+  * Matching is SYNTACTIC CONTAINMENT over canonicalized plans (early
+  * Redshift/Oracle-style): the consumer must embed the definition
+  * verbatim modulo attribute renaming/exprIds — Catalyst
+  * canonicalization normalizes ids, literals and child order for us.
+  * Semantic subsumption (matching a WIDER aggregate and compensating)
+  * is deliberately out of scope; what this buys at 100 TB is the
+  * common case — re-aggregation and joins layered ON TOP of a shared
+  * daily rollup hit metadata-sized parquet instead of rescanning the
+  * raw events.
+  *
+  * Mechanics worth noting:
+  *   - the definition is stored OPTIMIZED-canonicalized, because this
+  *     rule runs inside the operator-optimization fixed point and sees
+  *     subtrees in optimized form;
+  *   - the replacement wires a Project of Aliases that REUSE the
+  *     matched subtree's exprIds, so parent operators' references
+  *     survive untouched;
+  *   - the stored scan is re-instanced per match
+  *     ([[MultiInstanceRelation]]), so one view appearing twice in a
+  *     plan (self-join of an MV) gets distinct attribute ids;
+  *   - a rewrite-on-top-of-rewrite cannot loop: the substituted
+  *     Project-over-relation no longer canonicalizes to the stored
+  *     aggregate.
+  *
+  * Staleness is the registrar's contract: pair registration with the
+  * incremental-refresh machinery ([[graft.etl.MaterializedView]] /
+  * [[graft.etl.AggregateView]]) and register only views those refresh
+  * loops keep current.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private final case class Entry(canonical: LogicalPlan, scan: LogicalPlan, path: String)
+
+  @volatile private var entries: List[Entry] = Nil
+
+  /** Register `path` (already written, already current) as the
+    * materialization of `definition`. `mv` must be a reader of that
+    * path whose column NAMES cover the definition's output. */
+  def register(definition: DataFrame, mv: DataFrame, path: String): Unit = {
+    val canonical = definition.queryExecution.optimizedPlan.canonicalized
+    val scan = mv.queryExecution.analyzed
+    val defCols = definition.queryExecution.analyzed.output.map(_.name).toSet
+    val mvCols = scan.output.map(_.name).toSet
+    require(defCols.subsetOf(mvCols),
+      s"MV at $path lacks definition columns: ${defCols -- mvCols}")
+    entries = Entry(canonical, scan, path) :: entries
+  }
+
+  def clear(): Unit = entries = Nil
+
+  /** Registered paths, for tests/ops introspection. */
+  def registered: Seq[String] = entries.map(_.path)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val es = entries
+    if (es.isEmpty) plan
+    else plan.transformUp {
+      case p if es.exists(_.canonical == p.canonicalized) =>
+        val e = es.find(_.canonical == p.canonicalized).get
+        val fresh = e.scan match {
+          case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+          case other => other
+        }
+        val byName = fresh.output.map(a => a.name -> a).toMap
+        Project(
+          p.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+          fresh)
+    }
+  }
+}

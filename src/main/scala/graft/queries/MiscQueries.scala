@@ -1354,19 +1354,21 @@ object MiscQueries {
     * SemDeDup-style dedup. Two genuinely-distributed stages and one
     * metadata stage:
     *
-    *   1. per-dimension means — the [[embDimStats]] aggregate;
-    *   2. the 64×64 Gram matrix S_ij = Σ x_i·x_j via a per-vector
-    *      self-join of the exploded frame (≤64×64 rows per vec_id,
-    *      never corpus×corpus) whose (i,j) hash aggregate collapses
-    *      MAP-SIDE to 4096 partial rows per task — the exchange
-    *      carries dims² metadata regardless of corpus size (at 100 TB
-    *      the explode+join pair would become one native outer-product
-    *      Aggregator pass, same exchange shape);
+    *   1+2. counts, per-dimension sums AND the 64×64 Gram matrix in
+    *      ONE corpus pass through the native
+    *      [[graft.operators.OuterProductSum]] Aggregator — exact
+    *      integer (micros/nanos) accumulation, so partials are
+    *      commutative long sums that collapse map-side to one
+    *      dims²-long buffer per task; the exchange carries buffers,
+    *      never rows. (The first cut exploded to corpus×dims rows and
+    *      self-joined per vec_id — correct, but 22 s at sf0.1 in
+    *      per-row decimal arithmetic; the Aggregator is the same
+    *      result in one tight-loop scan.)
     *   3. covariance C = S/n − μμᵀ and 8 power-iteration matvecs
-    *      v ← C·v DRIVER-SIDE on the collected dims² = 4096-row Gram
-    *      matrix — the same metadata size class as the collected IVF
+    *      v ← C·v DRIVER-SIDE on the collected dims² Gram triangle —
+    *      the same metadata size class as the collected IVF
     *      centroids ([[graft.ext.Similarity]]), and the corpus is
-    *      never touched again after stage 2.
+    *      never touched again after the single pass.
     *
     * Cross-engine exactness: every sum that crosses rows is an exact
     * DECIMAL sum of 9-dp-rounded double products (the dsir/zipf
@@ -1378,34 +1380,29 @@ object MiscQueries {
     "emb_pca_power",
     (s, dir) => {
       import java.math.{BigDecimal => JBD, RoundingMode}
+      import graft.operators.OuterProductSum
       // d9: exactly what `CAST(round(x, 9) AS DECIMAL(28,9))` lands on
       // in both engines — Spark's round IS BigDecimal HALF_UP, and the
       // double→decimal(·,9) cast recovers the same 9-dp value
       def d9(x: Double): JBD = new JBD(x).setScale(9, RoundingMode.HALF_UP)
-      def toD(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
 
-      val ex = embDimExploded(s, dir)
-      val exd = ex.select(col("vec_id"), col("dim"), toD(col("xq")).as("xd"))
-      // ONE distributed pass: per-dim decimal sums + the Gram matrix,
-      // both map-side-collapsing to ≤ dims² metadata rows per task
-      val nVec = ex.agg(countDistinct(col("vec_id"))).collect()(0).getLong(0).toDouble
-      val mu: Map[Long, Double] = ex.groupBy("dim")
-        .agg(sum(col("xq")).cast("string").as("sum_q")).collect()
-        .map(r => r.getAs[Long]("dim") ->
-          new JBD(r.getAs[String]("sum_q")).doubleValue / nVec).toMap
-      val gram = exd.as("a").join(exd.as("b"), "vec_id")
-        .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-        .agg(sum(round(col("a.xd") * col("b.xd"), 9).cast("decimal(28,9)"))
-          .cast("string").as("s_q"))
-        .collect() // dims² = 4096 metadata rows — the centroid-collect size class
-      val cov: Map[(Long, Long), Double] = gram.map { r =>
-        val i = r.getAs[Long]("i"); val j = r.getAs[Long]("j")
-        (i, j) -> d9(new JBD(r.getAs[String]("s_q")).doubleValue / nVec
-          - mu(i) * mu(j)).doubleValue
-      }.toMap
+      val D = 64
+      // ONE corpus pass: the native outer-product Aggregator accumulates
+      // n, per-dim micro-sums and the nanos Gram triangle as exact longs
+      // (map-side partials collapse to one buffer per task; see
+      // OuterProductSum for the overflow headroom analysis)
+      val (nRows, sMicros, pNanos) = OuterProductSum.unpack(
+        Tables.embeddings(s, dir)
+          .agg(OuterProductSum.of(col("embedding"), D)).collect()(0))
+      val nVec = nRows.toDouble
+      val mu = Array.tabulate(D)(i => sMicros(i).toDouble / 1e6 / nVec)
+      val cov: Map[(Long, Long), Double] = (for {
+        i <- 0 until D; j <- 0 until D
+      } yield (i.toLong + 1, j.toLong + 1) ->
+        d9(pNanos(i, j).toDouble / 1e9 / nVec - mu(i) * mu(j)).doubleValue).toMap
       // metadata stage: 8 exact matvecs on the 64-vector — decimal sums
       // of 9-dp-rounded products, one double conversion per component
-      val dims = mu.keys.toSeq.sorted
+      val dims = (1L to D.toLong).toSeq
       var v: Map[Long, Double] = dims.map(_ -> 1.0).toMap
       for (_ <- 1 to PcaIters) {
         val t = dims.map { i =>
@@ -1443,14 +1440,15 @@ object MiscQueries {
              FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
       nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ex),
       mu AS (SELECT dim,
-               CAST(CAST(sum(xq) AS VARCHAR) AS DOUBLE) / (SELECT n FROM nn) AS mu
+               CAST(sum(CAST(xq * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0
+                 / (SELECT n FROM nn) AS mu
              FROM ex GROUP BY dim),
       exd AS (SELECT vec_id, dim, CAST(CAST(xq AS VARCHAR) AS DOUBLE) AS xd FROM ex),
       gram AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
-                 sum(CAST(round(a.xd * b.xd, 9) AS DECIMAL(28,9))) AS s_q
+                 sum(CAST(round(a.xd * b.xd * 1000000000, 0) AS BIGINT)) AS s9
                FROM exd a JOIN exd b USING (vec_id) GROUP BY 1, 2),
       cov AS MATERIALIZED (SELECT g.i, g.j,
-                round(CAST(CAST(g.s_q AS VARCHAR) AS DOUBLE) / (SELECT n FROM nn)
+                round(CAST(g.s9 AS DOUBLE) / 1000000000.0 / (SELECT n FROM nn)
                       - mi.mu * mj.mu, 9) AS c
               FROM gram g
               JOIN mu mi ON g.i = mi.dim
