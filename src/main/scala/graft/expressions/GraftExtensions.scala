@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.DedupWindowToMaxBy)
     ext.injectOptimizerRule(_ => graft.plans.DeferExpensiveProjectPastSort)
+    // analysis-time hook — see MvRewrite's scaladoc for why it cannot
+    // live in the optimizer (pruning destroys the containment)
+    ext.injectPostHocResolutionRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

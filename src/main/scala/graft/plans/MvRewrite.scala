@@ -14,20 +14,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * consumers keep writing queries against base tables and silently
   * read the precomputed rollup instead.
   *
-  * Matching is SYNTACTIC CONTAINMENT over canonicalized plans (early
-  * Redshift/Oracle-style): the consumer must embed the definition
-  * verbatim modulo attribute renaming/exprIds — Catalyst
-  * canonicalization normalizes ids, literals and child order for us.
-  * Semantic subsumption (matching a WIDER aggregate and compensating)
-  * is deliberately out of scope; what this buys at 100 TB is the
-  * common case — re-aggregation and joins layered ON TOP of a shared
-  * daily rollup hit metadata-sized parquet instead of rescanning the
-  * raw events.
+  * Matching is SYNTACTIC CONTAINMENT over canonicalized ANALYZED
+  * plans (early Redshift/Oracle-style): the consumer must embed the
+  * definition verbatim modulo attribute renaming/exprIds — Catalyst
+  * canonicalization normalizes ids and literals for us. Semantic
+  * subsumption (matching a WIDER aggregate and compensating) is
+  * deliberately out of scope; what this buys at 100 TB is the common
+  * case — re-aggregation and joins layered ON TOP of a shared daily
+  * rollup hit metadata-sized parquet instead of rescanning raw events.
   *
   * Mechanics worth noting:
-  *   - the definition is stored OPTIMIZED-canonicalized, because this
-  *     rule runs inside the operator-optimization fixed point and sees
-  *     subtrees in optimized form;
+  *   - the rule runs at ANALYSIS time (post-hoc resolution), not in
+  *     the optimizer: once the optimizer's column pruning and
+  *     project-collapse touch the consumer, the embedded definition
+  *     subtree no longer equals anything (pruned aggregates, folded
+  *     grouping expressions) — at analysis time the containment is
+  *     literal. The substituted scan then flows through the normal
+  *     optimizer, so a consumer using two MV columns still gets its
+  *     pruned two-column parquet read;
   *   - the replacement wires a Project of Aliases that REUSE the
   *     matched subtree's exprIds, so parent operators' references
   *     survive untouched;
@@ -53,7 +57,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * materialization of `definition`. `mv` must be a reader of that
     * path whose column NAMES cover the definition's output. */
   def register(definition: DataFrame, mv: DataFrame, path: String): Unit = {
-    val canonical = definition.queryExecution.optimizedPlan.canonicalized
+    val canonical = definition.queryExecution.analyzed.canonicalized
     val scan = mv.queryExecution.analyzed
     val defCols = definition.queryExecution.analyzed.output.map(_.name).toSet
     val mvCols = scan.output.map(_.name).toSet
@@ -71,7 +75,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     val es = entries
     if (es.isEmpty) plan
     else plan.transformUp {
-      case p if es.exists(_.canonical == p.canonicalized) =>
+      // class check first — canonicalization is the expensive part
+      case p if es.exists(e => e.canonical.getClass == p.getClass &&
+          e.canonical == p.canonicalized) =>
         val e = es.find(_.canonical == p.canonicalized).get
         val fresh = e.scan match {
           case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
