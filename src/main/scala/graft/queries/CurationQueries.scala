@@ -1627,6 +1627,103 @@ object CurationQueries {
       FROM dd ORDER BY lang"""),
   )
 
+  /** Heaps-law vocabulary growth — V(n) = K·n^β, the second classic
+    * corpus law beside [[zipfFit]]'s rank-frequency line: how fast the
+    * DISTINCT vocabulary grows as the corpus streams past. Natural
+    * text sits at β ≈ 0.4–0.6; a saturating (synthetic, templated, or
+    * exhausted-domain) corpus fits β ≈ 0 — the one-number "is more
+    * data still buying new words?" signal a tokenizer-training run
+    * checks before adding another crawl dump.
+    *
+    * Growth points are measured at LOG-SPACED checkpoints of the
+    * global corpus order (docs 1, 2, 4, …, 256, plus the corpus end —
+    * Heaps growth is a power law, so linear checkpoints land after
+    * saturation and fit a flat line); V(checkpoint) = token types
+    * whose FIRST occurrence falls at or before that many tokens.
+    *
+    * 100 TB design: the global token offset per document rides
+    * [[graft.operators.PrefixSum]]'s two-phase running sum (a single
+    * "corpus" stratum is exactly the hot-stratum case it bounds);
+    * first-occurrence positions collapse map-side to one row per
+    * vocabulary type; the 10-row checkpoint frame broadcasts against
+    * the vocabulary table; the ln/least-squares fit uses the same
+    * 9-dp-quantized exact-decimal moments as the Zipf fit, so the
+    * regression replays bit-for-bit in DuckDB. */
+  private val heapsFit = Q(
+    "corpus_heaps_fit",
+    (s, dir) => {
+      import graft.operators.PrefixSum
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("corpus", lit("all"))
+      val cum = PrefixSum.runningSum(
+        d, Seq("corpus"), Seq(col("doc_id")), col("n_tok"), "cum_end")
+        .withColumn("cum_start", col("cum_end") - col("n_tok"))
+      val firstPos = cum
+        .select(col("cum_start"), posexplode(col("t")).as(Seq("p0", "tok")))
+        .groupBy("tok")
+        .agg(min(col("cum_start") + col("p0") + 1).as("first_pos"))
+      val ckpts = cum
+        .filter(((col("doc_id") + 1).bitwiseAND(col("doc_id")) === 0) ||
+          col("doc_id") === 499)
+        .select(col("doc_id").as("ckpt_doc"), col("cum_end").as("n_tokens"))
+      val growth = firstPos.crossJoin(broadcast(ckpts))
+        .filter(col("first_pos") <= col("n_tokens"))
+        .groupBy("ckpt_doc", "n_tokens")
+        .agg(count(lit(1)).as("vocab_size"))
+      val xy = growth.select(col("ckpt_doc"), col("n_tokens"), col("vocab_size"),
+        round(log(col("n_tokens").cast("double")), 9).cast("decimal(12,9)").as("x"),
+        round(log(col("vocab_size").cast("double")), 9).cast("decimal(12,9)").as("y"))
+      val m = xy.agg(count(lit(1)).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      def dd(c: String) = col(c).cast("double")
+      val nD = col("np").cast("double")
+      val beta = (nD * dd("sxy") - dd("sx") * dd("sy")) /
+        (nD * dd("sxx") - dd("sx") * dd("sx"))
+      val fit = m.select(beta.as("heaps_beta"),
+        ((dd("sy") - beta * dd("sx")) / nD).as("heaps_ln_k"))
+      xy.select("ckpt_doc", "n_tokens", "vocab_size")
+        .crossJoin(broadcast(fit))
+        .orderBy("ckpt_doc")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(sum(len(string_split(text, ' '))) OVER (
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+                 FROM documents),
+      b AS (SELECT doc_id, t, n_tok, cum_end, cum_end - n_tok AS cum_start FROM a),
+      fp AS (SELECT t[CAST(u.i AS INT)] AS tok,
+                    min(cum_start + u.i) AS first_pos
+             FROM b, unnest(range(1, CAST(n_tok AS INT) + 1)) u(i)
+             GROUP BY 1),
+      ck AS (SELECT doc_id AS ckpt_doc, cum_end AS n_tokens
+             FROM b WHERE ((doc_id + 1) & doc_id) = 0 OR doc_id = 499),
+      g AS (SELECT ck.ckpt_doc, ck.n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM fp, ck WHERE fp.first_pos <= ck.n_tokens GROUP BY 1, 2),
+      xy AS (SELECT ckpt_doc, n_tokens, vocab_size,
+                    CAST(round(ln(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+                    CAST(round(ln(CAST(vocab_size AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+             FROM g),
+      m AS (SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy),
+      dd AS (SELECT CAST(np AS DOUBLE) AS nd,
+                    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+             FROM m)
+      SELECT xy.ckpt_doc, xy.n_tokens, xy.vocab_size,
+             (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS heaps_beta,
+             (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+               / nd AS heaps_ln_k
+      FROM xy, dd ORDER BY xy.ckpt_doc"""),
+  )
+
   /** A bigram needs this many occurrences before its PMI is trusted —
     * the sparse-count guard every collocation recipe applies (PMI of a
     * count-1 pair is pure noise). */
@@ -2189,5 +2286,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
-    piiRedact, piiReport)
+    piiRedact, piiReport, heapsFit)
 }
