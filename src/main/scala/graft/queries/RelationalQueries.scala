@@ -1830,6 +1830,79 @@ object RelationalQueries {
     },
   )
 
+  /** A28 — A/B experiment analysis as an A/A CALIBRATION: users are
+    * deterministically hashed into two arms (the same Knuth
+    * multiplicative hash the data-mix samplers share — reproducible,
+    * retry-safe assignment is THE experiment-platform requirement),
+    * purchase conversion is compared with the two-proportion pooled
+    * z-test, and because both arms draw from the same population the
+    * z-score MUST be insignificant — a harness that can't pass an A/A
+    * test produces false launches. Real experiments swap the arm
+    * predicate for treatment membership; the statistics don't change.
+    *
+    * 100 TB design: per-user conversion collapses map-side in one
+    * hash aggregate; the arm rollup is a 2-row aggregate; the z
+    * arithmetic is exact-count double expressions with identical
+    * shape on both sides. */
+  private val a28AbCalibration = Q(
+    "a28_ab_calibration",
+    (s, dir) => {
+      // conversion = a ≥200-value purchase: EVERY user purchases at
+      // least once in this lake, so plain purchase conversion is 100%
+      // in both arms and the pooled variance degenerates to 0/0
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 200, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm",
+          when(CurationQueries.mixBucketHash(col("user_id")) % 2 === 0, "A")
+            .otherwise("B"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n_users").as("na"), col("n_converted").as("ca"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n_users").as("nb"), col("n_converted").as("cb"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val caD = col("ca").cast("double"); val cbD = col("cb").cast("double")
+      val pa = caD / naD; val pb = cbD / nbD
+      val pPool = (caD + cbD) / (naD + nbD)
+      val z = (pa - pb) / nullif(
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / naD + lit(1.0) / nbD)), lit(0.0))
+      a.crossJoin(broadcast(b))
+        .select(col("na"), col("ca"), col("nb"), col("cb"),
+          pa.as("rate_a"), pb.as("rate_b"), z.as("z_score"),
+          (abs(z) > 1.96).as("significant"))
+    },
+    Some(s"""
+      WITH pu AS (SELECT user_id,
+                    max(CASE WHEN event_type = 'purchase' AND value >= 200
+                             THEN 1 ELSE 0 END) AS converted,
+                    CASE WHEN (${CurationQueries.mixBucketHashSql("user_id")}) % 2 = 0
+                         THEN 'A' ELSE 'B' END AS arm
+                  FROM events GROUP BY user_id),
+      arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                      CAST(sum(converted) AS BIGINT) AS n_converted
+               FROM pu GROUP BY arm),
+      ab AS (SELECT
+               (SELECT n_users FROM arms WHERE arm = 'A') AS na,
+               (SELECT n_converted FROM arms WHERE arm = 'A') AS ca,
+               (SELECT n_users FROM arms WHERE arm = 'B') AS nb,
+               (SELECT n_converted FROM arms WHERE arm = 'B') AS cb)
+      SELECT na, ca, nb, cb,
+             CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS rate_a,
+             CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS rate_b,
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / nullif(sqrt((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 0.0) AS z_score,
+             abs((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / nullif(sqrt((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 0.0)) > 1.96 AS significant
+      FROM ab"""),
+  )
+
   /** A20 — time-weighted average (TWAP-style): per user, the average
     * of `value` weighted by how LONG each value was the user's latest
     * — Σ value·Δt / ΣΔt with Δt the micros until the next event. The
@@ -2529,7 +2602,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
