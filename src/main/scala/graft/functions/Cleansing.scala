@@ -123,4 +123,22 @@ object Cleansing {
     * row survives when every flag is NULL or false. */
   def notSoftDeleted(flags: Column*): Column =
     flags.map(f => f.isNull || f === lit(false)).reduce(_ && _)
+
+  /** PII regex needles `(category, pattern, mask-tag)` — ONE list for
+    * the batch redaction (`corpus_pii_redact`/`corpus_pii_report`) and
+    * the streaming ingest scrub ([[graft.streaming.CorpusIngest]]), so
+    * what the nightly pass masks and what the stream refuses to
+    * persist can never drift. Plain-ASCII patterns meaning the same
+    * thing under Java regex and RE2; categories are mutually
+    * non-overlapping, so mask order can't change counts. */
+  val PiiNeedles: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+1 \\(\\d{3}\\) \\d{3}-\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IPV4>"))
+
+  /** Mask every PII span with its category tag — compiled regex chain,
+    * rides any scan, idempotent (tags match no needle). */
+  def piiMask(text: Column): Column =
+    PiiNeedles.foldLeft(text) { case (c, (_, re, tag)) => regexp_replace(c, re, tag) }
 }

@@ -2124,20 +2124,18 @@ object CurationQueries {
   )
 
   // ---------------------------------------------------------------- PII
-  /** PII regex needles, one per category. Plain-ASCII patterns chosen
-    * to mean the same thing under Java regex (Spark) and RE2 (DuckDB):
-    * no backreferences, no lookaround, `\b` word boundaries only
-    * against non-word neighbours (space / dot / dash), non-capturing
-    * groups. Masking order is fixed (email → ssn → phone → ipv4); the
-    * four categories are mutually non-overlapping on any input — an
-    * email has no 3-2-4 dash run, the phone's NANP tail is 3-4, an
-    * IPv4 literal has no `@`/dash — so counts taken on the RAW text
-    * equal counts taken mid-masking regardless of order. */
-  private[queries] val PiiNeedles: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
-    ("phone", "\\+1 \\(\\d{3}\\) \\d{3}-\\d{4}", "<PHONE>"),
-    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IPV4>"))
+  /** PII regex needles, one per category — defined ONCE in
+    * [[graft.functions.Cleansing.PiiNeedles]] (shared with the
+    * streaming ingest scrub). Patterns are dialect-neutral (Java regex
+    * = RE2 here): no backreferences, no lookaround, `\b` boundaries
+    * only against non-word neighbours, non-capturing groups. Masking
+    * order is fixed (email → ssn → phone → ipv4); the four categories
+    * are mutually non-overlapping on any input — an email has no
+    * 3-2-4 dash run, the phone's NANP tail is 3-4, an IPv4 literal
+    * has no `@`/dash — so counts taken on the RAW text equal counts
+    * taken mid-masking regardless of order. */
+  private[queries] val PiiNeedles: Seq[(String, String, String)] =
+    graft.functions.Cleansing.PiiNeedles
 
   /** Deterministic PII-bearing corpus: the documents table with
     * contact-shaped strings appended, keyed off doc_id (the same
@@ -2196,11 +2194,8 @@ object CurationQueries {
     val counted = PiiNeedles.foldLeft(raw) { case (df, (cat, re, _)) =>
       df.withColumn(s"n_$cat", regexp_count(col("raw_text"), lit(re)))
     }
-    val masked = PiiNeedles.foldLeft(col("raw_text")) {
-      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
-    }
     counted
-      .withColumn("clean_text", masked)
+      .withColumn("clean_text", graft.functions.Cleansing.piiMask(col("raw_text")))
       .withColumn("has_pii",
         PiiNeedles.map { case (cat, _, _) => col(s"n_$cat") > 0 }
           .reduce(_ || _))

@@ -93,7 +93,14 @@ object CorpusIngest {
       minQuality: Double,
       frozenGate: Option[FrozenGate]): BatchStats = {
     val input = batch.count()
+    // PII scrub at the BOUNDARY, before gating/hashing/state: the
+    // state store, band index and accept table only ever hold masked
+    // text (nothing downstream can leak what was never persisted), and
+    // two documents differing only in contact strings dedup together.
+    // Same needle list as the batch redaction (Cleansing.PiiNeedles) —
+    // the train/serve-consistency discipline applied to compliance.
     val nonNull = batch.filter(col(textCol).isNotNull)
+      .withColumn(textCol, graft.functions.Cleansing.piiMask(col(textCol)))
     val admitted = frozenGate match {
       case None =>
         nonNull.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)

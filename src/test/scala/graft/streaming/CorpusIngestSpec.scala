@@ -124,4 +124,31 @@ class CorpusIngestSpec extends AnyFunSuite {
     // 11 screened (corpus near-dup), 12 deduped against 10's hash in state
     assert(landed == Set(10L, 13L))
   }
+
+  test("PII is scrubbed at the boundary: nothing persisted holds a needle, PII-only variants dedup") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("ingest_pii").toString
+    val bands = TextLsh.bandRows(corpus(), "doc_id", "text")
+
+    val base = goodText("piidoc")
+    val batch = Seq(
+      (21L, base + " reach cust7@shop3.net"),    // same doc, two different
+      (22L, base + " reach cust9@shop1.net"),    //   contact strings
+      (23L, goodText("cleanpii") + " id 987-65-4321 from 192.168.7.49"))
+      .toDF("doc_id", "text")
+    val s = CorpusIngest.ingestBatch(batch, "doc_id", "text",
+      bands, s"$dir/state", s"$dir/accept")
+    // masked, 21 and 22 are byte-identical → in-batch dedup catches 22
+    assert(s.dupInBatch == 1, s.toString)
+    assert(s.accepted == 2, s.toString)
+
+    val accepted = spark.read.parquet(s"$dir/accept")
+    val texts = accepted.select("text").collect().map(_.getString(0))
+    val needles = graft.functions.Cleansing.PiiNeedles.map(_._2.r)
+    for (t <- texts; re <- needles)
+      assert(re.findFirstIn(t).isEmpty, s"persisted text leaked PII: $t")
+    assert(texts.exists(_.contains("<EMAIL>")))
+    assert(texts.exists(t => t.contains("<SSN>") && t.contains("<IPV4>")))
+  }
 }
