@@ -1376,9 +1376,10 @@ object MiscQueries {
     * both sides — so even the 8-deep iteration replays bit-for-bit
     * in DuckDB with no tolerance. The loading sign follows the
     * all-ones init deterministically. */
-  private val embPca = Q(
-    "emb_pca_power",
-    (s, dir) => {
+  /** The full loadings computation behind `emb_pca_power`, shared with
+    * the projection query: (dim → 6-dp loading), dims 1-based. */
+  private def pcaLoadings(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Double)] = {
       import java.math.{BigDecimal => JBD, RoundingMode}
       import graft.operators.OuterProductSum
       // d9: exactly what `CAST(round(x, 9) AS DECIMAL(28,9))` lands on
@@ -1416,13 +1417,14 @@ object MiscQueries {
       }
       val nrm = math.sqrt(
         dims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(v(i) * v(i)))).doubleValue)
-      val spark = s
-      import spark.implicits._
-      dims.map(i => (i, new JBD(v(i) / nrm).setScale(6, RoundingMode.HALF_UP).doubleValue))
-        .toDF("dim", "loading")
-        .orderBy("dim")
-    },
-    Some {
+      dims.map(i =>
+        i -> new JBD(v(i) / nrm).setScale(6, RoundingMode.HALF_UP).doubleValue)
+  }
+
+  /** SQL twin of [[pcaLoadings]]: the full WITH-chain through `nrm`;
+    * consumers append their own final select (and a `loadings` CTE for
+    * the projection). */
+  private def pcaOracleCtes: String = {
       val iters = (1 to PcaIters).map { k =>
         val prev = if (k == 1) "v0" else s"v${k - 1}"
         s"""t$k AS MATERIALIZED (SELECT c.i AS dim,
@@ -1433,8 +1435,7 @@ object MiscQueries {
                       AS DECIMAL(28,9)) AS VARCHAR) AS DOUBLE) AS x
                FROM t$k)"""
       }.mkString(",\n      ")
-      s"""
-      WITH ex AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
+      s"""ex AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
                     CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE), 6)
                          AS DECIMAL(12,6)) AS xq
              FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
@@ -1456,10 +1457,76 @@ object MiscQueries {
       v0 AS (SELECT dim, 1.0 AS x FROM mu),
       $iters,
       nrm AS (SELECT sqrt(CAST(CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS nrm
-              FROM v$PcaIters)
-      SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS loading
-      FROM v$PcaIters v ORDER BY v.dim"""
+              FROM v$PcaIters)"""
+  }
+
+  private def pcaFinalCte: String = s"v$PcaIters"
+
+  private val embPca = Q(
+    "emb_pca_power",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      pcaLoadings(s, dir).toDF("dim", "loading").orderBy("dim")
     },
+    Some(s"""
+      WITH $pcaOracleCtes
+      SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS loading
+      FROM $pcaFinalCte v ORDER BY v.dim"""),
+  )
+
+  /** Per-vector projection onto the top principal component, bucketed
+    * into GLOBAL rank deciles — the semantic-diversity coordinate a
+    * curation pass stratifies on (sample uniformly across PC1 deciles
+    * and no single embedding cluster dominates the mix). Composes
+    * [[pcaLoadings]] (one corpus pass + driver matvecs), a broadcast
+    * 64-row loadings join, and [[graft.operators.PrefixSum]]'s
+    * two-phase rank — a single "corpus" stratum, exactly the
+    * hot-stratum case it bounds; no global rank window anywhere.
+    *
+    * Exactness: the projection is an order-independent long-nanos sum
+    * of per-component products (the [[graft.operators.OuterProductSum]]
+    * discipline), so ranking keys are bit-identical cross-engine and
+    * the decile boundaries cannot drift. */
+  private val embPcaProject = Q(
+    "emb_pca_project",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val loadings = pcaLoadings(s, dir).toDF("dim", "loading")
+      val proj = embDimExploded(s, dir)
+        .select(col("vec_id"), col("dim"),
+          col("xq").cast("string").cast("double").as("xd"))
+        .join(broadcast(loadings), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(round(col("xd") * col("loading") * 1e9).cast("long")).as("nanos"))
+        .select(col("vec_id"),
+          round(col("nanos").cast("double") / 1e9, 6).as("pc1"))
+        .withColumn("corpus", lit("all"))
+      val n = proj.groupBy("corpus").agg(count(lit(1)).as("n_vectors"))
+      graft.operators.PrefixSum.runningSum(
+          proj, Seq("corpus"), Seq(col("pc1").desc, col("vec_id")), lit(1L), "rnk")
+        .join(broadcast(n), Seq("corpus"))
+        .withColumn("decile", ((col("rnk") - 1) * 10 / col("n_vectors")).cast("long") + 1)
+        .select("vec_id", "pc1", "rnk", "n_vectors", "decile")
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH $pcaOracleCtes,
+      loadings AS (SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS loading
+                   FROM $pcaFinalCte v),
+      pr AS (SELECT e.vec_id,
+               round(CAST(sum(CAST(round(e.xd * l.loading * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0, 6) AS pc1
+             FROM exd e JOIN loadings l USING (dim)
+             GROUP BY e.vec_id),
+      r AS (SELECT vec_id, pc1,
+                   CAST(row_number() OVER (ORDER BY pc1 DESC, vec_id) AS BIGINT) AS rnk,
+                   CAST(count(*) OVER () AS BIGINT) AS n_vectors
+            FROM pr)
+      SELECT vec_id, pc1, rnk, n_vectors,
+             CAST((rnk - 1) * 10 // n_vectors + 1 AS BIGINT) AS decile
+      FROM r ORDER BY vec_id"""),
   )
 
   // ------------------------------------------------ ANN recall harness
@@ -1567,5 +1634,5 @@ object MiscQueries {
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize, embPca, annEval)
+    embDimStats, embStandardize, embPca, embPcaProject, annEval)
 }
