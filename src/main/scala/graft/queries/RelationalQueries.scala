@@ -1228,6 +1228,96 @@ object RelationalQueries {
     * per-customer order chains (tens of rows), never a stratum. Day
     * numbers are integer datediffs from epoch — identical arithmetic
     * both engines; the sum is decimal-exact before the double cast. */
+  // ------------------------------- label-propagation communities
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * co-purchase graph — community DETECTION beside the triangle
+    * query's local clustering and PageRank's centrality: parts that
+    * sell together cluster into merchandising groups. Four synchronous
+    * rounds from singleton labels; each round every node adopts the
+    * most frequent label among its neighbours, ties to the SMALLEST
+    * label — fully deterministic (the classic async/random-order LPA
+    * is not replayable). Fixed rounds, not convergence-tested:
+    * synchronous LPA can 2-cycle on bipartite-ish regions, so a fixed
+    * budget IS the contract, and the oracle unrolls exactly the same
+    * four rounds.
+    *
+    * 100 TB design: one round = (edge ⋈ labels) + three map-side
+    * collapsing hash aggregates — count per (node, label), max count
+    * per node, min label at the max — no windows, no all-pairs;
+    * per-round lineage is cut and released via Lineage.checkpointed
+    * exactly like ConnectedComponents. The argmax spelling (max-count
+    * then min-label-at-max) is chosen over a packed struct max
+    * because it means the same thing in ANY engine — which is what
+    * the differential proves. */
+  private val graphLpa = Q(
+    "graph_lpa_communities",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select("x", "y")
+      val eb = edges.select(col("x").as("nbr"), col("y").as("node"))
+        .unionByName(edges.select(col("y").as("nbr"), col("x").as("node")))
+        .persist()
+      var (labels, release) = graft.Lineage.checkpointed(
+        eb.select(col("node")).distinct()
+          .select(col("node"), col("node").as("lbl")))
+      for (_ <- 1 to 4) {
+        val cnts = eb
+          .join(labels.select(col("node").as("nbr"), col("lbl").as("nl")), "nbr")
+          .groupBy(col("node"), col("nl"))
+          .agg(count(lit(1)).as("cnt"))
+        val best = cnts.groupBy("node").agg(max(col("cnt")).as("mc"))
+        val (next, releaseNext) = graft.Lineage.checkpointed(
+          cnts.join(best, Seq("node"))
+            .filter(col("cnt") === col("mc"))
+            .groupBy("node").agg(min(col("nl")).as("lbl")))
+        release()
+        release = releaseNext
+        labels = next
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      val out = labels.join(sizes, Seq("lbl"))
+        .select(col("node").as("partkey"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy("partkey")
+        .persist()
+      out.count() // materialize before releasing the label chain
+      release()
+      eb.unpersist()
+      out
+    },
+    Some {
+      val rounds = (1 to 4).map { k =>
+        s"""c$k AS (SELECT e.node, l.lbl AS nl, count(*) AS cnt
+               FROM eb e JOIN l${k - 1} l ON e.nbr = l.node GROUP BY 1, 2),
+      m$k AS (SELECT node, max(cnt) AS mc FROM c$k GROUP BY 1),
+      l$k AS MATERIALIZED (SELECT c.node, min(c.nl) AS lbl
+               FROM c$k c JOIN m$k m ON c.node = m.node AND c.cnt = m.mc
+               GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ed AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      eb AS MATERIALIZED (SELECT x AS nbr, y AS node FROM ed
+                          UNION ALL SELECT y AS nbr, x AS node FROM ed),
+      l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM eb),
+      $rounds,
+      sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+             FROM l4 GROUP BY 1)
+      SELECT l.node AS partkey, l.lbl AS community, sz.community_size
+      FROM l4 l JOIN sz USING (lbl) ORDER BY partkey"""
+    },
+  )
+
   private val w5Rolling = Q(
     "w5_rolling_7d_spend",
     (s, dir) => {
@@ -2601,7 +2691,7 @@ object RelationalQueries {
     j14Overlap, a25SmallQty, j15SoleLate,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, graphTriangles, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
+    s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
