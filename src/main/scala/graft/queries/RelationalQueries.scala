@@ -1228,6 +1228,72 @@ object RelationalQueries {
     * per-customer order chains (tens of rows), never a stratum. Day
     * numbers are integer datediffs from epoch — identical arithmetic
     * both engines; the sum is decimal-exact before the double cast. */
+  // ------------------------------------- daily anomaly detection
+  /** A29 — trailing-window anomaly flags on daily purchase revenue:
+    * each day scored against the mean/σ of the PRECEDING 7 days
+    * (current day excluded — an outlier must not vote on its own
+    * baseline), |z| > 2 flags the day. The ops-monitoring primitive
+    * behind every "metric moved" alert; the EWMA query (w8) smooths,
+    * this one DECIDES.
+    *
+    * Exactness: daily revenue is an exact DECIMAL(18,2) sum; the
+    * trailing moments are exact decimal window sums of x and x² with
+    * one double conversion at the end (the a17 discipline applied to
+    * a window frame), so z is bit-identical cross-engine. The
+    * day-level window runs over an AGGREGATE output — a year is ~365
+    * rows of metadata, not a corpus stratum. */
+  private val a29Anomalies = Q(
+    "a29_daily_anomalies",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      def toD(c: Column) = c.cast("string").cast("double")
+      val framed = daily
+        .withColumn("s7", sum(col("rev")).over(w))
+        .withColumn("q7", sum(col("rev") * col("rev")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+      val n = col("n7").cast("double")
+      val mean = toD(col("s7")) / n
+      val sd = sqrt((toD(col("q7")) - toD(col("s7")) * toD(col("s7")) / n) / n)
+      val z = (toD(col("rev")) - mean) / nullif(sd, lit(0.0))
+      framed.select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          toD(col("rev")).as("revenue"),
+          round(mean, 6).as("mean7"),
+          round(sd, 6).as("sd7"),
+          round(z, 6).as("z_score"),
+          (abs(z) > 2.0).as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                        sum(CAST(value AS DECIMAL(18,2))) AS rev
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      f AS (SELECT day, rev,
+              sum(rev) OVER w AS s7,
+              sum(rev * rev) OVER w AS q7,
+              count(*) OVER w AS n7
+            FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      g AS (SELECT strftime(day, '%Y-%m-%d') AS day,
+              CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+              CAST(CAST(s7 AS VARCHAR) AS DOUBLE) AS s7d,
+              CAST(CAST(q7 AS VARCHAR) AS DOUBLE) AS q7d,
+              CAST(n7 AS DOUBLE) AS n
+            FROM f WHERE n7 = 7)
+      SELECT day, revenue,
+             round(s7d / n, 6) AS mean7,
+             round(sqrt((q7d - s7d * s7d / n) / n), 6) AS sd7,
+             round((revenue - s7d / n)
+                   / nullif(sqrt((q7d - s7d * s7d / n) / n), 0.0), 6) AS z_score,
+             abs((revenue - s7d / n)
+                 / nullif(sqrt((q7d - s7d * s7d / n) / n), 0.0)) > 2.0 AS is_anomaly
+      FROM g ORDER BY day"""),
+  )
+
   // ------------------------------- label-propagation communities
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * co-purchase graph — community DETECTION beside the triangle
@@ -2692,7 +2758,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
