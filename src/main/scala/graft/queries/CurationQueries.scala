@@ -1724,6 +1724,68 @@ object CurationQueries {
       FROM xy, dd ORDER BY xy.ckpt_doc"""),
   )
 
+  // ------------------------------------- calibrated quality gating
+  /** Per-source CALIBRATED quality gating vs the pooled global cut —
+    * the source-bias control real curation pipelines need: a single
+    * global threshold silently strips entire low-scoring sources from
+    * the mix (killing domain coverage), while a per-source percentile
+    * keeps the best 80% of EVERY source. This query materializes both
+    * decisions side by side with a `differs` flag, so the mix owner
+    * sees exactly which documents the policy choice flips.
+    *
+    * Same keep-RATE both sides (top 80%) — the comparison isolates
+    * pooling vs calibration, not threshold strictness. Both ranks ride
+    * [[graft.operators.PrefixSum]]'s two-phase shape (the global rank
+    * is a single "corpus" stratum — the bounded hot-stratum case);
+    * integer rank cuts (`10·rank ≤ 8·n`) leave no float boundary. */
+  private val qualityCalibrated = Q(
+    "corpus_quality_calibrated",
+    (s, dir) => {
+      import graft.operators.PrefixSum
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q_score"))
+        .withColumn("corpus", lit("all"))
+      val bySrc = PrefixSum.runningSum(scored, Seq("source"),
+        Seq(col("q_score").desc, col("doc_id")), lit(1L), "src_rank")
+      val ranked = PrefixSum.runningSum(bySrc, Seq("corpus"),
+        Seq(col("q_score").desc, col("doc_id")), lit(1L), "glob_rank")
+      val nSrc = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val nAll = scored.groupBy("corpus").agg(count(lit(1)).as("n_total"))
+      ranked
+        .join(broadcast(nSrc), Seq("source"))
+        .join(broadcast(nAll), Seq("corpus"))
+        .withColumn("keep_calibrated", col("src_rank") * 10 <= col("n_src") * 8)
+        .withColumn("keep_global", col("glob_rank") * 10 <= col("n_total") * 8)
+        .select(col("doc_id"), col("source"), col("q_score"),
+          col("src_rank"), col("n_src"), col("glob_rank"),
+          col("keep_calibrated"), col("keep_global"),
+          (col("keep_calibrated") =!= col("keep_global")).as("differs"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH q AS (SELECT doc_id, source,
+               round(
+                 (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END)
+                 + least(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                              + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS DOUBLE) * 5
+                         / CAST(nullif(len(string_split(text, ' ')), 0) AS DOUBLE), 0.5),
+                 4) AS q_score
+             FROM documents),
+      r AS (SELECT doc_id, source, q_score,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY q_score DESC, doc_id) AS BIGINT) AS src_rank,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+              CAST(row_number() OVER (ORDER BY q_score DESC, doc_id) AS BIGINT) AS glob_rank,
+              CAST(count(*) OVER () AS BIGINT) AS n_total
+            FROM q)
+      SELECT doc_id, source, q_score, src_rank, n_src, glob_rank,
+             src_rank * 10 <= n_src * 8 AS keep_calibrated,
+             glob_rank * 10 <= n_total * 8 AS keep_global,
+             (src_rank * 10 <= n_src * 8) <> (glob_rank * 10 <= n_total * 8) AS differs
+      FROM r ORDER BY doc_id"""),
+  )
+
   /** A bigram needs this many occurrences before its PMI is trusted —
     * the sparse-count guard every collocation recipe applies (PMI of a
     * count-1 pair is pure noise). */
@@ -2281,5 +2343,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
-    piiRedact, piiReport, heapsFit)
+    piiRedact, piiReport, heapsFit, qualityCalibrated)
 }
