@@ -1228,6 +1228,54 @@ object RelationalQueries {
     * per-customer order chains (tens of rows), never a stratum. Day
     * numbers are integer datediffs from epoch — identical arithmetic
     * both engines; the sum is decimal-exact before the double cast. */
+  // ------------------------------------- new vs returning users
+  /** A30 — the growth-accounting curve: per day, how many active
+    * users are NEW (first ever appearance) vs RETURNING, plus the
+    * cumulative registered-user count. The first chart on every
+    * product dashboard, and the canonical first-touch attribution of
+    * identity: `min(day) per user` is a map-side-collapsing aggregate,
+    * never a window over the event stream.
+    *
+    * 100 TB design: two hash aggregates over events (per-(user, day)
+    * activity, then per-user first day), a day-level join, and a
+    * cumulative window over the DAY aggregate — ~365 metadata rows,
+    * not a stratum. Counts are exact longs throughout. */
+  private val a30NewReturning = Q(
+    "a30_new_vs_returning",
+    (s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val daily = act.join(first, Seq("user_id"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cumulative_users", sum(col("new_users")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users"), col("new_users"), col("returning_users"),
+          col("cumulative_users"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      fst AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY 1),
+      d AS (SELECT a.day,
+              CAST(count(*) AS BIGINT) AS active_users,
+              CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+                AS new_users
+            FROM act a JOIN fst f USING (user_id) GROUP BY a.day)
+      SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users,
+             active_users - new_users AS returning_users,
+             CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumulative_users
+      FROM d ORDER BY day"""),
+  )
+
   // ------------------------------------- daily anomaly detection
   /** A29 — trailing-window anomaly flags on daily purchase revenue:
     * each day scored against the mean/σ of the PRECEDING 7 days
@@ -2758,7 +2806,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
