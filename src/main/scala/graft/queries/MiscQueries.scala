@@ -1378,63 +1378,77 @@ object MiscQueries {
     * all-ones init deterministically. */
   /** The full loadings computation behind `emb_pca_power`, shared with
     * the projection query: (dim → 6-dp loading), dims 1-based. */
-  private def pcaLoadings(
-      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Double)] = {
-      import java.math.{BigDecimal => JBD, RoundingMode}
-      import graft.operators.OuterProductSum
-      // d9: exactly what `CAST(round(x, 9) AS DECIMAL(28,9))` lands on
-      // in both engines — Spark's round IS BigDecimal HALF_UP, and the
-      // double→decimal(·,9) cast recovers the same 9-dp value
-      def d9(x: Double): JBD = new JBD(x).setScale(9, RoundingMode.HALF_UP)
+  import java.math.{BigDecimal => JBD, RoundingMode}
+  // d9: exactly what `CAST(round(x, 9) AS DECIMAL(28,9))` lands on
+  // in both engines — Spark's round IS BigDecimal HALF_UP, and the
+  // double→decimal(·,9) cast recovers the same 9-dp value
+  private def d9(x: Double): JBD = new JBD(x).setScale(9, RoundingMode.HALF_UP)
 
-      val D = 64
-      // ONE corpus pass: the native outer-product Aggregator accumulates
-      // n, per-dim micro-sums and the nanos Gram triangle as exact longs
-      // (map-side partials collapse to one buffer per task; see
-      // OuterProductSum for the overflow headroom analysis)
-      val (nRows, sMicros, pNanos) = OuterProductSum.unpack(
-        Tables.embeddings(s, dir)
-          .agg(OuterProductSum.of(col("embedding"), D)).collect()(0))
-      val nVec = nRows.toDouble
-      val mu = Array.tabulate(D)(i => sMicros(i).toDouble / 1e6 / nVec)
-      val cov: Map[(Long, Long), Double] = (for {
-        i <- 0 until D; j <- 0 until D
-      } yield (i.toLong + 1, j.toLong + 1) ->
+  /** ONE corpus pass: the native outer-product Aggregator accumulates
+    * n, per-dim micro-sums and the nanos Gram triangle as exact longs
+    * (map-side partials collapse to one buffer per task; see
+    * [[graft.operators.OuterProductSum]] for the overflow headroom) →
+    * the covariance map keyed by 1-based (i, j). */
+  private def pcaCovariance(
+      s: org.apache.spark.sql.SparkSession, dir: String): Map[(Long, Long), Double] = {
+    import graft.operators.OuterProductSum
+    val D = 64
+    val (nRows, sMicros, pNanos) = OuterProductSum.unpack(
+      Tables.embeddings(s, dir)
+        .agg(OuterProductSum.of(col("embedding"), D)).collect()(0))
+    val nVec = nRows.toDouble
+    val mu = Array.tabulate(D)(i => sMicros(i).toDouble / 1e6 / nVec)
+    (for { i <- 0 until D; j <- 0 until D }
+      yield (i.toLong + 1, j.toLong + 1) ->
         d9(pNanos(i, j).toDouble / 1e9 / nVec - mu(i) * mu(j)).doubleValue).toMap
-      // metadata stage: 8 exact matvecs on the 64-vector — decimal sums
-      // of 9-dp-rounded products, one double conversion per component
-      val dims = (1L to D.toLong).toSeq
-      var v: Map[Long, Double] = dims.map(_ -> 1.0).toMap
-      for (_ <- 1 to PcaIters) {
-        val t = dims.map { i =>
-          val sum = dims.foldLeft(JBD.ZERO)((acc, j) => acc.add(d9(cov((i, j)) * v(j))))
-          i -> sum.doubleValue
-        }.toMap
-        // max-abs rescale: without it the 9-dp product rounding sends
-        // the shrinking iterate to exactly zero within a few steps
-        val m = t.values.map(math.abs).max
-        v = t.map { case (i, x) => i -> d9(x / m).doubleValue }
-      }
-      val nrm = math.sqrt(
-        dims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(v(i) * v(i)))).doubleValue)
-      dims.map(i =>
-        i -> new JBD(v(i) / nrm).setScale(6, RoundingMode.HALF_UP).doubleValue)
   }
+
+  /** [[PcaIters]] exact matvecs (decimal sums of 9-dp-rounded
+    * products, max-abs rescale per step — without the rescale the
+    * 9-dp rounding sends the shrinking iterate to exactly zero) then
+    * the unit-normalized 6-dp loading per dim. */
+  private def pcaIterate(
+      cov: Map[(Long, Long), Double], dims: Seq[Long]): Seq[(Long, Double)] = {
+    var v: Map[Long, Double] = dims.map(_ -> 1.0).toMap
+    for (_ <- 1 to PcaIters) {
+      val t = dims.map { i =>
+        val sum = dims.foldLeft(JBD.ZERO)((acc, j) => acc.add(d9(cov((i, j)) * v(j))))
+        i -> sum.doubleValue
+      }.toMap
+      val m = t.values.map(math.abs).max
+      v = t.map { case (i, x) => i -> d9(x / m).doubleValue }
+    }
+    val nrm = math.sqrt(
+      dims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(v(i) * v(i)))).doubleValue)
+    dims.map(i =>
+      i -> new JBD(v(i) / nrm).setScale(6, RoundingMode.HALF_UP).doubleValue)
+  }
+
+  private val PcaDims: Seq[Long] = (1L to 64L).toSeq
+
+  private def pcaLoadings(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Double)] =
+    pcaIterate(pcaCovariance(s, dir), PcaDims)
 
   /** SQL twin of [[pcaLoadings]]: the full WITH-chain through `nrm`;
     * consumers append their own final select (and a `loadings` CTE for
     * the projection). */
-  private def pcaOracleCtes: String = {
-      val iters = (1 to PcaIters).map { k =>
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""t$k AS MATERIALIZED (SELECT c.i AS dim,
+  /** One unrolled power-iteration chain over CTE `covCte`, names
+    * prefixed with `pfx` (chain 1 uses "", the deflated chain "d"). */
+  private def pcaIterSql(covCte: String, pfx: String): String =
+    (1 to PcaIters).map { k =>
+      val prev = s"${pfx}v${k - 1}"
+      s"""${pfx}t$k AS MATERIALIZED (SELECT c.i AS dim,
                  CAST(CAST(sum(CAST(round(c.c * v.x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS x
-               FROM cov c JOIN $prev v ON c.j = v.dim GROUP BY c.i),
-      v$k AS MATERIALIZED (SELECT dim,
-                 CAST(CAST(CAST(round(x / (SELECT max(abs(x)) FROM t$k), 9)
+               FROM $covCte c JOIN $prev v ON c.j = v.dim GROUP BY c.i),
+      ${pfx}v$k AS MATERIALIZED (SELECT dim,
+                 CAST(CAST(CAST(round(x / (SELECT max(abs(x)) FROM ${pfx}t$k), 9)
                       AS DECIMAL(28,9)) AS VARCHAR) AS DOUBLE) AS x
-               FROM t$k)"""
-      }.mkString(",\n      ")
+               FROM ${pfx}t$k)"""
+    }.mkString(",\n      ")
+
+  private def pcaOracleCtes: String = {
+      val iters = pcaIterSql("cov", "")
       s"""ex AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
                     CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE), 6)
                          AS DECIMAL(12,6)) AS xq
@@ -1527,6 +1541,57 @@ object MiscQueries {
       SELECT vec_id, pc1, rnk, n_vectors,
              CAST((rnk - 1) * 10 // n_vectors + 1 AS BIGINT) AS decile
       FROM r ORDER BY vec_id"""),
+  )
+
+  // ---------------------------------------------- PCA second component
+  /** Top-2 principal plane via Hotelling deflation: subtract the first
+    * component's rank-1 term (λ₁ = its Rayleigh quotient — exact
+    * decimal sums of 9-dp-rounded triple products) from the covariance
+    * and power-iterate again. Two loadings per dimension give the 2-D
+    * diversity grid curation stratifies on (the PC1-only deciles of
+    * `emb_pca_project`, squared). Deflation + rounding keep the pair
+    * only near-orthogonal — |v₁·v₂| is spec-bounded, not assumed.
+    * Everything downstream of the single [[pcaCovariance]] pass is
+    * driver-side metadata math, replayed CTE-for-CTE in DuckDB. */
+  private val embPcaTop2 = Q(
+    "emb_pca_top2",
+    (s, dir) => {
+      val cov = pcaCovariance(s, dir)
+      val l1 = pcaIterate(cov, PcaDims).toMap
+      val q = PcaDims.flatMap(i => PcaDims.map(j =>
+        d9(l1(i) * cov((i, j)) * l1(j))))
+        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+      val n2 = PcaDims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(l1(i) * l1(i))))
+        .doubleValue
+      val lam = q / n2
+      val cov2 = cov.map { case ((i, j), c) =>
+        (i, j) -> d9(c - lam * l1(i) * l1(j)).doubleValue
+      }
+      val l2 = pcaIterate(cov2, PcaDims).toMap
+      val spark = s
+      import spark.implicits._
+      PcaDims.map(i => (i, l1(i), l2(i)))
+        .toDF("dim", "loading1", "loading2").orderBy("dim")
+    },
+    Some(s"""
+      WITH $pcaOracleCtes,
+      l1 AS (SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS l
+             FROM $pcaFinalCte v),
+      qf AS (SELECT CAST(CAST(sum(CAST(round(a.l * c.c * b.l, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS q
+             FROM cov c JOIN l1 a ON c.i = a.dim JOIN l1 b ON c.j = b.dim),
+      n2 AS (SELECT CAST(CAST(sum(CAST(round(l * l, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS n2
+             FROM l1),
+      dcov AS MATERIALIZED (SELECT c.i, c.j,
+               round(c.c - (SELECT q FROM qf) / (SELECT n2 FROM n2) * a.l * b.l, 9) AS c
+             FROM cov c JOIN l1 a ON c.i = a.dim JOIN l1 b ON c.j = b.dim),
+      dv0 AS (SELECT dim, 1.0 AS x FROM mu),
+      ${pcaIterSql("dcov", "d")},
+      dnrm AS (SELECT sqrt(CAST(CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS nrm
+               FROM dv$PcaIters)
+      SELECT l1.dim, l1.l AS loading1,
+             round(d.x / (SELECT nrm FROM dnrm), 6) AS loading2
+      FROM l1 JOIN dv$PcaIters d ON l1.dim = d.dim
+      ORDER BY l1.dim"""),
   )
 
   // ------------------------------------------------ ANN recall harness
@@ -1634,5 +1699,5 @@ object MiscQueries {
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize, embPca, embPcaProject, annEval)
+    embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, annEval)
 }

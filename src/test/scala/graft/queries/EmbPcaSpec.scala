@@ -37,6 +37,27 @@ class EmbPcaSpec extends AnyFunSuite {
       s"component captures no more variance than average: rayleigh=$rayleigh trace/d=${trace / d}")
   }
 
+  test("top-2 plane: both unit-norm, near-orthogonal, PC2 consistent with PC1") {
+    val df = SparkEntry.queries("emb_pca_top2")(spark, dir)
+    val rows = df.collect().sortBy(_.getAs[Long]("dim"))
+    df.unpersist()
+    assert(rows.length == 64)
+    val v1 = rows.map(_.getAs[Double]("loading1"))
+    val v2 = rows.map(_.getAs[Double]("loading2"))
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(v1) - 1.0) < 1e-3)
+    assert(math.abs(norm(v2) - 1.0) < 1e-3)
+    // deflation + 9-dp rounding on a flat random spectrum leaves the
+    // pair NEAR-orthogonal, not exactly — bound it, don't assume it
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.15, s"components far from orthogonal: dot=$dot")
+    // loading1 must be the emb_pca_power component, verbatim
+    val df1 = SparkEntry.queries("emb_pca_power")(spark, dir)
+    val l1 = df1.collect().sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("loading"))
+    df1.unpersist()
+    assert(v1.toSeq == l1.toSeq, "top2's first component drifted from emb_pca_power")
+  }
+
   test("deterministic across runs") {
     val a = SparkEntry.queries("emb_pca_power")(spark, dir)
     val r1 = a.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
