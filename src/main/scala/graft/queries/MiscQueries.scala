@@ -1553,28 +1553,28 @@ object MiscQueries {
     * only near-orthogonal — |v₁·v₂| is spec-bounded, not assumed.
     * Everything downstream of the single [[pcaCovariance]] pass is
     * driver-side metadata math, replayed CTE-for-CTE in DuckDB. */
-  private val embPcaTop2 = Q(
-    "emb_pca_top2",
-    (s, dir) => {
-      val cov = pcaCovariance(s, dir)
-      val l1 = pcaIterate(cov, PcaDims).toMap
-      val q = PcaDims.flatMap(i => PcaDims.map(j =>
-        d9(l1(i) * cov((i, j)) * l1(j))))
-        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
-      val n2 = PcaDims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(l1(i) * l1(i))))
-        .doubleValue
-      val lam = q / n2
-      val cov2 = cov.map { case ((i, j), c) =>
-        (i, j) -> d9(c - lam * l1(i) * l1(j)).doubleValue
-      }
-      val l2 = pcaIterate(cov2, PcaDims).toMap
-      val spark = s
-      import spark.implicits._
-      PcaDims.map(i => (i, l1(i), l2(i)))
-        .toDF("dim", "loading1", "loading2").orderBy("dim")
-    },
-    Some(s"""
-      WITH $pcaOracleCtes,
+  /** Both plane loadings, shared by `emb_pca_top2` and the 2-D grid
+    * sampler: dim → (loading1, loading2). */
+  private def pcaTop2Loadings(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Double, Double)] = {
+    val cov = pcaCovariance(s, dir)
+    val l1 = pcaIterate(cov, PcaDims).toMap
+    val q = PcaDims.flatMap(i => PcaDims.map(j =>
+      d9(l1(i) * cov((i, j)) * l1(j))))
+      .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+    val n2 = PcaDims.foldLeft(JBD.ZERO)((acc, i) => acc.add(d9(l1(i) * l1(i))))
+      .doubleValue
+    val lam = q / n2
+    val cov2 = cov.map { case ((i, j), c) =>
+      (i, j) -> d9(c - lam * l1(i) * l1(j)).doubleValue
+    }
+    val l2 = pcaIterate(cov2, PcaDims).toMap
+    PcaDims.map(i => (i, l1(i), l2(i)))
+  }
+
+  /** SQL twin of [[pcaTop2Loadings]]: chain-1 CTEs + `l1` + the
+    * deflated chain + `l2` (dim, l). */
+  private def pcaTop2Ctes: String = s"""$pcaOracleCtes,
       l1 AS (SELECT v.dim, round(v.x / (SELECT nrm FROM nrm), 6) AS l
              FROM $pcaFinalCte v),
       qf AS (SELECT CAST(CAST(sum(CAST(round(a.l * c.c * b.l, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS q
@@ -1587,11 +1587,105 @@ object MiscQueries {
       dv0 AS (SELECT dim, 1.0 AS x FROM mu),
       ${pcaIterSql("dcov", "d")},
       dnrm AS (SELECT sqrt(CAST(CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS nrm
-               FROM dv$PcaIters)
-      SELECT l1.dim, l1.l AS loading1,
-             round(d.x / (SELECT nrm FROM dnrm), 6) AS loading2
-      FROM l1 JOIN dv$PcaIters d ON l1.dim = d.dim
+               FROM dv$PcaIters),
+      l2 AS (SELECT d.dim, round(d.x / (SELECT nrm FROM dnrm), 6) AS l
+             FROM dv$PcaIters d)"""
+
+  private val embPcaTop2 = Q(
+    "emb_pca_top2",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      pcaTop2Loadings(s, dir).toDF("dim", "loading1", "loading2").orderBy("dim")
+    },
+    Some(s"""
+      WITH $pcaTop2Ctes
+      SELECT l1.dim, l1.l AS loading1, l2.l AS loading2
+      FROM l1 JOIN l2 ON l1.dim = l2.dim
       ORDER BY l1.dim"""),
+  )
+
+  /** 2-D embedding-diversity grid sampling — the top-2 PCA plane cut
+    * into per-axis rank quartiles (16 cells) with a deterministic
+    * 2-per-cell hash sample: the "cover the semantic space" selection
+    * a curation pass uses for eval-set construction and mix
+    * balancing, one dimension up from `emb_pca_project`'s deciles.
+    *
+    * 100 TB design: both projections ride the SAME broadcast-loadings
+    * scan as order-independent long-nanos sums; each axis rank is a
+    * [[graft.operators.PrefixSum]] two-phase pass; the per-cell pick
+    * composes the Knuth hash with [[graft.operators.TopKPerGroup]]'s
+    * k-bounded heap — ≤ 2·mappers rows per cell cross the shuffle,
+    * the rank-window spelling the oracle uses would shuffle every
+    * row. */
+  private val mixPcaGrid = Q(
+    "mix_pca_grid",
+    (s, dir) => {
+      import graft.operators.{PrefixSum, TopKPerGroup}
+      val spark = s
+      import spark.implicits._
+      val lds = pcaTop2Loadings(s, dir).toDF("dim", "l1", "l2")
+      val proj = embDimExploded(s, dir)
+        .select(col("vec_id"), col("dim"),
+          col("xq").cast("string").cast("double").as("xd"))
+        .join(broadcast(lds), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(round(col("xd") * col("l1") * 1e9).cast("long")).as("na"),
+          sum(round(col("xd") * col("l2") * 1e9).cast("long")).as("nb"))
+        .select(col("vec_id"),
+          round(col("na").cast("double") / 1e9, 6).as("p1"),
+          round(col("nb").cast("double") / 1e9, 6).as("p2"))
+        .withColumn("corpus", lit("all"))
+      val n = proj.groupBy("corpus").agg(count(lit(1)).as("n_total"))
+      val ranked = PrefixSum.runningSum(
+        PrefixSum.runningSum(proj, Seq("corpus"),
+          Seq(col("p1").desc, col("vec_id")), lit(1L), "r1"),
+        Seq("corpus"), Seq(col("p2").desc, col("vec_id")), lit(1L), "r2")
+        .join(broadcast(n), Seq("corpus"))
+        .withColumn("q1", ((col("r1") - 1) * 4 / col("n_total")).cast("long") + 1)
+        .withColumn("q2", ((col("r2") - 1) * 4 / col("n_total")).cast("long") + 1)
+      val cells = ranked.groupBy("q1", "q2").agg(count(lit(1)).as("n_cell"))
+      val h = CurationQueries.mixBucketHash(col("vec_id"))
+      val sampled = ranked
+        .select(col("q1"), col("q2"), col("vec_id"), h.as("h"))
+        .groupBy("q1", "q2")
+        .agg(TopKPerGroup.topK(2)(-col("h"), col("vec_id")).as("top"))
+        .select(col("q1"), col("q2"), posexplode(col("top")).as(Seq("p0", "sc")))
+        .select(col("q1"), col("q2"),
+          (col("p0") + 1).cast("long").as("sample_rank"),
+          col("sc").getField("_2").as("vec_id"))
+      sampled.join(cells, Seq("q1", "q2"))
+        .select("q1", "q2", "n_cell", "sample_rank", "vec_id")
+        .orderBy("q1", "q2", "sample_rank")
+    },
+    Some(s"""
+      WITH $pcaTop2Ctes,
+      pr AS (SELECT e.vec_id,
+               round(CAST(sum(CAST(round(e.xd * a.l * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0, 6) AS p1,
+               round(CAST(sum(CAST(round(e.xd * b.l * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0, 6) AS p2
+             FROM exd e JOIN l1 a ON e.dim = a.dim JOIN l2 b ON e.dim = b.dim
+             GROUP BY e.vec_id),
+      r AS (SELECT vec_id, p1, p2,
+              CAST(row_number() OVER (ORDER BY p1 DESC, vec_id) AS BIGINT) AS r1,
+              CAST(row_number() OVER (ORDER BY p2 DESC, vec_id) AS BIGINT) AS r2,
+              CAST(count(*) OVER () AS BIGINT) AS n_total
+            FROM pr),
+      g AS (SELECT vec_id, (r1 - 1) * 4 // n_total + 1 AS q1,
+                   (r2 - 1) * 4 // n_total + 1 AS q2
+            FROM r),
+      cells AS (SELECT q1, q2, CAST(count(*) AS BIGINT) AS n_cell
+                FROM g GROUP BY 1, 2),
+      sm AS (SELECT q1, q2, vec_id,
+               CAST(row_number() OVER (PARTITION BY q1, q2
+                 ORDER BY ${CurationQueries.mixBucketHashSql("vec_id")}, vec_id)
+                 AS BIGINT) AS sample_rank
+             FROM g)
+      SELECT s.q1, s.q2, c.n_cell, s.sample_rank, s.vec_id
+      FROM sm s JOIN cells c USING (q1, q2)
+      WHERE s.sample_rank <= 2
+      ORDER BY s.q1, s.q2, s.sample_rank"""),
   )
 
   // ------------------------------------------------ ANN recall harness
@@ -1699,5 +1793,5 @@ object MiscQueries {
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, annEval)
+    embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid, annEval)
 }
