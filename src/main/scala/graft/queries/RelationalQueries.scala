@@ -1746,6 +1746,63 @@ object RelationalQueries {
     * power-of-two harmonic sum and one-division estimate in DuckDB and
     * matches to the bit. The exact side rides the SAME keyed frame, so
     * the reported `err` is self-auditing. */
+  // ---------------------------------- W9: last-observation carry-forward
+  /** W9 — LOCF gap fill: each user's last observed event value carried
+    * forward across a dense daily spine (the sensor/finance standard
+    * for "what was the balance ON day X" when observations are
+    * sparse; w6 fills gaps with zeros — absence of activity — this
+    * fills with the LAST KNOWN state, a different semantic). Days
+    * before a user's first observation stay NULL — LOCF must not
+    * invent history.
+    *
+    * 100 TB design: per-(user, day) latest observation is the Dedup
+    * operator (one shuffle, latest-wins); the ~30-row day spine
+    * broadcasts against the user list; the carry-forward window
+    * (`last(... ignoreNulls)` over user/day order) partitions per
+    * USER over day-spine-sized groups — bounded, never a stratum. */
+  private val w9Locf = Q(
+    "w9_locf_value",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val dailyLast = Dedup.latestByKey(ev, Seq("user_id", "day"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("day"), col("value").as("observed"))
+      val days = ev.select("day").distinct()
+      val users = ev.select("user_id").distinct()
+      val spine = users.crossJoin(broadcast(days))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(dailyLast, Seq("user_id", "day"), "left")
+        .withColumn("locf_value", last(col("observed"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("observed").isNotNull.as("is_observed"),
+          col("locf_value"))
+        .orderBy("user_id", "day")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                  FROM events),
+      daily AS (SELECT user_id, day, value AS observed FROM (
+                  SELECT user_id, day, value,
+                         row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM ev) t WHERE rn = 1),
+      spine AS (SELECT u.user_id, d.day
+                FROM (SELECT DISTINCT user_id FROM ev) u,
+                     (SELECT DISTINCT day FROM ev) d)
+      SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+             dl.observed IS NOT NULL AS is_observed,
+             last_value(dl.observed IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+      FROM spine s LEFT JOIN daily dl
+        ON s.user_id = dl.user_id AND s.day = dl.day
+      ORDER BY s.user_id, day"""),
+  )
+
   private val a18Hll = Q(
     "a18_hll_distinct",
     (s, dir) => {
@@ -2806,7 +2863,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
