@@ -260,6 +260,53 @@ object LlmQueries {
   )
 
 
+  // ----------------------------------------------- CCNet ppl buckets
+  /** CCNet's actual OUTPUT shape — each language split into
+    * head/middle/tail perplexity terciles (Wenzek et al. 2020): "head"
+    * is the cleanest third under the LM, "tail" the noisiest, and
+    * published pipelines train on head+middle or reweight by bucket.
+    * Complements `doc_perplexity`'s absolute cutoff with the
+    * RELATIVE, per-language split that made CCNet robust across
+    * languages with different baseline perplexities.
+    *
+    * 100 TB design: scoring is the shared [[perplexityScored]] stage
+    * (one corpus scan, broadcast LM); the per-language rank rides
+    * [[graft.operators.PrefixSum]]'s two-phase shape — a language IS
+    * a hot stratum, exactly what it bounds; tercile cuts are integer
+    * rank arithmetic (`3·rank ≤ k·n`), no float boundary. */
+  private val ccnetBuckets = Q(
+    "corpus_ccnet_buckets",
+    (s, dir) => {
+      val scored = perplexityScored(s, dir)
+        .select("doc_id", "lang", "avg_nll")
+      val ranked = graft.operators.PrefixSum.runningSum(scored, Seq("lang"),
+        Seq(col("avg_nll").asc, col("doc_id")), lit(1L), "lang_rank")
+      val n = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(n), Seq("lang"))
+        .withColumn("bucket",
+          when(col("lang_rank") * 3 <= col("n_lang"), "head")
+            .when(col("lang_rank") * 3 <= col("n_lang") * 2, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "avg_nll", "lang_rank", "n_lang", "bucket")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $PPL_CTES,
+      sc AS (SELECT d.doc_id, d.lang,
+               round(CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 8) AS avg_nll
+             FROM documents d JOIN ppl_sc USING (doc_id)),
+      r AS (SELECT doc_id, lang, avg_nll,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY avg_nll, doc_id) AS BIGINT) AS lang_rank,
+              CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+            FROM sc)
+      SELECT doc_id, lang, avg_nll, lang_rank, n_lang,
+             CASE WHEN lang_rank * 3 <= n_lang THEN 'head'
+                  WHEN lang_rank * 3 <= n_lang * 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+  )
+
   // ------------------------------------------------------ quality gate
   /** Length cutoffs, sized against the synthetic lake (token counts run
     * 10–99 at every SF) so BOTH failure paths are non-vacuous — the
@@ -2033,7 +2080,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, bm25, perplexity, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
+    textStats, bm25, perplexity, ccnetBuckets, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
     annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile)
