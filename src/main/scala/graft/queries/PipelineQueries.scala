@@ -352,6 +352,57 @@ object PipelineQueries {
       ORDER BY total_potential_value DESC NULLS LAST, lead_source, lead_type, lead_date"""),
   )
 
-  val all: Seq[Q] = Seq(actBatch, actEvents, idMatches, idPerformance,
+  // -------------------------------------------- identity graph health
+  /** Identity-graph health report — the CDP ops metric behind "is the
+    * match graph sane": component-size histogram of the lead↔session
+    * match graph. Healthy identity resolution yields many small
+    * components (one person = a lead plus their sessions); a giant
+    * component is the classic HAIRBALL — one shared contact point
+    * (dealer front-desk phone, shared kiosk email) transitively
+    * merging thousands of real people, and the histogram's tail is
+    * where it shows up first.
+    *
+    * Bipartite ids share one space via even/odd encoding (lead → 2k,
+    * session → 2k+1). Components run the iterative
+    * [[graft.operators.ConnectedComponents]] operator (pointer-jumped,
+    * per-round checkpoint release); the histogram is two metadata
+    * aggregates on top. The oracle recomputes components with a
+    * recursive CTE — an independent algorithm, same partition. */
+  private val idGraphStats = Q(
+    "id_graph_stats",
+    (s, dir) => {
+      val edges = IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+        .select((col("crm_lead_id") * 2).as("src"),
+          (col("visitor_session_id") * 2 + 1).as("dst"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      val out = comp.groupBy("comp").agg(count(lit(1)).as("component_size"))
+        .groupBy("component_size")
+        .agg(count(lit(1)).as("n_components"),
+          (count(lit(1)) * col("component_size")).as("n_nodes"))
+        .orderBy("component_size")
+        .persist()
+      out.count() // materialize before releasing the component map
+      comp.unpersist()
+      out
+    },
+    Some(MATCHES_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      ed AS (
+        SELECT crm_lead_id * 2 AS src, visitor_session_id * 2 + 1 AS dst FROM matches
+        UNION
+        SELECT visitor_session_id * 2 + 1 AS src, crm_lead_id * 2 AS dst FROM matches),
+      reach(id, r) AS (
+        SELECT src, src FROM ed
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      sz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size FROM comp GROUP BY c)
+      SELECT component_size,
+             CAST(count(*) AS BIGINT) AS n_components,
+             CAST(count(*) * component_size AS BIGINT) AS n_nodes
+      FROM sz GROUP BY component_size
+      ORDER BY component_size"""),
+  )
+
+  val all: Seq[Q] = Seq(actBatch, actEvents, idMatches, idGraphStats, idPerformance,
     idAttribution, idUnmatched)
 }
