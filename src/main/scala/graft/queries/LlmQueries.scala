@@ -1939,6 +1939,46 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // --------------------------------------- dedup threshold sensitivity
+  /** Threshold-sensitivity sweep over the SHARED MinHash candidate
+    * pairs — the tuning artifact a dedup owner reads before picking
+    * the Jaccard cutoff: pairs kept and documents touched at each
+    * candidate threshold, from ONE pair build (the session-memoized
+    * [[minhashPairs]] frame; the sweep itself is four aggregates over
+    * an already-small persisted table — at 100 TB the pair build is
+    * the cost and this report adds nothing to it). A cliff between
+    * two rows means the corpus has a near-dup family right at that
+    * similarity — exactly where a blind threshold choice flips
+    * thousands of keep/drop decisions. (This lake's planted family
+    * sits at jaccard 0.90–0.99, so the sweep brackets that range —
+    * a flat sweep over generic cutoffs would report nothing.) */
+  private val dedupSweep = Q(
+    "dedup_threshold_sweep",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir) // memoized — consumers must not unpersist
+      val melted = pairs.select(col("jaccard"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      Seq(0.5, 0.95, 0.97, 0.985).map { th =>
+        pairs.filter(col("jaccard") >= th)
+          .agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(melted.filter(col("jaccard") >= th)
+            .agg(countDistinct(col("doc")).as("n_docs")))
+          .select(lit(th).as("threshold"), col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionByName _).orderBy("threshold")
+    },
+    Some(s"""
+      WITH $MINHASH_CTES,
+      md AS (SELECT jaccard, doc_a AS doc FROM pairs
+             UNION ALL SELECT jaccard, doc_b FROM pairs),
+      th AS (SELECT unnest([0.5, 0.95, 0.97, 0.985]) AS threshold)
+      SELECT t.threshold,
+             (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+              WHERE p.jaccard >= t.threshold) AS n_pairs,
+             (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM md
+              WHERE md.jaccard >= t.threshold) AS n_docs
+      FROM th t ORDER BY t.threshold"""),
+  )
+
   // ------------------------------------------- exact duplicated spans
   /** Duplicated-span gram length: long enough that a shared run means
     * copying, not chance (published ExactSubstr uses 50 tokens over
@@ -2083,5 +2123,5 @@ object LlmQueries {
     textStats, bm25, perplexity, ccnetBuckets, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
-    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile)
+    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile, dedupSweep)
 }

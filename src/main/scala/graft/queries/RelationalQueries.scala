@@ -1746,6 +1746,57 @@ object RelationalQueries {
     * power-of-two harmonic sum and one-division estimate in DuckDB and
     * matches to the bit. The exact side rides the SAME keyed frame, so
     * the reported `err` is self-auditing. */
+  // ------------------------------- A31: ratio-to-report (Q11 shape)
+  /** A31 — TPC-H Q11's correlated shape: keep the parts whose revenue
+    * exceeds a FRACTION of the corpus-wide total — 0.05%, just above
+    * the mean share of this lake's ~2000 parts, so both the kept and
+    * dropped sides are populated (the "important stock" /
+    * ratio-to-report pattern — a per-group aggregate judged
+    * against a scalar over the WHOLE table). The textbook phrasing
+    * puts the total in a correlated scalar subquery re-evaluated per
+    * row; here it decorrelates into one extra 1-row aggregate that
+    * BROADCASTS against the per-part rollup — the fact table is
+    * scanned once and shuffles once, and the threshold comparison is
+    * a compiled filter.
+    *
+    * Exactness: revenue is the exact-decimal Σ price·(1−disc) (the
+    * j13 formula); the threshold comparison runs on DECIMAL
+    * (`2000·rev > total`, integer-scaled), so no float boundary part
+    * exists. */
+  private val a31RevShare = Q(
+    "a31_part_revenue_share",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rev"))
+      val perPart = li.groupBy("l_partkey").agg(sum(col("rev")).as("part_rev"))
+      val total = perPart.agg(sum(col("part_rev")).as("total_rev"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_rev") * 2000 > col("total_rev"))
+        .select(col("l_partkey"),
+          col("part_rev").cast("double").as("part_revenue"),
+          round(col("part_rev").cast("double")
+            / col("total_rev").cast("double"), 8).as("revenue_share"))
+        .orderBy(col("part_revenue").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH li AS (SELECT l_partkey,
+                    CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+                  FROM lineitem),
+      pp AS (SELECT l_partkey, sum(rev) AS part_rev FROM li GROUP BY 1),
+      tt AS (SELECT sum(part_rev) AS total_rev FROM pp)
+      SELECT p.l_partkey,
+             CAST(CAST(p.part_rev AS VARCHAR) AS DOUBLE) AS part_revenue,
+             round(CAST(CAST(p.part_rev AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(t.total_rev AS VARCHAR) AS DOUBLE), 8) AS revenue_share
+      FROM pp p, tt t
+      WHERE p.part_rev * 2000 > t.total_rev
+      ORDER BY part_revenue DESC, p.l_partkey"""),
+  )
+
   // ---------------------------------- W9: last-observation carry-forward
   /** W9 — LOCF gap fill: each user's last observed event value carried
     * forward across a dense daily spine (the sensor/finance standard
@@ -2863,7 +2914,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
