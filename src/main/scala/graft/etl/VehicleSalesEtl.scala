@@ -66,6 +66,55 @@ object VehicleSalesEtl {
       .option("emptyValue", "")
       .csv(path)
 
+  /** S1 with a QUARANTINE lane: PERMISSIVE parse capturing each
+    * malformed line verbatim in `_corrupt_record`, split into
+    * (good, quarantine) frames — the production posture for DMS drops
+    * (a single truncated export line must neither kill the batch like
+    * FAILFAST nor silently become a row of NULLs like plain
+    * PERMISSIVE; it lands in the quarantine table with its raw text
+    * for replay after the upstream fix). The quarantine frame carries
+    * (raw_line, src_file) — file provenance via `input_file_name`, the
+    * metadata column the replay tooling keys on.
+    *
+    * Arity contract (univocity under an explicit schema): a row is
+    * malformed when it cannot bind the schema — broken quoting, too
+    * many OR too few fields; only exact-arity rows reach the good
+    * lane, so a truncated export line can never silently become a
+    * row of trailing NULLs. */
+  def readCsvWithQuarantine(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    // schema = the file's OWN header columns (all string, a header-only
+    // read) + the corrupt-record capture column: a schema narrower than
+    // the file would positionally mis-bind every row
+    val schema = org.apache.spark.sql.types.StructType(
+      readRawCsv(spark, path).schema.fields.toSeq
+        :+ org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("recursiveFileLookup", "true")
+      .option("emptyValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(path)
+      // provenance must be stamped AT the scan — input_file_name()
+      // evaluates empty once rows come back out of the cache
+      .withColumn("__src_file", input_file_name())
+      // the corrupt-record column is lazily populated; materializing the
+      // split through a persisted frame avoids the Spark restriction on
+      // filtering _corrupt_record directly off the scan
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "__src_file")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"),
+        col("__src_file").as("src_file"))
+    (good, quarantine)
+  }
+
   /** P1+P3: projection + quality filter (`glue:80-168`). */
   def clean(raw: DataFrame): DataFrame =
     raw.select(projected.map(col): _*)
