@@ -1688,6 +1688,70 @@ object MiscQueries {
       ORDER BY s.q1, s.q2, s.sample_rank"""),
   )
 
+  // ----------------------------------------- embedding drift monitor
+  /** Embedding-space drift monitor — centroid-OCCUPANCY KL between a
+    * reference batch and a new batch (first vs second half of the
+    * corpus by id here; in production, last week's index vs today's
+    * ingest): when the encoder or the upstream content shifts, new
+    * vectors pile into different centroid buckets and the occupancy
+    * distribution moves before any downstream metric does. The
+    * embedding twin of `corpus_drift_kl`'s hashed-token monitor.
+    *
+    * 100 TB design: assignment is the broadcast-centroid pass shared
+    * with the IVF index (at scale the assignments are already stored
+    * — this query then reads 16-row occupancy counts per batch and
+    * never touches vectors); add-one smoothing keeps empty buckets
+    * finite; the ln argument is ONE division of exact integer
+    * products quantized to 9 dp (the dsir/PMI discipline), so KL
+    * terms are bit-identical cross-engine. */
+  private val embDrift = Q(
+    "emb_drift_centroid_kl",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+        .select(col("vec_id"), col("centroid_id"))
+      val occ = assigned
+        .groupBy("centroid_id")
+        .agg(
+          sum(when(col("vec_id") < 250, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("vec_id") >= 250, 1L).otherwise(0L)).as("n_new"))
+      val tot = occ.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_new")).as("t_new"),
+        count(lit(1)).as("k"))
+      occ.crossJoin(broadcast(tot))
+        .withColumn("ref_share",
+          (col("n_ref") + 1).cast("double") / (col("t_ref") + col("k")).cast("double"))
+        .withColumn("new_share",
+          (col("n_new") + 1).cast("double") / (col("t_new") + col("k")).cast("double"))
+        .withColumn("ln_ratio", round(log(
+          ((col("n_new") + 1) * (col("t_ref") + col("k"))).cast("double")
+            / ((col("n_ref") + 1) * (col("t_new") + col("k"))).cast("double")), 9))
+        .withColumn("kl_term", round(col("new_share") * col("ln_ratio"), 9))
+        .select("centroid_id", "n_ref", "n_new", "ref_share", "new_share",
+          "ln_ratio", "kl_term")
+        .orderBy("centroid_id")
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      occ AS (SELECT centroid_id,
+                CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              FROM assigned GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                     CAST(sum(n_new) AS BIGINT) AS t_new,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM occ)
+      SELECT o.centroid_id, o.n_ref, o.n_new,
+             CAST(o.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.k AS DOUBLE) AS ref_share,
+             CAST(o.n_new + 1 AS DOUBLE) / CAST(t.t_new + t.k AS DOUBLE) AS new_share,
+             round(ln(CAST((o.n_new + 1) * (t.t_ref + t.k) AS DOUBLE)
+                      / CAST((o.n_ref + 1) * (t.t_new + t.k) AS DOUBLE)), 9) AS ln_ratio,
+             round(CAST(o.n_new + 1 AS DOUBLE) / CAST(t.t_new + t.k AS DOUBLE)
+                   * round(ln(CAST((o.n_new + 1) * (t.t_ref + t.k) AS DOUBLE)
+                              / CAST((o.n_ref + 1) * (t.t_new + t.k) AS DOUBLE)), 9), 9)
+               AS kl_term
+      FROM occ o, tot t ORDER BY o.centroid_id"""),
+  )
+
   // ------------------------------------------------ ANN recall harness
   /** Batched ANN self-evaluation — recall@10 / recall@20 /
     * nearest-found of the IVF probe against brute-force ground truth
@@ -1793,5 +1857,6 @@ object MiscQueries {
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
-    embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid, annEval)
+    embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,
+    embDrift, annEval)
 }
