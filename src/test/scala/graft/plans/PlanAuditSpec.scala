@@ -218,6 +218,23 @@ class PlanAuditSpec extends AnyFunSuite {
       // output sort + 2 dim broadcasts — the EXISTS/NOT-EXISTS pair
       // decorrelates into the window, so no self-join shuffles exist
       "j15_sole_late_supplier" -> 6,
+      // static counts below include shared-subtree REPRINTS (persisted
+      // or reused branches print their exchange chain once per
+      // consumer; runtime cache/ReusedExchange collapses them) — the
+      // pins are regression ceilings, not runtime shuffle counts
+      "corpus_ccnet_buckets" -> 34,   // LM + prefix-sum rank shape ×branches
+      "corpus_heaps_fit" -> 33,       // prefix-sum + first-pos agg + fit branches
+      "a27_segment_overlap" -> 32,    // register frame feeds 3 estimates + exact twin
+      "corpus_quality_calibrated" -> 21, // two stacked prefix-sum ranks
+      "ann_eval_recall" -> 12,        // dual top-k heaps + probe + metric join
+      "emb_drift_centroid_kl" -> 9,   // broadcast assign + occupancy + totals
+      "w9_locf_value" -> 6,           // dedup + spine + LOCF window + sort
+      "corpus_dup_profile" -> 6,      // gram df agg + rejoin + islands + left join
+      "a30_new_vs_returning" -> 5,    // activity distinct + first-day + day window
+      "a31_part_revenue_share" -> 5,  // per-part agg + 1-row total broadcast + sort
+      "a28_ab_calibration" -> 5,      // per-user agg + 2-row arm rollup branches
+      "a29_daily_anomalies" -> 2,     // day agg + day-level window/sort
+      "corpus_pii_report" -> 2,       // pure regex scan + source rollup + sort
       // per-dim agg + moments broadcast + output sort — the corpus
       // side of the standardization must NOT shuffle pre-sort
       "emb_standardize" -> 4,
