@@ -1802,6 +1802,74 @@ object RelationalQueries {
       ORDER BY part_revenue DESC, p.l_partkey"""),
   )
 
+  // ----------------------------- A32: conversion latency quantiles
+  /** A32 — time-to-convert distribution: per user, the gap from first
+    * click to the first purchase AFTER it, summarized as exact
+    * p50/p90 quantiles (the funnel counts of a11 say HOW MANY convert;
+    * this says HOW LONG conversion takes — the metric that prices
+    * retargeting windows). Users who never purchase after their first
+    * click drop out via the inner join + filter, so the distribution
+    * is over genuine converters only.
+    *
+    * 100 TB design: first-click and first-purchase-after are two
+    * map-side-collapsing per-user aggregates over one event scan; the
+    * quantiles ride [[graft.operators.ExactQuantiles]]' rank
+    * arithmetic (O(1) task memory, no global sort); latencies are
+    * exact integer seconds, interpolation is the engine's pinned
+    * formula replayed verbatim by the oracle. */
+  private val a32ConvLatency = Q(
+    "a32_conversion_latency",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, Seq("user_id"))
+        .filter(col("ts") >= col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(min(col("ts")).as("first_purchase"))
+        .select(col("user_id"),
+          // floor of a double division is exact here: the quotient is
+          // ≥ 1e-6 away from any integer it doesn't equal, ulp ~1e-10
+          floor((unix_micros(col("first_purchase")) - unix_micros(col("first_click")))
+            .cast("double") / 1000000.0).cast("long").as("latency_sec"))
+        .withColumn("corpus", lit("all"))
+      graft.operators.ExactQuantiles.perGroup(
+          lat, Seq("corpus"), "latency_sec",
+          Seq(0.5 -> "p50_sec", 0.9 -> "p90_sec"))
+        .withColumnRenamed("n_latency_sec", "n_converters")
+    },
+    Some("""
+      WITH fc AS (SELECT user_id, min(ts) AS first_click
+                  FROM events WHERE event_type = 'click' GROUP BY 1),
+      lat AS (SELECT e.user_id,
+                CAST(floor(CAST(epoch_us(min(e.ts)) - epoch_us(fc.first_click) AS DOUBLE)
+                           / 1000000.0) AS BIGINT) AS latency_sec
+              FROM events e JOIN fc USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+              GROUP BY e.user_id, fc.first_click),
+      v AS (SELECT 'all' AS corpus, CAST(latency_sec AS DOUBLE) AS val FROM lat),
+      r AS (SELECT corpus, val,
+                   CAST(row_number() OVER (PARTITION BY corpus ORDER BY val) - 1
+                        AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY corpus) AS BIGINT) AS n
+            FROM v)
+      SELECT corpus, max(n) AS n_converters,
+             round(sum(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT)
+                              THEN val * (1.0 - ((n-1) * 0.5 - floor((n-1) * 0.5)))
+                            WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                                 AND (n-1) * 0.5 - floor((n-1) * 0.5) > 0
+                              THEN val * ((n-1) * 0.5 - floor((n-1) * 0.5))
+                            ELSE 0.0 END), 4) AS p50_sec,
+             round(sum(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT)
+                              THEN val * (1.0 - ((n-1) * 0.9 - floor((n-1) * 0.9)))
+                            WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1
+                                 AND (n-1) * 0.9 - floor((n-1) * 0.9) > 0
+                              THEN val * ((n-1) * 0.9 - floor((n-1) * 0.9))
+                            ELSE 0.0 END), 4) AS p90_sec
+      FROM r GROUP BY corpus"""),
+  )
+
   // ---------------------------------- W9: last-observation carry-forward
   /** W9 — LOCF gap fill: each user's last observed event value carried
     * forward across a dense daily spine (the sensor/finance standard
@@ -2919,7 +2987,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
