@@ -1724,6 +1724,68 @@ object CurationQueries {
       FROM xy, dd ORDER BY xy.ckpt_doc"""),
   )
 
+  // --------------------------------------- stride-scheduled interleave
+  /** Target interleave weights per language. En-heavy like real mixes;
+    * weights need not be normalized — only ratios matter. */
+  private val StrideWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "zh" -> 0.18, "es" -> 0.16, "de" -> 0.14, "fr" -> 0.12)
+
+  /** Deterministic stride-scheduled interleave — the DATA-LOADER ORDER
+    * a mixed corpus is actually consumed in: the k-th document of a
+    * weight-w source lands at virtual position (k − 0.5)/w, so EVERY
+    * prefix of the global order holds each source at ≈ its target
+    * share (stride scheduling, the lottery-scheduler classic — vs
+    * naive concatenation, where the model sees one source for a
+    * million steps then another). Sampling queries (`mix_*`) decide
+    * WHAT is in the mix; this decides the ORDER it streams in.
+    *
+    * The sequential "pick the source with least virtual time" loop
+    * has a closed form — that is what makes it distributable: the
+    * per-source rank rides [[graft.operators.PrefixSum]] (bounded
+    * under a hot source) and the global position is a second
+    * PrefixSum rank over (virtual_pos, lang, doc_id) — no sequential
+    * state anywhere. Virtual positions are one exact-integer-derived
+    * division each, identical cross-engine; the total tiebreak makes
+    * the order unique. */
+  private val strideInterleave = Q(
+    "mix_stride_interleave",
+    (s, dir) => {
+      import graft.operators.PrefixSum
+      val weight = StrideWeights.tail.foldLeft(
+        when(col("lang") === StrideWeights.head._1, lit(StrideWeights.head._2))) {
+        case (c, (l, x)) => c.when(col("lang") === l, lit(x))
+      }.otherwise(lit(0.1))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("corpus", lit("all"))
+      val ranked = PrefixSum.runningSum(d, Seq("lang"),
+        Seq(col("doc_id")), lit(1L), "k")
+        .withColumn("vpos",
+          round((col("k").cast("double") - 0.5) / weight, 6))
+      PrefixSum.runningSum(ranked, Seq("corpus"),
+          Seq(col("vpos"), col("lang"), col("doc_id")), lit(1L), "interleave_rank")
+        .select("doc_id", "lang", "k", "vpos", "interleave_rank")
+        .orderBy("interleave_rank")
+    },
+    Some {
+      val wCase = StrideWeights.map { case (l, x) =>
+        s"WHEN lang = '$l' THEN $x"
+      }.mkString(" ")
+      s"""
+      WITH d AS (SELECT doc_id, lang,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                        AS BIGINT) AS k
+                 FROM documents),
+      v AS (SELECT doc_id, lang, k,
+              round((CAST(k AS DOUBLE) - 0.5)
+                    / (CASE $wCase ELSE 0.1 END), 6) AS vpos
+            FROM d)
+      SELECT doc_id, lang, k, vpos,
+             CAST(row_number() OVER (ORDER BY vpos, lang, doc_id) AS BIGINT)
+               AS interleave_rank
+      FROM v ORDER BY interleave_rank"""
+    },
+  )
+
   // ------------------------------------- calibrated quality gating
   /** Per-source CALIBRATED quality gating vs the pooled global cut —
     * the source-bias control real curation pipelines need: a single
@@ -2343,5 +2405,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
-    piiRedact, piiReport, heapsFit, qualityCalibrated)
+    piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave)
 }
