@@ -1853,10 +1853,115 @@ object MiscQueries {
       GROUP BY i.q_id ORDER BY i.q_id"""),
   )
 
+  // -------------------------------------------- recall-vs-nprobe curve
+  /** The IVF tuning CURVE — average recall@20 and nearest-found count
+    * at nprobe ∈ {1, 2, 4, 8}, from ONE scored pass: candidates are
+    * scored once against the nprobe=8 superset carrying the rank of
+    * the bucket that admitted them, and each smaller nprobe's result
+    * is a filter + re-rank of that superset (a bucket probed at
+    * nprobe=2 is the same bucket at nprobe=8 — probe sets are nested
+    * by construction). The per-point sibling of `ann_eval_recall`:
+    * that query grades ONE operating point, this one prices the
+    * latency/recall trade before picking it.
+    *
+    * Scale shape: identical to the recall harness (k-bounded heaps
+    * per (nprobe, query) — 40 tiny groups — never a corpus rank
+    * window); the np dimension multiplies the CANDIDATE rows (≤ half
+    * the corpus) by 4 before the heap collapse, not the corpus. */
+  private val annNprobe = Q(
+    "ann_nprobe_curve",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      def topIds(scored: org.apache.spark.sql.DataFrame, keys: Seq[String]) = scored
+        .groupBy(keys.map(col): _*)
+        .agg(graft.operators.TopKPerGroup.topK(annEvalK)(col("cosine"), col("vec_id")).as("top"))
+        .select(keys.map(col) :+ posexplode(col("top")).as(Seq("rnk0", "sc")): _*)
+        .select(keys.map(col) :+ (col("rnk0") + 1).cast("long").as("rnk")
+          :+ col("sc").getField("_2").as("vec_id"): _*)
+      val brute = topIds(
+        emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cosine")),
+        Seq("q_id"))
+        .withColumnRenamed("rnk", "brnk")
+      val cpairs = centroids.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("centroid_id"),
+          Similarity.cosine(col("centroid"), col("qv")).as("sim"))
+      val wprobe = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("centroid_id"))
+      val probed = cpairs.withColumn("bucket_rn", row_number().over(wprobe))
+        .filter(col("bucket_rn") <= 8).select("q_id", "centroid_id", "bucket_rn")
+      val cands = assigned.join(broadcast(probed), Seq("centroid_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("bucket_rn"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+      val spark = s
+      import spark.implicits._
+      val nps = Seq(1, 2, 4, 8).toDF("nprobe")
+      val ivf = topIds(
+        cands.crossJoin(broadcast(nps)).filter(col("bucket_rn") <= col("nprobe"))
+          .select(col("nprobe"), col("q_id"), col("vec_id"), col("cosine")),
+        Seq("nprobe", "q_id"))
+      ivf.join(brute.select("q_id", "vec_id", "brnk"), Seq("q_id", "vec_id"))
+        .groupBy("nprobe")
+        .agg(
+          (count(lit(1)).cast("double") / (10.0 * annEvalK)).as("avg_recall_at_20"),
+          sum(when(col("brnk") === 1, 1L).otherwise(0L)).as("n_nearest_found"))
+        .orderBy("nprobe")
+    },
+    Some(IVF_ORACLE_PRELUDE + s""",
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      bs AS (SELECT q.q_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM e, q WHERE e.vec_id <> q.q_id),
+      brute AS (SELECT q_id, vec_id, rnk AS brnk FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                  FROM bs) WHERE rnk <= $annEvalK),
+      cp AS (SELECT q.q_id, c.centroid_id,
+               list_sum(list_transform(range(1, len(c.centroid)+1),
+                 i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+             FROM c, q),
+      probed AS (SELECT q_id, centroid_id, bucket_rn FROM (
+                   SELECT q_id, centroid_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, centroid_id) AS bucket_rn
+                   FROM cp) WHERE bucket_rn <= 8),
+      cands AS (SELECT p.q_id, a.vec_id, p.bucket_rn,
+               list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM assigned a JOIN probed p USING (centroid_id) JOIN q USING (q_id)
+             WHERE a.vec_id <> q_id),
+      np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      ivf AS (SELECT nprobe, q_id, vec_id FROM (
+                SELECT n.nprobe, cd.q_id, cd.vec_id,
+                       row_number() OVER (PARTITION BY n.nprobe, cd.q_id
+                         ORDER BY cd.cos DESC, cd.vec_id) AS rnk
+                FROM cands cd JOIN np n ON cd.bucket_rn <= n.nprobe)
+              WHERE rnk <= $annEvalK)
+      SELECT i.nprobe,
+             CAST(count(*) AS DOUBLE) / (10.0 * $annEvalK) AS avg_recall_at_20,
+             CAST(sum(CASE WHEN b.brnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nearest_found
+      FROM ivf i JOIN brute b USING (q_id, vec_id)
+      GROUP BY i.nprobe ORDER BY i.nprobe"""),
+  )
+
   val all: Seq[Q] = Seq(
     o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,
-    embDrift, annEval)
+    embDrift, annEval, annNprobe)
 }

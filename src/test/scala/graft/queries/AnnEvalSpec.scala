@@ -28,4 +28,18 @@ class AnnEvalSpec extends AnyFunSuite {
     // most queries — the top-1 contract users actually feel
     assert(rows.count(_.getAs[Boolean]("nearest_found")) >= 7)
   }
+
+  test("the nprobe curve is monotone non-decreasing — nested probes can only add recall") {
+    val df = SparkEntry.queries("ann_nprobe_curve")(spark, dir)
+    val rows = df.collect().sortBy(_.getAs[Int]("nprobe"))
+    df.unpersist()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getAs[Double]("avg_recall_at_20"))
+    recalls.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a, s"recall dropped as nprobe grew: ${recalls.toSeq}")
+      case _ => ()
+    }
+    assert(recalls.last > recalls.head, "the curve is flat — the knob does nothing here")
+    assert(recalls.last >= 0.9, s"nprobe=8 recall suspiciously low: ${recalls.last}")
+  }
 }
