@@ -235,6 +235,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "a28_ab_calibration" -> 5,      // per-user agg + 2-row arm rollup branches
       "a29_daily_anomalies" -> 2,     // day agg + day-level window/sort
       "corpus_pii_report" -> 2,       // pure regex scan + source rollup + sort
+      "dedup_threshold_sweep" -> 96,  // memoized pair subtree reprinted ×8 branches
+      "mix_pca_grid" -> 59,           // dual prefix-sum ranks + heap, shared proj reprints
+      "mix_stride_interleave" -> 19,  // two stacked prefix-sum ranks
+      "ann_nprobe_curve" -> 13,       // superset probe + np-dim heap + metric join
+      "graph_lpa_communities" -> 7,   // final-round label join + sizes + sort (checkpointed rounds excluded)
+      "id_graph_stats" -> 6,          // match edges + CC result + histogram
+      "a31_part_revenue_share" -> 5,  // per-part agg + 1-row total + sort
+      "a32_conversion_latency" -> 4,  // two per-user aggs + quantile rank shape
+      "emb_pca_top2" -> 1,            // one Aggregator pass; everything else driver-side
       // per-dim agg + moments broadcast + output sort — the corpus
       // side of the standardization must NOT shuffle pre-sort
       "emb_standardize" -> 4,
