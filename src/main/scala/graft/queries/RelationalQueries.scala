@@ -1927,6 +1927,58 @@ object RelationalQueries {
       ORDER BY s.user_id, day"""),
   )
 
+  // --------------------------- W10: ranking-function surface with ties
+  /** W10 — the full ranking-function surface over a distribution WITH
+    * TIES (spend bucketed to force them): row_number / rank /
+    * dense_rank / percent_rank / cume_dist, the five the reference's
+    * BI layer leans on and whose tie semantics differ in exactly the
+    * ways that silently corrupt reports (rank gaps vs dense, the
+    * n−1 vs n denominators of percent_rank vs cume_dist).
+    * row_number gets its own fully-tiebroken window — ranking ties
+    * with row_number alone is nondeterministic, the bug this query
+    * exists to pin against.
+    *
+    * Scale note: the global window runs over the CUSTOMER dimension
+    * (already one aggregate deep, thousands of rows) — dimension-
+    * sized, not a corpus stratum; the corpus-scale spelling of a
+    * global rank is [[graft.operators.PrefixSum]] (see
+    * `emb_pca_project`). percent_rank/cume_dist are exact rationals
+    * of small integers — identical doubles cross-engine. */
+  private val w10Ranks = Q(
+    "w10_rank_variants",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .select(col("custkey"),
+          (floor(col("spend").cast("double") / 100000.0) * 100000).cast("long")
+            .as("spend_bucket"))
+      val tied = Window.orderBy(col("spend_bucket").desc)
+      val total = Window.orderBy(col("spend_bucket").desc, col("custkey"))
+      spend
+        .withColumn("rn", row_number().over(total).cast("long"))
+        .withColumn("rnk", rank().over(tied).cast("long"))
+        .withColumn("dense_rnk", dense_rank().over(tied).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(tied), 9))
+        .withColumn("cume", round(cume_dist().over(tied), 9))
+        .orderBy("rn")
+    },
+    Some("""
+      WITH spend AS (SELECT o_custkey AS custkey,
+                       CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                  / 100000.0) * 100000 AS BIGINT) AS spend_bucket
+                     FROM orders GROUP BY 1)
+      SELECT custkey, spend_bucket,
+             CAST(row_number() OVER (ORDER BY spend_bucket DESC, custkey) AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+             round(percent_rank() OVER w, 9) AS pct_rank,
+             round(cume_dist() OVER w, 9) AS cume
+      FROM spend
+      WINDOW w AS (ORDER BY spend_bucket DESC)
+      ORDER BY rn"""),
+  )
+
   private val a18Hll = Q(
     "a18_hll_distinct",
     (s, dir) => {
@@ -2987,7 +3039,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
