@@ -1927,6 +1927,60 @@ object RelationalQueries {
       ORDER BY s.user_id, day"""),
   )
 
+  // ----------------------------- A33: revenue concentration (Gini)
+  /** A33 — assortment concentration as a Gini coefficient over
+    * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
+    * ascending — the one-number "do a few parts carry the business"
+    * complement to A31's threshold list (A31 names the heavy parts;
+    * this says how heavy the head is overall, the metric assortment
+    * planning tracks quarter over quarter).
+    *
+    * Exactness: revenues are exact decimal sums; the ascending rank
+    * rides [[graft.operators.PrefixSum]] (single corpus stratum,
+    * bounded); i·xᵢ stays DECIMAL (rank × decimal is exact), both
+    * moments convert to double once, and the closed form is identical
+    * double arithmetic cross-engine. */
+  private val a33Gini = Q(
+    "a33_revenue_gini",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rv"))
+        .groupBy("l_partkey").agg(sum(col("rv")).as("x"))
+        .withColumn("corpus", lit("all"))
+      val ranked = graft.operators.PrefixSum.runningSum(rev, Seq("corpus"),
+        Seq(col("x").asc, col("l_partkey")), lit(1L), "i")
+      val m = ranked.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("x")).as("s1"),
+        sum(col("i") * col("x")).as("s2"))
+      def toD(c: String) = col(c).cast("string").cast("double")
+      val n = col("n_parts").cast("double")
+      m.select(col("n_parts"),
+          toD("s1").as("total_revenue"),
+          round(lit(2.0) * toD("s2") / (n * toD("s1"))
+            - (n + 1.0) / n, 9).as("gini"))
+    },
+    Some("""
+      WITH rev AS (SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS x
+                   FROM lineitem GROUP BY 1),
+      r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, l_partkey) AS BIGINT) AS i
+            FROM rev),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                   sum(x) AS s1, sum(i * x) AS s2
+            FROM r)
+      SELECT n_parts,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS total_revenue,
+             round(2.0 * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   / (CAST(n_parts AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                   - (CAST(n_parts AS DOUBLE) + 1.0) / CAST(n_parts AS DOUBLE), 9) AS gini
+      FROM m"""),
+  )
+
   // --------------------------- W10: ranking-function surface with ties
   /** W10 — the full ranking-function surface over a distribution WITH
     * TIES (spend bucketed to force them): row_number / rank /
@@ -3039,7 +3093,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
