@@ -1939,6 +1939,74 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------- lang-ID confusion matrix
+  /** Language-ID CONFUSION MATRIX — the classifier-evaluation view of
+    * the marker-based lang_guess the gates rely on: true label (the
+    * documents table carries ground truth) × guess, with per-cell
+    * counts and the per-true-language recall. `text_stats` emits the
+    * guess; this query grades it — fr/zh have no marker set, so the
+    * matrix SHOWS them collapsing into 'en'/'und', the honest failure
+    * mode a dashboard must surface before anyone trusts per-language
+    * corpus stats built on the guess.
+    *
+    * On THIS lake the matrix shows something stronger: every language
+    * label guesses 'en' or 'und' (~90% en), because the synthetic
+    * text draws the same English-ish token vocabulary regardless of
+    * its lang column — the guess grades the CONTENT, the label is
+    * metadata, and per-language corpus stats keyed on content-derived
+    * language would differ completely from label-keyed ones. Exactly
+    * the discrepancy this report exists to catch.
+    *
+    * One scan, one (true, guess) aggregate that collapses map-side to
+    * ≤ |langs|² cells, a broadcast per-language total for recall —
+    * nothing here scales with the corpus. */
+  private val langConfusion = Q(
+    "text_langid_confusion",
+    (s, dir) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a"),
+        "es" -> Seq("la", "el"),
+        "de" -> Seq("der", "und"))
+      val guessed = Tables.documents(s, dir)
+        .select(col("lang").as("true_lang"),
+          TextFunctions.languageId(col("text"), markers).as("guess"))
+      val cells = guessed.groupBy("true_lang", "guess")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("true_lang").agg(sum(col("n")).as("n_true"))
+      cells.join(broadcast(totals), Seq("true_lang"))
+        .select(col("true_lang"), col("guess"), col("n"), col("n_true"),
+          round(col("n").cast("double") / col("n_true").cast("double"), 4)
+            .as("cell_rate"),
+          (col("true_lang") === col("guess")).as("is_correct"))
+        .orderBy("true_lang", "guess")
+    },
+    Some("""
+      WITH g AS (SELECT lang AS true_lang,
+             CASE
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) >=
+                    greatest(len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')),
+                             len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')))
+                    AND len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) > 0
+               THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) >=
+                    len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und'))
+                    AND len(list_filter(string_split(text, ' '), t -> t = 'la' OR t = 'el')) > 0
+               THEN 'es'
+               WHEN len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und')) > 0
+               THEN 'de'
+               ELSE 'und' END AS guess
+           FROM documents),
+      cells AS (SELECT true_lang, guess, CAST(count(*) AS BIGINT) AS n
+                FROM g GROUP BY 1, 2),
+      tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+              FROM cells GROUP BY 1)
+      SELECT c.true_lang, c.guess, c.n, t.n_true,
+             round(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE), 4) AS cell_rate,
+             c.true_lang = c.guess AS is_correct
+      FROM cells c JOIN tot t USING (true_lang)
+      ORDER BY c.true_lang, c.guess"""),
+  )
+
   // --------------------------------------- dedup threshold sensitivity
   /** Threshold-sensitivity sweep over the SHARED MinHash candidate
     * pairs — the tuning artifact a dedup owner reads before picking
@@ -2120,7 +2188,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(
-    textStats, bm25, perplexity, ccnetBuckets, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
+    textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
     annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile, dedupSweep)
