@@ -476,4 +476,34 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-centroid occupancy of a vector set — the k-row fingerprint
+    * the drift machinery compares (`emb_drift_centroid_kl` batch-side,
+    * the streaming drift alarm per micro-batch). */
+  def centroidOccupancy(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(vectors, centroids, idCol, vecCol)
+      .groupBy("centroid_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+
+  /** Add-one-smoothed KL(new ‖ ref) between two occupancy maps over
+    * the SAME centroid set — the scalar a streaming drift alarm
+    * thresholds. Driver-side on k-row metadata; the arithmetic
+    * mirrors `emb_drift_centroid_kl`'s per-term formula. */
+  def occupancyKl(
+      ref: Map[Long, Long], nw: Map[Long, Long], centroidIds: Seq[Long]): Double = {
+    val k = centroidIds.length
+    val tRef = ref.values.sum + k
+    val tNew = nw.values.sum + k
+    centroidIds.map { c =>
+      val r = ref.getOrElse(c, 0L) + 1
+      val n = nw.getOrElse(c, 0L) + 1
+      val pNew = n.toDouble / tNew
+      pNew * math.log(n.toDouble * tRef / (r.toDouble * tNew))
+    }.sum
+  }
 }
