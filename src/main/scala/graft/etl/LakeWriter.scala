@@ -38,6 +38,22 @@ object LakeWriter {
       .parquet(s"$lakeRoot/$table")
   }
 
+  /** Schema-evolved lake read: daily drops gain columns over time (the
+    * DMS source adds a field, the vendor enriches the feed) and the
+    * lake must read old and new drops as ONE table — `mergeSchema`
+    * unions the per-file schemas, rows from drops that predate a
+    * column read NULL there. The flip side is enforced rather than
+    * inherited: merging requires per-column TYPE agreement, so a
+    * redefined column (string one day, long the next) fails the read
+    * loudly here instead of corrupting silently downstream — schema
+    * evolution is additive, redefinition is an upstream bug.
+    *
+    * Footer-schema merging is metadata work (one footer per file);
+    * the data path still prunes and pushes down per file. */
+  def readEvolved(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed warehouse table: hash-bucket (and optionally sort) on the
     * join/dedup key — the engine's answer to the reference warehouse's
     * DISTKEY/SORTKEY declarations (`redshift_table_schemas.sql:114-115`).
