@@ -1724,6 +1724,68 @@ object CurationQueries {
       FROM xy, dd ORDER BY xy.ckpt_doc"""),
   )
 
+  // ------------------------------------------- token entropy signal
+  /** Per-document token-distribution Shannon entropy, raw and
+    * normalized by ln(distinct) — the information-density quality
+    * signal between the repetition fractions (which only see ADJACENT
+    * or duplicate structure) and perplexity (which needs a trained
+    * LM): a looped or template document scores low however its tokens
+    * are arranged, with no model in the loop. Normalized entropy ∈
+    * [0,1] is comparable across document lengths.
+    *
+    * Exactness: H = −Σ c·ln(c/n) / n with each ln QUANTIZED to 9 dp
+    * and the weighted sum taken in exact DECIMAL (the PMI/zipf
+    * discipline — c·lnq products are exact, order-free), one double
+    * conversion per doc at the end; the normalizing ln(distinct) is a
+    * single quantized ln, nullif-guarded for single-token docs. One
+    * (doc, token) aggregate collapsing map-side, one per-doc
+    * aggregate — two exchanges plus the output sort. */
+  private val tokenEntropy = Q(
+    "corpus_token_entropy",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val perDoc = counts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(20,0)") *
+          round(log(col("c").cast("double")), 9).cast("decimal(12,9)"))
+          .as("clnc_q"))
+      val n = col("n_tokens").cast("double")
+      val ent = round(log(n), 9) -
+        col("clnc_q").cast("string").cast("double") / n
+      perDoc.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(ent, 6).as("entropy"),
+          round(ent / nullif(round(log(col("n_distinct").cast("double")), 9),
+            lit(0.0)), 6).as("norm_entropy"))
+        .orderBy("doc_id")
+    },
+    // H = ln n − Σ c·ln c / n (algebraically equal to −Σ p·ln p, but
+    // needs ONE quantized ln per distinct token instead of a division
+    // inside every ln's ill-conditioned near-1 zone)
+    Some("""
+      WITH tok AS (SELECT doc_id, u.tok AS tok
+                   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                        unnest(t) u(tok)),
+      cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      pd AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               sum(CAST(c AS DECIMAL(20,0)) *
+                   CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9))) AS clnc_q
+             FROM cnt GROUP BY 1)
+      SELECT doc_id, n_tokens, n_distinct,
+             round(round(ln(CAST(n_tokens AS DOUBLE)), 9)
+                   - CAST(CAST(clnc_q AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                   6) AS entropy,
+             round((round(ln(CAST(n_tokens AS DOUBLE)), 9)
+                    - CAST(CAST(clnc_q AS VARCHAR) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   / nullif(round(ln(CAST(n_distinct AS DOUBLE)), 9), 0.0), 6) AS norm_entropy
+      FROM pd ORDER BY doc_id"""),
+  )
+
   // --------------------------------------- stride-scheduled interleave
   /** Target interleave weights per language. En-heavy like real mixes;
     * weights need not be normalized — only ratios matter. */
@@ -2405,5 +2467,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
-    piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave)
+    piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy)
 }
