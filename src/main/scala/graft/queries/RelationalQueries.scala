@@ -1802,6 +1802,77 @@ object RelationalQueries {
       ORDER BY part_revenue DESC, p.l_partkey"""),
   )
 
+  // --------------------------- J20: nearest-event (bidirectional as-of)
+  /** J20 — the NEAREST-event temporal join: for every purchase, the
+    * closest click by the same user in EITHER direction (j10's as-of
+    * join looks strictly backward — correct for "state at time T",
+    * wrong for "which interaction belongs to this purchase" when the
+    * click lands seconds after the order event; sensor alignment has
+    * the same shape). Spelled as the union-tag trick run BOTH ways in
+    * one pass: one sorted window per user carries last-click-before
+    * via `last(ignoreNulls)` over the preceding frame and
+    * first-click-after via `first(ignoreNulls)` over the following
+    * frame, then a compiled three-way CASE picks the smaller gap.
+    *
+    * 100 TB design: ONE shuffle on user_id, windows over per-user
+    * event chains (bounded), zero self-joins — the naive spelling is
+    * two range joins; this is neither. */
+  private val j20Nearest = Q(
+    "j20_nearest_click",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val clickUs = when(col("event_type") === "click", col("us"))
+      val tagged = ev
+        .withColumn("prev_click_us", last(clickUs, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next_click_us", first(clickUs, ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(col("event_type") === "purchase")
+      val dPrev = col("us") - col("prev_click_us")
+      val dNext = col("next_click_us") - col("us")
+      val dir3 = when(col("prev_click_us").isNull && col("next_click_us").isNull,
+          lit(null).cast("string"))
+        .when(col("next_click_us").isNull, lit("before"))
+        .when(col("prev_click_us").isNull, lit("after"))
+        .when(dPrev <= dNext, lit("before"))
+        .otherwise(lit("after"))
+      tagged.select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+          dir3.as("nearest_direction"),
+          when(dir3 === "before", dPrev).when(dir3 === "after", dNext)
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+                  FROM events WHERE event_type IN ('click', 'purchase')),
+      t AS (SELECT *,
+              last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us,
+              first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us
+            FROM ev),
+      p AS (SELECT *, us - prev_click_us AS d_prev, next_click_us - us AS d_next,
+              CASE WHEN prev_click_us IS NULL AND next_click_us IS NULL THEN NULL
+                   WHEN next_click_us IS NULL THEN 'before'
+                   WHEN prev_click_us IS NULL THEN 'after'
+                   WHEN us - prev_click_us <= next_click_us - us THEN 'before'
+                   ELSE 'after' END AS nearest_direction
+            FROM t WHERE event_type = 'purchase')
+      SELECT event_id AS purchase_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+             nearest_direction,
+             CAST(CASE WHEN nearest_direction = 'before' THEN d_prev
+                       WHEN nearest_direction = 'after' THEN d_next END AS BIGINT) AS gap_us
+      FROM p ORDER BY purchase_id"""),
+  )
+
   // ----------------------------- A32: conversion latency quantiles
   /** A32 — time-to-convert distribution: per user, the gap from first
     * click to the first purchase AFTER it, summarized as exact
@@ -3092,7 +3163,7 @@ object RelationalQueries {
     j14Overlap, a25SmallQty, j15SoleLate,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
-    s8bloom, j10, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
+    s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
