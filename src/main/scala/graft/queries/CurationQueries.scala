@@ -1724,6 +1724,44 @@ object CurationQueries {
       FROM xy, dd ORDER BY xy.ckpt_doc"""),
   )
 
+  // --------------------------------------- packing efficiency report
+  /** Packing-efficiency report — the metric sequence packing EXISTS to
+    * move: per source, token mass vs sequence capacity. Contiguous
+    * cumulative packing means only each stream's LAST sequence carries
+    * slack, so n_seqs has the closed form ⌈tokens/SeqLen⌉ and
+    * utilization ≥ 1 − (SeqLen−1)/capacity by construction — this
+    * report PROVES that bound holds (a padding-per-document baseline
+    * would sit far below it) and gives the per-source number a
+    * training-cost dashboard tracks. One map-side-collapsing aggregate
+    * to |sources| rows. */
+  private val packingEfficiency = Q(
+    "mix_packing_efficiency",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .withColumn("n_seqs",
+          floor((col("n_tokens") + SeqLen - 1).cast("double") / SeqLen).cast("long"))
+        .withColumn("capacity", col("n_seqs") * SeqLen)
+      perSource.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_seqs"), col("capacity"),
+          round(col("n_tokens").cast("double") / col("capacity").cast("double"), 6)
+            .as("utilization"))
+        .orderBy("source")
+    },
+    Some(s"""
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST((sum(len(string_split(text, ' '))) + $SeqLen - 1) // $SeqLen AS BIGINT) AS n_seqs,
+             CAST((sum(len(string_split(text, ' '))) + $SeqLen - 1) // $SeqLen * $SeqLen AS BIGINT) AS capacity,
+             round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                   / CAST((sum(len(string_split(text, ' '))) + $SeqLen - 1) // $SeqLen * $SeqLen AS DOUBLE),
+                   6) AS utilization
+      FROM documents GROUP BY source ORDER BY source"""),
+  )
+
   // ------------------------------------------- token entropy signal
   /** Per-document token-distribution Shannon entropy, raw and
     * normalized by ln(distinct) — the information-density quality
@@ -2467,5 +2505,6 @@ object CurationQueries {
   val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
-    piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy)
+    piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
+    packingEfficiency)
 }
