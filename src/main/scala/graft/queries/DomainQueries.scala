@@ -891,6 +891,59 @@ object DomainQueries {
     vSegments.oracle, // identical result contract: view == full rebuild
   )
 
+  /** Per-column completeness profile — the data-profiling "describe"
+    * every warehouse onboarding runs before trusting a feed: for each
+    * contact/identity column of the CDP master, row count, NULLs,
+    * blanks, distinct values and the fill rate. The complement of
+    * `dq_audit`'s rule-based checks: rules test what you EXPECTED to
+    * go wrong, the profile shows the shape of what actually arrived
+    * (a column suddenly 40% blank is visible here before any rule
+    * names it).
+    *
+    * One scan: columns melt through a compiled `stack` into
+    * (column, value) rows — k× the row count BEFORE the map-side
+    * collapse to k profile rows; count(DISTINCT) per column is the
+    * only full-width aggregate, and at 100 TB the HLL sketch swaps in
+    * per column without changing the output contract. */
+  private val dqProfile = Q(
+    "dq_null_profile",
+    (s, dir) => {
+      val cols = Seq("custno", "firstname", "email", "telephone", "gender",
+        "preferredlanguage", "ziporpostalcode")
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") + ") AS (col_name, v)"
+      customerMaster(s, dir)
+        .selectExpr(stackExpr)
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("v") === "", 1L).otherwise(0L)).as("n_blank"),
+          countDistinct(col("v")).as("n_distinct"))
+        .withColumn("fill_rate",
+          round((col("n_rows") - col("n_null") - col("n_blank")).cast("double")
+            / col("n_rows").cast("double"), 6))
+        .orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("custno", "firstname", "email", "telephone", "gender",
+        "preferredlanguage", "ziporpostalcode")
+      val branches = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM m").mkString("\n      UNION ALL ")
+      s"""
+      WITH m AS ($CM_SQL),
+      melted AS ($branches)
+      SELECT col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(sum(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             round(CAST(count(*) - sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN v = '' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS fill_rate
+      FROM melted GROUP BY col_name ORDER BY col_name"""
+    },
+  )
+
   /** SCD Type-2 dimension history — the warehouse-standard "what did
     * this customer's record say on date X" table the latest-wins views
     * throw away: every master version becomes a row with its validity
@@ -1143,5 +1196,5 @@ object DomainQueries {
 
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
     vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit,
-    dqChecksum, rfm)
+    dqChecksum, dqProfile, rfm)
 }
