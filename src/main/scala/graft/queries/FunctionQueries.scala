@@ -171,5 +171,39 @@ object FunctionQueries {
       FROM customer ORDER BY c_custkey"""),
   )
 
-  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast)
+  /** Advanced string-function surface — the second string family
+    * beyond MiscQueries' regex/LIKE/basics: ucfirst display-name
+    * normalization, translate (character scrubbing), levenshtein
+    * (the fuzzy-match distance U5 scores with, here exposed raw),
+    * reverse / repeat / left-right slicing. One codegen'd projection
+    * pass over the customer dimension; every function chosen to mean
+    * the same thing in DuckDB so the differential is a function-level
+    * conformance check. */
+  private val fStr2 = Q(
+    "f_string_advanced",
+    (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        // ucfirst spelled explicitly: DuckDB (this build) has no initcap,
+        // and Spark's is per-word — the explicit form means ONE thing
+        concat(upper(substring(col("c_mktsegment"), 1, 1)),
+          lower(substring(col("c_mktsegment"), 2, 100))).as("seg_display"),
+        translate(col("c_name"), "#0", "-x").as("scrubbed"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_building"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        concat(repeat(lit("*"), (col("c_custkey") % 4 + 1).cast("int")),
+          substring(col("c_name"), -4, 4)).as("masked_tail"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2, 100))
+               AS seg_display,
+             translate(c_name, '#0', '-x') AS scrubbed,
+             CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_building,
+             reverse(c_mktsegment) AS seg_rev,
+             repeat('*', CAST(c_custkey % 4 + 1 AS INT)) || right(c_name, 4) AS masked_tail
+      FROM customer ORDER BY c_custkey"""),
+  )
+
+  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast, fStr2)
 }
