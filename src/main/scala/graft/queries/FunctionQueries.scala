@@ -205,5 +205,34 @@ object FunctionQueries {
       FROM customer ORDER BY c_custkey"""),
   )
 
-  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast, fStr2)
+  /** Advanced calendar surface beyond `f_date_functions`: quarter,
+    * ISO week, month-end (last_day), and day-of-week — the last
+    * NORMALIZED to ISO 1=Monday..7=Sunday by arithmetic on both
+    * sides, because the raw builtins disagree (Spark's dayofweek is
+    * 1=Sunday, DuckDB's dow is 0=Sunday): the conformance value IS
+    * pinning one cross-engine meaning for the trap functions. */
+  private val fDate2 = Q(
+    "f_date_advanced",
+    (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        // Spark dayofweek: 1=Sunday..7=Saturday → ISO via ((x+5)%7)+1
+        (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("long").as("iso_dow"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             -- DuckDB dayofweek: 0=Sunday..6=Saturday → ISO via ((x+6)%7)+1
+             CAST((CAST(dayofweek(o_orderdate) AS BIGINT) + 6) % 7 + 1 AS BIGINT) AS iso_dow
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast, fStr2, fDate2)
 }
