@@ -1998,6 +1998,68 @@ object RelationalQueries {
       ORDER BY s.user_id, day"""),
   )
 
+  // ----------------------- join-size estimation (CMS inner product)
+  /** Join-cardinality estimation by sketch inner product (AMS/CMS,
+    * Alon-Matias-Szegedy): |A ⋈_k B| = Σ_k a_k·b_k, estimated as
+    * min_d Σ_idx cmsA[d]·cmsB[d] from count-min sketches of each
+    * side — here the CO-PURCHASE SELF-JOIN on l_partkey, the exact
+    * question the triangle/LPA queries' planner faces (self-join
+    * size Σc² decides broadcast vs shuffle vs salt) answered WITHOUT
+    * scanning a second time: the sketches are mergeable streamed
+    * state, like the HLL registers. The exact Σc² rides along as the
+    * self-auditing twin — inner-product estimates inflate by
+    * ~(Σc)²/width, so the report carries its own error ratio.
+    *
+    * One scan builds depth×width cells map-side; the inner product
+    * and the exact twin are metadata aggregates. Width 4096 (vs the
+    * frequency demo's 16): inner products square the collision term,
+    * needing the wider table — exactly the sizing lesson the ratio
+    * column teaches. */
+  private val JsWidth = 4096L
+  private val statsJoinSize = Q(
+    "stats_join_size_estimate",
+    (s, dir) => {
+      val depth = CurationQueries.CmsDepth
+      def idx(d: Int, k: Column): Column = pmod(
+        conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
+        lit(JsWidth))
+      val keys = Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("string").as("k"))
+      val cells = keys
+        .select(explode(array((0 until depth).map(d =>
+          struct(lit(d.toLong).as("d"), idx(d, col("k")).as("idx"))): _*)).as("c"))
+        .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
+        .agg(count(lit(1)).as("cnt"))
+      val est = cells.groupBy("d")
+        .agg(sum(col("cnt") * col("cnt")).as("ip"))
+        .agg(min(col("ip")).as("cms_estimate"))
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_pairs"))
+      exact.crossJoin(broadcast(est))
+        .select(lit("lineitem self-join on l_partkey").as("join_key"),
+          col("exact_pairs"), col("cms_estimate"),
+          round(col("cms_estimate").cast("double")
+            / col("exact_pairs").cast("double"), 4).as("inflation"))
+    },
+    Some(s"""
+      WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+      cells AS (SELECT d.d AS d,
+                  CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+                    AS BIGINT) % $JsWidth AS idx,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM keys, unnest(range(0, ${CurationQueries.CmsDepth})) d(d)
+                GROUP BY 1, 2),
+      est AS (SELECT min(ip) AS cms_estimate FROM (
+                SELECT d, sum(cnt * cnt) AS ip FROM cells GROUP BY d) t),
+      ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM (
+               SELECT count(*) AS c FROM keys GROUP BY k) u)
+      SELECT 'lineitem self-join on l_partkey' AS join_key,
+             ex.exact_pairs, CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+             round(CAST(est.cms_estimate AS DOUBLE) / CAST(ex.exact_pairs AS DOUBLE), 4)
+               AS inflation
+      FROM ex, est"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -3164,7 +3226,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
