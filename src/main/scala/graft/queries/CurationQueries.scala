@@ -143,6 +143,64 @@ object CurationQueries {
       ORDER BY c.doc_id"""),
   )
 
+  /** Contamination by SOURCE — the rollup the decontamination decision
+    * actually acts on: per-doc overlap flags aggregate to which feed
+    * is leaking the benchmark (a handful of contaminated docs spread
+    * across sources is crawl noise to excise; a single source at 30%
+    * contamination is an upstream pipeline INCLUDING the eval set, and
+    * the action is dropping the source). Shares [[benchOverlapStats]]
+    * with `decontam_overlap` — same dictionary, same ratio, zero
+    * drift — and adds one map-side-collapsing rollup to |sources|
+    * rows plus the mean-ratio column that separates "one bad doc"
+    * from "systemic leak". */
+  private val decontamBySource = Q(
+    "decontam_by_source",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      benchOverlapStats(d)
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contam_ratio") >= 0.2, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(col("contam_ratio").cast("decimal(8,4)")).as("ratio_sum"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_docs").cast("double"), 4)
+            .as("contaminated_rate"),
+          round(col("ratio_sum").cast("string").cast("double")
+            / col("n_docs").cast("double"), 6).as("mean_contam_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END) AS shl
+             FROM tok),
+      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh WHERE $BenchPred),
+      corpus AS (SELECT doc_id, shl FROM sh WHERE NOT ($BenchPred)),
+      ex AS (SELECT doc_id, unnest(shl) AS shingle FROM corpus),
+      hits AS (SELECT e.doc_id, count(*) AS n_hit
+               FROM ex e JOIN bench b USING (shingle) GROUP BY e.doc_id),
+      perdoc AS (
+        SELECT c.doc_id,
+               coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                              / nullif(len(c.shl), 0), 4), 0.0) AS contam_ratio
+        FROM corpus c LEFT JOIN hits h USING (doc_id))
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN p.contam_ratio >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             round(CAST(sum(CASE WHEN p.contam_ratio >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 4) AS contaminated_rate,
+             round(CAST(CAST(sum(CAST(p.contam_ratio AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_contam_ratio
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""),
+  )
+
   /** Surgical decontamination — span EXCISION, the precision tool
     * beside [[decontam]]'s whole-document flag: only the token
     * positions covered by a benchmark-matching 4-gram are removed, the
@@ -2502,7 +2560,7 @@ object CurationQueries {
       FROM scan GROUP BY source ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
+  val all: Seq[Q] = Seq(decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
