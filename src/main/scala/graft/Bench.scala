@@ -131,11 +131,23 @@ object Bench {
       BigDecimal(shuffleMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val totalSpillMb =
       BigDecimal(spillMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,""" +
         s""""shuffle_write_mb":${jmap(shuffleMb)},"spill_mb":${jmap(spillMb)},""" +
         s""""total_shuffle_write_mb":$totalShuffleMb,"total_spill_mb":$totalSpillMb,""" +
-        s""""sf":${q(sfDir)}}""")
+        s""""sf":${q(sfDir)}}"""
+    println(line)
+    // Self-dump: the driver's stdout tail capture truncates at 2000 chars,
+    // which at 198 queries lost every per-query time from BENCH_r07.json —
+    // the file is the durable copy; the stdout contract is unchanged.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -39,9 +39,12 @@ import graft.operators.Dedup
   *
   * Write discipline is inherited: bucket-clustered writes (bounded file
   * count), checkpoint-before-overwrite (read-overwrite hazard), dynamic
-  * overwrite for state, delete-then-append for the view (a refresh may
-  * empty a bucket's view rows; dynamic overwrite would leave the stale
-  * partition serving forever).
+  * overwrite for state, and the [[GenerationStore]] manifest protocol
+  * for the served view — refreshed buckets land in an immutable new
+  * generation and one atomic manifest swap publishes them, so readers
+  * never observe a mid-refresh or post-crash partial state (and a
+  * refresh that EMPTIES a bucket's view rows publishes that emptiness
+  * atomically too — the case dynamic overwrite cannot express).
   */
 final class AggregateView(
     root: String,
@@ -61,6 +64,10 @@ final class AggregateView(
   private val factsPath = s"$root/facts"
   private val viewPath = s"$root/view"
   private val bucketCol = "__mv_bucket"
+
+  /** Atomic manifest-mediated publish of the served view (exposed to
+    * the crash/concurrency specs). */
+  private[graft] val store = new GenerationStore(viewPath, bucketCol)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol,
@@ -84,24 +91,30 @@ final class AggregateView(
     else clustered(df)
       .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
 
-  private def isPartitioned(path: String): Boolean =
-    Option(new java.io.File(path).listFiles())
-      .exists(_.exists(_.getName.startsWith(s"$bucketCol=")))
+  private def isPartitioned(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$bucketCol="))
+  }
 
   /** Full initial build of both states and the view. The state writes
     * ARE the dedups' materialization (no checkpoint pass — a fresh root
     * has no read-overwrite hazard); the derive then re-reads both
     * stores it just wrote, a column-pruned scan of fresh compressed
     * parquet instead of full-width block copies held across the pass. */
-  def build(dims: DataFrame, facts: DataFrame): Unit = {
-    writeState(Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder), dimsPath)
-    writeState(Dedup.latestByKey(withBucket(facts), factKeys, factOrder), factsPath)
-    val spark = dims.sparkSession
-    val ds = spark.read.parquet(dimsPath)
-    val fs = spark.read.parquet(factsPath)
-    clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol))))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
-  }
+  def build(dims: DataFrame, facts: DataFrame): Unit =
+    graft.plans.MvRewrite.withRuleDisabled {
+      writeState(Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder), dimsPath)
+      writeState(Dedup.latestByKey(withBucket(facts), factKeys, factOrder), factsPath)
+      val spark = dims.sparkSession
+      val ds = spark.read.parquet(dimsPath)
+      val fs = spark.read.parquet(factsPath)
+      store.publish(
+        clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol)))),
+        0L until nBuckets.toLong)
+    }
 
   /** CDC batch of fact rows: re-aggregate only the batch's buckets. */
   def refreshFacts(batch: DataFrame): Unit =
@@ -116,7 +129,7 @@ final class AggregateView(
       statePath: String,
       keys: Seq[String],
       order: Seq[Column],
-      factsSide: Boolean): Unit = {
+      factsSide: Boolean): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     val b = withBucket(batch)
     // bucket ids are bounded metadata (≤ nBuckets longs) — a catalog
@@ -148,30 +161,19 @@ final class AggregateView(
         .filter(col(bucketCol).isin(buckets: _*))
       val (dimsPruned, factsPruned) =
         if (factsSide) (other, newState) else (newState, other)
-      val newView = clustered(withBucket(
-        derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol))))
-      buckets.foreach { bk =>
-        deleteRec(new java.io.File(s"$viewPath/$bucketCol=$bk"))
-      }
-      newView.write.mode("append").partitionBy(bucketCol).parquet(viewPath)
+      store.publish(
+        clustered(withBucket(
+          derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))),
+        buckets.toIndexedSeq)
     } finally release()
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
-
-  /** The published aggregate view (all buckets). */
+  /** The published aggregate view (all buckets), resolved through the
+    * generation manifest — complete old-or-new state under concurrent
+    * refresh or crash. */
   def view(spark: SparkSession): DataFrame =
-    if (hasParquet(new java.io.File(viewPath)))
-      spark.read.parquet(viewPath).drop(bucketCol)
-    else
-      derive(dims(spark).limit(0), facts(spark).limit(0))
-
-  private def hasParquet(f: java.io.File): Boolean =
-    if (f.isDirectory) Option(f.listFiles()).exists(_.exists(hasParquet))
-    else f.getName.endsWith(".parquet")
+    store.read(spark)
+      .getOrElse(derive(dims(spark).limit(0), facts(spark).limit(0)))
 
   /** The latest-row-per-key dimension state store. */
   def dims(spark: SparkSession): DataFrame =

@@ -35,13 +35,17 @@ import graft.operators.Dedup
   * the event sink's processed-id append: under cache eviction a lazy
   * plan would re-read partitions mid-overwrite).
   *
-  * The view partitions are replaced by explicit delete-then-append
-  * rather than `partitionOverwriteMode=dynamic`: dynamic overwrite only
-  * replaces partitions that receive NEW rows, so a bucket whose view
-  * rows all disappear in a refresh (e.g. its last publishable customer
-  * soft-deletes) would keep serving the stale partition forever. State
-  * uses dynamic overwrite — a touched state bucket always has winners,
-  * so the empty-partition gap cannot occur there.
+  * The view is SERVED through a [[GenerationStore]]: refreshed buckets
+  * write to an immutable new generation directory and a single manifest
+  * swaps atomically, so a concurrent reader (or a crash at any point in
+  * the refresh) always sees a complete old-or-new state — never a
+  * missing bucket. Dynamic partition overwrite can't serve this role
+  * twice over: it only replaces partitions that receive NEW rows (a
+  * bucket whose view rows all disappear — its last publishable customer
+  * soft-deletes — would keep serving the stale partition forever), and
+  * its delete-write window is visible to readers. State uses dynamic
+  * overwrite — a touched state bucket always has winners and has no
+  * concurrent readers (the refresh loop is the only consumer).
   *
   * Deletes fall out naturally: when a refresh makes a key's winner
   * soft-deleted, `derive` drops the row and the bucket rewrite
@@ -66,6 +70,10 @@ final class MaterializedView(
   private val statePath = s"$root/state"
   private val viewPath = s"$root/view"
   private val bucketCol = "__mv_bucket"
+
+  /** Atomic manifest-mediated publish of the served view (exposed to
+    * the crash/concurrency specs). */
+  private[graft] val store = new GenerationStore(viewPath, bucketCol)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol,
@@ -101,17 +109,18 @@ final class MaterializedView(
     * is a COLUMN-PRUNED scan of freshly-written compressed parquet —
     * cheaper than holding a full-width block copy of the state in
     * executor memory for the one derive pass. */
-  def build(source: DataFrame): Unit = {
+  def build(source: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     clustered(Dedup.latestByKey(withBucket(source), keys, order))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
     val state = source.sparkSession.read.parquet(statePath)
-    clustered(withBucket(derive(state.drop(bucketCol))))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(viewPath)
+    store.publish(
+      clustered(withBucket(derive(state.drop(bucketCol)))),
+      0L until nBuckets.toLong)
   }
 
   /** Incremental refresh from a CDC batch: recompute winners and view
     * rows for the batch's buckets only; all other buckets untouched. */
-  def refresh(batch: DataFrame): Unit = {
+  def refresh(batch: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     val b = withBucket(batch)
     // bucket ids are bounded metadata (≤ nBuckets longs) — this collect
@@ -129,34 +138,22 @@ final class MaterializedView(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(bucketCol).parquet(statePath)
       // the view write reads only the checkpointed newState, never the
-      // view dirs being replaced — no second checkpoint needed
-      val newView = clustered(withBucket(derive(newState.drop(bucketCol))))
-      buckets.foreach { bk =>
-        deleteRec(new java.io.File(s"$viewPath/$bucketCol=$bk"))
-      }
-      newView.write.mode("append").partitionBy(bucketCol).parquet(viewPath)
+      // served generations — the publish is atomic per GenerationStore
+      store.publish(
+        clustered(withBucket(derive(newState.drop(bucketCol)))),
+        buckets.toIndexedSeq)
     } finally release()
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
-
   /** The published view (all buckets; add key-derived bucket filters
-    * upstream for pruned point reads). A view that is currently EMPTY
-    * has no parquet files at all (a partitioned write of zero rows
-    * emits none), so the schema is reconstructed by deriving over zero
-    * state rows instead of failing schema inference. */
+    * upstream for pruned point reads), resolved through the
+    * generation manifest — a concurrent refresh can never make a bucket
+    * disappear from this read. A view never published or currently
+    * EMPTY has no parquet files (a partitioned write of zero rows emits
+    * none), so the schema is reconstructed by deriving over zero state
+    * rows instead of failing schema inference. */
   def view(spark: SparkSession): DataFrame =
-    if (hasParquet(new java.io.File(viewPath)))
-      spark.read.parquet(viewPath).drop(bucketCol)
-    else
-      derive(state(spark).limit(0))
-
-  private def hasParquet(f: java.io.File): Boolean =
-    if (f.isDirectory) Option(f.listFiles()).exists(_.exists(hasParquet))
-    else f.getName.endsWith(".parquet")
+    store.read(spark).getOrElse(derive(state(spark).limit(0)))
 
   /** The latest-row-per-key state store. */
   def state(spark: SparkSession): DataFrame =

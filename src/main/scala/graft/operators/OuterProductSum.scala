@@ -60,12 +60,17 @@ object OuterProductSum {
           xd(i) = micros(i).toDouble / 1e6 // nearest double of the 6-dp decimal
           i += 1
         }
+        // addExact: past the documented ~1e8-rows-per-final-aggregation
+        // headroom the nanos sums would wrap SILENTLY and the Gram matrix
+        // (and every PCA result downstream) would be wrong with no error —
+        // exceeding the limit must fail loudly instead
         var j = 0
         while (j < dims) {
-          b.s(j) += micros(j)
+          b.s(j) = Math.addExact(b.s(j), micros(j))
           var k = 0
           while (k <= j) {
-            b.p(triIndex(k, j)) += roundAway(xd(k) * xd(j) * 1e9)
+            val t = triIndex(k, j)
+            b.p(t) = Math.addExact(b.p(t), roundAway(xd(k) * xd(j) * 1e9))
             k += 1
           }
           j += 1
@@ -74,9 +79,9 @@ object OuterProductSum {
       }
       def merge(l: OPSum, r: OPSum): OPSum = {
         var i = 0
-        while (i < l.s.length) { l.s(i) += r.s(i); i += 1 }
+        while (i < l.s.length) { l.s(i) = Math.addExact(l.s(i), r.s(i)); i += 1 }
         i = 0
-        while (i < l.p.length) { l.p(i) += r.p(i); i += 1 }
+        while (i < l.p.length) { l.p(i) = Math.addExact(l.p(i), r.p(i)); i += 1 }
         OPSum(l.n + r.n, l.s, l.p)
       }
       def finish(b: OPSum): OPSum = b

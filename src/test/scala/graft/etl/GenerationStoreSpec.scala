@@ -1,0 +1,145 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The atomic-publish contract of the generation-manifest view store:
+  * a reader — concurrent with a refresh, or after a crash at the widest
+  * window (new generation fully written, manifest not yet swapped) —
+  * always sees a COMPLETE old-or-new state, never a missing bucket; a
+  * crashed refresh replays to convergence; orphaned generations are
+  * garbage-collected by the next publish. This is the serving guarantee
+  * the reference gets for free from its warehouse views
+  * (`sql/customer_360_views.sql` — Redshift never serves a half-
+  * refreshed view), re-established on an immutable-files lake.
+  */
+class GenerationStoreSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def rows(rs: (Long, Long, Boolean, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rs.toDF("id", "version", "deleted", "payload")
+  }
+
+  private def derive(state: DataFrame): DataFrame =
+    state.filter(!col("deleted"))
+      .select(col("id"), col("payload"), (col("version") * 10).as("derived"))
+
+  private def mk(nBuckets: Int = 8) = {
+    val root = Files.createTempDirectory("graft_gen").toString
+    (root, new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets))
+  }
+
+  private def viewMap(mv: MaterializedView): Map[Long, (String, Long)] =
+    mv.view(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  private final class Boom extends RuntimeException("simulated crash before swap")
+
+  test("crash after generation write, before swap: complete old view; replay converges") {
+    val base = rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1"), (3L, 1L, false, "c1"))
+    val batch = rows((1L, 2L, false, "a2"), (7L, 1L, false, "g1"))
+    val (_, mv) = mk()
+    mv.build(base)
+    val old = viewMap(mv)
+    assert(old.keySet == Set(1L, 2L, 3L))
+
+    // crash at the WIDEST window: the new generation is fully on disk,
+    // the manifest still names the old one
+    mv.store.onBeforeSwap = () => throw new Boom
+    intercept[Boom] { mv.refresh(batch) }
+    mv.store.onBeforeSwap = () => ()
+    assert(viewMap(mv) == old,
+      "a crash before the manifest swap must leave the complete old view serving")
+
+    // replay of the same batch (the crash-recovery path) converges to
+    // the full rebuild — latest-wins makes the refresh idempotent
+    mv.refresh(batch)
+    val (_, full) = mk()
+    full.build(base.unionByName(batch))
+    assert(viewMap(mv) == viewMap(full))
+  }
+
+  test("a reader INSIDE the publish window sees the complete old state") {
+    val (_, mv) = mk()
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    val old = viewMap(mv)
+    var observed: Map[Long, (String, Long)] = null
+    // the hook runs after the new generation is written and before the
+    // swap — the exact instant the delete-then-append publish served a
+    // bucketless view
+    mv.store.onBeforeSwap = () => observed = viewMap(mv)
+    mv.refresh(rows((1L, 2L, false, "a2")))
+    mv.store.onBeforeSwap = () => ()
+    assert(observed == old, s"mid-publish reader saw a partial state: $observed")
+    assert(viewMap(mv)(1L) == ("a2", 20L), "post-swap reader must see the new state")
+  }
+
+  test("emptying a bucket publishes atomically: old row until swap, gone after") {
+    val (_, mv) = mk(nBuckets = 1)
+    mv.build(rows((5L, 1L, false, "e1")))
+    var observed: Map[Long, (String, Long)] = null
+    mv.store.onBeforeSwap = () => observed = viewMap(mv)
+    mv.refresh(rows((5L, 2L, true, "e2"))) // winner soft-deletes: bucket empties
+    mv.store.onBeforeSwap = () => ()
+    assert(observed == Map(5L -> (("e1", 10L))),
+      "mid-publish reader must still see the doomed row")
+    assert(viewMap(mv) == Map.empty)
+  }
+
+  test("orphaned generations and manifest temps are GC'd by the next publish") {
+    val (root, mv) = mk(nBuckets = 2)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    mv.store.onBeforeSwap = () => throw new Boom
+    intercept[Boom] { mv.refresh(rows((1L, 2L, false, "a2"))) }
+    mv.store.onBeforeSwap = () => ()
+    def gens(): Set[String] = {
+      val d = new java.io.File(s"$root/view")
+      d.listFiles().map(_.getName).filter(_.startsWith("gen=")).toSet
+    }
+    assert(gens().size == 2, "crashed publish should have left an orphan generation")
+    mv.refresh(rows((1L, 2L, false, "a2")))
+    // post-GC: every surviving generation is referenced by the manifest
+    val live = mv.store.manifest(spark).get.values.toSet.map((g: Long) => s"gen=$g")
+    assert(gens() == live, s"unreferenced generations survived GC: ${gens() -- live}")
+    assert(!new java.io.File(s"$root/view").listFiles()
+      .exists(_.getName.startsWith("_MANIFEST.tmp-")), "stale manifest temp survived")
+    assert(viewMap(mv)(1L) == ("a2", 20L))
+  }
+
+  test("AggregateView publish has the same crash window guarantee") {
+    val root = Files.createTempDirectory("graft_gen_av").toString
+    val s = spark
+    import s.implicits._
+    def dims(rs: (Long, Long, String)*): DataFrame = rs.toDF("id", "dversion", "name")
+    def facts(rs: (Long, Long, Long, Long)*): DataFrame =
+      rs.toDF("fid", "id", "fversion", "amount")
+    val av = new AggregateView(root, Seq("id"),
+      dimKeys = Seq("id"), dimOrder = Seq(col("dversion").desc),
+      factKeys = Seq("fid"), factOrder = Seq(col("fversion").desc),
+      (d, f) => d.join(
+        f.groupBy("id").agg(sum("amount").as("total")), Seq("id"), "left")
+        .select(col("id"), col("name"), coalesce(col("total"), lit(0L)).as("total")),
+      nBuckets = 4)
+    av.build(dims((1L, 1L, "a"), (2L, 1L, "b")),
+      facts((10L, 1L, 1L, 100L), (20L, 2L, 1L, 7L)))
+    def vm(): Map[Long, (String, Long)] = av.view(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val old = vm()
+    av.store.onBeforeSwap = () => throw new Boom
+    intercept[Boom] { av.refreshFacts(facts((10L, 1L, 2L, 500L))) }
+    av.store.onBeforeSwap = () => ()
+    assert(vm() == old, "crashed fact refresh must leave the complete old view")
+    // replay converges (note: the fact STATE already committed before
+    // the crash — the view publish replays idempotently on top)
+    av.refreshFacts(facts((10L, 1L, 2L, 500L)))
+    assert(vm() == Map(1L -> (("a", 500L)), 2L -> (("b", 7L))))
+  }
+}

@@ -90,13 +90,17 @@ class MaterializedViewSpec extends AnyFunSuite {
     plain.build(data)
     plain.refresh(batch)
     assert(viewMap(salted) == viewMap(plain))
-    val perBucket = new java.io.File(s"$root/view").listFiles()
-      .filter(_.getName.startsWith("__mv_bucket="))
-      .map(d => d.getName ->
-        d.listFiles().count(_.getName.endsWith(".parquet")))
+    // count files per LIVE (bucket, generation) path — each publish
+    // writes a bucket's rows once, so a live bucket holds <= 3 files
+    val manifest = salted.store.manifest(spark).get
+    val perBucket = manifest.toSeq.flatMap { case (b, g) =>
+      val d = new java.io.File(s"$root/view/gen=$g/__mv_bucket=$b")
+      if (d.isDirectory)
+        Some(d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      else None
+    }
     assert(perBucket.nonEmpty)
-    // build wrote <=3 files; the refresh appended <=3 more to touched buckets
-    assert(perBucket.forall(_._2 <= 6),
+    assert(perBucket.forall(_._2 <= 3),
       s"file explosion: ${perBucket.mkString(", ")}")
   }
 

@@ -8,9 +8,10 @@ import graft.SharedSpark
 
 /** The quarantine lane: malformed CSV lines land verbatim in the
   * quarantine frame with file provenance, good lines parse untouched,
-  * and the padded-short-row caveat behaves as documented (too-few
-  * fields stay in the good lane as nulls — the validity predicates own
-  * those).
+  * and arity is enforced EXACTLY — a row with too few fields
+  * quarantines like any other malformed row (readCsvWithQuarantine's
+  * exact-arity contract; a truncated row padded with nulls would be
+  * indistinguishable from a legitimately-null tail).
   */
 class QuarantineSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark

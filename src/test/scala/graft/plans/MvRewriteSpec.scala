@@ -80,6 +80,50 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!definition.queryExecution.executedPlan.toString.contains("daily_events"))
   }
 
+  test("withRuleDisabled: a refresh writer recomputes from base tables") {
+    registerMv()
+    // without the bypass, re-evaluating the definition to refresh the MV
+    // is itself rewritten to scan the (stale) MV — the refresh would
+    // read the MV and write it back, never actually refreshing
+    assert(definition.queryExecution.executedPlan.toString.contains("daily_events"))
+    MvRewrite.withRuleDisabled {
+      val plan = definition.queryExecution.executedPlan.toString
+      assert(!plan.contains("daily_events"),
+        s"refresh recomputation was substituted with the stale MV:\n$plan")
+      assert(plan.contains("events"), "refresh recomputation lost its base scan")
+    }
+    // consumers after the bypass window rewrite again
+    assert(definition.queryExecution.executedPlan.toString.contains("daily_events"))
+  }
+
+  test("register resolves MV columns case-insensitively; consumers still wire") {
+    // MV parquet whose column names differ ONLY in case from the
+    // definition — Spark resolution is case-insensitive by default, so
+    // register must accept it and apply() must wire columns through the
+    // session resolver rather than an exact-name map
+    definition
+      .select(col("day").as("DAY"), col("event_type").as("Event_Type"),
+        col("n_events").as("N_EVENTS"), col("sum_value").as("sum_value"))
+      .write.mode("overwrite").parquet(mvPath)
+    MvRewrite.register(definition, spark.read.parquet(mvPath), mvPath)
+    val consumer = definition
+      .groupBy("event_type").agg(sum(col("n_events")).as("n_events"))
+    assert(consumer.queryExecution.executedPlan.toString.contains("daily_events"))
+    MvRewrite.clear()
+    val direct = definition
+      .groupBy("event_type").agg(sum(col("n_events")).as("n_events"))
+    assert(consumer.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("register rejects an MV genuinely missing a definition column") {
+    definition.drop("sum_value").write.mode("overwrite").parquet(mvPath)
+    val e = intercept[IllegalArgumentException] {
+      MvRewrite.register(definition, spark.read.parquet(mvPath), mvPath)
+    }
+    assert(e.getMessage.contains("sum_value"))
+  }
+
   test("self-join of the definition gets distinct attribute instances") {
     registerMv()
     val a = definition.select(col("day"), col("event_type"), col("n_events").as("na"))
