@@ -63,9 +63,21 @@ object PrefixSum {
       orderCols: Seq[Column],
       value: Column,
       out: String,
+      numPartitions: Int = 0): DataFrame =
+    runningSums(df, groupCols, orderCols, Seq(value -> out), numPartitions)
+
+  /** Several running sums over the SAME (group, order) in one pass —
+    * one range exchange and one local window carry every value column
+    * (the rank family needs two: row count and tie-group count). */
+  def runningSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      values: Seq[(Column, String)],
       numPartitions: Int = 0): DataFrame = {
-    require(groupCols.nonEmpty, "runningSum needs at least one group column")
-    require(orderCols.nonEmpty, "runningSum needs an intra-group total order")
+    require(groupCols.nonEmpty, "runningSums needs at least one group column")
+    require(orderCols.nonEmpty, "runningSums needs an intra-group total order")
+    require(values.nonEmpty, "runningSums needs at least one value column")
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -77,22 +89,103 @@ object PrefixSum {
       .partitionBy(groupC :+ col(PidCol): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn(LocalCol, sum(value).over(localW))
+    val local = values.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((value, _), i)) =>
+        acc.withColumn(s"$LocalCol$i", sum(value).over(localW))
+    }
     // partial aggregation collapses each range partition to ≤ |groups|
     // rows before this branch's exchange — metadata, not corpus
     val totals = ranged
       .groupBy(groupC :+ col(PidCol): _*)
-      .agg(sum(value).as(TotalCol))
+      .agg(sum(values.head._1).as(s"${TotalCol}0"),
+        values.tail.zipWithIndex.map { case ((value, _), i) =>
+          sum(value).as(s"$TotalCol${i + 1}")
+        }: _*)
     val offW = Window
       .partitionBy(groupC: _*)
       .orderBy(col(PidCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn(OffCol, coalesce(sum(col(TotalCol)).over(offW), lit(0L)))
-      .select(groupC ++ Seq(col(PidCol), col(OffCol)): _*)
-    local
-      .join(broadcast(offsets), groupCols :+ PidCol)
-      .withColumn(out, col(LocalCol) + col(OffCol))
-      .drop(PidCol, LocalCol, OffCol)
+    val offsets = values.indices.foldLeft(totals) { (acc, i) =>
+      acc.withColumn(s"$OffCol$i",
+        coalesce(sum(col(s"$TotalCol$i")).over(offW), lit(0L)))
+    }.select(groupC ++ (col(PidCol) +: values.indices.map(i => col(s"$OffCol$i"))): _*)
+    val joined = local.join(broadcast(offsets), groupCols :+ PidCol)
+    values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"$LocalCol$i") + col(s"$OffCol$i"))
+          .drop(s"$LocalCol$i", s"$OffCol$i")
+    }.drop(PidCol)
+  }
+
+  /** The full ranking-function family — row_number / rank / dense_rank /
+    * percent_rank / cume_dist over ONE global (or per-stratum-free)
+    * order WITH ties — without a partition-less `WindowExec`: the
+    * corpus-scale spelling of `w10_rank_variants`' dimension-sized
+    * window (a partition-less window is ONE task; over a dimension that
+    * grows 100× it is the exact straggler [[runningSum]] was built to
+    * kill).
+    *
+    * Everything except row_number is a function of the TIE KEY alone,
+    * so the corpus first collapses to one row per distinct key
+    * (map-side partial aggregation — the exchange carries keys, not
+    * rows), and ONE two-phase pass over that key frame yields, per key:
+    *
+    *   - `cum`  = running row count (inclusive)  → cume_dist = cum / n
+    *   - `rank` = cum − key_count + 1 (exclusive prefix + 1)
+    *   - `dense_rank` = running KEY count (running sum of 1)
+    *   - `percent_rank` = (rank − 1) / (n − 1), 0 when n == 1 — the
+    *     SQL-standard n−1 denominator vs cume_dist's n, the confusion
+    *     w10 exists to pin
+    *
+    * and joins back to the corpus on the key. row_number additionally
+    * needs a TOTAL order over rows, which has no per-key shortcut: it
+    * is a second [[runningSums]] pass over the full frame on
+    * `keys ++ tiebreak`.
+    *
+    * @param keys     (column, ascending) pairs — the rank order; ties
+    *                 share rank/dense_rank/percent_rank/cume_dist
+    * @param tiebreak completes `keys` to a TOTAL order for row_number
+    *                 (nondeterministic row_number over ties is the bug
+    *                 w10 pins against)
+    * @return df + columns `row_number, rank, dense_rank` (long),
+    *         `percent_rank, cume_dist` (double)
+    */
+  def rankVariants(
+      df: DataFrame,
+      keys: Seq[(String, Boolean)],
+      tiebreak: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "rankVariants needs at least one key column")
+    require(tiebreak.nonEmpty,
+      "rankVariants needs a tiebreak completing the total order for row_number")
+    val keyNames = keys.map(_._1)
+    val keyOrder = keys.map { case (name, asc) =>
+      if (asc) col(name).asc else col(name).desc
+    }
+    val g = "__rv_g"
+    // one row per distinct key; keyOrder is a total order on this frame
+    val counts = df.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("__rv_cnt"))
+      .withColumn(g, lit(1))
+    val cums = runningSums(counts, Seq(g), keyOrder,
+      Seq(col("__rv_cnt") -> "__rv_cum", lit(1L) -> "__rv_dense"),
+      numPartitions)
+    // n is ONE metadata row — broadcast it under every key row
+    val total = counts.agg(sum(col("__rv_cnt")).as("__rv_n"))
+    val perKey = cums.crossJoin(broadcast(total))
+      .withColumn("rank", col("__rv_cum") - col("__rv_cnt") + 1)
+      .withColumn("dense_rank", col("__rv_dense"))
+      .withColumn("percent_rank",
+        when(col("__rv_n") > 1,
+          (col("rank") - 1).cast("double") / (col("__rv_n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("cume_dist",
+        col("__rv_cum").cast("double") / col("__rv_n").cast("double"))
+      .select(keyNames.map(col) ++
+        Seq(col("rank"), col("dense_rank"), col("percent_rank"), col("cume_dist")): _*)
+    val numbered = runningSum(
+      df.withColumn(g, lit(1)), Seq(g), keyOrder ++ tiebreak,
+      lit(1L), "row_number", numPartitions).drop(g)
+    numbered.join(perKey, keyNames)
   }
 }

@@ -2131,26 +2131,15 @@ object RelationalQueries {
     * global rank is [[graft.operators.PrefixSum]] (see
     * `emb_pca_project`). percent_rank/cume_dist are exact rationals
     * of small integers — identical doubles cross-engine. */
-  private val w10Ranks = Q(
-    "w10_rank_variants",
-    (s, dir) => {
-      val spend = Tables.orders(s, dir)
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .select(col("custkey"),
-          (floor(col("spend").cast("double") / 100000.0) * 100000).cast("long")
-            .as("spend_bucket"))
-      val tied = Window.orderBy(col("spend_bucket").desc)
-      val total = Window.orderBy(col("spend_bucket").desc, col("custkey"))
-      spend
-        .withColumn("rn", row_number().over(total).cast("long"))
-        .withColumn("rnk", rank().over(tied).cast("long"))
-        .withColumn("dense_rnk", dense_rank().over(tied).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(tied), 9))
-        .withColumn("cume", round(cume_dist().over(tied), 9))
-        .orderBy("rn")
-    },
-    Some("""
+  private def customerSpendBuckets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .select(col("custkey"),
+        (floor(col("spend").cast("double") / 100000.0) * 100000).cast("long")
+          .as("spend_bucket"))
+
+  private val RankVariantsOracle = """
       WITH spend AS (SELECT o_custkey AS custkey,
                        CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                   / 100000.0) * 100000 AS BIGINT) AS spend_bucket
@@ -2163,7 +2152,48 @@ object RelationalQueries {
              round(cume_dist() OVER w, 9) AS cume
       FROM spend
       WINDOW w AS (ORDER BY spend_bucket DESC)
-      ORDER BY rn"""),
+      ORDER BY rn"""
+
+  private val w10Ranks = Q(
+    "w10_rank_variants",
+    (s, dir) => {
+      val spend = customerSpendBuckets(s, dir)
+      val tied = Window.orderBy(col("spend_bucket").desc)
+      val total = Window.orderBy(col("spend_bucket").desc, col("custkey"))
+      spend
+        .withColumn("rn", row_number().over(total).cast("long"))
+        .withColumn("rnk", rank().over(tied).cast("long"))
+        .withColumn("dense_rnk", dense_rank().over(tied).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(tied), 9))
+        .withColumn("cume", round(cume_dist().over(tied), 9))
+        .orderBy("rn")
+    },
+    Some(RankVariantsOracle),
+  )
+
+  /** W11 — the SAME five-function ranking surface as w10, spelled for
+    * corpus scale: [[graft.operators.PrefixSum.rankVariants]] computes
+    * every rank variant with range-partitioned two-phase prefix sums —
+    * no partition-less `WindowExec` anywhere in the plan, so the frame
+    * can grow 100× without ever putting the whole dimension into one
+    * task (w10's scaladoc promised this spelling; the oracle is
+    * IDENTICAL to w10's, pinning the two plans to the same answer —
+    * including tie semantics and the n−1 vs n denominators). */
+  private val w11ScalableRanks = Q(
+    "w11_scalable_ranks",
+    (s, dir) => {
+      val spend = customerSpendBuckets(s, dir)
+      graft.operators.PrefixSum
+        .rankVariants(spend, Seq("spend_bucket" -> false), Seq(col("custkey")))
+        .select(col("custkey"), col("spend_bucket"),
+          col("row_number").cast("long").as("rn"),
+          col("rank").cast("long").as("rnk"),
+          col("dense_rank").cast("long").as("dense_rnk"),
+          round(col("percent_rank"), 9).as("pct_rank"),
+          round(col("cume_dist"), 9).as("cume"))
+        .orderBy("rn")
+    },
+    Some(RankVariantsOracle),
   )
 
   private val a18Hll = Q(
@@ -3226,7 +3256,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

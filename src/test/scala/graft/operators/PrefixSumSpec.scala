@@ -89,6 +89,76 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("rankVariants equals the five single-window rank functions on a skewed tie-heavy frame") {
+    val spark0 = spark
+    import spark0.implicits._
+    // heavy ties (7 distinct keys over 2k rows, one key holding ~90%)
+    // force every divergence mode: rank gaps, dense compaction, the
+    // n−1 vs n denominators, and tie-group spans crossing range
+    // partition boundaries
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 1800).map(i => (i.toLong, 100L)) ++
+      (1 to 200).map(i => ((i + 1800).toLong, (rng.nextInt(6) + 1) * 10L)) ++
+      Seq((2001L, 999L)) // a unique max key (rank 1 under desc)
+    val df = rows.toDF("id", "k").repartition(8)
+
+    val got = PrefixSum.rankVariants(
+      df, Seq("k" -> false), Seq(col("id")), numPartitions = 16)
+
+    val tied = Window.orderBy(col("k").desc)
+    val total = Window.orderBy(col("k").desc, col("id"))
+    val expect = df
+      .withColumn("e_rn", row_number().over(total).cast("long"))
+      .withColumn("e_rnk", rank().over(tied).cast("long"))
+      .withColumn("e_dense", dense_rank().over(tied).cast("long"))
+      .withColumn("e_pct", percent_rank().over(tied))
+      .withColumn("e_cume", cume_dist().over(tied))
+
+    val joined = got.join(expect.select("id", "e_rn", "e_rnk", "e_dense", "e_pct", "e_cume"), "id")
+    assert(joined.filter(
+      col("row_number") =!= col("e_rn") ||
+        col("rank") =!= col("e_rnk") ||
+        col("dense_rank") =!= col("e_dense") ||
+        col("percent_rank") =!= col("e_pct") ||
+        col("cume_dist") =!= col("e_cume")).count() == 0,
+      "two-phase rank family diverged from the single-window oracle")
+    assert(got.count() == rows.size.toLong)
+
+    // the scale contract itself: the only partition-less Windows are
+    // the per-partition offsets frames — bounded metadata (their child
+    // aggregates on the range-partition id, ≤ numPartitions rows); no
+    // window ever holds the full data frame in one task
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val bare = got.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.exists(
+              _.references.exists(_.name == "__psum_pid")) => a
+          }.isDefined => w
+    }
+    assert(bare.isEmpty, s"rankVariants planned an unbounded partition-less window:\n${bare.mkString("\n")}")
+  }
+
+  test("rankVariants: single row and all-ties degenerate cases") {
+    val spark0 = spark
+    import spark0.implicits._
+    // n == 1: percent_rank must be 0 (the n−1 denominator guard)
+    val one = PrefixSum.rankVariants(
+      Seq((1L, 5L)).toDF("id", "k"), Seq("k" -> true), Seq(col("id")))
+      .collect().head
+    assert(one.getAs[Long]("row_number") == 1L && one.getAs[Long]("rank") == 1L &&
+      one.getAs[Long]("dense_rank") == 1L &&
+      one.getAs[Double]("percent_rank") == 0.0 &&
+      one.getAs[Double]("cume_dist") == 1.0)
+    // every row tied: rank 1, dense 1, pct 0, cume 1 for all
+    val all = PrefixSum.rankVariants(
+      (1 to 40).map(i => (i.toLong, 7L)).toDF("id", "k"),
+      Seq("k" -> true), Seq(col("id")), numPartitions = 6)
+    assert(all.filter(col("rank") =!= 1L || col("dense_rank") =!= 1L ||
+      col("percent_rank") =!= 0.0 || col("cume_dist") =!= 1.0).count() == 0)
+    assert(all.select("row_number").distinct().count() == 40)
+  }
+
   test("ascending single-key order and defaults work (packing shape)") {
     val spark0 = spark
     import spark0.implicits._

@@ -202,6 +202,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-task stratum windows crept back:\n${offenders.mkString("\n")}")
   }
 
+  test("partition-less windows appear only over bounded frames (allowlist)") {
+    // A Window with an EMPTY partitionSpec is ONE task holding the whole
+    // frame — acceptable ONLY when the frame is bounded by construction:
+    // a top-K pool under a limit/TakeOrdered, a K-row vocabulary, a
+    // day-grain frame, or w10's tie-semantics conformance pin (whose
+    // corpus-scale spelling is w11_scalable_ranks via
+    // PrefixSum.rankVariants — asserted window-free below). Any NEW
+    // query planning a global window must either justify itself onto
+    // this list or ride the two-phase machinery.
+    // Structural exemption: PrefixSum's offsets windows are partition-
+    // less AFTER constant-folding erases a literal single-stratum group
+    // key, but their child aggregates on the range-partition id
+    // (__psum_pid) — ≤ numPartitions metadata rows, never the frame.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def isOffsetsFrame(w: LWindow): Boolean =
+      w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(_.name == "__psum_pid")) => a
+      }.isDefined
+    val allowed = Set(
+      "w10_rank_variants",      // conformance pin over the customer dim; w11 is the scale spelling
+      "a29_daily_anomalies",    // day-grain frame (bounded by the calendar)
+      "a30_new_vs_returning",   // day-grain frame
+      "a32_conversion_latency", // ExactQuantiles over the converter latency column — slim
+                                //   single-column aggregate output; documented swap path to
+                                //   approx_percentile / two-phase at billions of converters
+      "rfm_segments",           // quintile-BOUNDARY stage only (12 numbers out); scoring is
+                                //   windowless broadcast arithmetic; swap path documented in-query
+      "rag_hybrid_topk",        // top-K pools after TakeOrdered (K-row frames)
+      "corpus_vocab",           // K-row vocabulary rank frame
+      "corpus_token_ids",       // K-row vocabulary rank frame
+      "mix_dsir_sample",        // row_number above limit(DsirK) — K-row pool
+      "stats_key_skew")         // count-of-counts histogram cume — |distinct multiplicities| rows
+    def bare(df: org.apache.spark.sql.DataFrame): Int = {
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !isOffsetsFrame(w) => w
+      }.size
+      df.unpersist()
+      n
+    }
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val n = bare(q.run(spark, dir))
+      if (n > 0 && !allowed(q.name)) Some(s"${q.name} ($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded partition-less windows outside the allowlist: ${offenders.mkString(", ")}")
+    // the corpus-scale rank family must be genuinely two-phase
+    assert(bare(SparkEntry.queries("w11_scalable_ranks")(spark, dir)) == 0,
+      "w11_scalable_ranks planned a partition-less window")
+  }
+
   test("round-7 query plan shapes: exchange ceilings") {
     // Same rationale as the flagship pins: shuffle counts are THE scale
     // lever, so pin ceilings for the new operators. Counts are STATIC
