@@ -2060,6 +2060,77 @@ object RelationalQueries {
       FROM ex, est"""),
   )
 
+  /** The statistics → join-strategy loop CLOSED in a production call
+    * site (the reference's `DISTSTYLE AUTO` — "optimizer decides from
+    * stats", `sql/redshift_table_schemas.sql:114,310-313` — done in the
+    * engine): [[graft.operators.AutoPlanJoin]] measures the two sides
+    * (small-side rows, big-side key-skew profile, CMS inner-product
+    * output estimate — all metadata-sized), CHOOSES broadcast / salted /
+    * plain shuffle, and executes the chosen join. The emitted row
+    * carries the decision, every input that drove it, and the joined
+    * row count — the oracle replays the measurement AND the decision
+    * rule, so a silently-changed threshold or stat breaks the hash. The
+    * three-branch behavior is plan-pinned in `AutoPlanJoinSpec`; at
+    * bench scale customer is dimension-sized so the live branch here is
+    * broadcast. */
+  private val statsAutoplanJoin = Q(
+    "stats_autoplan_join",
+    (s, dir) => {
+      val depth = CurationQueries.CmsDepth
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").cast("long").as("k"), col("o_totalprice"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("k"), col("c_name"))
+      val p = graft.operators.AutoPlanJoin.inner(
+        orders, cust, Seq("k"), cmsDepth = depth, cmsWidth = JsWidth)
+      p.joined.agg(count(lit(1)).as("n_joined"))
+        .select(
+          lit("orders/customer on custkey").as("join_key"),
+          lit(p.strategy).as("strategy"),
+          lit(p.stats.smallRows).as("small_rows"),
+          lit(p.stats.bigRows).as("big_rows"),
+          lit(p.stats.bigKeys).as("big_keys"),
+          lit(p.stats.bigMaxKeyRows).as("big_max_key_rows"),
+          lit(p.stats.cmsEstPairs).as("cms_est_pairs"),
+          col("n_joined"))
+    },
+    Some(s"""
+      WITH bk AS (SELECT CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) AS k FROM orders),
+      sk AS (SELECT CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) AS k FROM customer),
+      bc AS (SELECT d.d AS d,
+               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+                 AS BIGINT) % $JsWidth AS idx,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM bk, unnest(range(0, ${CurationQueries.CmsDepth})) d(d) GROUP BY 1, 2),
+      sc AS (SELECT d.d AS d,
+               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+                 AS BIGINT) % $JsWidth AS idx,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM sk, unnest(range(0, ${CurationQueries.CmsDepth})) d(d) GROUP BY 1, 2),
+      est AS (SELECT min(ip) AS cms_est_pairs FROM (
+                SELECT bc.d, sum(bc.cnt * sc.cnt) AS ip
+                FROM bc JOIN sc ON bc.d = sc.d AND bc.idx = sc.idx
+                GROUP BY 1) t),
+      prof AS (SELECT CAST(count(*) AS BIGINT) AS big_keys,
+                      CAST(sum(c) AS BIGINT) AS big_rows,
+                      CAST(max(c) AS BIGINT) AS big_max_key_rows
+               FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey) u),
+      sm AS (SELECT CAST(count(*) AS BIGINT) AS small_rows FROM customer),
+      jn AS (SELECT CAST(count(*) AS BIGINT) AS n_joined
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT 'orders/customer on custkey' AS join_key,
+             -- the decision rule replayed: broadcast budget 500000 rows,
+             -- hot-key factor 4.0 over the even share at 32 partitions
+             -- (the session's spark.sql.shuffle.partitions)
+             CASE WHEN sm.small_rows <= 500000 THEN 'broadcast'
+                  WHEN CAST(prof.big_max_key_rows AS DOUBLE)
+                       > 4.0 * (CAST(prof.big_rows AS DOUBLE) / 32.0) THEN 'salted'
+                  ELSE 'shuffle' END AS strategy,
+             sm.small_rows, prof.big_rows, prof.big_keys, prof.big_max_key_rows,
+             CAST(est.cms_est_pairs AS BIGINT) AS cms_est_pairs, jn.n_joined
+      FROM sm, prof, est, jn"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -3256,7 +3327,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
