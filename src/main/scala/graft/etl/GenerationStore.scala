@@ -46,6 +46,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `FileContext` the writers use — no `java.io.File` mutation of
   * served data.
   */
+/** Small atomically-replaced text files (manifests, high-water marks):
+  * write to a temp name, rename-with-OVERWRITE — readers see the whole
+  * old or the whole new content, never a torn write. FileContext is
+  * used throughout: its local impl is the raw filesystem (no checksum
+  * sidecars to desynchronize across the rename) and it is the API that
+  * spells atomic overwrite-rename. */
+private[graft] object AtomicText {
+
+  def read(path: Path, conf: Configuration): Option[String] = {
+    val fc = FileContext.getFileContext(
+      path.getFileSystem(conf).getUri, conf)
+    if (!fc.util.exists(path)) None
+    else {
+      val in = fc.open(path)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  def write(path: Path, text: String, conf: Configuration): Unit = {
+    val fc = FileContext.getFileContext(
+      path.getFileSystem(conf).getUri, conf)
+    val tmp = new Path(path.getParent,
+      s"${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+  }
+}
+
 final class GenerationStore(root: String, bucketCol: String) {
 
   private val manifestName = "_MANIFEST"
@@ -62,29 +95,16 @@ final class GenerationStore(root: String, bucketCol: String) {
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(conf(spark))
 
-  // FileContext for manifest IO: its local impl is the RAW filesystem
-  // (no checksum sidecars to desynchronize across the rename) and it is
-  // the API that spells rename-with-OVERWRITE atomically
-  private def fc(spark: SparkSession): FileContext =
-    FileContext.getFileContext(fs(spark).getUri, conf(spark))
-
   private def genDir(gen: Long): String = s"$root/gen=$gen"
 
   /** The live (bucket → generation) map; None = never published. */
-  private[graft] def manifest(spark: SparkSession): Option[Map[Long, Long]] = {
-    val c = fc(spark)
-    if (!c.util.exists(manifestPath)) None
-    else {
-      val in = c.open(manifestPath)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(text.linesIterator.filter(_.nonEmpty).map { line =>
+  private[graft] def manifest(spark: SparkSession): Option[Map[Long, Long]] =
+    AtomicText.read(manifestPath, conf(spark)).map {
+      _.linesIterator.filter(_.nonEmpty).map { line =>
         val Array(b, g) = line.split(':')
         b.toLong -> g.toLong
-      }.toMap)
+      }.toMap
     }
-  }
 
   /** Publish `rows` (bucket column included, hive-partitioned by it) as
     * the new truth for exactly `buckets`; every other bucket keeps its
@@ -132,16 +152,8 @@ final class GenerationStore(root: String, bucketCol: String) {
     }
   }
 
-  private def swap(spark: SparkSession, m: Map[Long, Long]): Unit = {
-    val c = fc(spark)
-    val tmp = new Path(root, s"$manifestName.tmp-${java.util.UUID.randomUUID()}")
-    val out = c.create(tmp,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try out.write(
-      m.toSeq.sorted.map { case (b, g) => s"$b:$g" }.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    c.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
-  }
+  private def swap(spark: SparkSession, m: Map[Long, Long]): Unit =
+    AtomicText.write(manifestPath,
+      m.toSeq.sorted.map { case (b, g) => s"$b:$g" }.mkString("\n"),
+      conf(spark))
 }
