@@ -2131,6 +2131,118 @@ object RelationalQueries {
       FROM sm, prof, est, jn"""),
   )
 
+  // --------------------- correlated-subquery conformance (SQ1-SQ3)
+  /** SQ1 — correlated EXISTS (TPC-H Q4 shape): orders having at least
+    * one line shipped > 80 days after the order date, counted by
+    * priority. Written AS a subquery via `spark.sql` — the point is
+    * pinning that Catalyst DECORRELATES it to a left-semi join (one
+    * pass over each table, no per-row subquery execution), the
+    * relational class Redshift users write daily that had no explicit
+    * conformance pin. Plan shape pinned in `PlanAuditSpec`. */
+  private val sq1Exists = Q(
+    "sq1_exists_late_ship",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("sq_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM sq_orders o
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND CAST(l.l_shipdate AS DATE)
+                            > date_add(CAST(o.o_orderdate AS DATE), 80))
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND CAST(l.l_shipdate AS DATE)
+                          > CAST(o.o_orderdate AS DATE) + 80)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
+  /** SQ2 — correlated NOT EXISTS + uncorrelated scalar subqueries
+    * (TPC-H Q22 shape): above-average-balance customers with no large
+    * order, by segment. The threshold comparison is REARRANGED to
+    * `bal·count > sum` — decimal×bigint and decimal sums are exact in
+    * both engines, where `bal > avg` would compare against a
+    * division whose rounding differs cross-engine (Spark decimal
+    * division vs DuckDB double avg). NOT EXISTS must plan as a
+    * left-anti join; the scalars execute once and broadcast. */
+  private val sq2NotExists = Q(
+    "sq2_not_exists_dormant",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                 AS total_acctbal
+        FROM sq_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT count(*) FROM sq_customer WHERE c_acctbal > 0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM sq_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM sq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 250000.0)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS total_acctbal
+      FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+               FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 250000.0)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+  )
+
+  /** SQ3 — CORRELATED SCALAR subquery (TPC-H Q17 shape): lines of one
+    * brand whose quantity is below 20% of their part's average.
+    * Catalyst must rewrite the per-part average into an aggregate
+    * joined back (RewriteCorrelatedScalarSubquery) — executing it per
+    * outer row would be quadratic. Quantities are integral doubles, so
+    * per-part `avg` (exact integer sum / exact count) and `0.2·avg`
+    * are bit-identical cross-engine; the revenue sum rides the decimal
+    * bridge. */
+  private val sq3ScalarAvg = Q(
+    "sq3_scalar_part_avg",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("sq_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("sq_part")
+      s.sql("""
+        SELECT count(*) AS n_small_qty,
+               round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING)
+                     AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM sq_lineitem l JOIN sq_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM sq_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)""")
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_small_qty,
+             round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS DOUBLE) / 7.0, 2) AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -3327,7 +3439,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

@@ -253,6 +253,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "w11_scalable_ranks planned a partition-less window")
   }
 
+  test("correlated subqueries decorrelate: semi/anti/aggregate-join, never per-row") {
+    // The conformance contract behind sq1-sq3: Catalyst must rewrite
+    // EXISTS → left-semi, NOT EXISTS → left-anti, and a CORRELATED
+    // scalar subquery → aggregate joined back. Per-row subquery
+    // execution (a scalar-subquery expression still referencing outer
+    // attributes after optimization) would be quadratic at scale.
+    def plans(n: String) = {
+      val df = SparkEntry.queries(n)(spark, dir)
+      (df.queryExecution.optimizedPlan.toString,
+        df.queryExecution.executedPlan.toString)
+    }
+    val (o1, p1) = plans("sq1_exists_late_ship")
+    assert(p1.contains("LeftSemi"), s"EXISTS did not plan a semi join:\n$p1")
+    assert(!o1.contains("scalar-subquery") && !o1.contains("exists"),
+      "sq1 kept an unrewritten subquery expression")
+
+    val (o2, p2) = plans("sq2_not_exists_dormant")
+    assert(p2.contains("LeftAnti"), s"NOT EXISTS did not plan an anti join:\n$p2")
+    // the two UNcorrelated scalars legitimately survive — executed once
+    // each, broadcast as literals — but no EXISTS may remain
+    assert(!o2.contains("exists"), "sq2 kept an unrewritten EXISTS")
+
+    val (o3, p3) = plans("sq3_scalar_part_avg")
+    assert(!o3.contains("scalar-subquery"),
+      s"correlated scalar subquery was NOT decorrelated to an aggregate join:\n$o3")
+    assert(p3.contains("Join"), "sq3 lost its aggregate join")
+
+    // exchange ceilings (static, pre-AQE): semi 3, anti + 2 one-shot
+    // scalars 7, decorrelated aggregate join 4
+    def exch(p: String) = "Exchange".r.findAllIn(p).length
+    assert(exch(p1) <= 3, s"sq1 exchange ceiling: ${exch(p1)}\n$p1")
+    assert(exch(p2) <= 7, s"sq2 exchange ceiling: ${exch(p2)}\n$p2")
+    assert(exch(p3) <= 4, s"sq3 exchange ceiling: ${exch(p3)}\n$p3")
+  }
+
   test("round-7 query plan shapes: exchange ceilings") {
     // Same rationale as the flagship pins: shuffle counts are THE scale
     // lever, so pin ceilings for the new operators. Counts are STATIC
