@@ -2209,6 +2209,59 @@ object RelationalQueries {
       ORDER BY c_mktsegment"""),
   )
 
+  /** SQ4 — uncorrelated IN subquery: orders of negative-balance
+    * customers, by status. IN must plan as a left-semi join (one pass
+    * each side), the remaining membership-predicate class after
+    * sq1/sq2's EXISTS forms. */
+  private val sq4In = Q(
+    "sq4_in_subquery",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM sq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sq_customer
+                            WHERE c_acctbal < 0.0)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+  )
+
+  /** SQ5 — NOT IN, the NULL-AWARE anti-join class: `x NOT IN (sub)` is
+    * three-valued — one NULL in the subquery empties the result — so
+    * engines plan a null-aware anti join, not a plain one. Here the
+    * subquery key is non-null (c_custkey), making the result the plain
+    * complement of sq4; the conformance value is that BOTH engines
+    * apply the same NOT IN semantics and Spark's plan stays a hash
+    * anti join rather than a nested loop. */
+  private val sq5NotIn = Q(
+    "sq5_not_in_subquery",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM sq_orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM sq_customer
+                                WHERE c_acctbal < 0.0)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+  )
+
   /** SQ3 — CORRELATED SCALAR subquery (TPC-H Q17 shape): lines of one
     * brand whose quantity is below 20% of their part's average.
     * Catalyst must rewrite the per-part average into an aggregate
@@ -2241,6 +2294,140 @@ object RelationalQueries {
         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                             FROM lineitem l2
                             WHERE l2.l_partkey = p.p_partkey)"""),
+  )
+
+  /** A34 — CUBE with grouping_id: line counts and exact revenue at all
+    * four granularities of (returnflag, linestatus) in ONE pass — the
+    * multi-granularity rollup a BI layer otherwise runs as four
+    * queries. Spark expands CUBE before aggregation (partial aggs still
+    * collapse map-side), so the corpus is scanned once. The grouping id
+    * pins the BIT SEMANTICS (flag is the high bit in both engines);
+    * NULL group keys render as 'ALL' — safe here because neither column
+    * is nullable in the lake, and gid disambiguates regardless. */
+  private val a34Cube = Q(
+    "a34_cube_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rv"))
+      li.cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_lines"),
+          sum(col("rv")).as("srv"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("n_lines"),
+          col("srv").cast("string").cast("double").as("revenue"))
+        .orderBy("flag", "status")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY flag, status"""),
+  )
+
+  /** A35 — PIVOT: monthly revenue spread into one column per return
+    * flag (the spreadsheet shape every reporting layer exports). The
+    * pivot values are ENUMERATED ('A','N','R') so Spark skips the
+    * extra distinct-values job and the plan is one aggregate — at
+    * 100 TB an unenumerated pivot is two corpus scans. The oracle
+    * replays it as conditional aggregation, pinning that pivot is pure
+    * sugar over FILTERed sums; empty cells coalesce to 0 on both
+    * sides. */
+  private val a35Pivot = Q(
+    "a35_pivot_flag_revenue",
+    (s, dir) => {
+      val dec0 = lit(0).cast("decimal(24,4)")
+      val li = Tables.lineitem(s, dir)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rv"))
+      li.groupBy("month")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("rv")))
+        .select(col("month"),
+          coalesce(col("A"), dec0).cast("string").cast("double").as("rev_a"),
+          coalesce(col("N"), dec0).cast("string").cast("double").as("rev_n"),
+          coalesce(col("R"), dec0).cast("string").cast("double").as("rev_r"))
+        .orderBy("month")
+    },
+    Some("""
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END),
+                  CAST(0 AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS rev_a,
+             CAST(CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END),
+                  CAST(0 AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS rev_n,
+             CAST(CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END),
+                  CAST(0 AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS rev_r
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY month"""),
+  )
+
+  /** W12 — RANGE vs ROWS window frames, the conformance distinction
+    * that silently corrupts trailing-window metrics when days have
+    * gaps: `RANGE 6 PRECEDING` over the day NUMBER covers a true
+    * trailing week (missing days contribute nothing), `ROWS 3
+    * PRECEDING` covers the last four OBSERVED days regardless of
+    * spacing. Both frames ride one window pass over the per-(priority,
+    * day) aggregate — day-grain, partitioned by priority, never a
+    * stratum. The RANGE key is an epoch-day LONG because Spark's
+    * rangeBetween needs a numeric order — the portable spelling of
+    * `RANGE INTERVAL '6' DAY` that means the same thing in any
+    * engine. Exact DECIMAL sums inside the frames, one double
+    * conversion at the edge. */
+  private val w12RangeFrames = Q(
+    "w12_range_vs_rows_frames",
+    (s, dir) => {
+      val d = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          count(lit(1)).as("n"))
+        .withColumn("day_num",
+          datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+      val byDay = Window.partitionBy("pri").orderBy(col("day_num"))
+      d.select(col("pri"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          sum(col("rev")).over(byDay.rangeBetween(-6, 0))
+            .cast("string").cast("double").as("rev_7d"),
+          sum(col("rev")).over(byDay.rowsBetween(-3, 0))
+            .cast("string").cast("double").as("rev_4rows"))
+        .orderBy("pri", "day")
+    },
+    Some("""
+      WITH d AS (SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1, 2),
+      e AS (SELECT pri, day, n, rev,
+              CAST(day - DATE '1995-01-01' AS BIGINT) AS day_num FROM d)
+      SELECT pri, strftime(day, '%Y-%m-%d') AS day, n,
+             CAST(CAST(sum(rev) OVER (PARTITION BY pri ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               AS rev_7d,
+             CAST(CAST(sum(rev) OVER (PARTITION BY pri ORDER BY day_num
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               AS rev_4rows
+      FROM e ORDER BY pri, day"""),
   )
 
   // ----------------------------- A33: revenue concentration (Gini)
@@ -3439,7 +3626,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

@@ -280,12 +280,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"correlated scalar subquery was NOT decorrelated to an aggregate join:\n$o3")
     assert(p3.contains("Join"), "sq3 lost its aggregate join")
 
+    // IN → semi; NOT IN over the non-nullable key must stay a HASH anti
+    // join — the degradation pin: NOT IN over a nullable subquery key
+    // falls back to BroadcastNestedLoopJoin (three-valued semantics),
+    // which is the quadratic shape this sweep exists to catch
+    val (_, p4) = plans("sq4_in_subquery")
+    assert(p4.contains("LeftSemi"), s"IN did not plan a semi join:\n$p4")
+    val (_, p5) = plans("sq5_not_in_subquery")
+    assert(p5.contains("LeftAnti"), s"NOT IN did not plan an anti join:\n$p5")
+    assert(!p5.contains("NestedLoop"),
+      s"NOT IN degraded to a nested-loop join:\n$p5")
+
+    // CUBE is ONE scan through Expand (not four queries); enumerated
+    // pivot is ONE aggregate (no distinct-values pre-scan)
+    val (_, pc) = plans("a34_cube_revenue")
+    assert(pc.contains("Expand"), s"CUBE lost its one-scan Expand shape:\n$pc")
+    val (_, pp) = plans("a35_pivot_flag_revenue")
+
     // exchange ceilings (static, pre-AQE): semi 3, anti + 2 one-shot
     // scalars 7, decorrelated aggregate join 4
     def exch(p: String) = "Exchange".r.findAllIn(p).length
     assert(exch(p1) <= 3, s"sq1 exchange ceiling: ${exch(p1)}\n$p1")
     assert(exch(p2) <= 7, s"sq2 exchange ceiling: ${exch(p2)}\n$p2")
     assert(exch(p3) <= 4, s"sq3 exchange ceiling: ${exch(p3)}\n$p3")
+    assert(exch(p4) <= 3, s"sq4 exchange ceiling: ${exch(p4)}\n$p4")
+    assert(exch(p5) <= 3, s"sq5 exchange ceiling: ${exch(p5)}\n$p5")
+    assert(exch(pc) <= 2, s"a34 exchange ceiling: ${exch(pc)}\n$pc")
+    assert(exch(pp) <= 3, s"a35 exchange ceiling: ${exch(pp)}\n$pp")
   }
 
   test("round-7 query plan shapes: exchange ceilings") {
