@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       cosineBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2SquaredDistance].getName, "graft_l2sq"),
+      l2sqBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
       quantizeBuilder))
@@ -86,6 +90,12 @@ object GraftExtensions {
     if (children.length != 2) throw new IllegalArgumentException(
       s"graft_cosine(a, b) expects 2 arguments, got ${children.length}")
     CosineSimilarity(children.head, children(1))
+  }
+
+  val l2sqBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2) throw new IllegalArgumentException(
+      s"graft_l2sq(a, b) expects 2 arguments, got ${children.length}")
+    L2SquaredDistance(children.head, children(1))
   }
 
   val quantizeBuilder: Seq[Expression] => Expression = { children =>

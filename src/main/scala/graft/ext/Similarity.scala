@@ -490,6 +490,104 @@ object Similarity {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
 
+  /** Squared Euclidean distance of two float-vector columns (double
+    * accumulation, index order) — PQ's training and scoring metric.
+    * Native expression; see [[graft.expressions.L2SquaredDistance]]. */
+  def l2sq(a: Column, b: Column): Column =
+    graft.expressions.L2SquaredDistance.of(a, b)
+
+  // ---------------------------------------------------- product quantization
+  //
+  // The memory-side compression IVF doesn't give: each vector is split
+  // into mSub subvectors and each subvector is replaced by the id of
+  // its nearest codebook entry — dims×4 bytes collapse to mSub codes.
+  // A query scores candidates via an ADC (asymmetric distance
+  // computation) table: L2² from the query's subvectors to every
+  // codebook entry — mSub×nCodes doubles, computed ONCE — and a
+  // vector's approximate distance is a sum of mSub lookups, never a
+  // touch of the original floats. At 100 TB the float corpus stays in
+  // cold storage; the scan reads only (id, codes).
+
+  /** Deterministic PQ codebooks by id-sampling (the differential-
+    * replayable stand-in for per-subspace k-means, same doctrine as
+    * [[trainCentroidsById]]): the first `nCodes` vectors by id donate
+    * their m-th subvector to codebook m. Output: (m, code, subvec). */
+  def pqCodebooks(
+      vectors: DataFrame,
+      nCodes: Int,
+      mSub: Int,
+      dims: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims % mSub == 0, s"dims $dims not divisible into $mSub subspaces")
+    val subLen = dims / mSub
+    vectors.orderBy(col(idCol).asc).limit(nCodes)
+      .select(col(idCol).cast("long").as("code"), col(vecCol))
+      .select(col("code"), explode(sequence(lit(0), lit(mSub - 1))).as("mi"), col(vecCol))
+      // slice's start must stay IntegerType; m is long for the joins
+      .select(col("mi").cast("long").as("m"), col("code"),
+        slice(col(vecCol), col("mi") * subLen + 1, lit(subLen)).as("subvec"))
+  }
+
+  /** Encode every vector as its per-subspace nearest code (L2², ties to
+    * the smallest code id — the argmin spelled as `min(struct(d, code))`
+    * so any engine means the same thing). The codebook broadcast is
+    * mSub×nCodes rows; the corpus crosses once, collapses map-side to
+    * one row per (vector, subspace). Output: (idCol, m, code). */
+  def pqEncode(
+      vectors: DataFrame,
+      codebooks: DataFrame,
+      mSub: Int,
+      dims: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subLen = dims / mSub
+    vectors
+      .select(col(idCol), explode(sequence(lit(0), lit(mSub - 1))).as("mi"), col(vecCol))
+      .select(col(idCol), col("mi").cast("long").as("m"),
+        slice(col(vecCol), col("mi") * subLen + 1, lit(subLen)).as("sv"))
+      .join(broadcast(codebooks), Seq("m"))
+      .select(col(idCol), col("m"),
+        struct(l2sq(col("sv"), col("subvec")).as("d"), col("code")).as("dc"))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(col("dc")).as("best"))
+      .select(col(idCol), col("m"), col("best.code").as("code"))
+  }
+
+  /** ADC top-k: approximate L2² of every encoded vector to `query` as a
+    * fixed-order sum of per-subspace table lookups. The ADC table is
+    * mSub×nCodes rows (metadata, broadcast); the per-vector sum pivots
+    * the subspaces into columns and adds them LEFT TO RIGHT, so the
+    * double addition order is pinned — a plain `sum()` over group rows
+    * would sum in engine-arbitrary order and break cross-engine
+    * equality. Output: (idCol, pq_dist), ascending, k rows. */
+  def pqTopK(
+      encoded: DataFrame,
+      codebooks: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      mSub: Int,
+      dims: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val subLen = dims / mSub
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qSubs = (0 until mSub).map { m =>
+      (m.toLong, query.slice(m * subLen, (m + 1) * subLen))
+    }.toDF("m", "qsub")
+    val adc = codebooks.join(broadcast(qSubs), Seq("m"))
+      .select(col("m"), col("code"), l2sq(col("qsub"), col("subvec")).as("qd"))
+    val perSub = encoded.join(broadcast(adc), Seq("m", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("m") === 0, col("qd"))).as("d0"),
+        (1 until mSub).map(m =>
+          sum(when(col("m") === m, col("qd"))).as(s"d$m")): _*)
+    val total = (1 until mSub).foldLeft(col("d0")) { (acc, m) => acc + col(s"d$m") }
+    perSub.select(col(idCol), total.as("pq_dist"))
+      .orderBy(col("pq_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Add-one-smoothed KL(new ‖ ref) between two occupancy maps over
     * the SAME centroid set — the scalar a streaming drift alarm
     * thresholds. Driver-side on k-row metadata; the arithmetic

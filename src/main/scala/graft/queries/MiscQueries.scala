@@ -424,6 +424,82 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** Product-quantization ANN with ADC scoring — the MEMORY-side
+    * compression beside IVF's partition pruning (see
+    * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqTopK]]): 64 floats per vector collapse to 4 code
+    * ids; the query precomputes a 4×16-entry L2² ADC table and every
+    * candidate's approximate distance is four lookups summed in PINNED
+    * left-to-right order (a plain `sum()` would add in engine-arbitrary
+    * order and break the differential — the same double-discipline as
+    * the PrefixSum moments). Codebooks are id-sampled (the replayable
+    * stand-in for per-subspace k-means, as in `ann_ivf_topk`); the
+    * oracle replays codebooks, encoding argmin (ties to smallest code),
+    * ADC table and the fixed-order sum, and carries the TRUE L2² beside
+    * the estimate so the compression error is self-auditing. */
+  private val annPq = Q(
+    "ann_pq_adc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cbs = Similarity.pqCodebooks(emb, nCodes = 16, mSub = 4, dims = 64)
+      val enc = Similarity.pqEncode(emb, cbs, mSub = 4, dims = 64)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val top = Similarity.pqTopK(enc, cbs, query, k = 20, mSub = 4, dims = 64)
+      val q = array(query.map(v => lit(v)): _*)
+      top.join(emb, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(col("pq_dist"), 6).as("pq_dist"),
+          round(Similarity.l2sq(col("embedding"), q), 6).as("true_dist"))
+        .orderBy(col("pq_dist").asc, col("vec_id"))
+    },
+    Some("""
+      WITH cbsrc AS MATERIALIZED (
+        SELECT vec_id AS code, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+      cb AS MATERIALIZED (
+        SELECT CAST(m.m AS BIGINT) AS m, code, embedding
+        FROM cbsrc, unnest(range(0, 4)) m(m)),
+      e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      dists AS (
+        SELECT e.vec_id, cb.m, cb.code,
+          list_sum(list_transform(range(CAST(cb.m*16 + 1 AS INTEGER), CAST(cb.m*16 + 17 AS INTEGER)),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE)))) AS d
+        FROM e, cb),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+          FROM dists) t
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.m, cb.code,
+          list_sum(list_transform(range(CAST(cb.m*16 + 1 AS INTEGER), CAST(cb.m*16 + 17 AS INTEGER)),
+            i -> (CAST(q.qv[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE))
+               * (CAST(q.qv[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE)))) AS qd
+        FROM cb, q),
+      appx AS (
+        SELECT enc.vec_id,
+          sum(CASE WHEN enc.m = 0 THEN adc.qd END) AS d0,
+          sum(CASE WHEN enc.m = 1 THEN adc.qd END) AS d1,
+          sum(CASE WHEN enc.m = 2 THEN adc.qd END) AS d2,
+          sum(CASE WHEN enc.m = 3 THEN adc.qd END) AS d3
+        FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+        GROUP BY 1),
+      sel AS (
+        SELECT vec_id, d0 + d1 + d2 + d3 AS pq FROM appx
+        ORDER BY pq ASC, vec_id LIMIT 20),
+      tru AS (
+        SELECT sel.vec_id, sel.pq,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS td
+        FROM sel JOIN e ON sel.vec_id = e.vec_id, q)
+      SELECT vec_id, round(pq, 6) AS pq_dist, round(td, 6) AS true_dist
+      FROM tru ORDER BY round(pq, 6) ASC, vec_id"""),
+  )
+
   /** Int8-quantized cosine scoring (the IVF probe's candidate scorer;
     * see [[Similarity.quantize]] / [[graft.expressions.Int8CosineSimilarity]]):
     * every vector scored against vec_id 0's quantized query. Fully
@@ -1959,7 +2035,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annInt8,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -82,6 +82,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("l2sq matches hand math; dimension mismatch and null element are null") {
+    val df = vecDf(1L -> Seq(1f, 2f), 2L -> Seq(3f, 4f))
+      .crossJoin(vecDf(10L -> Seq(1f, 0f)).select(col("embedding").as("q")))
+      .select(col("vec_id"), Similarity.l2sq(col("embedding"), col("q")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df(1L) == 4.0 && df(2L) == 20.0)
+    val s0 = spark; import s0.implicits._
+    val mixed = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .crossJoin(Seq(Tuple1(Seq(1f, 2f))).toDF("q"))
+      .select(Similarity.l2sq(col("embedding"), col("q")).as("d"))
+    assert(mixed.collect()(0).isNullAt(0), "dimension mismatch must be null")
+  }
+
+  test("pq: one code per (vector, subspace); self-query distance 0; codebook donors exact") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cbs = Similarity.pqCodebooks(emb, nCodes = 16, mSub = 4, dims = 64)
+    assert(cbs.count() == 64) // 4 subspaces × 16 codes
+    val enc = Similarity.pqEncode(emb, cbs, mSub = 4, dims = 64)
+    val n = emb.count()
+    assert(enc.count() == n * 4, "exactly one code per (vector, subspace)")
+    assert(enc.filter(col("code") < 0 || col("code") > 15).count() == 0)
+    // a codebook donor's subvectors are AT distance 0 from their own
+    // code, so the donor must encode to itself in every subspace
+    val donor = enc.filter(col("vec_id") === 3)
+      .select("m", "code").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(donor == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"donor vector must self-encode: $donor")
+    // querying WITH a donor: its own pq_dist is exactly 0 and ranks first
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Similarity.pqTopK(enc, cbs, q, k = 5, mSub = 4, dims = 64).collect()
+    assert(top.head.getLong(0) == 3L && top.head.getDouble(1) == 0.0)
+    // ADC is an approximation of true L2² — sane, not wild: the true
+    // nearest (vec 3 itself) is in the pq top-5
+    assert(top.map(_.getLong(0)).contains(3L))
+  }
+
   test("int8 quantization: extremes map to ±127, zero vector scores null, bad elements null out") {
     import graft.expressions.{Int8CosineSimilarity, QuantizeInt8}
     val df = vecDf(1L -> Seq(0.5f, -1.0f, 0.25f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
