@@ -6,46 +6,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{CreateFlag, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Atomic publish protocol for a bucket-partitioned SERVED view — the
-  * piece that closes the serving gap the plain delete-then-append
-  * publish had (reference: the warehouse serves its views
-  * transactionally — `sql/customer_360_views.sql` are Redshift views, a
-  * reader never observes a half-refreshed state; our lake publish must
-  * give the same guarantee).
-  *
-  * Layout and protocol:
-  *
-  *   - view data lives in immutable GENERATION directories
-  *     `{root}/gen=N/{bucket}=K/…`; a publish writes the refreshed
-  *     buckets' rows to a brand-new generation — never touching any
-  *     directory a reader could currently hold;
-  *   - a single small MANIFEST file (`{root}/_MANIFEST`, one
-  *     `bucket:generation` line per bucket) names the live generation
-  *     of every bucket. It is replaced ATOMICALLY (write to a temp
-  *     name, rename-with-overwrite — `FileContext.rename(OVERWRITE)`,
-  *     the atomic spelling on HDFS/POSIX; on an S3-style store
-  *     substitute a conditional PUT of the manifest key, the protocol
-  *     is unchanged);
-  *   - readers resolve bucket paths THROUGH the manifest. A crash at
-  *     any point before the swap leaves the old manifest intact — the
-  *     reader serves the complete old state; after the swap it serves
-  *     the complete new state. There is no instant at which a bucket
-  *     is missing;
-  *   - generations referenced by no live bucket (crashed partial
-  *     writes, generations retired by the PREVIOUS swap) are
-  *     garbage-collected at the START of the next publish — one full
-  *     refresh interval of grace for in-flight readers holding
-  *     already-resolved paths.
-  *
-  * A bucket whose refreshed view rows are EMPTY still advances to the
-  * new generation in the manifest (its generation dir simply has no
-  * files for it), so "this bucket is now empty" publishes atomically
-  * too — the failure mode dynamic partition overwrite can't express.
-  *
-  * All filesystem access goes through the Hadoop `FileSystem`/
-  * `FileContext` the writers use — no `java.io.File` mutation of
-  * served data.
-  */
 /** Small atomically-replaced text files (manifests, high-water marks):
   * write to a temp name, rename-with-OVERWRITE — readers see the whole
   * old or the whole new content, never a torn write. FileContext is
@@ -79,7 +39,57 @@ private[graft] object AtomicText {
   }
 }
 
-final class GenerationStore(root: String, bucketCol: String) {
+/** Atomic publish protocol for a bucket-partitioned SERVED view — the
+  * piece that closes the serving gap the plain delete-then-append
+  * publish had (reference: the warehouse serves its views
+  * transactionally — `sql/customer_360_views.sql` are Redshift views, a
+  * reader never observes a half-refreshed state; our lake publish must
+  * give the same guarantee).
+  *
+  * Layout and protocol:
+  *
+  *   - view data lives in immutable GENERATION directories
+  *     `{root}/gen=N/{bucket}=K/…`; a publish writes the refreshed
+  *     buckets' rows to a brand-new generation — never touching any
+  *     directory a reader could currently hold;
+  *   - a single small MANIFEST file (`{root}/_MANIFEST`, one
+  *     `bucket:generation` line per bucket) names the live generation
+  *     of every bucket. It is replaced ATOMICALLY (write to a temp
+  *     name, rename-with-overwrite — `FileContext.rename(OVERWRITE)`,
+  *     the atomic spelling on HDFS/POSIX; on an S3-style store
+  *     substitute a conditional PUT of the manifest key, the protocol
+  *     is unchanged);
+  *   - readers resolve bucket paths THROUGH the manifest. A crash at
+  *     any point before the swap leaves the old manifest intact — the
+  *     reader serves the complete old state; after the swap it serves
+  *     the complete new state. There is no instant at which a bucket
+  *     is missing;
+  *   - every committed swap also archives its manifest as
+  *     `_MANIFEST.v{N}` (N = the swap's generation id), giving
+  *     Iceberg-style SNAPSHOT READS: [[readVersion]] serves the exact
+  *     state any retained version published. `keepVersions` bounds the
+  *     history — generations referenced by the current manifest or the
+  *     last `keepVersions` committed version manifests survive GC;
+  *     everything older (plus crashed partial writes and manifest
+  *     temps) is deleted at the START of the next publish, so
+  *     in-flight readers always get at least one full refresh interval
+  *     of grace.
+  *
+  * A bucket whose refreshed view rows are EMPTY still advances to the
+  * new generation in the manifest (its generation dir simply has no
+  * files for it), so "this bucket is now empty" publishes atomically
+  * too — the failure mode dynamic partition overwrite can't express.
+  *
+  * All filesystem access goes through the Hadoop `FileSystem`/
+  * `FileContext` the writers use — no `java.io.File` mutation of
+  * served data.
+  */
+final class GenerationStore(
+    root: String,
+    bucketCol: String,
+    keepVersions: Int = 1) {
+
+  require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
 
   private val manifestName = "_MANIFEST"
   private val manifestPath = new Path(root, manifestName)
@@ -96,28 +106,59 @@ final class GenerationStore(root: String, bucketCol: String) {
     new Path(root).getFileSystem(conf(spark))
 
   private def genDir(gen: Long): String = s"$root/gen=$gen"
+  private def versionPath(v: Long): Path = new Path(root, s"$manifestName.v$v")
+
+  private def parse(text: String): Map[Long, Long] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.split(':')
+      b.toLong -> g.toLong
+    }.toMap
 
   /** The live (bucket → generation) map; None = never published. */
   private[graft] def manifest(spark: SparkSession): Option[Map[Long, Long]] =
-    AtomicText.read(manifestPath, conf(spark)).map {
-      _.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.split(':')
-        b.toLong -> g.toLong
-      }.toMap
-    }
+    AtomicText.read(manifestPath, conf(spark)).map(parse)
+
+  /** The archived manifest of version `v`, if retained. */
+  private[graft] def manifestAt(spark: SparkSession, v: Long): Option[Map[Long, Long]] =
+    AtomicText.read(versionPath(v), conf(spark)).map(parse)
+
+  /** All version ids with an archived manifest on disk, ascending
+    * (crashed partials included until the next publish GCs them). */
+  def versionsOnDisk(spark: SparkSession): Seq[Long] = {
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$manifestName.v"))
+      .map(_.drop(manifestName.length + 2).toLong)
+      .sorted
+  }
+
+  /** COMMITTED snapshot versions readable right now, ascending: archived
+    * versions no newer than the current manifest (a version file newer
+    * than the manifest is a crashed partial swap, never committed). */
+  def versions(spark: SparkSession): Seq[Long] = {
+    val maxCommitted = manifest(spark).map(maxGen).getOrElse(Long.MinValue)
+    versionsOnDisk(spark).filter(_ <= maxCommitted)
+  }
+
+  private def maxGen(m: Map[Long, Long]): Long = (m.values.toSet + 0L).max
 
   /** Publish `rows` (bucket column included, hive-partitioned by it) as
     * the new truth for exactly `buckets`; every other bucket keeps its
-    * current generation. Crash-safe per the class protocol. */
-  def publish(rows: DataFrame, buckets: Seq[Long]): Unit = {
-    if (buckets.isEmpty) return
+    * current generation. Crash-safe per the class protocol. Returns the
+    * committed snapshot version id. */
+  def publish(rows: DataFrame, buckets: Seq[Long]): Long = {
+    require(buckets.nonEmpty, "publish needs at least one bucket")
     val spark = rows.sparkSession
     val current = manifest(spark).getOrElse(Map.empty)
     gc(spark, current)
-    val nextGen = (current.values.toSet + 0L).max + 1
+    val nextGen = maxGen(current) + 1
     rows.write.mode("overwrite").partitionBy(bucketCol).parquet(genDir(nextGen))
     onBeforeSwap()
-    swap(spark, current ++ buckets.map(_ -> nextGen))
+    swap(spark, current ++ buckets.map(_ -> nextGen), nextGen)
+    nextGen
   }
 
   /** Read the served view through the manifest: the union of each live
@@ -125,35 +166,56 @@ final class GenerationStore(root: String, bucketCol: String) {
     * the empty-schema fallback) — also the answer when every live
     * bucket is empty, since an empty bucket writes no files. */
   def read(spark: SparkSession): Option[DataFrame] =
-    manifest(spark).flatMap { m =>
-      val f = fs(spark)
-      val paths = m.toSeq.sortBy(_._1).flatMap { case (b, g) =>
-        val p = new Path(s"${genDir(g)}/$bucketCol=$b")
-        if (f.exists(p)) Some(p.toString) else None
-      }
-      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
-    }
+    manifest(spark).flatMap(resolve(spark, _))
 
-  /** Delete generation dirs no live bucket references and stale manifest
-    * temp files — crashed partials and generations retired by the
-    * previous swap (their in-flight readers have had a full refresh
-    * interval to finish). */
+  /** SNAPSHOT READ: the complete state exactly as committed version `v`
+    * served it. None once the version has aged past `keepVersions` (or
+    * never existed) — time travel is bounded by the retention the store
+    * was built with. */
+  def readVersion(spark: SparkSession, v: Long): Option[DataFrame] =
+    if (!versions(spark).contains(v)) None
+    else manifestAt(spark, v).flatMap(resolve(spark, _))
+
+  private def resolve(spark: SparkSession, m: Map[Long, Long]): Option[DataFrame] = {
+    val f = fs(spark)
+    val paths = m.toSeq.sortBy(_._1).flatMap { case (b, g) =>
+      val p = new Path(s"${genDir(g)}/$bucketCol=$b")
+      if (f.exists(p)) Some(p.toString) else None
+    }
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Delete what nothing retained references: generation dirs outside
+    * the current manifest and the last `keepVersions` committed version
+    * manifests, version files outside that window (including crashed
+    * partial swaps newer than the manifest), and stale manifest temps. */
   private def gc(spark: SparkSession, live: Map[Long, Long]): Unit = {
     val f = fs(spark)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
-    val liveGens = live.values.toSet
+    val committed = versionsOnDisk(spark).filter(_ <= maxGen(live))
+    val retained = committed.takeRight(keepVersions).toSet
+    val liveGens = retained.toSeq
+      .flatMap(v => manifestAt(spark, v).map(_.values.toSet).getOrElse(Set.empty))
+      .toSet ++ live.values.toSet
     f.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("gen=") && !liveGens.contains(n.drop(4).toLong))
         f.delete(st.getPath, true)
       else if (n.startsWith(s"$manifestName.tmp-"))
         f.delete(st.getPath, false)
+      else if (n.startsWith(s"$manifestName.v") &&
+          !retained.contains(n.drop(manifestName.length + 2).toLong))
+        f.delete(st.getPath, false)
     }
   }
 
-  private def swap(spark: SparkSession, m: Map[Long, Long]): Unit =
-    AtomicText.write(manifestPath,
-      m.toSeq.sorted.map { case (b, g) => s"$b:$g" }.mkString("\n"),
-      conf(spark))
+  private def swap(spark: SparkSession, m: Map[Long, Long], version: Long): Unit = {
+    val text = m.toSeq.sorted.map { case (b, g) => s"$b:$g" }.mkString("\n")
+    // archive FIRST: a crash between the two writes leaves a version
+    // file newer than the manifest — never read (versions() filters it),
+    // GC'd at the next publish
+    AtomicText.write(versionPath(version), text, conf(spark))
+    AtomicText.write(manifestPath, text, conf(spark))
+  }
 }

@@ -114,6 +114,53 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(viewMap(mv)(1L) == ("a2", 20L))
   }
 
+  test("snapshot reads: every retained version serves its exact historical state") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_gen_tt").toString
+    val store = new GenerationStore(s"$root/view", "__b", keepVersions = 3)
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "payload", "__b")
+    def m(o: Option[org.apache.spark.sql.DataFrame]) =
+      o.get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val v1 = store.publish(df((1L, "a", 0L), (2L, "b", 1L)), Seq(0L, 1L))
+    val v2 = store.publish(df((1L, "a2", 0L)), Seq(0L))
+    val v3 = store.publish(df((2L, "b3", 1L)), Seq(1L))
+    assert(store.versions(spark) == Seq(v1, v2, v3))
+    assert(m(store.read(spark)) == Map(1L -> "a2", 2L -> "b3"))
+    // each snapshot is the COMPLETE state as of its commit — including
+    // buckets untouched by that publish (v2 rewrote bucket 0 only; its
+    // snapshot still serves bucket 1's v1 rows)
+    assert(m(store.readVersion(spark, v1)) == Map(1L -> "a", 2L -> "b"))
+    assert(m(store.readVersion(spark, v2)) == Map(1L -> "a2", 2L -> "b"))
+    assert(m(store.readVersion(spark, v3)) == Map(1L -> "a2", 2L -> "b3"))
+    assert(store.readVersion(spark, 99L).isEmpty, "unknown version must be None")
+  }
+
+  test("retention bounds time travel: aged versions vanish, live reads never break") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_gen_ttgc").toString
+    val store = new GenerationStore(s"$root/view", "__b", keepVersions = 1)
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "payload", "__b")
+    val v1 = store.publish(df((1L, "a", 0L), (2L, "b", 1L)), Seq(0L, 1L))
+    val v2 = store.publish(df((1L, "a2", 0L)), Seq(0L))
+    val v3 = store.publish(df((1L, "a3", 0L)), Seq(0L))
+    val v4 = store.publish(df((1L, "a4", 0L)), Seq(0L))
+    // v1/v2 aged out (GC runs at publish START, so at most
+    // keepVersions+1 committed manifests ever exist on disk)
+    assert(store.readVersion(spark, v1).isEmpty && store.readVersion(spark, v2).isEmpty)
+    assert(store.versions(spark).size <= 2)
+    val latest = store.read(spark).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a4", 2L -> "b"))
+    // bucket 1 still serves v1's GENERATION (no later publish touched
+    // it) even though v1's SNAPSHOT aged out — generation liveness is
+    // by reference, not by version age
+    assert(store.manifest(spark).get(1L) == v1)
+    assert(store.readVersion(spark, v4).isDefined)
+  }
+
   test("AggregateView publish has the same crash window guarantee") {
     val root = Files.createTempDirectory("graft_gen_av").toString
     val s = spark
