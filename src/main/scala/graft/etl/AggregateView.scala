@@ -55,7 +55,8 @@ final class AggregateView(
     factOrder: Seq[Column],
     derive: (DataFrame, DataFrame) => DataFrame,
     nBuckets: Int = 64,
-    writeTasksPerBucket: Int = 1) {
+    writeTasksPerBucket: Int = 1,
+    keepVersions: Int = 1) {
 
   require(writeTasksPerBucket >= 1,
     s"writeTasksPerBucket must be >= 1, got $writeTasksPerBucket")
@@ -67,7 +68,15 @@ final class AggregateView(
 
   /** Atomic manifest-mediated publish of the served view (exposed to
     * the crash/concurrency specs). */
-  private[graft] val store = new GenerationStore(viewPath, bucketCol)
+  private[graft] val store = new GenerationStore(viewPath, bucketCol, keepVersions)
+
+  /** Committed snapshot versions readable right now ([[viewAt]]). */
+  def viewVersions(spark: SparkSession): Seq[Long] = store.versions(spark)
+
+  /** SNAPSHOT READ: the aggregate view exactly as committed version `v`
+    * served it (None once aged past `keepVersions`). */
+  def viewAt(spark: SparkSession, v: Long): Option[DataFrame] =
+    store.readVersion(spark, v)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol,

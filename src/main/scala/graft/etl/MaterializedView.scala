@@ -62,7 +62,8 @@ final class MaterializedView(
     order: Seq[Column],
     derive: DataFrame => DataFrame,
     nBuckets: Int = 64,
-    writeTasksPerBucket: Int = 1) {
+    writeTasksPerBucket: Int = 1,
+    keepVersions: Int = 1) {
 
   require(writeTasksPerBucket >= 1,
     s"writeTasksPerBucket must be >= 1, got $writeTasksPerBucket")
@@ -73,7 +74,18 @@ final class MaterializedView(
 
   /** Atomic manifest-mediated publish of the served view (exposed to
     * the crash/concurrency specs). */
-  private[graft] val store = new GenerationStore(viewPath, bucketCol)
+  private[graft] val store = new GenerationStore(viewPath, bucketCol, keepVersions)
+
+  /** Committed snapshot versions readable right now ([[viewAt]]),
+    * bounded by `keepVersions`. */
+  def viewVersions(spark: SparkSession): Seq[Long] = store.versions(spark)
+
+  /** SNAPSHOT READ: the view exactly as committed version `v` served
+    * it (None once aged past `keepVersions`) — the "what did the
+    * dashboard say before last night's refresh" question answered
+    * without restoring anything. */
+  def viewAt(spark: SparkSession, v: Long): Option[DataFrame] =
+    store.readVersion(spark, v)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol,

@@ -142,19 +142,29 @@ object PrefixSum {
     * is a second [[runningSums]] pass over the full frame on
     * `keys ++ tiebreak`.
     *
+    * ntile(k) completes the family when requested: SQL-standard split
+    * (the first n mod k buckets get ⌈n/k⌉ rows) is CLOSED-FORM in
+    * (row_number, n) — `cut = rem·(base+1); rn ≤ cut ? (rn−1)/(base+1)+1
+    * : rem + (rn−1−cut)/base + 1` — so it rides the row_number pass for
+    * free, no extra window.
+    *
     * @param keys     (column, ascending) pairs — the rank order; ties
     *                 share rank/dense_rank/percent_rank/cume_dist
     * @param tiebreak completes `keys` to a TOTAL order for row_number
     *                 (nondeterministic row_number over ties is the bug
     *                 w10 pins against)
+    * @param ntile    Some(k) adds an `ntile` column over the SAME total
+    *                 order row_number uses
     * @return df + columns `row_number, rank, dense_rank` (long),
-    *         `percent_rank, cume_dist` (double)
+    *         `percent_rank, cume_dist` (double), `ntile` (long, if
+    *         requested)
     */
   def rankVariants(
       df: DataFrame,
       keys: Seq[(String, Boolean)],
       tiebreak: Seq[Column],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      ntile: Option[Int] = None): DataFrame = {
     require(keys.nonEmpty, "rankVariants needs at least one key column")
     require(tiebreak.nonEmpty,
       "rankVariants needs a tiebreak completing the total order for row_number")
@@ -182,10 +192,26 @@ object PrefixSum {
       .withColumn("cume_dist",
         col("__rv_cum").cast("double") / col("__rv_n").cast("double"))
       .select(keyNames.map(col) ++
-        Seq(col("rank"), col("dense_rank"), col("percent_rank"), col("cume_dist")): _*)
+        Seq(col("rank"), col("dense_rank"), col("percent_rank"), col("cume_dist"),
+          col("__rv_n")): _*)
     val numbered = runningSum(
       df.withColumn(g, lit(1)), Seq(g), keyOrder ++ tiebreak,
       lit(1L), "row_number", numPartitions).drop(g)
-    numbered.join(perKey, keyNames)
+    val joined = numbered.join(perKey, keyNames)
+    ntile.fold(joined.drop("__rv_n")) { k =>
+      require(k >= 1, s"ntile buckets must be >= 1, got $k")
+      // Column `/` is fractional — spell integer division as floor-div
+      // (exact: every operand is far below 2^53)
+      def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+      val n = col("__rv_n")
+      val rn = col("row_number")
+      val base = fdiv(n, lit(k.toLong))
+      val rem = n - base * k
+      val cut = rem * (base + 1)
+      joined.withColumn("ntile",
+        when(rn <= cut, fdiv(rn - 1, base + 1) + 1)
+          .otherwise(rem + fdiv(rn - 1 - cut, base) + 1))
+        .drop("__rv_n")
+    }
   }
 }

@@ -2430,6 +2430,64 @@ object RelationalQueries {
       FROM e ORDER BY pri, day"""),
   )
 
+  /** J21 — nation-pair trade volume (TPC-H Q7 shape): revenue shipped
+    * between two specific nations, by direction and year — the deepest
+    * join chain in the conformance surface (lineitem ⋈ supplier ⋈
+    * nation ⋈ orders ⋈ customer ⋈ nation). Join order is the 100 TB
+    * story: the NATION filter lands on the two dimension legs FIRST, so
+    * the broadcast sides carry only the two nations' suppliers and the
+    * customer leg shrinks 2/25 before the fact joins — the fact table
+    * crosses exactly two shuffles (orderkey, and the groupBy), never a
+    * post-join filter over the full cross-nation volume. */
+  private val j21NationTrade = Q(
+    "j21_nation_pair_trade",
+    (s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rv"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rv")).cast("string").cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                           (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                  AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+        AND n2.n_name IN ('NATION_0', 'NATION_1')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -2519,7 +2577,8 @@ object RelationalQueries {
              CAST(rank() OVER w AS BIGINT) AS rnk,
              CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
              round(percent_rank() OVER w, 9) AS pct_rank,
-             round(cume_dist() OVER w, 9) AS cume
+             round(cume_dist() OVER w, 9) AS cume,
+             CAST(ntile(7) OVER (ORDER BY spend_bucket DESC, custkey) AS BIGINT) AS nt7
       FROM spend
       WINDOW w AS (ORDER BY spend_bucket DESC)
       ORDER BY rn"""
@@ -2536,6 +2595,9 @@ object RelationalQueries {
         .withColumn("dense_rnk", dense_rank().over(tied).cast("long"))
         .withColumn("pct_rank", round(percent_rank().over(tied), 9))
         .withColumn("cume", round(cume_dist().over(tied), 9))
+        // ntile over the fully-tiebroken order (7 does not divide 1500,
+        // so the uneven-bucket split is exercised)
+        .withColumn("nt7", ntile(7).over(total).cast("long"))
         .orderBy("rn")
     },
     Some(RankVariantsOracle),
@@ -2554,13 +2616,15 @@ object RelationalQueries {
     (s, dir) => {
       val spend = customerSpendBuckets(s, dir)
       graft.operators.PrefixSum
-        .rankVariants(spend, Seq("spend_bucket" -> false), Seq(col("custkey")))
+        .rankVariants(spend, Seq("spend_bucket" -> false), Seq(col("custkey")),
+          ntile = Some(7))
         .select(col("custkey"), col("spend_bucket"),
           col("row_number").cast("long").as("rn"),
           col("rank").cast("long").as("rnk"),
           col("dense_rank").cast("long").as("dense_rnk"),
           round(col("percent_rank"), 9).as("pct_rank"),
-          round(col("cume_dist"), 9).as("cume"))
+          round(col("cume_dist"), 9).as("cume"),
+          col("ntile").cast("long").as("nt7"))
         .orderBy("rn")
     },
     Some(RankVariantsOracle),
@@ -3626,7 +3690,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

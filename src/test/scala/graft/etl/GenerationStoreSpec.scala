@@ -161,6 +161,25 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(store.readVersion(spark, v4).isDefined)
   }
 
+  test("MaterializedView.viewAt serves each refresh's historical view") {
+    val root = Files.createTempDirectory("graft_mv_tt").toString
+    val mv = new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets = 4, keepVersions = 3)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    val s0 = viewMap(mv)
+    mv.refresh(rows((1L, 2L, false, "a2")))
+    val s1 = viewMap(mv)
+    mv.refresh(rows((2L, 2L, true, "b2"))) // b soft-deletes
+    val s2 = viewMap(mv)
+    val vs = mv.viewVersions(spark)
+    assert(vs.size == 3)
+    def at(v: Long) = mv.viewAt(spark, v).get.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(at(vs(0)) == s0 && at(vs(1)) == s1 && at(vs(2)) == s2)
+    assert(s2 == Map(1L -> ("a2", 20L)), "delete must be live in the head view")
+    assert(at(vs(1))(2L) == ("b1", 10L), "the pre-delete snapshot must still serve b")
+  }
+
   test("AggregateView publish has the same crash window guarantee") {
     val root = Files.createTempDirectory("graft_gen_av").toString
     val s = spark

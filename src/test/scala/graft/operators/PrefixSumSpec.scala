@@ -103,7 +103,8 @@ class PrefixSumSpec extends AnyFunSuite {
     val df = rows.toDF("id", "k").repartition(8)
 
     val got = PrefixSum.rankVariants(
-      df, Seq("k" -> false), Seq(col("id")), numPartitions = 16)
+      df, Seq("k" -> false), Seq(col("id")), numPartitions = 16,
+      ntile = Some(7)) // 7 ∤ 2001 — uneven buckets exercised
 
     val tied = Window.orderBy(col("k").desc)
     val total = Window.orderBy(col("k").desc, col("id"))
@@ -113,14 +114,17 @@ class PrefixSumSpec extends AnyFunSuite {
       .withColumn("e_dense", dense_rank().over(tied).cast("long"))
       .withColumn("e_pct", percent_rank().over(tied))
       .withColumn("e_cume", cume_dist().over(tied))
+      .withColumn("e_nt", ntile(7).over(total).cast("long"))
 
-    val joined = got.join(expect.select("id", "e_rn", "e_rnk", "e_dense", "e_pct", "e_cume"), "id")
+    val joined = got.join(
+      expect.select("id", "e_rn", "e_rnk", "e_dense", "e_pct", "e_cume", "e_nt"), "id")
     assert(joined.filter(
       col("row_number") =!= col("e_rn") ||
         col("rank") =!= col("e_rnk") ||
         col("dense_rank") =!= col("e_dense") ||
         col("percent_rank") =!= col("e_pct") ||
-        col("cume_dist") =!= col("e_cume")).count() == 0,
+        col("cume_dist") =!= col("e_cume") ||
+        col("ntile") =!= col("e_nt")).count() == 0,
       "two-phase rank family diverged from the single-window oracle")
     assert(got.count() == rows.size.toLong)
 
