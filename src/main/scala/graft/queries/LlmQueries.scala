@@ -2187,7 +2187,54 @@ object LlmQueries {
       ORDER BY t.doc_id"""),
   )
 
+  /** Per-document n-gram NOVELTY — the leave-one-out diversity signal
+    * dedup scores miss: the share of a document's distinct 3-word
+    * shingles appearing in NO other document (document frequency 1).
+    * Boilerplate-heavy docs score near 0 even when no single partner
+    * crosses a pairwise dedup threshold (their shingles are spread
+    * across MANY docs); genuinely original text scores near 1 — the
+    * complement that ranks what dedup KEEPS. All-pairs-free by
+    * construction: one inverted-index aggregate (shingle → df, partials
+    * collapse map-side), one join back on the shingle, one per-doc
+    * rollup. Docs under 3 tokens have no shingles and drop out, same
+    * contract as the MinHash signature builder. */
+  private val ngramNovelty = Q(
+    "corpus_ngram_novelty",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END)) AS shingle
+             FROM tok),
+      dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS novelty
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id"""),
+  )
+
   val all: Seq[Q] = Seq(
+    ngramNovelty,
     textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,

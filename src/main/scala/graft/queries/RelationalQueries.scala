@@ -2488,6 +2488,44 @@ object RelationalQueries {
       ORDER BY 1, 2, 3"""),
   )
 
+  /** SET2 — BAG semantics of INTERSECT ALL / EXCEPT ALL, the set-op
+    * class `set_customer_buckets`' DISTINCT ops don't pin: per key,
+    * INTERSECT ALL keeps min(countA, countB) copies and EXCEPT ALL
+    * keeps max(countA − countB, 0) — multiplicity arithmetic engines
+    * get subtly wrong (and that dedup-happy rewrites silently break).
+    * The multisets are order custkeys under two overlapping predicates,
+    * so both ops produce genuine >1 multiplicities (4920 intersect
+    * copies over 1450 keys at sf0.01); the result re-aggregates the bag
+    * outputs per key, which makes the multiplicities themselves the
+    * hashed contract. */
+  private val set2BagOps = Q(
+    "set2_bag_ops",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey").as("k"))
+      val ia = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_intersect"))
+      val ea = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except"))
+      ia.join(ea, Seq("k"), "full")
+        .select(col("k"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0),
+      ia AS (SELECT k, CAST(count(*) AS BIGINT) AS n_intersect
+             FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 1),
+      ea AS (SELECT k, CAST(count(*) AS BIGINT) AS n_except
+             FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 1)
+      SELECT coalesce(ia.k, ea.k) AS k,
+             coalesce(ia.n_intersect, 0) AS n_intersect,
+             coalesce(ea.n_except, 0) AS n_except
+      FROM ia FULL JOIN ea ON ia.k = ea.k
+      ORDER BY k"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -3690,7 +3728,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
