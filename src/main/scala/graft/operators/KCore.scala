@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round k-core peeling — the degree-pruning complement of the
+  * engine's other iterative graph operators (CC's pointer jumping,
+  * LPA's label votes, PageRank's fixed-point): each round drops every
+  * node whose CURRENT degree is below k and restricts the edge list to
+  * survivors. The fixed round budget is the contract (same doctrine as
+  * LPA's 4 rounds): peeling is monotone, so round R is always a sound
+  * OVER-approximation of the true k-core, each extra round only
+  * tightens it, and a fixed budget keeps the oracle an exact unrolled
+  * replay at any scale.
+  *
+  * One round = one grouped count (map-side partials) + two semi-join
+  * restrictions of the edge list — no all-pairs stage anywhere; the
+  * per-round `Lineage.checkpointed` keeps the loop's lineage flat
+  * (measured necessary on LPA: 6.0 s → 27.3 s without).
+  */
+object KCore {
+
+  final case class RoundStat(round: Int, nodesAlive: Long, edgesAlive: Long)
+
+  /** Peel `edges` (undirected pairs `(x, y)`, one row per edge) for
+    * `rounds` rounds at threshold `k`; returns per-round survivor
+    * counts, round 0 = the input graph. `edgesAlive` counts DIRECTED
+    * (symmetrized) edges — 2× the undirected count, the natural unit
+    * of the adjacency list the rounds actually operate on. */
+  def peelStats(edges: DataFrame, k: Int, rounds: Int): Seq[RoundStat] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges.select(col("x").as("node"), col("y").as("nbr"))
+      .unionByName(edges.select(col("y").as("node"), col("x").as("nbr")))
+    var (live, release) = graft.Lineage.checkpointed(sym)
+    val stats = scala.collection.mutable.ArrayBuffer(
+      stat(0, live))
+    for (r <- 1 to rounds) {
+      val keep = live.groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      val (next, releaseNext) = graft.Lineage.checkpointed(
+        live.join(keep, Seq("node"), "left_semi")
+          .join(keep.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+          .select("node", "nbr"))
+      release()
+      release = releaseNext
+      live = next
+      stats += stat(r, live)
+    }
+    release()
+    stats.toSeq
+  }
+
+  private def stat(round: Int, live: DataFrame): RoundStat = {
+    // two metadata aggregates per round — rounds-sized driver state
+    val row = live.agg(
+      count(lit(1)).as("e"),
+      countDistinct(col("node")).as("n")).collect()(0)
+    RoundStat(round, row.getLong(1), row.getLong(0))
+  }
+}

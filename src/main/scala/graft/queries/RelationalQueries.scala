@@ -2526,6 +2526,71 @@ object RelationalQueries {
       ORDER BY k"""),
   )
 
+  /** GRAPH — k-core peeling schedule over the co-purchase graph (same
+    * edge construction as LPA/triangles): per round, how many parts and
+    * co-purchase edges survive degree-3 pruning — the "dense backbone"
+    * extraction that filters noise nodes before community/centrality
+    * passes, and the fourth member of the iterative-graph family
+    * (CC, LPA, PageRank). Fixed 6-round budget as the contract; the
+    * output is the rounds-sized peel schedule (monotone by
+    * construction), exact-replayed by an unrolled oracle. */
+  private val graphKcore = Q(
+    "graph_kcore_peel",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select("x", "y")
+      val stats = graft.operators.KCore.peelStats(edges, k = 3, rounds = 6)
+      val s0 = s
+      import s0.implicits._
+      stats.map(st => (st.round.toLong, st.nodesAlive, st.edgesAlive))
+        .toDF("round", "nodes_alive", "edges_alive")
+        .orderBy("round")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ed AS (SELECT a.l_partkey AS x, b.l_partkey AS y FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      e0 AS MATERIALIZED (SELECT x AS node, y AS nbr FROM ed
+                          UNION ALL SELECT y, x FROM ed),
+      k1 AS (SELECT node FROM (SELECT node, count(*) c FROM e0 GROUP BY 1) WHERE c >= 3),
+      e1 AS MATERIALIZED (SELECT e.node, e.nbr FROM e0 e
+            JOIN k1 a ON e.node = a.node JOIN k1 b ON e.nbr = b.node),
+      k2 AS (SELECT node FROM (SELECT node, count(*) c FROM e1 GROUP BY 1) WHERE c >= 3),
+      e2 AS MATERIALIZED (SELECT e.node, e.nbr FROM e1 e
+            JOIN k2 a ON e.node = a.node JOIN k2 b ON e.nbr = b.node),
+      k3 AS (SELECT node FROM (SELECT node, count(*) c FROM e2 GROUP BY 1) WHERE c >= 3),
+      e3 AS MATERIALIZED (SELECT e.node, e.nbr FROM e2 e
+            JOIN k3 a ON e.node = a.node JOIN k3 b ON e.nbr = b.node),
+      k4 AS (SELECT node FROM (SELECT node, count(*) c FROM e3 GROUP BY 1) WHERE c >= 3),
+      e4 AS MATERIALIZED (SELECT e.node, e.nbr FROM e3 e
+            JOIN k4 a ON e.node = a.node JOIN k4 b ON e.nbr = b.node),
+      k5 AS (SELECT node FROM (SELECT node, count(*) c FROM e4 GROUP BY 1) WHERE c >= 3),
+      e5 AS MATERIALIZED (SELECT e.node, e.nbr FROM e4 e
+            JOIN k5 a ON e.node = a.node JOIN k5 b ON e.nbr = b.node),
+      k6 AS (SELECT node FROM (SELECT node, count(*) c FROM e5 GROUP BY 1) WHERE c >= 3),
+      e6 AS MATERIALIZED (SELECT e.node, e.nbr FROM e5 e
+            JOIN k6 a ON e.node = a.node JOIN k6 b ON e.nbr = b.node)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS round,
+               CAST((SELECT count(DISTINCT node) FROM e0) AS BIGINT) AS nodes_alive,
+               CAST((SELECT count(*) FROM e0) AS BIGINT) AS edges_alive
+        UNION ALL SELECT 1, (SELECT count(DISTINCT node) FROM e1), (SELECT count(*) FROM e1)
+        UNION ALL SELECT 2, (SELECT count(DISTINCT node) FROM e2), (SELECT count(*) FROM e2)
+        UNION ALL SELECT 3, (SELECT count(DISTINCT node) FROM e3), (SELECT count(*) FROM e3)
+        UNION ALL SELECT 4, (SELECT count(DISTINCT node) FROM e4), (SELECT count(*) FROM e4)
+        UNION ALL SELECT 5, (SELECT count(DISTINCT node) FROM e5), (SELECT count(*) FROM e5)
+        UNION ALL SELECT 6, (SELECT count(DISTINCT node) FROM e6), (SELECT count(*) FROM e6))
+      ORDER BY round"""),
+  )
+
   // ----------------------------- A33: revenue concentration (Gini)
   /** A33 — assortment concentration as a Gini coefficient over
     * per-part revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x sorted
@@ -3728,7 +3793,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** k-core peeling on hand-drawn graphs: a dense core survives, a tail
+  * peels off round by round, and a cascade (removing one node drops
+  * another below k) needs the extra round the fixed budget provides. */
+class KCoreSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def edges(es: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    es.toDF("x", "y")
+  }
+
+  test("triangle with a pendant tail: tail peels, triangle survives k=2") {
+    // 1-2-3 triangle, 3-4 pendant, 4-5 pendant chain
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val stats = KCore.peelStats(g, k = 2, rounds = 3)
+    assert(stats.map(s => (s.round, s.nodesAlive, s.edgesAlive)) == Seq(
+      (0, 5L, 10L),  // all nodes, 5 undirected = 10 directed edges
+      (1, 4L, 8L),   // node 5 (deg 1) peels; 4 now deg 1 but counted next round
+      (2, 3L, 6L),   // cascade: node 4 peels; triangle remains
+      (3, 3L, 6L)))  // fixed point — the true 2-core
+  }
+
+  test("k larger than any degree empties the graph and stays empty") {
+    val g = edges((1L, 2L), (2L, 3L))
+    val stats = KCore.peelStats(g, k = 5, rounds = 2)
+    assert(stats.map(_.nodesAlive) == Seq(3L, 0L, 0L))
+    assert(stats.map(_.edgesAlive) == Seq(4L, 0L, 0L))
+  }
+
+  test("peeling is monotone non-increasing in both counts") {
+    val g = edges((1 to 30).flatMap(i =>
+      Seq((i.toLong, ((i % 30) + 1).toLong), (i.toLong, ((i % 7) + 40).toLong))): _*)
+    val stats = KCore.peelStats(g, k = 3, rounds = 4)
+    val nodes = stats.map(_.nodesAlive)
+    val es = stats.map(_.edgesAlive)
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a })
+    assert(es.zip(es.tail).forall { case (a, b) => b <= a })
+  }
+}
