@@ -2233,8 +2233,108 @@ object LlmQueries {
       ORDER BY s.doc_id"""),
   )
 
+  /** Per-document READABILITY (Flesch reading-ease shape) — the
+    * classic quality-gating signal beside length/stopword/entropy:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * syllables approximated by VOWEL GROUPS (the standard cheap
+    * heuristic) counted compiled-regex-only: replace each `[aeiouy]+`
+    * group with one char vs delete it — the length difference IS the
+    * group count, no per-token lambda. This corpus has no sentence
+    * punctuation (synthetic fragments), so each document is honestly
+    * ONE sentence — the guard `greatest(1, enders)` is still exercised
+    * as written and the formula's spread (−21…96 at sf0.01) comes from
+    * the word-count and syllable-density terms. Everything is exact
+    * integer ratios × constants — bit-identical doubles cross-engine. */
+  private val readability = Q(
+    "corpus_readability",
+    (s, dir) => {
+      def groups(x: Column, pat: String): Column =
+        (length(regexp_replace(x, pat, "V")) -
+          length(regexp_replace(x, pat, ""))).cast("long")
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("x"))
+        .select(col("doc_id"),
+          size(split(col("x"), " ")).cast("long").as("words"),
+          greatest(lit(1L), groups(col("x"), "[.!?]+")).as("sentences"),
+          groups(col("x"), "[aeiouy]+").as("vgroups"))
+      m.select(col("doc_id"), col("words"), col("sentences"), col("vgroups"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words").cast("double") / col("sentences").cast("double"))
+            - lit(84.6) * (col("vgroups").cast("double") / col("words").cast("double")), 4)
+            .as("flesch"))
+        .withColumn("band",
+          when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium")
+            .otherwise("hard"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lower(text) AS x FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(string_split(x, ' ')) AS BIGINT) AS words,
+              greatest(1, CAST(length(regexp_replace(x, '[.!?]+', 'V', 'g'))
+                               - length(regexp_replace(x, '[.!?]+', '', 'g')) AS BIGINT))
+                AS sentences,
+              CAST(length(regexp_replace(x, '[aeiouy]+', 'V', 'g'))
+                   - length(regexp_replace(x, '[aeiouy]+', '', 'g')) AS BIGINT) AS vgroups
+            FROM d)
+      SELECT doc_id, words, sentences, vgroups,
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                   - 84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE)), 4) AS flesch,
+             CASE WHEN round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                   - 84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE)), 4) >= 60
+                  THEN 'easy'
+                  WHEN round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                   - 84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE)), 4) >= 30
+                  THEN 'medium'
+                  ELSE 'hard' END AS band
+      FROM m ORDER BY doc_id"""),
+  )
+
+  /** Per-source lexical richness — type-token ratio and hapax share,
+    * the corpus-statistics pair beside Heaps' law that flags template
+    * farms (low TTR, near-zero hapax share) vs organic text: per
+    * source, total tokens, distinct types, hapax count (tokens seen
+    * ONCE within the source) and their ratios. One (source, token)
+    * aggregate — the per-source term frequency table the BM25/vocab
+    * queries already shape — then a per-source rollup; exact integer
+    * ratios, all-pairs-free. */
+  private val hapaxStats = Q(
+    "corpus_hapax_stats",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      tf.groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+            .as("hapax_share"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+                   FROM documents),
+      tf AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+             round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS hapax_share
+      FROM tf GROUP BY source ORDER BY source"""),
+  )
+
   val all: Seq[Q] = Seq(
-    ngramNovelty,
+    ngramNovelty, readability, hapaxStats,
     textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
