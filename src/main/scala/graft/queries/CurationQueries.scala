@@ -2560,7 +2560,88 @@ object CurationQueries {
       FROM scan GROUP BY source ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
+  /** WATER-FILLING source caps — the budget allocator the flat
+    * `mix_token_budget` quota can't express: give every source an equal
+    * share of the token budget, but a source with FEWER tokens than its
+    * share contributes everything it has and its unused share
+    * REDISTRIBUTES to the rest (the standard water-filling/max-min
+    * fairness allocation; epoch-upsampling of small sources is the
+    * downstream complement). Closed form, no iteration: sort sources by
+    * availability ascending — the greedy cap condition
+    * `avail·(remaining sources) ≤ remaining budget` is then MONOTONE,
+    * so capped-full sources are a prefix; the prefix sums ride
+    * [[graft.operators.PrefixSum]] (single stratum, bounded tasks), the
+    * boundary aggregates are one metadata row, and the leftover after
+    * integer division distributes deterministically (+1 to the first
+    * `extra` uncapped sources in sort order), making Σ allocated == B
+    * EXACTLY — all integer arithmetic, replayed verbatim by the oracle.
+    * Budget = 90% of corpus tokens (forces both polarities at sf0.01:
+    * 2 capped-full, 18 level-capped, 7 remainder +1s). */
+  private val waterfill = Q(
+    "mix_source_waterfill",
+    (s, dir) => {
+      val avail = Tables.documents(s, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("n"))
+        .groupBy("source").agg(sum(col("n")).as("avail"))
+      val tot = avail.agg(sum(col("avail")).as("tot"),
+        count(lit(1)).as("n_src"))
+      def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+      val ranked = graft.operators.PrefixSum.runningSums(
+        avail.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("avail").asc, col("source").asc),
+        Seq(lit(1L) -> "idx", col("avail") -> "cum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("budget", fdiv(col("tot") * 9, lit(10L)))
+        .withColumn("capped",
+          col("avail") * (col("n_src") - col("idx") + 1)
+            <= col("budget") - (col("cum") - col("avail")))
+      val boundary = ranked
+        .agg(coalesce(sum(when(col("capped"), col("avail"))), lit(0L)).as("sum_full"),
+          coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("k_full"))
+      ranked.crossJoin(broadcast(boundary))
+        .withColumn("__rem", col("budget") - col("sum_full"))
+        .withColumn("__m", col("n_src") - col("k_full"))
+        .withColumn("allocated",
+          when(col("capped"), col("avail"))
+            .otherwise(fdiv(col("__rem"), col("__m")) +
+              when(col("idx") - col("k_full") <= pmod(col("__rem"), col("__m")), 1L)
+                .otherwise(0L)))
+        .select(col("source"), col("avail"), col("allocated"), col("capped"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH avail AS (SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+                     FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n_src,
+                     CAST(sum(avail) * 9 // 10 AS BIGINT) AS budget
+              FROM avail),
+      ranked AS (SELECT a.source, a.avail,
+                   CAST(row_number() OVER w AS BIGINT) AS idx,
+                   CAST(sum(a.avail) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   t.tot, t.n_src, t.budget
+                 FROM avail a, tot t
+                 WINDOW w AS (ORDER BY a.avail, a.source)),
+      flagged AS (SELECT *,
+                    avail * (n_src - idx + 1) <= budget - (cum - avail) AS capped
+                  FROM ranked),
+      boundary AS (SELECT coalesce(sum(CASE WHEN capped THEN avail END), 0) AS sum_full,
+                          coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS k_full
+                   FROM flagged)
+      SELECT f.source, f.avail,
+             CAST(CASE WHEN f.capped THEN f.avail
+                  ELSE (f.budget - b.sum_full) // (f.n_src - b.k_full)
+                       + (CASE WHEN f.idx - b.k_full
+                                    <= (f.budget - b.sum_full) % (f.n_src - b.k_full)
+                               THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS allocated,
+             f.capped
+      FROM flagged f, boundary b
+      ORDER BY f.source"""),
+  )
+
+  val all: Seq[Q] = Seq(waterfill, decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
