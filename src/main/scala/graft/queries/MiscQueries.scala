@@ -1944,6 +1944,73 @@ object MiscQueries {
     * per (nprobe, query) — 40 tiny groups — never a corpus rank
     * window); the np dimension multiplies the CANDIDATE rows (≤ half
     * the corpus) by 4 before the heap collapse, not the corpus. */
+  /** Matryoshka TRUNCATION curve — recall@20 of prefix-truncated
+    * cosine (dims 8/16/32) against the full-64-dim ground truth, the
+    * tuning artifact behind Matryoshka-style embeddings (Kusupati et
+    * al. 2022: nested prefixes are usable embeddings; serving picks the
+    * shortest prefix whose recall clears the bar — a 8× memory/compute
+    * cut when dim 8 suffices). One scored pass: every (query,
+    * candidate) pair explodes over the dim ladder, scores the PREFIX
+    * slice, and collapses through the same k-bounded heaps as the
+    * recall harness; dim 64 rides along as the self-checking identity
+    * row (recall exactly 1). Recall averages as matched-count / 200 —
+    * one integer division, no order-dependent double sums. */
+  private val annMatryoshka = Q(
+    "ann_matryoshka_curve",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val dims = Seq(8, 16, 32, 64)
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(explode(array(dims.map(d => lit(d)): _*)).as("dim"),
+          col("q_id"), col("vec_id"), col("embedding"), col("qv"))
+        .select(col("dim").cast("long").as("dim"), col("q_id"), col("vec_id"),
+          Similarity.cosine(
+            slice(col("embedding"), lit(1), col("dim").cast("int")),
+            slice(col("qv"), lit(1), col("dim").cast("int"))).as("cosine"))
+      val top = scored.groupBy("dim", "q_id")
+        .agg(graft.operators.TopKPerGroup.topK(annEvalK)(col("cosine"), col("vec_id")).as("top"))
+        .select(col("dim"), col("q_id"), posexplode(col("top")).as(Seq("rnk0", "sc")))
+        .select(col("dim"), col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+          col("sc").getField("_2").as("vec_id"))
+      val brute = top.filter(col("dim") === 64)
+        .select(col("q_id"), col("vec_id"), col("rnk").as("b_rnk"))
+      top.join(brute, Seq("q_id", "vec_id"))
+        .groupBy("dim")
+        .agg(round(count(lit(1)).cast("double") / (10.0 * annEvalK), 4)
+            .as("recall_at_20"),
+          countDistinct(when(col("b_rnk") === 1, col("q_id"))).as("n_nearest_found"))
+        .orderBy("dim")
+    },
+    Some(s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv
+                         FROM embeddings WHERE vec_id < 10),
+      dm AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+      scored AS (SELECT CAST(dm.dim AS BIGINT) AS dim, q.q_id, e.vec_id,
+          list_sum(list_transform(range(1, dm.dim + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, dm.dim + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, dm.dim + 1),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos
+        FROM e, q, dm WHERE e.vec_id <> q.q_id),
+      top AS (SELECT dim, q_id, vec_id, rnk FROM (
+                SELECT dim, q_id, vec_id,
+                       row_number() OVER (PARTITION BY dim, q_id
+                                          ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= $annEvalK),
+      brute AS (SELECT q_id, vec_id, rnk AS b_rnk FROM top WHERE dim = 64)
+      SELECT t.dim,
+             round(CAST(count(*) AS DOUBLE) / ${10.0 * annEvalK}, 4) AS recall_at_20,
+             CAST(count(DISTINCT CASE WHEN b.b_rnk = 1 THEN t.q_id END) AS BIGINT)
+               AS n_nearest_found
+      FROM top t JOIN brute b USING (q_id, vec_id)
+      GROUP BY t.dim ORDER BY t.dim"""),
+  )
+
   private val annNprobe = Q(
     "ann_nprobe_curve",
     (s, dir) => {
@@ -2039,5 +2106,5 @@ object MiscQueries {
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,
-    embDrift, annEval, annNprobe)
+    embDrift, annEval, annNprobe, annMatryoshka)
 }
