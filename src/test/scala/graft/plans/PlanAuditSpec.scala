@@ -309,6 +309,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exch(pp) <= 3, s"a35 exchange ceiling: ${exch(pp)}\n$pp")
   }
 
+  test("round-8 query plan shapes: exchange ceilings") {
+    // Static (pre-AQE) counts, same doctrine as the round-7 pins below:
+    // the PrefixSum-shaped plans (w11 two passes, waterfill one pass +
+    // boundary joins) print their range-exchange subtree repeatedly —
+    // deduplicated to ReusedExchange at runtime (pinned separately) —
+    // so their static ceilings look large while the runtime plan is
+    // narrow. Queries that collect metadata at BUILD time (kcore's
+    // peel loop, autoplan's measurement passes) pin only the final
+    // result plan.
+    val ceilings = Map(
+      "w11_scalable_ranks" -> 25,      // 2× PrefixSum static print + key join
+      "mix_source_waterfill" -> 25,    // PrefixSum static print + 2 broadcast boundaries
+      "stats_autoplan_join" -> 2,      // chosen join (broadcast) + 1-row agg
+      "sq1_exists_late_ship" -> 3,
+      "sq2_not_exists_dormant" -> 7,   // anti + 2 one-shot scalar subqueries
+      "sq3_scalar_part_avg" -> 4,
+      "sq4_in_subquery" -> 3,
+      "sq5_not_in_subquery" -> 3,
+      "a34_cube_revenue" -> 2,         // Expand + final agg exchange
+      "a35_pivot_flag_revenue" -> 3,
+      "w12_range_vs_rows_frames" -> 3, // day agg + window + sort
+      "j21_nation_pair_trade" -> 8,    // 2 fact shuffles + dim broadcasts + agg + sort
+      "set2_bag_ops" -> 3,
+      "graph_kcore_peel" -> 1,         // peel ran at build; result is rounds-sized
+      "corpus_ngram_novelty" -> 4,     // df agg + shingle join + doc agg + sort
+      "corpus_readability" -> 1,
+      "corpus_hapax_stats" -> 3,
+      "ann_pq_adc" -> 7,               // encode argmin + ADC broadcast + top-k + rejoin
+      "ann_matryoshka_curve" -> 9)     // dim-exploded heaps + brute rejoin
+    val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      val c = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      df.unpersist()
+      if (c > cap) Some(s"$n: $c > $cap") else None
+    }
+    assert(over.isEmpty, s"exchange ceilings exceeded: ${over.mkString(", ")}")
+  }
+
   test("round-7 query plan shapes: exchange ceilings") {
     // Same rationale as the flagship pins: shuffle counts are THE scale
     // lever, so pin ceilings for the new operators. Counts are STATIC
