@@ -87,6 +87,31 @@ final class MaterializedView(
   def viewAt(spark: SparkSession, v: Long): Option[DataFrame] =
     store.readVersion(spark, v)
 
+  /** CDC OUT of the serving layer: the row-level changelog between two
+    * retained snapshots — per view key, `insert` (new in `v2`),
+    * `delete` (gone from `v2`), or `update` (any non-key value
+    * changed, null-safe struct compare); unchanged rows are omitted.
+    * This is the reverse direction of [[refresh]]: downstream
+    * consumers (activation feeds, cache invalidation) subscribe to
+    * what a refresh DID instead of re-diffing the whole view — the
+    * join is key-partitioned, never a full-view collect. None unless
+    * BOTH versions are still retained. Output: key columns (coalesced),
+    * `change`, `old_row`, `new_row` structs (null on insert/delete
+    * respectively). */
+  def changesBetween(spark: SparkSession, v1: Long, v2: Long): Option[DataFrame] =
+    for { a <- viewAt(spark, v1); b <- viewAt(spark, v2) } yield {
+      val cols = a.columns.toSeq
+      val left = a.select(keys.map(col) :+ struct(cols.map(col): _*).as("old_row"): _*)
+      val right = b.select(keys.map(col) :+ struct(cols.map(col): _*).as("new_row"): _*)
+      left.join(right, keys, "full_outer")
+        .withColumn("change",
+          when(col("old_row").isNull, "insert")
+            .when(col("new_row").isNull, "delete")
+            .when(!(col("old_row") <=> col("new_row")), "update"))
+        .filter(col("change").isNotNull)
+        .select(keys.map(col) ++ Seq(col("change"), col("old_row"), col("new_row")): _*)
+    }
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(bucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))

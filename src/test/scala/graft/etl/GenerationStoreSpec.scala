@@ -180,6 +180,32 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(at(vs(1))(2L) == ("b1", 10L), "the pre-delete snapshot must still serve b")
   }
 
+  test("changesBetween emits the exact insert/update/delete changelog of a refresh") {
+    val root = Files.createTempDirectory("graft_mv_cdc").toString
+    val mv = new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets = 4, keepVersions = 3)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1"), (3L, 1L, false, "c1")))
+    mv.refresh(rows(
+      (1L, 2L, false, "a2"),  // update
+      (2L, 2L, true, "b2"),   // winner soft-deletes → delete from view
+      (7L, 1L, false, "g1"))) // insert
+    val Seq(v1, v2) = mv.viewVersions(spark)
+    val changes = mv.changesBetween(spark, v1, v2).get.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    // row 3 unchanged → omitted entirely
+    assert(changes == Map(1L -> "update", 2L -> "delete", 7L -> "insert"))
+    val rowsByKey = mv.changesBetween(spark, v1, v2).get.collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rowsByKey(7L).getAs[org.apache.spark.sql.Row]("old_row") == null)
+    assert(rowsByKey(2L).getAs[org.apache.spark.sql.Row]("new_row") == null)
+    assert(rowsByKey(1L).getAs[org.apache.spark.sql.Row]("new_row")
+      .getAs[String]("payload") == "a2")
+    // identical versions diff to an empty changelog
+    assert(mv.changesBetween(spark, v2, v2).get.isEmpty)
+    // an aged/unknown version yields None, not a wrong diff
+    assert(mv.changesBetween(spark, 999L, v2).isEmpty)
+  }
+
   test("AggregateView publish has the same crash window guarantee") {
     val root = Files.createTempDirectory("graft_gen_av").toString
     val s = spark
