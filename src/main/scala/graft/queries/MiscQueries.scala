@@ -549,6 +549,92 @@ object MiscQueries {
       FROM scored ORDER BY vec_id"""),
   )
 
+  /** Binary sign-signature ANN with Hamming screening — the 1-BIT
+    * floor of the quantization ladder (float → int8 `ann_int8_score` →
+    * PQ codes `ann_pq_adc` → sign bits): each 64-dim vector collapses
+    * to two 32-bit sign words (1 bit per dimension, 16× below int8),
+    * candidates rank by Hamming distance to the query signature
+    * (popcount of XOR — two register ops per candidate), and the 25
+    * survivors carry their TRUE cosine beside the bit distance so the
+    * screen's fidelity is self-auditing, the `ann_pq_adc` true_dist
+    * doctrine.
+    *
+    * Exactness: sign bits (x > 0) and their 2^j weights are exact in
+    * any engine (powers of two are exact doubles; each word < 2^32 —
+    * two half-words rather than one 64-bit word precisely so no bit
+    * ever lands on the sign position, where engines' shift/overflow
+    * conventions differ); XOR/popcount are integer ops; the true
+    * cosine is the one double at the end (in-order accumulation both
+    * sides), rounded to 6 dp with vec_id the total tiebreak.
+    *
+    * 100 TB design: signatures build in one posexplode aggregate
+    * (compiled — no HOF lambdas, per the global plan pin) and land in
+    * 16 bytes/vector — a 1 B-vector signature store is 16 GB, RAM-
+    * resident per executor where the float corpus is 256 GB; the
+    * Hamming screen broadcasts TWO LONGS into a map-side TakeOrdered
+    * heap (k·partitions rows cross the wire, never the corpus), and
+    * only the k winners touch the float corpus again for exact
+    * rescoring — screen-then-rescore with the screen at bit
+    * granularity. */
+  private val annHamming = Q(
+    "ann_hamming_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val e = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+      def bitVal(p: org.apache.spark.sql.Column) =
+        pow(lit(2.0), p.cast("double")).cast("long")
+      val sig = e.groupBy("vec_id").agg(
+        sum(when(col("pos") < 32 && col("x") > 0f, bitVal(col("pos")))
+          .otherwise(0L)).as("w0"),
+        sum(when(col("pos") >= 32 && col("x") > 0f, bitVal(col("pos") - 32))
+          .otherwise(0L)).as("w1"))
+      val qsig = sig.filter(col("vec_id") === 0)
+        .select(col("w0").as("q0"), col("w1").as("q1"))
+      val screened = sig.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qsig))
+        .select(col("vec_id"),
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id"))
+        .limit(25)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qArr = array(query.map(v => lit(v)): _*)
+      screened.join(emb, Seq("vec_id"))
+        .select(col("vec_id"), col("hamming"),
+          round(Similarity.cosine(col("embedding"), qArr), 6).as("true_cos"))
+        .orderBy(col("hamming").asc, col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+                        unnest(embedding) AS x
+                 FROM embeddings),
+      sig AS (SELECT vec_id,
+        CAST(sum(CASE WHEN pos < 32 AND x > 0
+                      THEN CAST(pow(2.0, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+        CAST(sum(CASE WHEN pos >= 32 AND x > 0
+                      THEN CAST(pow(2.0, pos - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+        FROM e GROUP BY 1),
+      q AS (SELECT w0 AS q0, w1 AS q1 FROM sig WHERE vec_id = 0),
+      h AS (SELECT s.vec_id,
+              CAST(bit_count(xor(s.w0, q.q0))
+                 + bit_count(xor(s.w1, q.q1)) AS BIGINT) AS hamming
+            FROM sig s, q WHERE s.vec_id <> 0),
+      sel AS (SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 25),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      tc AS (SELECT sel.vec_id, sel.hamming,
+               list_sum(list_transform(range(1, len(e2.embedding)+1),
+                 i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e2.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qv.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             FROM sel JOIN embeddings e2 USING (vec_id), qv)
+      SELECT vec_id, hamming, round(cos, 6) AS true_cos
+      FROM tc ORDER BY hamming, vec_id"""),
+  )
+
   /** Embedding-cosine near-duplicate pairs via centroid-bucketed
     * self-join (never all-pairs; see [[Similarity.nearDupPairs]]).
     * Threshold 0.35 — the synthetic embeddings are random (max pairwise
@@ -2102,7 +2188,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8, annHamming,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,
