@@ -2262,6 +2262,47 @@ object RelationalQueries {
       ORDER BY o_orderstatus"""),
   )
 
+  /** SQ6 — LEFT JOIN LATERAL with a correlated ORDER BY … LIMIT 1
+    * subquery: each BUILDING customer's single largest order above
+    * 300k, customers with none kept as NULL rows (295 matched / 7
+    * null at sf0.01 — both polarities). The lateral-derived-table
+    * class is the last subquery position after sq1-sq5's
+    * WHERE-clause forms: "top-1 related row per driving row" written
+    * the way warehouse users actually write it.
+    *
+    * Conformance pin (PlanAuditSpec): Catalyst must DECORRELATE the
+    * per-row subquery — the correlated LIMIT becomes a rank window
+    * over the orders side joined back (DecorrelateInnerQuery), never
+    * a per-customer subquery execution; the audit asserts no
+    * nested-loop shape and an exchange ceiling. At 100 TB the
+    * decorrelated spelling is one shuffle of each side on custkey;
+    * the naive spelling is |customer| point queries. */
+  private val sq6Lateral = Q(
+    "sq6_lateral_top1",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.top_price
+        FROM sq_customer c LEFT JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice AS top_price
+          FROM sq_orders
+          WHERE o_custkey = c.c_custkey AND o_totalprice > 300000.0
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.top_price
+      FROM customer c LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice AS top_price
+        FROM orders
+        WHERE o_custkey = c.c_custkey AND o_totalprice > 300000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true
+      WHERE c.c_mktsegment = 'BUILDING'
+      ORDER BY c.c_custkey"""),
+  )
+
   /** SQ3 — CORRELATED SCALAR subquery (TPC-H Q17 shape): lines of one
     * brand whose quantity is below 20% of their part's average.
     * Catalyst must rewrite the per-part average into an aggregate
@@ -2670,6 +2711,96 @@ object RelationalQueries {
         WHERE b.dist < 3)
       SELECT node AS partkey, CAST(min(dist) AS BIGINT) AS dist
       FROM bfs GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** A37 — GROUPING SETS with explicitly DISJOINT sets: the
+    * by-returnflag and by-linestatus breakdowns in ONE scan — the
+    * general grouping form that neither CUBE (a34: all 2^n subsets)
+    * nor ROLLUP (a14b: the prefix chain) can spell, and the reason
+    * the clause exists: two independent BI breakdowns without a
+    * second pass or a UNION ALL of two aggregates. grouping_id pins
+    * the cross-engine bit contract (a bit is SET when its column is
+    * aggregated away; first listed column = high bit), and
+    * disambiguates the 'ALL' placeholders.
+    *
+    * 100 TB design: Spark plans Expand (each row fans to its 2 set
+    * copies) feeding ONE hash aggregate with map-side partials — scan
+    * once, shuffle the aggregate domain only (5 rows here); revenue
+    * rides the exact decimal bridge. */
+  private val a37GroupingSets = Q(
+    "a37_grouping_sets",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .as("rv"))
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_lines"),
+          sum(col("rv")).as("srv"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n_lines"),
+          col("srv").cast("double").as("revenue"))
+        .orderBy("gid", "flag", "status")
+    },
+    Some("""
+      SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                 AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY gid, flag, status"""),
+  )
+
+  /** A36 — customer distribution by order count (TPC-H Q13 shape): a
+    * LEFT join whose FILTER LIVES IN THE JOIN CONDITION (orders below
+    * '3-MEDIUM' priority are excluded from the COUNT, but customers
+    * with no qualifying orders are NOT excluded from the report — a
+    * WHERE would silently drop them, the classic Q13 trap; the zero
+    * bucket is non-vacuous here, 2 customers at sf0.01), then an
+    * aggregate OF the aggregate: per-customer counts → how many
+    * customers share each count. The histogram-of-activity report
+    * every CRM runs ("how many one-order customers do we have").
+    *
+    * Spark-first: the right-side-only predicate is a pre-filter on
+    * orders (equivalent algebra for a left join, and it pushes to the
+    * parquet scan, which an ON-clause residual would not); count over
+    * the possibly-null order key skips the unmatched-row nulls in
+    * both engines. Two hash aggregates, each collapsing map-side; the
+    * second one's domain is order-count-sized (tiny). The custdist
+    * sort is total because c_count is the group key. */
+  private val a36Custdist = Q(
+    "a36_custdist",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(!col("o_orderpriority").like("3%"))
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      WITH co AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '3%'
+        GROUP BY 1)
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM co GROUP BY 1
+      ORDER BY custdist DESC, c_count DESC"""),
   )
 
   // ----------------------------- A33: revenue concentration (Gini)
@@ -3874,7 +4005,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
