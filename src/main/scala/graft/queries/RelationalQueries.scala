@@ -2303,6 +2303,45 @@ object RelationalQueries {
       ORDER BY c.c_custkey"""),
   )
 
+  /** SQ7 — correlated scalar COUNT in the SELECT list: each MACHINERY
+    * customer's number of 330k+ orders, INCLUDING the customers with
+    * none — the classic COUNT-bug conformance pin. Decorrelating
+    * `(SELECT count(*) …)` into an aggregate-then-LEFT-join makes the
+    * unmatched rows' count come out NULL unless the engine
+    * compensates (Catalyst wraps the joined-in count in a coalesce;
+    * a naive rewrite silently drops the difference between "no rows"
+    * and "unknown") — so the 7 zero-count customers at sf0.01 are the
+    * load-bearing rows of this differential: both engines must print
+    * 0, not NULL, and not omit them. WHERE-position scalars (sq3)
+    * never see the bug because a NULL comparison filters the row
+    * either way; SELECT position is where it bites.
+    *
+    * 100 TB: same decorrelated shape as sq3 — one aggregate over
+    * orders + one custkey join; never |customer| point queries. */
+  private val sq7SelectCount = Q(
+    "sq7_select_scalar_count",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT c.c_custkey,
+               (SELECT count(*) FROM sq_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 330000.0) AS n_big_orders
+        FROM sq_customer c
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c.c_custkey""")
+    },
+    Some("""
+      SELECT c.c_custkey,
+             CAST((SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 330000.0) AS BIGINT) AS n_big_orders
+      FROM customer c
+      WHERE c.c_mktsegment = 'MACHINERY'
+      ORDER BY c.c_custkey"""),
+  )
+
   /** SQ3 — CORRELATED SCALAR subquery (TPC-H Q17 shape): lines of one
     * brand whose quantity is below 20% of their part's average.
     * Catalyst must rewrite the per-part average into an aggregate
@@ -2759,6 +2798,46 @@ object RelationalQueries {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY gid, flag, status"""),
+  )
+
+  /** A38 — UNPIVOT (melt), the inverse of a35's enumerated pivot: the
+    * wide per-day metric columns (click/view/purchase counts) fold
+    * back into tidy (day, metric, n) rows — the wide→long reshape
+    * every feature pipeline runs before a union or a generic
+    * per-metric model, and the missing half of the reshape pair
+    * (pivot without unpivot is a one-way door). Metric NAMES become
+    * DATA here, so the differential also pins the engines' generated
+    * name column agreement.
+    *
+    * 100 TB design: unpivot is a per-row Expand (3 output rows per
+    * input row, no shuffle of its own) — the plan stays scan → agg →
+    * expand → sort; the day-grain aggregate bounds the frame long
+    * before the fan-out. */
+  private val a38Unpivot = Q(
+    "a38_unpivot_metrics",
+    (s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      wide.unpivot(
+          Array(col("day")),
+          Array(col("n_click"), col("n_view"), col("n_purchase")),
+          "metric", "n")
+        .orderBy("day", "metric")
+    },
+    Some("""
+      WITH wide AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+        FROM events GROUP BY 1)
+      SELECT day, metric, n
+      FROM (UNPIVOT wide ON n_click, n_view, n_purchase INTO NAME metric VALUE n)
+      ORDER BY day, metric"""),
   )
 
   /** A36 — customer distribution by order count (TPC-H Q13 shape): a
@@ -4005,7 +4084,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
