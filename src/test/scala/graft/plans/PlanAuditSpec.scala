@@ -291,6 +291,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p5.contains("NestedLoop"),
       s"NOT IN degraded to a nested-loop join:\n$p5")
 
+    // LATERAL … ORDER BY … LIMIT 1 must decorrelate to a rank window
+    // over the orders side joined back (DecorrelateInnerQuery) — never
+    // |customer| per-row subquery executions
+    val (o6, p6) = plans("sq6_lateral_top1")
+    assert(!o6.contains("lateral-subquery"),
+      "sq6 kept an unrewritten lateral subquery")
+    assert(p6.contains("Window"), s"sq6 lost its decorrelated rank window:\n$p6")
+    assert(!p6.contains("NestedLoop"),
+      s"sq6 degraded to a nested-loop join:\n$p6")
+
+    // SELECT-position correlated count: decorrelated to an aggregate
+    // left-joined back (COUNT-bug compensation lives in the rewrite —
+    // the zero rows are asserted by the differential, the shape here)
+    val (o7, p7) = plans("sq7_select_scalar_count")
+    assert(!o7.contains("scalar-subquery"),
+      "sq7 kept an unrewritten scalar subquery")
+    assert(!p7.contains("NestedLoop"),
+      s"sq7 degraded to a nested-loop join:\n$p7")
+
     // CUBE is ONE scan through Expand (not four queries); enumerated
     // pivot is ONE aggregate (no distinct-values pre-scan)
     val (_, pc) = plans("a34_cube_revenue")
@@ -337,7 +356,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus_readability" -> 1,
       "corpus_hapax_stats" -> 3,
       "ann_pq_adc" -> 7,               // encode argmin + ADC broadcast + top-k + rejoin
-      "ann_matryoshka_curve" -> 9)     // dim-exploded heaps + brute rejoin
+      "ann_matryoshka_curve" -> 9,     // dim-exploded heaps + brute rejoin
+      "graph_bfs_frontier" -> 2,       // frontier loop ran at build; layer union + sort
+      "ann_hamming_topk" -> 5,         // sig agg + q broadcast + top-k + rescore join
+      "a36_custdist" -> 4,             // left join + 2 stacked aggs + custdist sort
+      "sq6_lateral_top1" -> 4,         // decorrelated rank window + outer join + sort
+      "sq7_select_scalar_count" -> 3,  // decorrelated count agg + left join + sort
+      "a37_grouping_sets" -> 2,        // Expand + final agg exchange (a34 doctrine)
+      "a38_unpivot_metrics" -> 2)      // day agg + expand + sort
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
