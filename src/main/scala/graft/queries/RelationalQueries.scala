@@ -1732,6 +1732,97 @@ object RelationalQueries {
     )
   }
 
+  /** W13 — trend-aware smoothing and one-step forecast (Brown's double
+    * exponential smoothing): w8's EWMA tracks LEVEL but lags any
+    * trending series by construction; smoothing the smoothed series a
+    * second time measures that lag, and level = 2S′−S″, trend = S′−S″
+    * (α/(1−α) = 1 at α = ½), forecast = level + trend — the classic
+    * "where is next month heading" primitive a demand planner runs per
+    * customer, and the forecasting member of the time-series family
+    * (w8 smooths, a29 detects, this projects).
+    *
+    * Exactness (w8's power-of-two doctrine, extended one level): the
+    * first 16-term smoothing is exact (cents·2⁻ⁱ shifts the exponent,
+    * the sum spans < 53 mantissa bits) and then FLOORS to integer
+    * cents — the deliberate contract that keeps the SECOND smoothing's
+    * terms (s1·2⁻ⁱ, ≤ 27+15 bits) and sum exact as well; without the
+    * floor the stacked sum needs ~57 mantissa bits and the last bits
+    * would be association-order noise. Level/trend/forecast are then
+    * sums of exact doubles — emitted through ONE trailing /100.0 (a
+    * single IEEE op both engines round identically), deliberately NOT
+    * re-rounded: a decimal round() after the division turns exact
+    * half-cent values into cross-engine tie-break noise (observed:
+    * ±0.01 on a .675 boundary), and the oracle mirrors Spark's
+    * (level + trend) association for the forecast for the same
+    * reason.
+    *
+    * 100 TB design: monthly pre-aggregation collapses map-side; BOTH
+    * window passes (cents lags, then s1 lags) ride the SAME
+    * (custkey × month) sort order on ONE custkey exchange — stacking
+    * the window adds zero shuffles (pinned by the exchange ceiling);
+    * per-customer chains, never a stratum. */
+  private val w13Holt = {
+    val halfPow: Int => java.math.BigDecimal =
+      i => new java.math.BigDecimal(0.5).pow(i)
+    Q(
+      "w13_holt_trend",
+      (s, dir) => {
+        val om = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("o_custkey").orderBy("m")
+        def smooth(src: org.apache.spark.sql.Column,
+            lagged: Int => org.apache.spark.sql.Column) =
+          (0 until 16).map { i =>
+            val c = if (i == 0) src else coalesce(lagged(i), lit(0L))
+            c.cast("double") * lit(halfPow(i).doubleValue)
+          }.reduce(_ + _)
+        val s1 = om.withColumn("s1",
+          floor(smooth(col("cents"), i => lag(col("cents"), i).over(w)))
+            .cast("long"))
+        val s2 = s1.withColumn("s2",
+          smooth(col("s1"), i => lag(col("s1"), i).over(w)))
+        val level = col("s1").cast("double") * 2.0 - col("s2")
+        val trend = col("s1").cast("double") - col("s2")
+        s2.select(col("o_custkey"), date_format(col("m"), "yyyy-MM").as("month"),
+            (col("cents").cast("double") / 100.0).as("month_spend"),
+            (level / 100.0).as("level"),
+            (trend / 100.0).as("trend"),
+            ((level + trend) / 100.0).as("forecast_next"))
+          .orderBy("o_custkey", "month")
+      },
+      Some {
+        def terms(src: String) = (0 until 16).map { i =>
+          val c = if (i == 0) src else s"coalesce(lag($src, $i) OVER w, 0)"
+          s"CAST($c AS DOUBLE) * ${halfPow(i).toPlainString}"
+        }.mkString("\n                + ")
+        s"""
+        WITH om AS (
+          SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        sm1 AS (
+          SELECT o_custkey, m, cents,
+                 CAST(floor(${terms("cents")}) AS BIGINT) AS s1
+          FROM om
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY m)),
+        sm2 AS (
+          SELECT o_custkey, m, cents, s1,
+                 (${terms("s1")}) AS s2
+          FROM sm1
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY m))
+        SELECT o_custkey, strftime(m, '%Y-%m') AS month,
+               CAST(cents AS DOUBLE) / 100.0 AS month_spend,
+               (CAST(s1 AS DOUBLE) * 2.0 - s2) / 100.0 AS level,
+               (CAST(s1 AS DOUBLE) - s2) / 100.0 AS trend,
+               ((CAST(s1 AS DOUBLE) * 2.0 - s2) + (CAST(s1 AS DOUBLE) - s2)) / 100.0 AS forecast_next
+        FROM sm2
+        ORDER BY o_custkey, month"""
+      },
+    )
+  }
+
   /** A18 — HyperLogLog approximate distinct counts
     * ([[graft.operators.HllSketch]]): per event type, the approximate
     * distinct-user count (raw-estimate branch) and distinct-active-day
@@ -4084,7 +4175,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }
