@@ -1,0 +1,149 @@
+package graft.etl
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.GraftCoreShim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** MEASURED workload statistics — the runtime twin of
+  * [[LayoutAdvisor]]'s plan-walk: the advisor counts how often a
+  * column WOULD be shuffled or filtered; this profiler records what a
+  * run actually DID — rows out of every operator, bytes through every
+  * exchange, spill if any — straight from the executed plan's SQL
+  * metrics after the action completes. Together they close the
+  * feedback loop the reference delegates to its warehouse ("let the
+  * optimizer decide", `sql/redshift_table_schemas.sql:114`): estimate
+  * → run → measure → re-advise. At 100 TB the measured side is the
+  * one that catches estimate drift — a scan whose measured rows
+  * dwarf its sibling's says which table earns compaction/bucketing
+  * BUDGET, not just which key would benefit.
+  *
+  * Mechanics: a [[QueryExecutionListener]] captures each action's
+  * executed plan; [[Profiler.profile]] runs a body, flushes the
+  * listener bus ([[GraftCoreShim.flushListeners]] — metric
+  * accumulators arrive asynchronously after the action returns), then
+  * walks the final (post-AQE) plan and snapshots every non-zero
+  * metric. Driver-side metadata only — no data is re-read, the
+  * metrics already exist on the accumulators. The protocol is
+  * sequential by design (profile one named body at a time per
+  * session); concurrent actions from other threads would interleave
+  * captures and are out of contract. */
+object RuntimeStats {
+
+  /** One harvested metric: `(query, operator, table, metric, value)`.
+    * `table` is non-empty only on file scans (basename of the scan's
+    * root path — the lake's table directory). */
+  final case class Sample(
+      query: String, operator: String, table: String,
+      metric: String, value: Long)
+
+  final class Profiler(spark: SparkSession) extends QueryExecutionListener {
+    private val pending = new ConcurrentLinkedQueue[QueryExecution]()
+    private val out = new ConcurrentLinkedQueue[Sample]()
+
+    /** Actions seen by the listener since install — a liveness probe
+      * for the async capture path (and the spec's wiring check). */
+    @volatile var captured: Long = 0L
+
+    override def onSuccess(
+        funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      captured += 1
+      pending.add(qe)
+    }
+    override def onFailure(
+        funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+
+    /** Run `body` and attribute every action it triggers to `name`.
+      * Draining is a flush + STABILITY poll, not a single flush: the
+      * execution-end hop that invokes QueryExecutionListeners
+      * completes asynchronously even after the listener bus reports
+      * empty (measured: a lone flushListeners misses the event every
+      * time), so we wait until at least one capture arrives and the
+      * count stops moving. */
+    def profile[T](name: String)(body: => T): T = {
+      pending.clear()
+      val r = body
+      GraftCoreShim.flushListeners(spark.sparkContext)
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      var stableFor = 0
+      var last = -1
+      while (stableFor < 5 && System.nanoTime < deadline) {
+        val n = pending.size
+        if (n == last && n > 0) stableFor += 1 else stableFor = 0
+        last = n
+        if (stableFor < 5) Thread.sleep(20)
+      }
+      pending.asScala.foreach(qe => harvest(name, qe.executedPlan))
+      pending.clear()
+      r
+    }
+
+    /** Walk the executed plan INCLUDING through AQE's wrappers: the
+      * adaptive root and every `QueryStageExec` are LEAF nodes whose
+      * real operators hang off `executedPlan`/`plan` — a naive
+      * `plan.foreach` sees only `ResultQueryStage` and harvests
+      * nothing (measured on Spark 4.1). Subquery plans are not
+      * traversed — their metrics attribute to their own action. */
+    private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+        case q: QueryStageExec => walk(q.plan)(f)
+        case other => other.children.foreach(walk(_)(f))
+      }
+    }
+
+    private def harvest(name: String, plan: SparkPlan): Unit =
+      walk(plan) { node =>
+        val table = node match {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.headOption
+              .map(_.getName).getOrElse("")
+          case _ => ""
+        }
+        node.metrics.foreach { case (key, m) =>
+          // unset accumulators report 0 or -1 depending on the metric
+          // type; neither is a measurement
+          if (m.value > 0) out.add(Sample(name, node.nodeName, table, key, m.value))
+        }
+      }
+
+    /** Everything measured so far, one row per (query, operator,
+      * metric) sample, queryable like any other frame. */
+    def samples(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      out.asScala.toSeq.toDF()
+    }
+
+    /** Measured scan pressure per lake table: rows actually read by
+      * file scans, over all profiled queries — the compaction/
+      * bucketing BUDGET ranking (LayoutAdvisor says which key; this
+      * says which table pays off first). */
+    def hotTables(spark: SparkSession): DataFrame =
+      samples(spark)
+        .filter(col("table") =!= "" && col("metric") === "numOutputRows")
+        .groupBy("table")
+        .agg(sum(col("value")).as("rows_read"),
+          countDistinct(col("query")).as("n_queries"))
+        .orderBy(col("rows_read").desc, col("table"))
+
+    def reset(): Unit = { pending.clear(); out.clear() }
+  }
+
+  /** Install a profiler on the session's listener manager; pair with
+    * [[remove]] — a leaked listener keeps capturing (and retaining
+    * plans) for the session's lifetime. */
+  def install(spark: SparkSession): Profiler = {
+    val p = new Profiler(spark)
+    spark.listenerManager.register(p)
+    p
+  }
+
+  def remove(spark: SparkSession, p: Profiler): Unit =
+    spark.listenerManager.unregister(p)
+}
