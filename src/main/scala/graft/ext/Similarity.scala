@@ -604,4 +604,73 @@ object Similarity {
       pNew * math.log(n.toDouble * tRef / (r.toDouble * tNew))
     }.sum
   }
+
+  /** Distributed Lloyd k-means in EXACT fixed-point arithmetic — the
+    * real iterative refinement behind [[trainCentroidsById]]'s
+    * id-sampled stand-in (the scaladoc there promises k-means is
+    * swappable; this is it). Returns the per-round convergence
+    * schedule `(round, inertia, n_clusters, largest_cluster)` — the
+    * elbow/monitoring frame a clustering pipeline actually tracks.
+    *
+    * Exactness contract (what makes a k-means DIFFERENTIALLY
+    * replayable, which floats never are): components quantize to
+    * `floor(x·1000)+1000` — positive integers, so the centroid
+    * update's truncating division equals floor division in every
+    * engine — and centroids live at ×1024 fixed point via
+    * `c = (1024·s − (1024·s mod n)) / n` (an exact integer spelled in
+    * +,%,/ only; `div` operators differ across engines on negatives,
+    * which the offset makes unreachable). Distances are then exact
+    * int64 sums (components < 2.7e6 scaled, 64-dim sums < 5e14), so
+    * every argmin, tie-break (smallest centroid id) and inertia is
+    * bit-identical cross-engine. Empty clusters drop — deterministic
+    * both sides.
+    *
+    * 100 TB design: per round ONE (pos-broadcast centroid ⋈ exploded
+    * corpus) pass + two map-side-collapsing aggregates; the ONLY
+    * driver-side state is the k×D centroid table and the ≤k size
+    * rows (metadata, the IVF-centroid doctrine) — re-broadcast as a
+    * literal each round, which also keeps every round's plan shallow
+    * (no lineage growth, no checkpoint needed, unlike the
+    * label-carrying LPA loop). */
+  def lloydStats(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val eq = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos", "x")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("pos").cast("long").as("pos"),
+        (floor(col("x").cast("double") * 1000.0).cast("long") + 1000L).as("xq"))
+      .persist()
+    var centroids: Seq[(Long, Long, Long)] = eq.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("pos"), (col("xq") * 1024L).as("c"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val metrics = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val cdf = broadcast(centroids.toDF("cid", "pos", "c"))
+      val diff = col("xq") * 1024L - col("c")
+      val assign = eq.join(cdf, "pos")
+        .groupBy("vec_id", "cid")
+        .agg(sum(diff * diff).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.d").as("d"), col("m.cid").as("cid"))
+        .persist()
+      val inertia = assign.agg(sum(col("d"))).as[Long].head()
+      val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect()
+      metrics += ((r.toLong, inertia, sizes.length.toLong, sizes.map(_._2).max))
+      val s1024 = col("s") * 1024L
+      centroids = assign.select("vec_id", "cid").join(eq, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          ((s1024 - pmod(s1024, col("n"))) / col("n")).cast("long").as("c"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assign.unpersist()
+    }
+    eq.unpersist()
+    metrics.toSeq.toDF("round", "inertia", "n_clusters", "largest_cluster")
+      .orderBy("round")
+  }
 }

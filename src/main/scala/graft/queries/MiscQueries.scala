@@ -635,6 +635,54 @@ object MiscQueries {
       FROM tc ORDER BY hamming, vec_id"""),
   )
 
+  /** Distributed Lloyd k-means convergence schedule (see
+    * [[Similarity.lloydStats]] for the exact fixed-point contract
+    * that makes an iterative k-means differentially replayable): 8
+    * centroids, 3 rounds, per-round inertia + cluster-shape row —
+    * the elbow/monitoring frame of the clustering family, and the
+    * real "training" the IVF/semdedup centroid tables stand in for.
+    * The oracle unrolls the same 3 rounds (the LPA/k-core doctrine:
+    * fixed budget IS the contract), replaying quantization, exact
+    * integer distances, smallest-id tie-breaks and the truncating
+    * centroid update. */
+  private val embKmeans = Q(
+    "emb_kmeans_lloyd",
+    (s, dir) => Similarity.lloydStats(Tables.embeddings(s, dir), k = 8, rounds = 3),
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (SELECT e.vec_id, c.cid,
+               sum((1024*e.xq - c.c) * (1024*e.xq - c.c)) AS d
+             FROM eq e JOIN c${r - 1} c USING (pos) GROUP BY 1, 2),
+      a$r AS MATERIALIZED (SELECT vec_id, cid, d FROM (
+               SELECT vec_id, cid, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM d$r) t WHERE rn = 1),
+      z$r AS (SELECT cid, count(*) AS n FROM a$r GROUP BY 1),
+      m$r AS (SELECT CAST($r AS BIGINT) AS round,
+                     CAST((SELECT sum(d) FROM a$r) AS BIGINT) AS inertia,
+                     CAST((SELECT count(*) FROM z$r) AS BIGINT) AS n_clusters,
+                     CAST((SELECT max(n) FROM z$r) AS BIGINT) AS largest_cluster),
+      c$r AS MATERIALIZED (
+        SELECT a.cid, e.pos,
+               CAST((1024*sum(e.xq) - (1024*sum(e.xq)) % count(*))
+                    / count(*) AS BIGINT) AS c
+        FROM a$r a JOIN eq e USING (vec_id) GROUP BY 1, 2)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH eq AS MATERIALIZED (
+        SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) + 1000 AS xq
+        FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+                     unnest(embedding) AS x
+              FROM embeddings)),
+      c0 AS MATERIALIZED (
+        SELECT vec_id AS cid, pos, 1024*xq AS c FROM eq WHERE vec_id < 8),
+      $rounds
+      SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+      ORDER BY round"""
+    },
+  )
+
   /** Embedding-cosine near-duplicate pairs via centroid-bucketed
     * self-join (never all-pairs; see [[Similarity.nearDupPairs]]).
     * Threshold 0.35 — the synthetic embeddings are random (max pairwise
@@ -2188,7 +2236,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8, annHamming,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -294,4 +294,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH recall collapsed: $planted of $total planted pairs found")
     out.unpersist()
   }
+
+  test("lloydStats separates two obvious clusters with non-increasing inertia") {
+    // ids 0/1 seed the two centroids; the rest sit tightly around one
+    // of two far-apart poles, so round 1 must already split them 3/3
+    // and inertia must never increase (Lloyd's monotonicity — exact
+    // integer arithmetic means no float wobble excuses)
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0f, 1f, 0f, 0f)
+    def near(v: Seq[Float], eps: Float) = v.map(_ + eps)
+    val df = vecDf(
+      0L -> a, 1L -> b,
+      2L -> near(a, 0.01f), 3L -> near(a, -0.01f),
+      4L -> near(b, 0.01f), 5L -> near(b, -0.01f))
+    val stats = Similarity.lloydStats(df, k = 2, rounds = 3).collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val inertias = stats.map(_.getLong(1)).toSeq
+    assert(inertias == inertias.sorted.reverse, s"inertia increased: $inertias")
+    assert(stats.forall(_.getLong(2) == 2L), "a cluster emptied on a 3/3 fixture")
+    assert(stats.forall(_.getLong(3) == 3L), s"expected 3/3 split: ${stats.mkString(", ")}")
+  }
 }

@@ -364,7 +364,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sq7_select_scalar_count" -> 3,  // decorrelated count agg + left join + sort
       "a37_grouping_sets" -> 2,        // Expand + final agg exchange (a34 doctrine)
       "a38_unpivot_metrics" -> 2,      // day agg + expand + sort
-      "w13_holt_trend" -> 3)           // month agg + ONE window exchange for both smoothing passes + sort
+      "w13_holt_trend" -> 3,           // month agg + ONE window exchange for both smoothing passes + sort
+      "emb_kmeans_lloyd" -> 1)         // rounds ran at build; result is the rounds-sized metrics frame
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
