@@ -55,6 +55,35 @@ class RuntimeStatsSpec extends AnyFunSuite {
     } finally RuntimeStats.remove(spark, p)
   }
 
+  test("measured pressure prioritizes the advisor's layout work") {
+    val spark = SharedSpark.spark
+    val p = RuntimeStats.install(spark)
+    try {
+      val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame] = Map(
+        "join" -> ((s, d) => {
+          val c = Tables.customer(s, d)
+          val o = Tables.orders(s, d)
+          c.join(o, c("c_custkey") === o("o_custkey")).select(c("c_custkey"))
+        }))
+      val advice = LayoutAdvisor.analyze(spark, dir, queries)
+      p.reset()
+      p.profile("wk") {
+        queries("join")(spark, dir).count()
+      }
+      val hot = p.hotTables(spark).collect()
+        .map(r => r.getAs[String]("table") -> r.getAs[Long]("rows_read")).toMap
+      val ranked = LayoutAdvisor.prioritize(advice, hot)
+      assert(ranked.nonEmpty, "no prioritized work items")
+      // orders is the bigger measured scan on the same advice shape, so
+      // its layout work ranks first; every survivor has real pressure
+      assert(ranked.head.advice.table == "orders", s"ranking: $ranked")
+      assert(ranked.forall(_.priority > 0))
+      // un-scanned (or un-advised) tables don't produce zero-value work
+      assert(!ranked.exists(_.measuredRows == 0))
+    } finally RuntimeStats.remove(spark, p)
+  }
+
   test("removed profiler stops capturing") {
     val spark = SharedSpark.spark
     val p = RuntimeStats.install(spark)
