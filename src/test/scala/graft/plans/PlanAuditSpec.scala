@@ -18,6 +18,26 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  // A memoized SharedFrames cache (and any persisted branch) prints its
+  // BUILD plan as the subtree under InMemoryRelation; those exchanges run
+  // once per session — and reprint once per CONSUMER in a static plan —
+  // so per-query exchange ceilings must not count them. Used by every
+  // ceiling counter below.
+  private def stripCachedBuilds(p: String): String = {
+    def indent(l: String) =
+      l.indexWhere(c => !(" :+-*".contains(c))) match {
+        case -1 => l.length; case i => i
+      }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var skipIndent = -1
+    p.split("\n").foreach { l =>
+      if (skipIndent >= 0 && indent(l) > skipIndent) ()
+      else if (l.contains("InMemoryRelation")) skipIndent = indent(l)
+      else { skipIndent = -1; out += l }
+    }
+    out.mkString("\n")
+  }
+
   /** Executed-plan string for one query, releasing any persisted result
     * frame afterwards (the pair queries materialize-and-cache their
     * result; a 2×-all-queries sweep would otherwise accumulate caches). */
@@ -84,23 +104,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // AQE/codegen details may vary, extra shuffles are the regression.
     def plan(n: String) =
       SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
-    // A memoized SharedFrames cache prints its BUILD plan as the subtree
-    // under InMemoryRelation; those exchanges run once per session, not
-    // per query, so the per-query ceilings must not count them.
-    def stripCachedBuilds(p: String): String = {
-      def indent(l: String) =
-        l.indexWhere(c => !(" :+-*".contains(c))) match {
-          case -1 => l.length; case i => i
-        }
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      var skipIndent = -1
-      p.split("\n").foreach { l =>
-        if (skipIndent >= 0 && indent(l) > skipIndent) ()
-        else if (l.contains("InMemoryRelation")) skipIndent = indent(l)
-        else { skipIndent = -1; out += l }
-      }
-      out.mkString("\n")
-    }
     def exchanges(p: String) = "Exchange".r.findAllIn(stripCachedBuilds(p)).length
     def windows(p: String) = "Window \\[".r.findAllIn(stripCachedBuilds(p)).length
 
@@ -318,7 +321,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
     // exchange ceilings (static, pre-AQE): semi 3, anti + 2 one-shot
     // scalars 7, decorrelated aggregate join 4
-    def exch(p: String) = "Exchange".r.findAllIn(p).length
+    def exch(p: String) = "Exchange".r.findAllIn(stripCachedBuilds(p)).length
     assert(exch(p1) <= 3, s"sq1 exchange ceiling: ${exch(p1)}\n$p1")
     assert(exch(p2) <= 7, s"sq2 exchange ceiling: ${exch(p2)}\n$p2")
     assert(exch(p3) <= 4, s"sq3 exchange ceiling: ${exch(p3)}\n$p3")
@@ -368,7 +371,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "emb_kmeans_lloyd" -> 1)         // rounds ran at build; result is the rounds-sized metrics frame
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
-      val c = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val c = "Exchange".r
+        .findAllIn(stripCachedBuilds(df.queryExecution.executedPlan.toString)).length
       df.unpersist()
       if (c > cap) Some(s"$n: $c > $cap") else None
     }
@@ -384,7 +388,7 @@ class PlanAuditSpec extends AnyFunSuite {
       val df = SparkEntry.queries(n)(spark, dir)
       val p = df.queryExecution.executedPlan.toString
       df.unpersist()
-      ("Exchange".r.findAllIn(p).length, p)
+      ("Exchange".r.findAllIn(stripCachedBuilds(p)).length, p)
     }
     val ceilings = Seq(
       // (orderkey, suppkey) agg + orderkey window + suppkey agg +
