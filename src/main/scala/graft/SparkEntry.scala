@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CurationQueries, DomainQueries, FunctionQueries, LlmQueries, MiscQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{CurationQueries, DomainQueries, FunctionQueries, LlmQueries, MiscQueries, PipelineQueries, Q, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,9 +15,9 @@ object SparkEntry {
 
   /** All registered queries, one per operator family. */
   def allQueries: Seq[Q] =
-    RelationalQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
-      LlmQueries.all ++ CurationQueries.all ++ MiscQueries.all ++
-      FunctionQueries.all
+    RelationalQueries.all ++ TpchQueries.all ++ DomainQueries.all ++
+      PipelineQueries.all ++ LlmQueries.all ++ CurationQueries.all ++
+      MiscQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A compact customer-360 slice: left-join + aggregate + value-segment

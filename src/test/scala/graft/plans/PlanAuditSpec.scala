@@ -331,6 +331,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exch(pp) <= 3, s"a35 exchange ceiling: ${exch(pp)}\n$pp")
   }
 
+  test("TPC-H wave structural pins: top-k heaps, subquery rewrites, no nested loops") {
+    // The shape contracts the ceilings alone can't express. Top-k must
+    // be TakeOrderedAndProject (per-partition heap + k-row driver
+    // merge, never a global sort of the aggregate); Q15's scalar max,
+    // Q18's IN-over-HAVING, Q20's nested IN and Q2's correlated
+    // scalar min must all rewrite to one-shot aggregates + semi/equi
+    // joins (a surviving correlated expression or nested loop would be
+    // quadratic at scale); Q19's OR-of-ANDs must keep the extracted
+    // p_partkey equi-key (a weak optimizer degrades it to a nested
+    // loop over the disjunction).
+    def plans(n: String) = {
+      val df = SparkEntry.queries(n)(spark, dir)
+      (df.queryExecution.optimizedPlan.toString,
+        df.queryExecution.executedPlan.toString)
+    }
+    for (n <- Seq("j22_shipping_priority", "j23_returned_revenue_loss")) {
+      val (_, p) = plans(n)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n top-k did not compile to TakeOrderedAndProject:\n$p")
+      assert(!p.contains("GlobalSort"), s"$n global-sorted its aggregate:\n$p")
+    }
+    val (o15, p15) = plans("sq8_top_supplier")
+    assert(!o15.contains("exists"), "sq8 kept an unrewritten subquery")
+    assert(!p15.contains("NestedLoop"), s"sq8 planned a nested loop:\n$p15")
+    val (_, p18) = plans("sq9_large_volume_orders")
+    assert(p18.contains("LeftSemi"), s"Q18 IN did not plan a semi join:\n$p18")
+    val (_, p20) = plans("sq10_dominant_promo_suppliers")
+    assert(p20.contains("LeftSemi"), s"Q20 nested IN did not plan semi joins:\n$p20")
+    assert(!p20.contains("NestedLoop"), s"Q20 planned a nested loop:\n$p20")
+    val (o2q, p2q) = plans("sq11_cheapest_supplier")
+    assert(!o2q.contains("scalar-subquery"),
+      s"Q2 correlated min was NOT decorrelated to an aggregate join:\n$o2q")
+    assert(!p2q.contains("NestedLoop"), s"Q2 planned a nested loop:\n$p2q")
+    val (_, p19) = plans("j24_disjunctive_predicate_join")
+    assert(p19.contains("BroadcastHashJoin"),
+      s"Q19 lost the extracted partkey equi-join under the disjunction:\n$p19")
+    assert(!p19.contains("NestedLoop"), s"Q19 planned a nested loop:\n$p19")
+  }
+
   test("round-8 query plan shapes: exchange ceilings") {
     // Static (pre-AQE) counts, same doctrine as the round-7 pins below:
     // the PrefixSum-shaped plans (w11 two passes, waterfill one pass +
@@ -368,7 +407,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "a37_grouping_sets" -> 2,        // Expand + final agg exchange (a34 doctrine)
       "a38_unpivot_metrics" -> 2,      // day agg + expand + sort
       "w13_holt_trend" -> 3,           // month agg + ONE window exchange for both smoothing passes + sort
-      "emb_kmeans_lloyd" -> 1)         // rounds ran at build; result is the rounds-sized metrics frame
+      "emb_kmeans_lloyd" -> 1,         // rounds ran at build; result is the rounds-sized metrics frame
+      // --- TPC-H conformance wave (TpchQueries.scala) ---
+      "j22_shipping_priority" -> 3,    // dim broadcast + orderkey join + agg; top-10 is TakeOrdered
+      "j23_returned_revenue_loss" -> 4, // orderkey join + custkey join + agg; top-20 is TakeOrdered
+      "a39_priority_ship_lag" -> 3,    // one orderkey join + map-side-collapsed conditional counts
+      "a40_promo_revenue_share" -> 3,  // part broadcast + month agg + sort
+      "sq8_top_supplier" -> 5,         // revenue agg + 1-row max scalar + supplier join + sort
+      "a41_part_supplier_variety" -> 5, // NOT-IN anti build + distinct-count two-phase + sort
+      "sq9_large_volume_orders" -> 8,  // HAVING agg + semi join + cust/order joins + rollup + sort
+      "j24_disjunctive_predicate_join" -> 3, // part broadcast + OR-filter + brand agg
+      "sq10_dominant_promo_suppliers" -> 7, // two part-keyed aggs + dominance join + semi + sort
+      "sq11_cheapest_supplier" -> 6,   // (part,supp) agg + decorrelated per-part min + equality join + sort
+      "a42_market_share" -> 9,         // region-pruned cust leg + orderkey shuffle + dim broadcasts + year agg
+      "a43_nation_year_margin" -> 6,   // part/supplier broadcasts + orderkey shuffle + rollup + sort
+      "a44_banded_discount_delta" -> 2) // pure scan-predicate aggregate + sort
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
