@@ -2187,6 +2187,62 @@ object LlmQueries {
       ORDER BY t.doc_id"""),
   )
 
+  /** Duplicated-span EXCISION — the CUT step of ExactSubstr dedup
+    * (Lee et al. 2022 §4.2: duplicated substrings are REMOVED, not
+    * just reported): every token position covered by a cross-document
+    * duplicated span (per [[dupSpanFrame]]) is excised and the
+    * document rebuilt from the survivors — applied symmetrically to
+    * every occurrence, the shared-boilerplate treatment (a canonical-
+    * owner variant keeps one copy; boilerplate wants zero). Completes
+    * the family: `corpus_dup_spans` reports, `corpus_dup_profile`
+    * sizes the decision, this one acts on it.
+    *
+    * 100 TB design: spans collapse to ONE bounded hit-position array
+    * per document (duplication-sized metadata, ≤ doc length), the
+    * rebuild joins that array back on doc_id and regroups on the SAME
+    * key — the token stream crosses a single exchange; membership is
+    * compiled `array_contains`, the rebuild the compiled
+    * `sort_array(collect_list(struct))` idiom (no HOF lambda). */
+  private val dupExcise = Q(
+    "corpus_dup_excise",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+      val hitSets = dupSpanFrame(toks)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end"))).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("hits"))
+      toks.join(hitSets, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("hits"),
+          posexplode(col("t")).as(Seq("p0", "tok")))
+        .withColumn("p", col("p0").cast("long") + 1)
+        .withColumn("hit",
+          coalesce(array_contains(col("hits"), col("p")), lit(false)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(
+            sort_array(collect_list(when(!col("hit"), struct(col("p"), col("tok")))))
+              .getField("tok"), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      $dupSpanSql,
+      hitp AS (SELECT DISTINCT s.doc_id, CAST(u.p AS BIGINT) AS p
+               FROM spans s, unnest(range(s.span_start, s.span_end + 1)) u(p)),
+      allp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[CAST(u.i AS INT)] AS tok
+               FROM tok, unnest(range(1, CAST(len(t) AS INT) + 1)) u(i))
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(h.p) AS BIGINT) AS n_removed,
+             coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
+               FILTER (WHERE h.p IS NULL), '') AS clean_text
+      FROM allp a LEFT JOIN hitp h ON a.doc_id = h.doc_id AND a.p = h.p
+      GROUP BY a.doc_id ORDER BY a.doc_id"""),
+  )
+
   /** Per-document n-gram NOVELTY — the leave-one-out diversity signal
     * dedup scores miss: the share of a document's distinct 3-word
     * shingles appearing in NO other document (document frequency 1).
@@ -2338,5 +2394,5 @@ object LlmQueries {
     textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
-    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile, dedupSweep)
+    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile, dupExcise, dedupSweep)
 }

@@ -421,7 +421,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "sq11_cheapest_supplier" -> 6,   // (part,supp) agg + decorrelated per-part min + equality join + sort
       "a42_market_share" -> 9,         // region-pruned cust leg + orderkey shuffle + dim broadcasts + year agg
       "a43_nation_year_margin" -> 6,   // part/supplier broadcasts + orderkey shuffle + rollup + sort
-      "a44_banded_discount_delta" -> 2) // pure scan-predicate aggregate + sort
+      "a44_banded_discount_delta" -> 2, // pure scan-predicate aggregate + sort
+      // span frame (gram agg + shared join + islands window) + hit-set
+      // agg + doc_id rejoin + same-key regroup + output sort
+      "corpus_dup_excise" -> 7)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
