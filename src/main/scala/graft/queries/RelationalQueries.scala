@@ -3059,6 +3059,60 @@ object RelationalQueries {
       WINDOW w AS (ORDER BY spend_bucket DESC)
       ORDER BY rn"""
 
+  /** W14 — VALUE-window conformance family: the offset/frame functions
+    * `w10_rank_variants` (ranks) and `w9_locf`/`j20` (IGNORE NULLS
+    * first/last) don't pin — lead/lag with explicit offset AND
+    * default, nth_value over a running frame, and first/last_value
+    * over BOUNDED sliding frames, all in one pass per customer. The
+    * classes engines get subtly wrong: lead/lag defaults at partition
+    * edges (NULL vs default), nth_value's null-until-nth-row contract,
+    * and last_value's frame-end sensitivity (the classic bug is the
+    * default frame ending at CURRENT ROW — here the frame is explicit
+    * on both sides). Values pass through unaggregated (2-dp doubles,
+    * exact), so the differential pins SEMANTICS, not arithmetic.
+    *
+    * 100 TB design: ONE custkey exchange carries all five functions
+    * (every window shares partitioning and ordering); partitions are
+    * per-customer order counts, never a global dimension. */
+  private val w14ValueWindows = Q(
+    "w14_value_windows",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev2_price", lag(col("o_totalprice"), 2, -1.0).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1, -1.0).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nbr_first", first(col("o_totalprice")).over(
+          w.rowsBetween(-1, 1)))
+        .withColumn("tail_last", last(col("o_totalprice")).over(
+          w.rowsBetween(0, 2)))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev2_price"), col("next_price"), col("second_price"),
+          col("nbr_first"), col("tail_last"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+             lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+             nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+             first_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nbr_first,
+             last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS tail_last
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
   private val w10Ranks = Q(
     "w10_rank_variants",
     (s, dir) => {
@@ -4166,7 +4220,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, w14ValueWindows, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

@@ -424,7 +424,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "a44_banded_discount_delta" -> 2, // pure scan-predicate aggregate + sort
       // span frame (gram agg + shared join + islands window) + hit-set
       // agg + doc_id rejoin + same-key regroup + output sort
-      "corpus_dup_excise" -> 7)
+      "corpus_dup_excise" -> 7,
+      // ONE custkey exchange carries all five value-window functions
+      // (shared partitioning/ordering collapse to a single WindowExec)
+      // + output sort
+      "w14_value_windows" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
