@@ -124,4 +124,46 @@ class SkewSpec extends AnyFunSuite {
       "AQE skew-join splitting must stay on — it is the first line of " +
         "defense for hot-key joins (SaltedJoin is the explicit fallback)")
   }
+
+  test("AQE actually SPLITS a skewed join partition at runtime (skew=true in the final plan)") {
+    // The config pin above says the guard is armed; this proves it
+    // FIRES. A sort-merge join where one key owns ~95% of the bytes
+    // must come out of AQE re-planning with its hot partition split
+    // (OptimizeSkewedJoin marks the SMJ `skew=true`) — the runtime
+    // behavior SaltedJoin exists to replicate when a join is NOT
+    // AQE-splittable (e.g. feeding a same-key aggregate). Thresholds
+    // are scaled down so the test-sized fixture crosses the same code
+    // path a 100 TB hot key would; every conf is restored.
+    val spark0 = spark
+    import spark0.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 1: 60k rows with a padding payload; 100 cold keys
+      val big = ((1 to 60000).map(i => (1L, i.toLong)) ++
+        (2 to 101).flatMap(k => (1 to 20).map(i => (k.toLong, i.toLong))))
+        .toDF("k", "v")
+        .withColumn("pad", concat_ws("", (0 until 8).map(_ => md5(col("v").cast("string"))): _*))
+      val dim = (1 to 101).map(k => (k.toLong, s"dim_$k")).toDF("k", "name")
+      val joined = big.join(dim, "k")
+      assert(joined.count() == 60000L + 100L * 20L)
+      // count() runs its own QueryExecution; AQE finalizes per
+      // execution — drive THIS frame's AdaptiveSparkPlanExec to its
+      // final plan and read skew markers from that same execution
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 60000L + 100L * 20L)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition (no skew=true in the final plan):\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
