@@ -154,6 +154,20 @@ class StreamsSpec extends AnyFunSuite {
         .collect().map(r => r.getAs[String]("event_type") ->
           r.getAs[Long]("event_count")).toMap
       assert(out == Map("click" -> 2L, "view" -> 1L))
+      // the drop contract: an event arriving AFTER its window finalized
+      // (watermark is past 14:00 by now; this one belongs to 10:00) must
+      // be discarded — the already-emitted append row CANNOT be amended,
+      // so admitting it would either corrupt downstream sums (re-emit)
+      // or silently vanish into a closed state. Nothing about the 10:00
+      // window may change.
+      in.addData((ts("2024-01-01 10:30:00"), "click"))
+      q.processAllAvailable()
+      val after = spark.table("wins")
+        .filter(col("period_start") === ts("2024-01-01 10:00:00"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("event_count")).toMap
+      assert(after == Map("click" -> 2L, "view" -> 1L),
+        s"late event past the watermark was not dropped: $after")
     }
   }
 
