@@ -206,6 +206,35 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(mv.changesBetween(spark, 999L, v2).isEmpty)
   }
 
+  test("CdcApply: a replica converges to the source snapshot, and re-application is a no-op") {
+    // The consume side of changesBetween: a downstream replica holding
+    // the exact v1 snapshot must land on the exact v2 snapshot after
+    // applying the changelog — and applying the SAME changelog again
+    // must change nothing (at-least-once delivery needs no dedup).
+    val root = Files.createTempDirectory("graft_mv_cdc_apply").toString
+    val mv = new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc), derive, nBuckets = 4, keepVersions = 3)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1"), (3L, 1L, false, "c1")))
+    mv.refresh(rows(
+      (1L, 2L, false, "a2"),  // update
+      (2L, 2L, true, "b2"),   // delete
+      (7L, 1L, false, "g1"))) // insert
+    val Seq(v1, v2) = mv.viewVersions(spark)
+    val changes = mv.changesBetween(spark, v1, v2).get
+    val replica = mv.viewAt(spark, v1).get
+    def m(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val applied = graft.operators.CdcApply.applyChanges(replica, changes, Seq("id"))
+    val want = m(mv.viewAt(spark, v2).get)
+    assert(m(applied) == want, "replica did not converge to the v2 snapshot")
+    assert(want.keySet == Set(1L, 3L, 7L) && want(1L)._1 == "a2")
+    val again = graft.operators.CdcApply.applyChanges(applied, changes, Seq("id"))
+    assert(m(again) == want, "re-applying the same changelog must be a no-op")
+    // an empty changelog is the identity
+    val none = mv.changesBetween(spark, v2, v2).get
+    assert(m(graft.operators.CdcApply.applyChanges(applied, none, Seq("id"))) == want)
+  }
+
   test("AggregateView publish has the same crash window guarantee") {
     val root = Files.createTempDirectory("graft_gen_av").toString
     val s = spark
