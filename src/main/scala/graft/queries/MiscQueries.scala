@@ -500,6 +500,100 @@ object MiscQueries {
       FROM tru ORDER BY round(pq, 6) ASC, vec_id"""),
   )
 
+  /** IVF-PQ — the composed production ANN architecture (FAISS
+    * IndexIVFPQ shape): IVF partition pruning picks WHICH buckets to
+    * read, PQ-ADC compression decides HOW CHEAPLY to score them, exact
+    * re-ranking repairs the shortlist — the three stages `ann_ivf_topk`
+    * and `ann_pq_adc` prove separately, now composed the way a 100 TB
+    * vector store actually runs: (1) probe the 4 nearest centroid
+    * buckets (partition-pruned scan, nothing else read); (2) ADC-score
+    * ONLY the probed candidates on their 4-byte PQ codes (the probed
+    * slice of a code store ~64× smaller than the float vectors; fixed
+    * left-to-right lookup sum, cross-engine pinned); (3) re-rank the
+    * 20-row ADC shortlist by EXACT distance — a k-row join, so full
+    * floats are touched for k vectors, not the corpus. The oracle
+    * replays all three stages; `pq_dist` rides beside `true_dist` so
+    * the compression error inside the probe stays self-auditing. */
+  private val annIvfPq = Q(
+    "ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroidsById(emb, 16)
+      val assigned = Similarity.assignToCentroids(emb, centroids)
+      val cbs = Similarity.pqCodebooks(emb, nCodes = 16, mSub = 4, dims = 64)
+      val enc = Similarity.pqEncode(emb, cbs, mSub = 4, dims = 64)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val probedIds = Similarity.probedCentroidIds(centroids, query, nprobe = 4)
+      val cand = assigned
+        .filter(col("centroid_id").isin(probedIds: _*))
+        .select("vec_id")
+      val shortlist = Similarity.pqTopK(enc.join(cand, Seq("vec_id")),
+        cbs, query, k = 20, mSub = 4, dims = 64)
+      val q = array(query.map(v => lit(v)): _*)
+      shortlist.join(emb, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(col("pq_dist"), 6).as("pq_dist"),
+          round(Similarity.l2sq(col("embedding"), q), 6).as("true_dist"))
+        .orderBy(col("true_dist").asc, col("vec_id"))
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      cand AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding FROM assigned a
+        JOIN probed p ON a.centroid_id = p.centroid_id),
+      cbsrc AS MATERIALIZED (
+        SELECT vec_id AS code, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+      cb AS MATERIALIZED (
+        SELECT CAST(m.m AS BIGINT) AS m, code, embedding
+        FROM cbsrc, unnest(range(0, 4)) m(m)),
+      dists AS (
+        SELECT cd.vec_id, cb.m, cb.code,
+          list_sum(list_transform(range(CAST(cb.m*16 + 1 AS INTEGER), CAST(cb.m*16 + 17 AS INTEGER)),
+            i -> (CAST(cd.embedding[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE))
+               * (CAST(cd.embedding[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE)))) AS d
+        FROM cand cd, cb),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+          FROM dists) t
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.m, cb.code,
+          list_sum(list_transform(range(CAST(cb.m*16 + 1 AS INTEGER), CAST(cb.m*16 + 17 AS INTEGER)),
+            i -> (CAST(q.qv[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE))
+               * (CAST(q.qv[i] AS DOUBLE) - CAST(cb.embedding[i] AS DOUBLE)))) AS qd
+        FROM cb, q),
+      appx AS (
+        SELECT enc.vec_id,
+          sum(CASE WHEN enc.m = 0 THEN adc.qd END) AS d0,
+          sum(CASE WHEN enc.m = 1 THEN adc.qd END) AS d1,
+          sum(CASE WHEN enc.m = 2 THEN adc.qd END) AS d2,
+          sum(CASE WHEN enc.m = 3 THEN adc.qd END) AS d3
+        FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+        GROUP BY 1),
+      sel AS (
+        SELECT vec_id, d0 + d1 + d2 + d3 AS pq FROM appx
+        ORDER BY pq ASC, vec_id LIMIT 20),
+      tru AS (
+        SELECT sel.vec_id, sel.pq,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(cd.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+               * (CAST(cd.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS td
+        FROM sel JOIN cand cd ON sel.vec_id = cd.vec_id, q)
+      SELECT vec_id, round(pq, 6) AS pq_dist, round(td, 6) AS true_dist
+      FROM tru ORDER BY round(td, 6) ASC, vec_id"""),
+  )
+
   /** Int8-quantized cosine scoring (the IVF probe's candidate scorer;
     * see [[Similarity.quantize]] / [[graft.expressions.Int8CosineSimilarity]]):
     * every vector scored against vec_id 0's quantized query. Fully
@@ -2236,7 +2330,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -428,7 +428,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // ONE custkey exchange carries all five value-window functions
       // (shared partitioning/ordering collapse to a single WindowExec)
       // + output sort
-      "w14_value_windows" -> 2)
+      "w14_value_windows" -> 2,
+      // probe-filtered assignment + candidate-only encode argmin + ADC
+      // pivot agg + 20-row shortlist rejoin + output sort; codebook/ADC
+      // tables broadcast as metadata
+      "ann_ivfpq_topk" -> 9)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
