@@ -1323,6 +1323,99 @@ object CurationQueries {
       FROM p GROUP BY source, seq_id ORDER BY source, seq_id"""),
   )
 
+  /** Right-to-be-forgotten BLAST RADIUS over the packed corpus — the
+    * report an unlearning/opt-out pipeline needs BEFORE deciding
+    * re-pack vs re-train: when a set of documents must be forgotten
+    * (here the deterministic stand-in `doc_id % 97 = 0`), which packed
+    * training sequences contain any of their tokens? Because packing
+    * concatenates and straddles document boundaries ([[packEmit]]), a
+    * forgotten doc poisons EVERY sequence it touches — including
+    * neighbors' tokens in straddled sequences — so the affected token
+    * mass is strictly larger than the forgotten mass; the
+    * `blast_amplification` column carries that ratio per source (the
+    * compliance cost of dense packing, quantified).
+    *
+    * 100 TB design: rides [[packAssignments]]' two-phase prefix sum;
+    * the forget set filters BEFORE any explode, so the seq-range
+    * explode is forget-sized, not corpus-sized; geometry (sequences
+    * per source, tail size) is a per-source aggregate broadcast back;
+    * everything else is metadata-sized joins on `source`. */
+  private val forgetAudit = Q(
+    "mix_forget_audit",
+    (s, dir) => {
+      val asg = packAssignments(Tables.documents(s, dir))
+        .withColumn("cum_start", col("seq_id") * SeqLen + col("seq_offset"))
+        .withColumn("last_seq",
+          ((col("cum_start") + col("token_cnt") - 1) / SeqLen).cast("long"))
+      val geom = asg.groupBy("source")
+        .agg((max(col("last_seq")) + 1).as("n_seqs_total"),
+          sum(col("token_cnt")).as("total_tokens"))
+        .withColumn("tail_tokens",
+          col("total_tokens") - (col("n_seqs_total") - 1) * SeqLen)
+      val forget = asg.filter(col("doc_id") % 97 === 0)
+      val fstats = forget.groupBy("source")
+        .agg(count(lit(1)).as("n_docs_forgotten"),
+          sum(col("token_cnt")).as("forgotten_tokens"))
+      val affected = forget
+        .select(col("source"),
+          explode(sequence(col("seq_id"), col("last_seq"))).as("seq"))
+        .distinct()
+      val astats = affected.join(broadcast(geom), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_seqs_affected"),
+          sum(when(col("seq") === col("n_seqs_total") - 1, col("tail_tokens"))
+            .otherwise(lit(SeqLen.toLong))).as("affected_seq_tokens"))
+      geom.join(fstats, Seq("source"), "left")
+        .join(astats, Seq("source"), "left")
+        .select(col("source"), col("n_seqs_total"), col("total_tokens"),
+          coalesce(col("n_docs_forgotten"), lit(0L)).as("n_docs_forgotten"),
+          coalesce(col("forgotten_tokens"), lit(0L)).as("forgotten_tokens"),
+          coalesce(col("n_seqs_affected"), lit(0L)).as("n_seqs_affected"),
+          coalesce(col("affected_seq_tokens"), lit(0L)).as("affected_seq_tokens"))
+        .withColumn("blast_amplification",
+          round(col("affected_seq_tokens").cast("double") /
+            greatest(col("forgotten_tokens"), lit(1L)).cast("double"), 4))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM documents),
+      b AS (SELECT *, (cum_end - token_cnt) // $SeqLen AS seq_id,
+                   (cum_end - 1) // $SeqLen AS last_seq
+            FROM a),
+      geom AS (SELECT source,
+                      CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs_total,
+                      CAST(sum(token_cnt) AS BIGINT) AS total_tokens,
+                      CAST(sum(token_cnt) - max(last_seq) * $SeqLen AS BIGINT) AS tail_tokens
+               FROM b GROUP BY 1),
+      f AS (SELECT * FROM b WHERE doc_id % 97 = 0),
+      fs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_forgotten,
+                    CAST(sum(token_cnt) AS BIGINT) AS forgotten_tokens
+             FROM f GROUP BY 1),
+      aff AS (SELECT DISTINCT f.source, CAST(u.s AS BIGINT) AS seq
+              FROM f, unnest(range(f.seq_id, f.last_seq + 1)) u(s)),
+      ast AS (SELECT aff.source, CAST(count(*) AS BIGINT) AS n_seqs_affected,
+                     CAST(sum(CASE WHEN aff.seq = g.n_seqs_total - 1
+                              THEN g.tail_tokens ELSE $SeqLen END) AS BIGINT)
+                       AS affected_seq_tokens
+              FROM aff JOIN geom g USING (source) GROUP BY 1)
+      SELECT g.source, g.n_seqs_total, g.total_tokens,
+             coalesce(fs.n_docs_forgotten, 0) AS n_docs_forgotten,
+             coalesce(fs.forgotten_tokens, 0) AS forgotten_tokens,
+             coalesce(ast.n_seqs_affected, 0) AS n_seqs_affected,
+             coalesce(ast.affected_seq_tokens, 0) AS affected_seq_tokens,
+             round(CAST(coalesce(ast.affected_seq_tokens, 0) AS DOUBLE)
+                   / greatest(coalesce(fs.forgotten_tokens, 0), 1), 4)
+               AS blast_amplification
+      FROM geom g LEFT JOIN fs USING (source) LEFT JOIN ast USING (source)
+      ORDER BY g.source"""),
+  )
+
   // --------------------------------------------------------- vocabulary
   /** Vocabulary size — the top-K most frequent tokens get ids. The
     * synthetic corpus has 31 distinct tokens at every SF, so K must sit
@@ -2642,7 +2735,7 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(waterfill, decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
-    cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, vocab,
+    cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, forgetAudit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
     packingEfficiency)

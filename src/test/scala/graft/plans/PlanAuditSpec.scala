@@ -432,7 +432,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // probe-filtered assignment + candidate-only encode argmin + ADC
       // pivot agg + 20-row shortlist rejoin + output sort; codebook/ADC
       // tables broadcast as metadata
-      "ann_ivfpq_topk" -> 9)
+      "ann_ivfpq_topk" -> 9,
+      // the packAssignments prefix-sum subtree reprints statically once
+      // per consumer branch (geom/forget/affected — AQE-reused at
+      // runtime, the w11/ccnet doctrine) + source-keyed rollup joins
+      "mix_forget_audit" -> 31)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
