@@ -124,6 +124,29 @@ object Streams {
         l("l_time") <= s("s_time") + expr(s"INTERVAL $windowHours HOURS"))
   }
 
+  /** ST4b: the OUTER variant of [[sessionLeadJoin]] — sessions LEFT
+    * OUTER leads, so a session with NO lead inside the 24 h window
+    * surfaces as a null-padded row once the watermark proves no
+    * matching lead can still arrive: the streaming analog of the batch
+    * `id_unmatched_leads` daily rollup (the "which sessions never
+    * converted" feed), produced continuously instead of re-scanned
+    * nightly. Structured Streaming only admits this with BOTH
+    * watermarks and the event-time bound (state must be provably
+    * prunable); the null-side emission deadline IS the watermark —
+    * pinned in `StreamsSpec`. */
+  def sessionLeadJoinOuter(
+      sessions: DataFrame, // (session_id, s_time, ...)
+      leads: DataFrame, // (crm_session_id, l_time, ...)
+      windowHours: Int = 24): DataFrame = {
+    val s = sessions.withWatermark("s_time", s"$windowHours hours")
+    val l = leads.withWatermark("l_time", s"$windowHours hours")
+    s.join(l,
+      l("crm_session_id") === s("session_id") &&
+        l("l_time") >= s("s_time") &&
+        l("l_time") <= s("s_time") + expr(s"INTERVAL $windowHours HOURS"),
+      "left_outer")
+  }
+
   /** ST6: sessionization — the browser tracker re-fires every 30 s and
     * sessions are bounded by inactivity (`website-tracker.js:457-460`,
     * first_seen/last_seen `database-schema.sql:56-58`). `session_window`

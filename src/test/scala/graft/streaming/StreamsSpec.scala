@@ -106,6 +106,38 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("ST4b outer join: an unmatched session surfaces null-padded once the watermark closes its window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sIn = MemoryStream[(String, java.sql.Timestamp)]
+    val lIn = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = sIn.toDF().toDF("session_id", "s_time")
+    val leads = lIn.toDF().toDF("crm_session_id", "l_time")
+    val q = Streams.sessionLeadJoinOuter(sessions, leads)
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    withQuery(q) {
+      sIn.addData(("dr_1", ts("2024-01-01 00:00:00")), // will match
+        ("dr_2", ts("2024-01-01 00:00:00"))) // never matches
+      lIn.addData(("dr_1", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // the matched row emits eagerly; dr_2's verdict is still OPEN —
+      // a lead could arrive until the watermark passes its window
+      val eager = spark.table("ssjo").collect()
+      assert(eager.map(_.getAs[String]("session_id")).toSet == Set("dr_1"))
+      // advance BOTH watermarks (the global watermark is their min)
+      // far past dr_2's window → the null-padded row must emit
+      sIn.addData(("dr_late", ts("2024-01-10 00:00:00")))
+      lIn.addData(("dr_late", ts("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("ssjo").collect()
+        .map(r => r.getAs[String]("session_id") ->
+          Option(r.getAs[String]("crm_session_id"))).toMap
+      assert(out("dr_1").contains("dr_1"))
+      assert(out.contains("dr_2") && out("dr_2").isEmpty,
+        s"unmatched session did not surface null-padded after the watermark: $out")
+    }
+  }
+
   test("ST1 incrementalParquetSource picks up new files in bounded micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st1").toString
