@@ -2375,6 +2375,43 @@ object RelationalQueries {
     * nested-loop shape and an exchange ceiling. At 100 TB the
     * decorrelated spelling is one shuffle of each side on custkey;
     * the naive spelling is |customer| point queries. */
+  /** SQ12 — EXISTS inside a DISJUNCTION, the ExistenceJoin class: when
+    * `EXISTS (…) OR <predicate>` appears, the subquery CANNOT filter as
+    * a semi join (a row failing the EXISTS may still pass the OR), so
+    * Catalyst plans the third subquery-join kind after sq1-sq7's
+    * semi/anti/aggregate forms: an ExistenceJoin that ATTACHES a
+    * boolean marker column and lets the disjunction evaluate as a
+    * compiled filter — one pass over each table, never a per-row
+    * subquery and never a fallback to the quadratic nested loop
+    * (both pinned in `PlanAuditSpec`). Fixture picked so all three
+    * populations are real at sf0.01: both-branch matches, 1585
+    * price-only qualifiers, 2357 excluded. */
+  private val sq12ExistsOr = Q(
+    "sq12_exists_or_predicate",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("sq_lineitem")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM sq_orders o
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+           OR o.o_totalprice > 300000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R')
+         OR o.o_totalprice > 300000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+  )
+
   private val sq6Lateral = Q(
     "sq6_lateral_top1",
     (s, dir) => {
@@ -4220,7 +4257,7 @@ object RelationalQueries {
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
     st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
-    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, w14ValueWindows, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
+    j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, w14ValueWindows, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, sq12ExistsOr, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
     j13Snowflake)
 }

@@ -313,6 +313,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p7.contains("NestedLoop"),
       s"sq7 degraded to a nested-loop join:\n$p7")
 
+    // EXISTS inside a DISJUNCTION cannot filter as a semi join (a row
+    // failing the EXISTS may pass the OR) — it must plan the THIRD
+    // subquery-join kind, ExistenceJoin (boolean marker column + a
+    // compiled disjunction filter), never a nested loop
+    val (o12, p12) = plans("sq12_exists_or_predicate")
+    assert(!o12.contains("exists(") || o12.contains("ExistenceJoin"),
+      s"sq12's EXISTS-in-OR was not rewritten to an ExistenceJoin:\n$o12")
+    assert(o12.contains("ExistenceJoin"),
+      s"sq12 lost the ExistenceJoin marker form:\n$o12")
+    assert(!p12.contains("NestedLoop"),
+      s"sq12 degraded to a nested-loop join:\n$p12")
+
     // CUBE is ONE scan through Expand (not four queries); enumerated
     // pivot is ONE aggregate (no distinct-values pre-scan)
     val (_, pc) = plans("a34_cube_revenue")
@@ -329,6 +341,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exch(p5) <= 3, s"sq5 exchange ceiling: ${exch(p5)}\n$p5")
     assert(exch(pc) <= 2, s"a34 exchange ceiling: ${exch(pc)}\n$pc")
     assert(exch(pp) <= 3, s"a35 exchange ceiling: ${exch(pp)}\n$pp")
+  }
+
+  test("join strategy hints are honored: BROADCAST, MERGE, SHUFFLE_HASH") {
+    // The escape hatch when the optimizer's choice is wrong at scale
+    // (stats_autoplan_join DECIDES from stats; hints COMMAND): each
+    // hint must produce its join implementation, or a tuning runbook
+    // written against this engine silently does nothing.
+    graft.Tables.orders(spark, dir).createOrReplaceTempView("hint_o")
+    graft.Tables.customer(spark, dir).createOrReplaceTempView("hint_c")
+    def plan(h: String) = spark.sql(
+      s"SELECT /*+ $h */ count(*) FROM hint_o JOIN hint_c ON o_custkey = c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan("BROADCAST(hint_c)").contains("BroadcastHashJoin"))
+    assert(plan("MERGE(hint_c)").contains("SortMergeJoin"))
+    assert(plan("SHUFFLE_HASH(hint_c)").contains("ShuffledHashJoin"))
   }
 
   test("TPC-H wave structural pins: top-k heaps, subquery rewrites, no nested loops") {
@@ -436,7 +463,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the packAssignments prefix-sum subtree reprints statically once
       // per consumer branch (geom/forget/affected — AQE-reused at
       // runtime, the w11/ccnet doctrine) + source-keyed rollup joins
-      "mix_forget_audit" -> 31)
+      "mix_forget_audit" -> 31,
+      // ExistenceJoin on orderkey + status rollup + output sort
+      "sq12_exists_or_predicate" -> 3)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
