@@ -123,4 +123,51 @@ object ConnectedComponents {
       .drop("__graft_comp")
     (out, () => { labels.unpersist(); () })
   }
+
+  /** INCREMENTAL merge: fold a batch of NEW edges into an existing
+    * component map without recomputing history — the daily posture of
+    * identity resolution (yesterday's components + today's match edges)
+    * and incremental dedup (yesterday's clusters + today's near-dup
+    * pairs), where a full [[run]] over the accumulated edge list grows
+    * linearly with corpus age.
+    *
+    * The trick is COMPONENT COLLAPSE: a new edge can only merge whole
+    * components, so map each new endpoint to its current component
+    * (unseen endpoints are their own), build the component-level edge
+    * list — at most |batch| edges of METADATA, regardless of history
+    * size — and run the full CC machinery on THAT graph. History is
+    * touched exactly once: a single relabel join against the
+    * (batch-sized) remap. Labels stay canonical ("comp = smallest
+    * member id") because min-label propagation over component ids IS
+    * min over their members.
+    *
+    * Returns the updated `(id, comp)` map — old vertices relabeled
+    * where merges touched them, new endpoints appended — LAZY like
+    * [[label]]'s output, plus a releaser for the internal delta-CC
+    * result; equality with `run(old ∪ batch)` is pinned in
+    * `ConnectedComponentsSpec`. */
+  def incrementalMerge(
+      labels: DataFrame, // (id, comp) from run() or a previous merge
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String): (DataFrame, () => Unit) = {
+    val ends = newEdges.select(col(srcCol).as("id"))
+      .union(newEdges.select(col(dstCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val endComps = ends.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val compEdges = newEdges
+      .join(endComps.select(col("id").as(srcCol), col("comp").as("ca")), srcCol)
+      .join(endComps.select(col("id").as(dstCol), col("comp").as("cb")), dstCol)
+      .select("ca", "cb")
+      .filter(col("ca") =!= col("cb"))
+    val merged = run(compEdges, "ca", "cb") // delta-sized comp-graph CC
+    val remap = merged.select(col("id").as("comp"), col("comp").as("new_comp"))
+    val updatedOld = labels.join(remap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    val newRows = endComps.join(labels.select("id"), Seq("id"), "left_anti")
+      .join(remap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    (updatedOld.unionByName(newRows), () => { merged.unpersist(); () })
+  }
 }

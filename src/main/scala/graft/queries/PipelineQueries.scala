@@ -403,6 +403,59 @@ object PipelineQueries {
       ORDER BY component_size"""),
   )
 
+  /** Incremental identity-graph maintenance — the DAILY posture the
+    * reference's identity store actually runs (yesterday's resolved
+    * components + today's match edges;
+    * `identity-resolution/database-schema.sql:145-380` accumulates
+    * matches continuously): the Jan-1..14 match edges resolve via full
+    * CC, the Jan-15..31 batch folds in via
+    * [[graft.operators.ConnectedComponents.incrementalMerge]] —
+    * component-collapse makes the delta work BATCH-sized metadata
+    * (new endpoints map to current components, CC runs on the
+    * component-level edge list) and history is touched exactly once by
+    * the relabel join. The oracle recomputes components over ALL edges
+    * with the recursive-reach replay, so the differential IS the proof
+    * that incremental ≡ full recompute on real identity data (357 old
+    * edges + 381 new, all merge classes present). Lead/session id
+    * namespaces stay disjoint via the 2k / 2k+1 encoding. */
+  private val idIncremental = Q(
+    "id_incremental_components",
+    (s, dir) => {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val edges = IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+        .select((col("crm_lead_id") * 2).as("src"),
+          (col("visitor_session_id") * 2 + 1).as("dst"),
+          col("matched_at"))
+      val old = edges.filter(col("matched_at") < cutoff).select("src", "dst")
+      val batch = edges.filter(col("matched_at") >= cutoff).select("src", "dst")
+      val labels = graft.operators.ConnectedComponents.run(old, "src", "dst")
+      val (upd, release) = graft.operators.ConnectedComponents
+        .incrementalMerge(labels, batch, "src", "dst")
+      val sz = upd.groupBy("comp").agg(count(lit(1)).as("component_size"))
+      val out = upd.join(sz, Seq("comp"))
+        .select(col("id").as("node_id"), col("comp"), col("component_size"))
+        .orderBy("node_id")
+        .persist()
+      out.count() // materialize before releasing the internal maps
+      release(); labels.unpersist()
+      out
+    },
+    Some(MATCHES_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      ed AS (
+        SELECT crm_lead_id * 2 AS src, visitor_session_id * 2 + 1 AS dst FROM matches
+        UNION
+        SELECT visitor_session_id * 2 + 1 AS src, crm_lead_id * 2 AS dst FROM matches),
+      reach(id, r) AS (
+        SELECT src, src FROM ed
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id),
+      comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      sz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size FROM comp GROUP BY c)
+      SELECT comp.id AS node_id, comp.c AS comp, sz.component_size
+      FROM comp JOIN sz ON comp.c = sz.c
+      ORDER BY node_id"""),
+  )
+
   val all: Seq[Q] = Seq(actBatch, actEvents, idMatches, idGraphStats, idPerformance,
-    idAttribution, idUnmatched)
+    idAttribution, idUnmatched, idIncremental)
 }

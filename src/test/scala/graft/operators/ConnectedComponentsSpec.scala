@@ -81,6 +81,51 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(components(Seq.empty) == Map.empty)
   }
 
+  private def mergeInc(
+      base: Seq[(Long, Long)], batch: Seq[(Long, Long)]): Map[Long, Long] = {
+    val labels = ConnectedComponents.run(edgesDf(base), "src", "dst")
+    val (upd, release) =
+      ConnectedComponents.incrementalMerge(labels, edgesDf(batch), "src", "dst")
+    val got = upd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    release(); labels.unpersist()
+    got
+  }
+
+  test("incrementalMerge equals a full recompute over the union, for every merge class") {
+    // base: {1,2,3}, {10,11}, {20,21} — three components
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // batch exercises all four classes: merge two existing components
+    // (3-10), attach a NEW vertex to an existing component (21-30),
+    // an entirely new component (40-41), and a WITHIN-component no-op
+    // edge (1-3)
+    val batch = Seq((3L, 10L), (21L, 30L), (40L, 41L), (1L, 3L))
+    assert(mergeInc(base, batch) == components(base ++ batch))
+    // a new vertex with the SMALLEST id must become the canonical
+    // label of the merged component (labels stay "min member id")
+    val batch2 = Seq((0L, 11L))
+    assert(mergeInc(base, batch2) == components(base ++ batch2))
+    // chained merges through the batch: one batch edge-path fusing all
+    // three components transitively via a fresh middle vertex
+    val batch3 = Seq((3L, 99L), (99L, 10L), (11L, 20L))
+    assert(mergeInc(base, batch3) == components(base ++ batch3))
+    // empty batch is the identity on the vertex set
+    assert(mergeInc(base, Seq.empty) == components(base))
+  }
+
+  test("incrementalMerge leaves no persisted storage behind") {
+    val sc = spark.sparkContext
+    System.gc()
+    val base = (1L until 30L).map(i => (i, i + 1))
+    val baseline = sc.getPersistentRDDs.size
+    val labels = ConnectedComponents.run(edgesDf(base), "src", "dst")
+    val (upd, release) = ConnectedComponents.incrementalMerge(
+      labels, edgesDf(Seq((30L, 100L), (200L, 201L))), "src", "dst")
+    assert(upd.count() == 33)
+    release(); labels.unpersist(blocking = true)
+    assert(sc.getPersistentRDDs.size <= baseline,
+      s"leaked persistent RDDs: baseline $baseline, now ${sc.getPersistentRDDs.size}")
+  }
+
   test("repeated runs leave no persisted storage behind (checkpoint hygiene)") {
     val sc = spark.sparkContext
     // settle: evict anything a previously-run suite left to the cleaner

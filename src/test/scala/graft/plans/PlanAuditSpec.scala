@@ -465,7 +465,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // runtime, the w11/ccnet doctrine) + source-keyed rollup joins
       "mix_forget_audit" -> 31,
       // ExistenceJoin on orderkey + status rollup + output sort
-      "sq12_exists_or_predicate" -> 3)
+      "sq12_exists_or_predicate" -> 3,
+      // full-CC + incremental-merge ran at build (stripped as the
+      // persisted result's InMemoryRelation); the served frame is the
+      // materialized node map
+      "id_incremental_components" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
       val df = SparkEntry.queries(n)(spark, dir)
       val c = "Exchange".r
