@@ -234,5 +234,44 @@ object FunctionQueries {
       FROM orders ORDER BY o_orderkey"""),
   )
 
-  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast, fStr2, fDate2)
+  /** Calendar-interval conformance — the arithmetic class where engines
+    * genuinely diverge and `f_date_advanced`'s extraction functions
+    * can't catch it: month addition must CLAMP at end-of-month (Jan 31
+    * + 1 month = Feb 29/28, not Mar 2/3), year-over-year must survive
+    * leap day (Feb 29 + 12 months = Feb 28), week truncation must
+    * agree on the week start (both engines: Monday), and day
+    * arithmetic must be pure day counts. The order-date domain spans
+    * 1995-2001, so real month-ends and both leap years (1996, 2000)
+    * exercise every clamp branch. `months_between` is deliberately
+    * NOT pinned: Spark's 31-day-fraction convention has no DuckDB
+    * twin (date_diff('month') counts boundary crossings — a
+    * different function), and pinning a fake equivalence would paper
+    * over exactly the divergence this query exists to surface. */
+  private val fCal = Q(
+    "f_calendar_intervals",
+    (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd").as("plus_1m"),
+        date_format(add_months(col("o_orderdate"), 12), "yyyy-MM-dd").as("plus_12m"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_y2k"),
+        date_format(date_add(col("o_orderdate").cast("date"), -45), "yyyy-MM-dd")
+          .as("minus_45d"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+             strftime(o_orderdate + INTERVAL 12 MONTH, '%Y-%m-%d') AS plus_12m,
+             strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+               AS days_to_y2k,
+             strftime(CAST(o_orderdate AS DATE) - 45, '%Y-%m-%d') AS minus_45d
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  val all: Seq[Q] = Seq(fDate, fMath, fCond, fJson, fHash, fCast, fStr2, fDate2, fCal)
 }
