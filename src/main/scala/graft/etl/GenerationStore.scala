@@ -33,8 +33,18 @@ private[graft] object AtomicText {
     val out = fc.create(tmp,
       EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    try {
+      out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Flush data to the store BEFORE the rename commits the name: a
+      // process crash is covered by close+rename alone, but a machine /
+      // power crash can otherwise reorder the data flush after the
+      // rename and commit a torn or empty marker. hsync persists to
+      // disk where the stream supports it (HDFS); the local raw FS
+      // treats it as flush-to-OS, so durability there is best-effort —
+      // the serving protocol only needs old-or-new, which still holds.
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
     fc.rename(tmp, path, Options.Rename.OVERWRITE)
   }
 }

@@ -70,13 +70,20 @@ object RuntimeStats {
       val r = body
       GraftCoreShim.flushListeners(spark.sparkContext)
       val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      // A body that triggers no Spark action must not spin the full
+      // deadline: once the count has been stably ZERO for a longer
+      // window (the async hop lands well inside it when an event is
+      // coming at all) we conclude there is nothing to drain. Non-zero
+      // counts keep the original short stability window.
       var stableFor = 0
       var last = -1
-      while (stableFor < 5 && System.nanoTime < deadline) {
+      var done = false
+      while (!done && System.nanoTime < deadline) {
         val n = pending.size
-        if (n == last && n > 0) stableFor += 1 else stableFor = 0
+        if (n == last) stableFor += 1 else stableFor = 0
         last = n
-        if (stableFor < 5) Thread.sleep(20)
+        done = (n > 0 && stableFor >= 5) || (n == 0 && stableFor >= 25)
+        if (!done) Thread.sleep(20)
       }
       pending.asScala.foreach(qe => harvest(name, qe.executedPlan))
       pending.clear()

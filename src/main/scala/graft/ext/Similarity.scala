@@ -642,7 +642,16 @@ object Similarity {
         col("pos").cast("long").as("pos"),
         (floor(col("x").cast("double") * 1000.0).cast("long") + 1000L).as("xq"))
       .persist()
-    var centroids: Seq[(Long, Long, Long)] = eq.filter(col("vec_id") < k)
+    // Seed from the k SMALLEST ids present (not `vec_id < k`, which
+    // silently trains fewer clusters when ids are sparse or
+    // non-zero-based) — identical when ids are contiguous from 0,
+    // which keeps the differential stable. k longs to the driver.
+    val seedIds = eq.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k).as[Long].collect()
+    require(seedIds.nonEmpty,
+      s"lloydStats: empty corpus — no vectors to seed $k centroids from")
+    var centroids: Seq[(Long, Long, Long)] = eq
+      .filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id"), col("pos"), (col("xq") * 1024L).as("c"))
       .as[(Long, Long, Long)].collect().toSeq
     val metrics = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()

@@ -115,7 +115,15 @@ object AutoPlanJoin {
       conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
       lit(width))
     def cells(df: DataFrame) = {
-      val k = concat_ws("", keys.map(c => col(c).cast("string")): _*)
+      // Unambiguous multi-column key encoding: JSON-escape the tuple
+      // rather than concat with a separator — separator-in-value and
+      // concat_ws's null-skipping both alias DISTINCT tuples to one
+      // cell in every depth, deterministically inflating the estimate
+      // beyond normal CMS collision error. A single key needs no
+      // tupling; its raw value is what the differential oracle replays.
+      val k =
+        if (keys.size == 1) coalesce(col(keys.head).cast("string"), lit(""))
+        else to_json(struct(keys.map(c => col(c).cast("string")): _*))
       df.select(explode(array((0 until depth).map(d =>
         struct(lit(d).as("d"), idx(d, k).as("idx"))): _*)).as("c"))
         .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))

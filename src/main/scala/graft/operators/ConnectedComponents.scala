@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   *     leaks one superseded label block set per iteration (checkpoint
   *     storage is invisible to `Dataset.unpersist` and only reclaimed
   *     if the driver happens to GC the dead RDD object);
-  *   - convergence is detected by an emptiness probe on changed labels,
-  *     so the result is exact, never "maxIter iterations and hope".
+  *   - convergence is exact, never "maxIter iterations and hope", and
+  *     costs NO extra job: the changed-label count rides the round's own
+  *     materialization via `Dataset.observe` (a `CollectMetrics` node —
+  *     its accumulator fills as rows stream into the eager checkpoint,
+  *     where a separate emptiness probe used to re-run the round's plan
+  *     as a second job every iteration).
   */
 object ConnectedComponents {
 
@@ -70,13 +74,22 @@ object ConnectedComponents {
       val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("mid"))
-      // pointer jump: `mid` is itself a vertex id — adopt ITS label too
-      val (jumped, releaseJumped) = graft.Lineage.checkpointed(stepped
+      // pointer jump: `mid` is itself a vertex id — adopt ITS label too.
+      // The changed-label count is OBSERVED on the frame the checkpoint
+      // materializes: one job per round does both the materialization
+      // and the convergence test.
+      val observed = stepped
         .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
           Seq("mid"), "left")
         .select(col("id"), col("comp"),
-          least(col("mid"), coalesce(col("jump"), col("mid"))).as("new_comp")))
-      converged = jumped.filter(col("new_comp") =!= col("comp")).isEmpty
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("new_comp"))
+        .observe(s"graft_cc_$iter",
+          count(when(col("new_comp") =!= col("comp"), 1)).as("changed"))
+      val (jumped, releaseJumped) = graft.Lineage.checkpointed(observed)
+      converged = observed.queryExecution.observedMetrics
+        .get(s"graft_cc_$iter")
+        .map(_.getAs[Long]("changed") == 0L)
+        .getOrElse(jumped.filter(col("new_comp") =!= col("comp")).isEmpty)
       // this round's blocks are live (checkpointed() is eager); the
       // previous round's labels are superseded — release them NOW, not
       // when the driver's GC eventually notices the dead RDD
