@@ -156,7 +156,18 @@ final class MaterializedView(
   }
 
   /** Incremental refresh from a CDC batch: recompute winners and view
-    * rows for the batch's buckets only; all other buckets untouched. */
+    * rows for the batch's CHANGED buckets only; all other buckets
+    * untouched. A bucket whose latest-version-wins fold leaves its
+    * state byte-identical (every batch row lost to — or duplicated — an
+    * already-stored winner) is skipped entirely: no state rewrite, no
+    * re-derive, no publish. A fully-replayed CDC batch therefore
+    * publishes NO new generation — the idempotence the reference's
+    * activation path relies on when it replays batches by design
+    * (`scripts/lambda_redshift_to_segment.py:97-135`). Change detection
+    * is a full-row `exceptAll` (new minus old): the fold never drops a
+    * key, so new-minus-old captures every insert and update, and it
+    * runs bucket-pruned — one comparison pass over just the batch's
+    * buckets, far cheaper than the derive+publish it avoids. */
   def refresh(batch: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     val b = withBucket(batch)
@@ -171,14 +182,20 @@ final class MaterializedView(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
-      clustered(newState).write.mode("overwrite")
+      // resolved BEFORE the state write, while oldState's input files
+      // are still intact (newState is checkpointed; oldState is not)
+      val changed = newState.exceptAll(oldState)
+        .select(bucketCol).distinct().collect().map(_.getLong(0))
+      if (changed.isEmpty) return
+      val changedState = newState.filter(col(bucketCol).isin(changed: _*))
+      clustered(changedState).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(bucketCol).parquet(statePath)
       // the view write reads only the checkpointed newState, never the
       // served generations — the publish is atomic per GenerationStore
       store.publish(
-        clustered(withBucket(derive(newState.drop(bucketCol)))),
-        buckets.toIndexedSeq)
+        clustered(withBucket(derive(changedState.drop(bucketCol)))),
+        changed.toIndexedSeq)
     } finally release()
   }
 
