@@ -133,6 +133,16 @@ final class AggregateView(
   def refreshDims(batch: DataFrame): Unit =
     refresh(batch, dimsPath, dimKeys, dimOrder, factsSide = false)
 
+  /** Shared bucket-pruned refresh for either side. No-op skip and crash
+    * contract as in [[MaterializedView.refresh]]: buckets whose
+    * latest-version-wins fold leaves the refreshed side's state
+    * byte-identical are skipped (a fully-replayed CDC batch publishes NO
+    * new generation), change detection is the map-safe JSON-fingerprint
+    * compare, and the view PUBLISH precedes the state overwrite so a
+    * crash at any point leaves state old — the batch's replay then
+    * re-detects the change, re-publishes idempotently and completes the
+    * state write (the state-first order + skip combination is exactly
+    * the r9 convergence bug). */
   private def refresh(
       batch: DataFrame,
       statePath: String,
@@ -151,29 +161,33 @@ final class AggregateView(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
+      // resolved BEFORE any write, while oldState's inputs are intact
+      val changed = MaterializedView.changedBuckets(newState, oldState, bucketCol)
+      if (changed.isEmpty) return
+      val changedState = newState.filter(col(bucketCol).isin(changed: _*))
+      // the OTHER side is read-only this refresh: prune it to the
+      // changed buckets and re-derive exactly those buckets' view rows
+      val otherPath = if (factsSide) dimsPath else factsPath
+      val other = spark.read.parquet(otherPath)
+        .filter(col(bucketCol).isin(changed: _*))
+      val (dimsPruned, factsPruned) =
+        if (factsSide) (other, changedState) else (changedState, other)
+      store.publish(
+        clustered(withBucket(
+          derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))),
+        changed.toIndexedSeq)
       // a store that was EMPTY at build time is a single unpartitioned
       // file: dynamic overwrite would leave it behind next to the new
       // partition dirs (bucketCol then reads as both a data and a
       // partition column) — rewrite it fully once; from then on the
       // store is partitioned and refreshes stay bucket-scoped
       if (isPartitioned(statePath))
-        clustered(newState).write.mode("overwrite")
+        clustered(changedState).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(bucketCol).parquet(statePath)
       else
         clustered(newState).write.mode("overwrite")
           .partitionBy(bucketCol).parquet(statePath)
-      // the OTHER side is read-only this refresh: prune it to the same
-      // buckets and re-derive exactly those buckets' view rows
-      val otherPath = if (factsSide) dimsPath else factsPath
-      val other = spark.read.parquet(otherPath)
-        .filter(col(bucketCol).isin(buckets: _*))
-      val (dimsPruned, factsPruned) =
-        if (factsSide) (other, newState) else (newState, other)
-      store.publish(
-        clustered(withBucket(
-          derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))),
-        buckets.toIndexedSeq)
     } finally release()
   }
 

@@ -64,11 +64,12 @@ private[graft] object AtomicText {
   *     directory a reader could currently hold;
   *   - a single small MANIFEST file (`{root}/_MANIFEST`, one
   *     `bucket:generation` line per bucket) names the live generation
-  *     of every bucket. It is replaced ATOMICALLY (write to a temp
-  *     name, rename-with-overwrite — `FileContext.rename(OVERWRITE)`,
-  *     the atomic spelling on HDFS/POSIX; on an S3-style store
-  *     substitute a conditional PUT of the manifest key, the protocol
-  *     is unchanged);
+  *     of every bucket. It is replaced ATOMICALLY through a pluggable
+  *     [[CommitProtocol]] — [[RenameCommit]] (temp name +
+  *     rename-with-overwrite, the atomic spelling on HDFS/POSIX) by
+  *     default, [[ScanCommit]] (immutable sequenced keys + validated
+  *     frames, highest-valid-wins — no atomic rename assumed) for
+  *     object stores; the store protocol is identical under either;
   *   - readers resolve bucket paths THROUGH the manifest. A crash at
   *     any point before the swap leaves the old manifest intact — the
   *     reader serves the complete old state; after the swap it serves
@@ -97,12 +98,14 @@ private[graft] object AtomicText {
 final class GenerationStore(
     root: String,
     bucketCol: String,
-    keepVersions: Int = 1) {
+    keepVersions: Int = 1,
+    commit: CommitProtocol = RenameCommit) {
 
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
 
   private val manifestName = "_MANIFEST"
   private val manifestPath = new Path(root, manifestName)
+  private val versionRe = raw"_MANIFEST\.v(\d+)$$".r
 
   /** Test hook: runs after the new generation is fully written, before
     * the manifest swap — the widest crash window the protocol must
@@ -126,22 +129,25 @@ final class GenerationStore(
 
   /** The live (bucket → generation) map; None = never published. */
   private[graft] def manifest(spark: SparkSession): Option[Map[Long, Long]] =
-    AtomicText.read(manifestPath, conf(spark)).map(parse)
+    commit.read(manifestPath, conf(spark)).map(parse)
 
   /** The archived manifest of version `v`, if retained. */
   private[graft] def manifestAt(spark: SparkSession, v: Long): Option[Map[Long, Long]] =
-    AtomicText.read(versionPath(v), conf(spark)).map(parse)
+    commit.read(versionPath(v), conf(spark)).map(parse)
 
   /** All version ids with an archived manifest on disk, ascending
-    * (crashed partials included until the next publish GCs them). */
+    * (crashed partials included until the next publish GCs them).
+    * Physical children resolve to logical files through the commit
+    * protocol (a multi-key encoding counts once). */
   def versionsOnDisk(spark: SparkSession): Seq[Long] = {
     val f = fs(spark)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
     else f.listStatus(rootPath).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith(s"$manifestName.v"))
-      .map(_.drop(manifestName.length + 2).toLong)
+      .flatMap(commit.logicalName)
+      .distinct
+      .collect { case versionRe(v) => v.toLong }
       .sorted
   }
 
@@ -198,7 +204,9 @@ final class GenerationStore(
   /** Delete what nothing retained references: generation dirs outside
     * the current manifest and the last `keepVersions` committed version
     * manifests, version files outside that window (including crashed
-    * partial swaps newer than the manifest), and stale manifest temps. */
+    * partial swaps newer than the manifest), and protocol-internal
+    * temps. Control-file deletes go through the commit protocol so a
+    * multi-key encoding is removed whole. */
   private def gc(spark: SparkSession, live: Map[Long, Long]): Unit = {
     val f = fs(spark)
     val rootPath = new Path(root)
@@ -210,13 +218,14 @@ final class GenerationStore(
       .toSet ++ live.values.toSet
     f.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("gen=") && !liveGens.contains(n.drop(4).toLong))
-        f.delete(st.getPath, true)
-      else if (n.startsWith(s"$manifestName.tmp-"))
-        f.delete(st.getPath, false)
-      else if (n.startsWith(s"$manifestName.v") &&
-          !retained.contains(n.drop(manifestName.length + 2).toLong))
-        f.delete(st.getPath, false)
+      if (n.startsWith("gen=")) {
+        if (!liveGens.contains(n.drop(4).toLong)) f.delete(st.getPath, true)
+      } else commit.logicalName(n) match {
+        case None => f.delete(st.getPath, false) // protocol temp
+        case Some(versionRe(v)) if !retained.contains(v.toLong) =>
+          commit.delete(new Path(root, s"$manifestName.v$v"), conf(spark))
+        case _ => () // live manifest / retained version / foreign file
+      }
     }
   }
 
@@ -225,7 +234,7 @@ final class GenerationStore(
     // archive FIRST: a crash between the two writes leaves a version
     // file newer than the manifest — never read (versions() filters it),
     // GC'd at the next publish
-    AtomicText.write(versionPath(version), text, conf(spark))
-    AtomicText.write(manifestPath, text, conf(spark))
+    commit.write(versionPath(version), text, conf(spark))
+    commit.write(manifestPath, text, conf(spark))
   }
 }

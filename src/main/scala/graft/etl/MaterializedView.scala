@@ -76,6 +76,10 @@ final class MaterializedView(
     * the crash/concurrency specs). */
   private[graft] val store = new GenerationStore(viewPath, bucketCol, keepVersions)
 
+  /** Test hook: runs between the view publish and the state overwrite —
+    * the mirror crash window the publish-first ordering introduces. */
+  private[graft] var onAfterPublish: () => Unit = () => ()
+
   /** Committed snapshot versions readable right now ([[viewAt]]),
     * bounded by `keepVersions`. */
   def viewVersions(spark: SparkSession): Seq[Long] = store.versions(spark)
@@ -163,11 +167,33 @@ final class MaterializedView(
     * re-derive, no publish. A fully-replayed CDC batch therefore
     * publishes NO new generation — the idempotence the reference's
     * activation path relies on when it replays batches by design
-    * (`scripts/lambda_redshift_to_segment.py:97-135`). Change detection
-    * is a full-row `exceptAll` (new minus old): the fold never drops a
-    * key, so new-minus-old captures every insert and update, and it
-    * runs bucket-pruned — one comparison pass over just the batch's
-    * buckets, far cheaper than the derive+publish it avoids. */
+    * (`scripts/lambda_redshift_to_segment.py:97-135`).
+    *
+    * CRASH CONTRACT — publish BEFORE the state overwrite. The no-op
+    * skip keys off the state fold, so the state write must be the LAST
+    * durable step: a refresh that crashes anywhere (mid-publish, or
+    * after the manifest swap but before the state write) leaves the
+    * state OLD, and the documented recovery path — replay the crashed
+    * batch — re-detects the change, re-publishes idempotently (same
+    * content, fresh generation; the crashed orphan is GC'd at that
+    * publish's start) and completes the state write. The r9 ordering
+    * (state first) broke this: a crash between state write and swap
+    * made the replay see "state unchanged" and skip the publish
+    * forever. The trade is the mirror window — view published, state
+    * not yet written — where a NON-replay batch would fold without the
+    * crashed batch's rows; latest-version-wins makes any later replay
+    * of the crashed batch (at-least-once delivery is the activation
+    * contract) restore them, so convergence holds in either order.
+    *
+    * Change detection compares per-row JSON fingerprints of new vs old
+    * state rather than `exceptAll` on raw rows: Spark set operations
+    * reject MapType columns, and state schemas in the reference family
+    * carry JSONB-style maps. `to_json` (nulls kept) is total over the
+    * lake's types; same-schema equal rows serialize identically, and a
+    * map whose physical entry order differs can only FALSELY REPORT a
+    * change (a wasted republish), never hide one. The fold never drops
+    * a key, so new-minus-old captures every insert and update; it runs
+    * bucket-pruned — one pass over just the batch's buckets. */
   def refresh(batch: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     val b = withBucket(batch)
@@ -182,20 +208,21 @@ final class MaterializedView(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
-      // resolved BEFORE the state write, while oldState's input files
-      // are still intact (newState is checkpointed; oldState is not)
-      val changed = newState.exceptAll(oldState)
-        .select(bucketCol).distinct().collect().map(_.getLong(0))
+      // resolved BEFORE any write, while oldState's input files are
+      // still intact (newState is checkpointed; oldState is not)
+      val changed = MaterializedView.changedBuckets(newState, oldState, bucketCol)
       if (changed.isEmpty) return
       val changedState = newState.filter(col(bucketCol).isin(changed: _*))
-      clustered(changedState).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucketCol).parquet(statePath)
       // the view write reads only the checkpointed newState, never the
-      // served generations — the publish is atomic per GenerationStore
+      // served generations — the publish is atomic per GenerationStore,
+      // and it precedes the state write per the crash contract above
       store.publish(
         clustered(withBucket(derive(changedState.drop(bucketCol)))),
         changed.toIndexedSeq)
+      onAfterPublish()
+      clustered(changedState).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucketCol).parquet(statePath)
     } finally release()
   }
 
@@ -212,4 +239,41 @@ final class MaterializedView(
   /** The latest-row-per-key state store. */
   def state(spark: SparkSession): DataFrame =
     spark.read.parquet(statePath).drop(bucketCol)
+}
+
+object MaterializedView {
+
+  /** (bucket, row-JSON) projection used for map-safe change detection:
+    * comparisons on the fingerprint columns (long, string) are always
+    * legal regardless of the state schema. Columns are serialized in
+    * sorted name order with nulls KEPT (`ignoreNullFields=false` — the
+    * default drops null fields, and while same-schema rows would still
+    * collide identically, keeping them makes the encoding injective per
+    * schema by inspection). */
+  private[graft] def fingerprints(state: DataFrame, bucketCol: String): DataFrame = {
+    val dataCols = state.columns.filter(_ != bucketCol).sorted
+    // cast: a store read back through partition-column type inference can
+    // carry the bucket as int while the in-flight side computes a long —
+    // the anti-join key types must line up exactly
+    state.select(col(bucketCol).cast("long").as(bucketCol),
+      to_json(struct(dataCols.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("__mv_row_json"))
+  }
+
+  /** Buckets whose latest-per-key fold CHANGED anything: new-state rows
+    * whose fingerprint is absent from the old state (the fold never
+    * drops a key, so new-minus-old captures every insert and update).
+    * A LEFT ANTI join, not `exceptAll`: fingerprints embed their key so
+    * rows are unique per side and the two are equivalent — but
+    * exceptAll plans a sum-of-counts aggregate plus a
+    * Generate(ReplicateRows) whose generator is interpreted
+    * (CodegenFallback), while the anti join stays whole-stage-codegen
+    * (pinned by PlanAuditSpec's heavies audit). Bounded metadata out:
+    * ≤ nBuckets longs. */
+  private[graft] def changedBuckets(
+      newState: DataFrame, oldState: DataFrame, bucketCol: String): Array[Long] =
+    fingerprints(newState, bucketCol)
+      .join(fingerprints(oldState, bucketCol),
+        Seq(bucketCol, "__mv_row_json"), "left_anti")
+      .select(bucketCol).distinct().collect().map(_.getLong(0))
 }

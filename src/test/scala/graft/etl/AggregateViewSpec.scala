@@ -103,6 +103,56 @@ class AggregateViewSpec extends AnyFunSuite {
     assert(viewMap(av)(1L) == (("d1", 55L, 1L)))
   }
 
+  test("replayed fact/dim batches publish NO new generation on either side") {
+    val d0 = dims((1L, 1L, "a"), (2L, 1L, "b"))
+    val f0 = facts((10L, 1L, 1L, 100L), (20L, 2L, 1L, 7L))
+    val (root, av) = mk()
+    av.build(d0, f0)
+    val fb = facts((10L, 1L, 2L, 500L))
+    val db = dims((2L, 2L, "b2"))
+    av.refreshFacts(fb)
+    av.refreshDims(db)
+    val vs = av.viewVersions(spark)
+    val want = viewMap(av)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/view"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    // at-least-once delivery replays batches by design: the fold leaves
+    // state byte-identical on both sides, so neither replay may commit
+    // a generation, swap the manifest, or rewrite a single view byte
+    av.refreshFacts(fb)
+    av.refreshDims(db)
+    assert(av.viewVersions(spark) == vs,
+      "a replayed batch committed a new generation")
+    assert(files() == before, "a replayed batch rewrote view files")
+    assert(viewMap(av) == want)
+    assert(want == Map(1L -> (("a", 500L, 1L)), 2L -> (("b2", 7L, 1L))))
+  }
+
+  test("a batch touching changed and unchanged buckets republishes only the changed") {
+    // per-bucket pruning inside one batch: rows that lose to stored
+    // winners must not drag their (unchanged) buckets into the publish
+    val (_, av) = mk(nBuckets = 64)
+    val d0 = dims((1L to 20L).map(i => (i, 1L, s"d$i")): _*)
+    val f0 = facts((1L to 20L).map(i => (i + 100L, i, 5L, i * 10L)): _*)
+    av.build(d0, f0)
+    // key 1: genuinely newer version (changed); key 2: stale replay
+    // (loses to stored fversion=5 → its bucket must be skipped)
+    av.refreshFacts(facts((101L, 1L, 9L, 999L), (102L, 2L, 1L, 111L)))
+    val m = av.store.manifest(spark).get
+    val gens = m.values.toSet
+    assert(gens.size == 2, s"expected exactly one bucket republished, got $m")
+    val republished = m.filter(_._2 == gens.max).keySet
+    assert(republished.size == 1,
+      s"stale-row bucket was republished too: $republished")
+    assert(viewMap(av)(1L) == (("d1", 999L, 1L)))
+    assert(viewMap(av)(2L) == (("d2", 20L, 1L)))
+  }
+
   test("a fact batch emptying nothing still handles empty-view buckets safely") {
     // a dim with no facts aggregates to zero counts rather than
     // disappearing, and refreshing it twice is idempotent

@@ -67,6 +67,79 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(viewMap(mv) == viewMap(full))
   }
 
+  test("a fully-replayed batch publishes NO new generation (byte-identical view)") {
+    val (root, mv) = mk()
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    val batch = rows((1L, 2L, false, "a2"), (7L, 1L, false, "g1"))
+    mv.refresh(batch)
+    val versionsAfterFirst = mv.viewVersions(spark)
+    val want = viewMap(mv)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/view"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    // the activation path replays CDC batches BY DESIGN — the replay
+    // must be a complete no-op: no new generation, no manifest swap,
+    // not a single view byte rewritten
+    mv.refresh(batch)
+    mv.refresh(batch)
+    assert(mv.viewVersions(spark) == versionsAfterFirst,
+      "a replayed batch must not commit a new generation")
+    assert(files() == before, "a replayed batch rewrote view files")
+    assert(viewMap(mv) == want)
+  }
+
+  test("state schemas with MAP columns refresh and no-op-skip correctly") {
+    // change detection must not use set ops / equality on the raw rows:
+    // Spark rejects MapType there, and the reference's schema family
+    // carries JSONB-style maps (VERDICT r9 / ADVICE)
+    val s = spark
+    import s.implicits._
+    def mrows(rs: (Long, Long, Boolean, Map[String, String])*): DataFrame =
+      rs.toDF("id", "version", "deleted", "attrs")
+    val root = Files.createTempDirectory("graft_gen_map").toString
+    val mv = new MaterializedView(root, Seq("id"),
+      Seq(col("version").desc),
+      st => st.filter(!col("deleted"))
+        .select(col("id"), col("attrs"), map_keys(col("attrs")).as("ks")),
+      nBuckets = 4)
+    mv.build(mrows((1L, 1L, false, Map("t" -> "x")), (2L, 1L, false, Map.empty)))
+    val batch = mrows((1L, 2L, false, Map("t" -> "y", "u" -> "z")))
+    mv.refresh(batch)
+    def attrs(): Map[Long, Map[String, String]] = mv.view(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Map[String, String]]("attrs")).toMap
+    assert(attrs() == Map(1L -> Map("t" -> "y", "u" -> "z"), 2L -> Map.empty))
+    val vs = mv.viewVersions(spark)
+    mv.refresh(batch) // replay: the skip must fire despite the map column
+    assert(mv.viewVersions(spark) == vs,
+      "map-typed state broke the no-op skip (or forced a spurious publish)")
+  }
+
+  test("crash AFTER publish, before state write: replay (any order) converges") {
+    // the mirror window of the publish-first ordering: the view carries
+    // the batch, the state does not — any later replay restores state
+    // and the re-publish is content-idempotent
+    val base = rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1"))
+    val batchA = rows((1L, 2L, false, "a2"))
+    val batchB = rows((2L, 2L, false, "b2"))
+    val (_, mv) = mk()
+    mv.build(base)
+    mv.onAfterPublish = () => throw new Boom
+    intercept[Boom] { mv.refresh(batchA) }
+    mv.onAfterPublish = () => ()
+    // an unrelated batch lands first (at-least-once delivery has no
+    // ordering promise), THEN the crashed batch replays
+    mv.refresh(batchB)
+    mv.refresh(batchA)
+    val (_, full) = mk()
+    full.build(base.unionByName(batchA).unionByName(batchB))
+    assert(viewMap(mv) == viewMap(full))
+    assert(mv.state(spark).collect().length == 2)
+  }
+
   test("a reader INSIDE the publish window sees the complete old state") {
     val (_, mv) = mk()
     mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
@@ -112,6 +185,66 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/view").listFiles()
       .exists(_.getName.startsWith("_MANIFEST.tmp-")), "stale manifest temp survived")
     assert(viewMap(mv)(1L) == ("a2", 20L))
+  }
+
+  test("ScanCommit: torn control-file writes still serve complete old-or-new") {
+    // the object-store profile: NO atomic rename anywhere — every
+    // commit is a fresh sequenced key with a validated frame, and a
+    // write torn mid-copy (the injected fault) must leave readers on
+    // the previous complete content, with the next publish recovering
+    val s = spark
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    // fake: tear the Nth-from-now raw key write halfway through
+    class Tearing extends ScanCommit(keepKeys = 2) {
+      var tearIn: Int = 0 // 0 = disarmed; N = fail the Nth next write
+      override protected def writeBytes(
+          p: org.apache.hadoop.fs.Path, bytes: Array[Byte],
+          c: org.apache.hadoop.conf.Configuration): Unit =
+        if (tearIn > 0 && { tearIn -= 1; tearIn == 0 }) {
+          super.writeBytes(p, bytes.take(bytes.length / 2), c)
+          throw new Boom
+        } else super.writeBytes(p, bytes, c)
+    }
+    val tearing = new Tearing
+    val root = Files.createTempDirectory("graft_gen_scan").toString
+    val store = new GenerationStore(s"$root/view", "__b",
+      keepVersions = 2, commit = tearing)
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "payload", "__b")
+    def m(o: Option[org.apache.spark.sql.DataFrame]) =
+      o.get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val v1 = store.publish(df((1L, "a", 0L), (2L, "b", 1L)), Seq(0L, 1L))
+    assert(m(store.read(spark)) == Map(1L -> "a", 2L -> "b"))
+
+    // tear the VERSION-ARCHIVE write (first control write of a publish)
+    tearing.tearIn = 1
+    intercept[Boom] { store.publish(df((1L, "a2", 0L)), Seq(0L)) }
+    assert(m(store.read(spark)) == Map(1L -> "a", 2L -> "b"),
+      "torn version archive must leave the old manifest serving")
+
+    // tear the MANIFEST write itself (second control write)
+    tearing.tearIn = 2
+    intercept[Boom] { store.publish(df((1L, "a2", 0L)), Seq(0L)) }
+    assert(m(store.read(spark)) == Map(1L -> "a", 2L -> "b"),
+      "torn manifest must leave the previous complete manifest serving")
+    assert(store.versions(spark) == Seq(v1),
+      "a torn swap must not surface as a committed version")
+
+    // recovery: the replayed publish commits and serves the new state
+    val v2 = store.publish(df((1L, "a2", 0L)), Seq(0L))
+    assert(m(store.read(spark)) == Map(1L -> "a2", 2L -> "b"))
+    assert(m(store.readVersion(spark, v1)) == Map(1L -> "a", 2L -> "b"))
+    assert(m(store.readVersion(spark, v2)) == Map(1L -> "a2", 2L -> "b"))
+
+    // a couple more publishes: retention + GC hold under the profile
+    // (superseded keys and aged versions disappear, reads never break)
+    val v3 = store.publish(df((2L, "b3", 1L)), Seq(1L))
+    val v4 = store.publish(df((1L, "a4", 0L)), Seq(0L))
+    assert(m(store.read(spark)) == Map(1L -> "a4", 2L -> "b3"))
+    assert(store.readVersion(spark, v1).isEmpty, "aged version must be gone")
+    assert(store.versions(spark).takeRight(1) == Seq(v4))
+    assert(store.readVersion(spark, v3).isDefined)
   }
 
   test("snapshot reads: every retained version serves its exact historical state") {
