@@ -50,6 +50,19 @@ object RuntimeStats {
       * for the async capture path (and the spec's wiring check). */
     @volatile var captured: Long = 0L
 
+    /** Jobs started on the scheduler bus since install — the PROMPT
+      * side of the liveness question: job-start events ride the main
+      * listener bus, which `profile` flushes before polling, so this
+      * has advanced by the first poll whenever any job ran — unlike the
+      * QueryExecutionListener capture, whose extra ExecutionListenerBus
+      * hop completes after the flush returns. */
+    @volatile var jobsSeen: Long = 0L
+    private[RuntimeStats] val jobCounter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsSeen += 1
+    }
+
     override def onSuccess(
         funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       captured += 1
@@ -67,14 +80,20 @@ object RuntimeStats {
       * count stops moving. */
     def profile[T](name: String)(body: => T): T = {
       pending.clear()
+      val jobs0 = jobsSeen
       val r = body
       GraftCoreShim.flushListeners(spark.sparkContext)
       val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
       // A body that triggers no Spark action must not spin the full
-      // deadline: once the count has been stably ZERO for a longer
-      // window (the async hop lands well inside it when an event is
-      // coming at all) we conclude there is nothing to drain. Non-zero
-      // counts keep the original short stability window.
+      // deadline — but "pending is still zero" alone can't distinguish
+      // nothing-to-drain from a listener hop delayed past the window
+      // on a contended driver. The scheduler-side job counter is the
+      // liveness tiebreak: a body that ran ANY Spark job has a capture
+      // in flight, so the zero short-circuit is only taken when no job
+      // ran either; a job-running body waits the full deadline for its
+      // event. (A job-free local action — e.g. collect on a literal
+      // frame — still fires the listener; for that narrow case the
+      // longer stable-zero window covers the measured hop latency.)
       var stableFor = 0
       var last = -1
       var done = false
@@ -82,7 +101,8 @@ object RuntimeStats {
         val n = pending.size
         if (n == last) stableFor += 1 else stableFor = 0
         last = n
-        done = (n > 0 && stableFor >= 5) || (n == 0 && stableFor >= 25)
+        done = (n > 0 && stableFor >= 5) ||
+          (n == 0 && stableFor >= 25 && jobsSeen == jobs0)
         if (!done) Thread.sleep(20)
       }
       pending.asScala.foreach(qe => harvest(name, qe.executedPlan))
@@ -148,9 +168,12 @@ object RuntimeStats {
   def install(spark: SparkSession): Profiler = {
     val p = new Profiler(spark)
     spark.listenerManager.register(p)
+    spark.sparkContext.addSparkListener(p.jobCounter)
     p
   }
 
-  def remove(spark: SparkSession, p: Profiler): Unit =
+  def remove(spark: SparkSession, p: Profiler): Unit = {
     spark.listenerManager.unregister(p)
+    spark.sparkContext.removeSparkListener(p.jobCounter)
+  }
 }

@@ -650,8 +650,15 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k).as[Long].collect()
     require(seedIds.nonEmpty,
       s"lloydStats: empty corpus — no vectors to seed $k centroids from")
-    var centroids: Seq[(Long, Long, Long)] = eq
-      .filter(col("vec_id").isin(seedIds: _*))
+    // Small k inlines as a literal In; at IVF-centroid scale (k in the
+    // tens of thousands) a k-literal predicate bloats the plan and every
+    // task's evaluation — a broadcast semi-join on the seed ids keeps
+    // the plan O(1) and the probe a hash lookup.
+    val seeded =
+      if (seedIds.length <= 256) eq.filter(col("vec_id").isin(seedIds: _*))
+      else eq.join(
+        broadcast(seedIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+    var centroids: Seq[(Long, Long, Long)] = seeded
       .select(col("vec_id"), col("pos"), (col("xq") * 1024L).as("c"))
       .as[(Long, Long, Long)].collect().toSeq
     val metrics = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()

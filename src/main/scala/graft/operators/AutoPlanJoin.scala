@@ -115,15 +115,17 @@ object AutoPlanJoin {
       conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
       lit(width))
     def cells(df: DataFrame) = {
-      // Unambiguous multi-column key encoding: JSON-escape the tuple
-      // rather than concat with a separator — separator-in-value and
-      // concat_ws's null-skipping both alias DISTINCT tuples to one
-      // cell in every depth, deterministically inflating the estimate
-      // beyond normal CMS collision error. A single key needs no
-      // tupling; its raw value is what the differential oracle replays.
-      val k =
-        if (keys.size == 1) coalesce(col(keys.head).cast("string"), lit(""))
-        else to_json(struct(keys.map(c => col(c).cast("string")): _*))
+      // Unambiguous key encoding: JSON-escape the tuple (single keys
+      // included) rather than concat with a separator — separator-in-
+      // value and concat_ws's null-skipping both alias DISTINCT tuples
+      // to one cell in every depth, deterministically inflating the
+      // estimate beyond normal CMS collision error; and the JSON form
+      // keeps NULL distinct from '' (`{"c":null}` vs `{"c":""}`), the
+      // aliasing the old single-key coalesce preserved. Nulls are KEPT
+      // in the serialization for exactly that reason.
+      val k = to_json(
+        struct(keys.map(c => col(c).cast("string").as(c)): _*),
+        Map("ignoreNullFields" -> "false"))
       df.select(explode(array((0 until depth).map(d =>
         struct(lit(d).as("d"), idx(d, k).as("idx"))): _*)).as("c"))
         .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))

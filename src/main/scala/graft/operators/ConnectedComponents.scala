@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Diagnostic: rounds whose convergence test fell back to the
+    * emptiness PROBE because the observed metric was absent from the
+    * checkpoint's QueryExecution. 0 in a healthy build — the fallback
+    * re-runs the round's plan as a second job, silently doubling every
+    * round's cost if a Spark upgrade ever reroutes `localCheckpoint`
+    * off the observed frame's execution. Pinned by
+    * `ConnectedComponentsSpec` so that regression is loud, not slow. */
+  private[graft] val probeFallbacks = new java.util.concurrent.atomic.AtomicLong
+
   /** Component label per vertex: `(id, comp)` where `comp` is the
     * SMALLEST vertex id in the component (deterministic canonical id).
     * Only vertices present in `edges` appear; callers attach
@@ -89,7 +98,10 @@ object ConnectedComponents {
       converged = observed.queryExecution.observedMetrics
         .get(s"graft_cc_$iter")
         .map(_.getAs[Long]("changed") == 0L)
-        .getOrElse(jumped.filter(col("new_comp") =!= col("comp")).isEmpty)
+        .getOrElse {
+          probeFallbacks.incrementAndGet()
+          jumped.filter(col("new_comp") =!= col("comp")).isEmpty
+        }
       // this round's blocks are live (checkpointed() is eager); the
       // previous round's labels are superseded — release them NOW, not
       // when the driver's GC eventually notices the dead RDD

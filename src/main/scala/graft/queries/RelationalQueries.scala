@@ -2193,8 +2193,11 @@ object RelationalQueries {
           col("n_joined"))
     },
     Some(s"""
-      WITH bk AS (SELECT CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) AS k FROM orders),
-      sk AS (SELECT CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) AS k FROM customer),
+      -- the key rides into the CMS hash JSON-ENCODED ({"k":"<v>"} —
+      -- AutoPlanJoin's null-distinct tuple encoding, single keys
+      -- included); custkeys are digit strings so no JSON escaping can fire
+      WITH bk AS (SELECT concat('{"k":"', CAST(CAST(o_custkey AS BIGINT) AS VARCHAR), '"}') AS k FROM orders),
+      sk AS (SELECT concat('{"k":"', CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), '"}') AS k FROM customer),
       bc AS (SELECT d.d AS d,
                CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
                  AS BIGINT) % $JsWidth AS idx,

@@ -126,6 +126,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       s"leaked persistent RDDs: baseline $baseline, now ${sc.getPersistentRDDs.size}")
   }
 
+  test("convergence rides the checkpoint's observe — the probe fallback never fires") {
+    // the fallback re-runs each round's plan as a SECOND job; if a Spark
+    // change ever routes localCheckpoint through a QueryExecution that
+    // drops the CollectMetrics node, every CC round silently costs
+    // double — this pin turns that into a loud failure (VERDICT r9 §4)
+    ConnectedComponents.probeFallbacks.set(0L)
+    val labels = ConnectedComponents.run(
+      edgesDf((1L until 20L).map(i => (i, i + 1))), "src", "dst")
+    assert(labels.count() == 20)
+    labels.unpersist(blocking = true)
+    assert(ConnectedComponents.probeFallbacks.get() == 0L,
+      "a CC round fell back to the emptiness probe (observe metric absent)")
+  }
+
   test("repeated runs leave no persisted storage behind (checkpoint hygiene)") {
     val sc = spark.sparkContext
     // settle: evict anything a previously-run suite left to the cleaner
