@@ -95,6 +95,11 @@ object Bench {
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rep-1 wall time, kept separately: the MIN of spaced reps absorbs
+    // shared-memo builds (SharedFrames) and page-cache warmth, so the
+    // cold number is what answers "what does this family really cost
+    // end-to-end" — both land in the self-dump (VERDICT r9 task 3)
+    val coldTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -108,7 +113,9 @@ object Bench {
         try {
           val df = qu.run(spark, sfDir)
           df.write.mode("overwrite").format("noop").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          if (rep == 1) coldTimings(qu.name) = t
+          best = math.min(best, t)
           // the LAST rep's bytes are reported: shuffle volume is
           // plan-determined and rep-stable, unlike wall time
           val (w1, _, s1) = metricsSnapshot()
@@ -121,7 +128,8 @@ object Bench {
             errors(qu.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
       }
-      if (!errors.contains(qu.name)) timings(qu.name) = best
+      if (errors.contains(qu.name)) coldTimings.remove(qu.name)
+      else timings(qu.name) = best
     }
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"${q(k)}:${BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)}" }
@@ -133,19 +141,28 @@ object Bench {
       BigDecimal(shuffleMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val totalSpillMb =
       BigDecimal(spillMb.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // "reps" travels with every emitted JSON so cross-round tooling can
+    // detect the min-of-N methodology switch (r9 changed the statistic
+    // silently; BENCH_r01-r08 are single-run numbers)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,""" +
         s""""shuffle_write_mb":${jmap(shuffleMb)},"spill_mb":${jmap(spillMb)},""" +
         s""""total_shuffle_write_mb":$totalShuffleMb,"total_spill_mb":$totalSpillMb,""" +
         s""""sf":${q(sfDir)}}"""
     println(line)
     // Self-dump: the driver's stdout tail capture truncates at 2000 chars,
     // which at 198 queries lost every per-query time from BENCH_r07.json —
-    // the file is the durable copy; the stdout contract is unchanged.
+    // the file is the durable copy; the stdout contract is unchanged. The
+    // dump additionally carries the rep-1 COLD time per query (min-of-N
+    // masks shared-memo amortization; the cold column is what prices a
+    // family's first end-to-end run) and the cold total.
+    val coldTotal = coldTimings.values.sum
+    val dump = line.dropRight(1) +
+      s""","queries_cold":${jmap(coldTimings)},"total_cold":$coldTotal}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (dump + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

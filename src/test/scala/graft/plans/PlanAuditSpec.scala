@@ -752,6 +752,95 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prefix-sum totals branch stopped reusing the range exchange:\n$plan")
   }
 
+  test("top-10 bench heavies: whole-stage codegen on, no CodegenFallback in the plan") {
+    // the hot path must stay inside generated code: a fallback
+    // expression (interpreted eval per row) or a missing codegen span
+    // on a heavy query is a silent multi-x regression at 100 TB
+    // (VERDICT r9 task 5 / r8 task 6). The custom-Aggregator sketch
+    // stages run as ObjectHashAggregate BY DESIGN (typed aggregates
+    // don't codegen) — those nodes are exempt; everything else in the
+    // FINAL adaptive plan must be fallback-free and contain at least
+    // one WholeStageCodegen span.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val heavies = Seq(
+      "mv_segments_refresh", "j14_session_overlap",
+      "id_incremental_components", "mv_profiles_refresh",
+      "dedup_ngram_jaccard", "a26_hll_rollup", "emb_semdedup",
+      "graph_copurchase_triangles", "graph_lpa_communities",
+      "emb_kmeans_lloyd")
+    val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+        case q: QueryStageExec => walk(q.plan)(f)
+        case other => other.children.foreach(walk(_)(f))
+      }
+    }
+    // Several heavies do their hot work in INTERNAL actions (MV refresh
+    // jobs, CC rounds, k-means rounds) and return a cache/memo read —
+    // auditing only the returned frame would miss the hot stages. So
+    // capture EVERY QueryExecution the query triggers, profiler-style,
+    // and audit them all.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.add(qe)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val failures = heavies.flatMap { name =>
+      captured.clear()
+      spark.listenerManager.register(listener)
+      val df = try {
+        val df = byName(name).run(spark, dir)
+        // collect() executes THIS df's QueryExecution, so AQE finalizes
+        // in place (a noop write would execute a separate command
+        // QueryExecution and leave this one un-finalized)
+        df.collect()
+        org.apache.spark.GraftCoreShim.flushListeners(spark.sparkContext)
+        // the ExecutionListenerBus hop lands asynchronously after the
+        // flush — wait for the capture count to go stable
+        var last = -1; var stable = 0
+        while (stable < 5) {
+          val n = captured.size
+          if (n == last) stable += 1 else stable = 0
+          last = n
+          if (stable < 5) Thread.sleep(20)
+        }
+        df
+      } finally spark.listenerManager.unregister(listener)
+      var codegenSpans = 0
+      val fallbacks = scala.collection.mutable.ArrayBuffer[String]()
+      val plans = captured.toArray(Array.empty[
+        org.apache.spark.sql.execution.QueryExecution])
+        .map(_.executedPlan) :+ df.queryExecution.executedPlan
+      plans.foreach(walk(_) {
+        case _: WholeStageCodegenExec => codegenSpans += 1
+        case _: ObjectHashAggregateExec => () // typed sketch aggs: exempt
+        case node =>
+          node.expressions.foreach(_.foreach {
+            case e: CodegenFallback =>
+              fallbacks += s"${node.nodeName}:${e.prettyName}"
+            case _ => ()
+          })
+      })
+      df.unpersist()
+      val errs = scala.collection.mutable.ArrayBuffer[String]()
+      if (codegenSpans == 0) errs += s"$name: no WholeStageCodegen span"
+      if (fallbacks.nonEmpty)
+        errs += s"$name: CodegenFallback at ${fallbacks.distinct.take(5).mkString(", ")}"
+      errs
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("full query sweep leaves no persisted storage behind") {
     // The round-5 bench showed cross-query pollution: unreleased
     // checkpoint/persist blocks from earlier queries inflated
