@@ -56,7 +56,8 @@ final class AggregateView(
     derive: (DataFrame, DataFrame) => DataFrame,
     nBuckets: Int = 64,
     writeTasksPerBucket: Int = 1,
-    keepVersions: Int = 1) {
+    keepVersions: Int = 1,
+    keyScopeMinStateBytes: Long = MaterializedView.DefaultKeyScopeMinStateBytes) {
 
   require(writeTasksPerBucket >= 1,
     s"writeTasksPerBucket must be >= 1, got $writeTasksPerBucket")
@@ -91,14 +92,19 @@ final class AggregateView(
         lit(writeTasksPerBucket.toLong)))
 
   /** A partitioned write of ZERO rows emits no files at all, losing the
-    * schema the next refresh must read back — an empty state store is
-    * written unpartitioned instead (one footer-only file keeps the
-    * schema; pruning is moot on an empty store). The first refresh that
-    * populates it rewrites the store partitioned. */
-  private def writeState(df: DataFrame, path: String): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
-    else clustered(df)
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+    * schema the next refresh must read back — an empty state store gets
+    * a schema-only unpartitioned file instead (pruning is moot on an
+    * empty store; the first refresh that populates it rewrites the
+    * store partitioned). Emptiness is detected AFTER the optimistic
+    * partitioned write (no partition dirs appeared) rather than by an
+    * up-front `isEmpty`, which would execute the full fold DAG once for
+    * the probe and again for the write — the probe here is one FS
+    * listing, and the empty-case `limit(0)` write never runs the DAG. */
+  private def writeState(df: DataFrame, path: String): Unit = {
+    clustered(df).write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+    if (!isPartitioned(path))
+      df.limit(0).write.mode("overwrite").parquet(path)
+  }
 
   private def isPartitioned(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -142,7 +148,27 @@ final class AggregateView(
     * crash at any point leaves state old — the batch's replay then
     * re-detects the change, re-publishes idempotently and completes the
     * state write (the state-first order + skip combination is exactly
-    * the r9 convergence bug). */
+    * the r9 convergence bug).
+    *
+    * COST-BASED derive scope, as in [[MaterializedView.refresh]]: when
+    * the dirty buckets' combined on-disk state (BOTH sides — derive
+    * reads both) reaches `keyScopeMinStateBytes`, the changed rows'
+    * AGGREGATION keys are resolved from the change compare and both
+    * sides' derive inputs are semi-joined to just those `bucketKeys`
+    * values — the re-aggregation touches one customer's deals, not two
+    * full hash buckets of customers — with unchanged aggregation keys
+    * carrying their view rows forward from the served generation.
+    * Scoping is sound because derive is bucket-CLOSED by precondition
+    * (every interaction key functionally determines `bucketKeys`),
+    * which makes each view row attributable to one `bucketKeys` value —
+    * `derive` must therefore preserve the `bucketKeys` columns in its
+    * output. Below the threshold the dirty buckets are re-derived
+    * whole (the scoped path's extra stages cost more than the derive
+    * they save — measured at sf0.1). The fold and state write stay
+    * whole-bucket either way: state IO is O(dirty buckets) regardless,
+    * and the whole-bucket fold is the state write's one
+    * materialization. Scoped derive COMPUTE is O(batch's aggregation
+    * keys), IO O(dirty buckets). */
   private def refresh(
       batch: DataFrame,
       statePath: String,
@@ -155,39 +181,65 @@ final class AggregateView(
     // lookup for partition pruning, not a data scan
     val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
     if (buckets.isEmpty) return
+    val otherPath = if (factsSide) dimsPath else factsPath
+    val keyScoped =
+      MaterializedView.bucketBytes(spark, statePath, bucketCol, buckets) +
+        MaterializedView.bucketBytes(spark, otherPath, bucketCol, buckets) >=
+        keyScopeMinStateBytes
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
     val (newState, release) = graft.Lineage.checkpointed(Dedup.latestByKey(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
-      // resolved BEFORE any write, while oldState's inputs are intact
-      val changed = MaterializedView.changedBuckets(newState, oldState, bucketCol)
-      if (changed.isEmpty) return
-      val changedState = newState.filter(col(bucketCol).isin(changed: _*))
-      // the OTHER side is read-only this refresh: prune it to the
-      // changed buckets and re-derive exactly those buckets' view rows
-      val otherPath = if (factsSide) dimsPath else factsPath
-      val other = spark.read.parquet(otherPath)
-        .filter(col(bucketCol).isin(changed: _*))
-      val (dimsPruned, factsPruned) =
-        if (factsSide) (other, changedState) else (changedState, other)
-      store.publish(
-        clustered(withBucket(
-          derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))),
-        changed.toIndexedSeq)
-      // a store that was EMPTY at build time is a single unpartitioned
-      // file: dynamic overwrite would leave it behind next to the new
-      // partition dirs (bucketCol then reads as both a data and a
-      // partition column) — rewrite it fully once; from then on the
-      // store is partitioned and refreshes stay bucket-scoped
-      if (isPartitioned(statePath))
-        clustered(changedState).write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(bucketCol).parquet(statePath)
-      else
-        clustered(newState).write.mode("overwrite")
-          .partitionBy(bucketCol).parquet(statePath)
+      // resolved BEFORE any write, while oldState's inputs are intact;
+      // checkpointed only on the key-scoped path, where it feeds three
+      // plans (bucket collect, both derive-input scopes, carry-forward)
+      val changedPlan = MaterializedView.changedRows(newState, oldState, bucketCol)
+      val (changedRows, releaseChanged) =
+        if (keyScoped) graft.Lineage.checkpointed(changedPlan)
+        else (changedPlan, () => ())
+      try {
+        val changed = changedRows.select(bucketCol).distinct().collect().map(_.getLong(0))
+        if (changed.isEmpty) return
+        val inChanged = col(bucketCol).isin(changed: _*)
+        val other = spark.read.parquet(otherPath).filter(inChanged)
+        val newViewRows =
+          if (!keyScoped) {
+            val (dimsPruned, factsPruned) =
+              if (factsSide) (other, newState.filter(inChanged))
+              else (newState.filter(inChanged), other)
+            withBucket(derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
+          } else {
+            // the aggregation keys whose view rows must be re-derived
+            val changedAgg = changedRows.select(bucketKeys.map(col): _*).distinct()
+            val refreshedScoped = MaterializedView.semiOnKeys(
+              newState.filter(inChanged), changedAgg, bucketKeys)
+            val otherScoped = MaterializedView.semiOnKeys(other, changedAgg, bucketKeys)
+            val (dimsPruned, factsPruned) =
+              if (factsSide) (otherScoped, refreshedScoped)
+              else (refreshedScoped, otherScoped)
+            val derived = withBucket(
+              derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
+            store.readBuckets(spark, changed.toIndexedSeq)
+              .map(v => derived.unionByName(
+                withBucket(MaterializedView.antiOnKeys(v, changedAgg, bucketKeys))))
+              .getOrElse(derived)
+          }
+        store.publish(clustered(newViewRows), changed.toIndexedSeq)
+        // a store that was EMPTY at build time is a single unpartitioned
+        // file: dynamic overwrite would leave it behind next to the new
+        // partition dirs (bucketCol then reads as both a data and a
+        // partition column) — rewrite it fully once; from then on the
+        // store is partitioned and refreshes stay bucket-scoped
+        if (isPartitioned(statePath))
+          clustered(newState.filter(inChanged)).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucketCol).parquet(statePath)
+        else
+          clustered(newState).write.mode("overwrite")
+            .partitionBy(bucketCol).parquet(statePath)
+      } finally releaseChanged()
     } finally release()
   }
 

@@ -184,6 +184,15 @@ final class GenerationStore(
   def read(spark: SparkSession): Option[DataFrame] =
     manifest(spark).flatMap(resolve(spark, _))
 
+  /** Bucket-scoped manifest read: just `buckets`' live rows (the
+    * carry-forward input of a key-scoped refresh — untouched buckets
+    * are never opened). None = never published, or those buckets are
+    * all currently empty. */
+  private[graft] def readBuckets(spark: SparkSession, buckets: Seq[Long]): Option[DataFrame] = {
+    val want = buckets.toSet
+    manifest(spark).flatMap(m => resolve(spark, m.filter { case (b, _) => want(b) }))
+  }
+
   /** SNAPSHOT READ: the complete state exactly as committed version `v`
     * served it. None once the version has aged past `keepVersions` (or
     * never existed) — time travel is bounded by the retention the store

@@ -63,7 +63,8 @@ final class MaterializedView(
     derive: DataFrame => DataFrame,
     nBuckets: Int = 64,
     writeTasksPerBucket: Int = 1,
-    keepVersions: Int = 1) {
+    keepVersions: Int = 1,
+    keyScopeMinStateBytes: Long = MaterializedView.DefaultKeyScopeMinStateBytes) {
 
   require(writeTasksPerBucket >= 1,
     s"writeTasksPerBucket must be >= 1, got $writeTasksPerBucket")
@@ -191,9 +192,33 @@ final class MaterializedView(
     * carry JSONB-style maps. `to_json` (nulls kept) is total over the
     * lake's types; same-schema equal rows serialize identically, and a
     * map whose physical entry order differs can only FALSELY REPORT a
-    * change (a wasted republish), never hide one. The fold never drops
-    * a key, so new-minus-old captures every insert and update; it runs
-    * bucket-pruned — one pass over just the batch's buckets. */
+    * change (a wasted republish), never hide one.
+    *
+    * COST-BASED derive scope. Only the batch's keys can change winners
+    * (the fold is per-key), so in principle `derive` — the expensive
+    * step — need only run over the CHANGED keys' state rows, with the
+    * republished buckets' unchanged keys carrying their view rows
+    * FORWARD from the served generation (a column-complete copy, no
+    * recompute). That scoping is sound because the bucket hashes the
+    * very key columns `derive` must preserve, so a key's view rows
+    * depend only on that key's state row and land in that key's bucket
+    * (per-key locality is a `derive` precondition of this class). But
+    * it is not FREE: it adds a checkpoint of the changed rows, a
+    * null-safe anti join against the served generation, and a union —
+    * fixed extra stages that cost more than they save when the dirty
+    * buckets are small enough that re-deriving them whole is trivial
+    * (measured at the sf0.1 bench: +2-5 s per refresh for derive work
+    * worth less than that). So the scope is chosen by the dirty
+    * buckets' on-disk STATE SIZE — an FS-metadata probe, zero jobs:
+    * below `keyScopeMinStateBytes`, whole dirty buckets are re-derived
+    * straight off the checkpointed fold (no carry-forward joins); at
+    * or above it, derive runs over the changed keys only, which is the
+    * 100 TB CDC posture — a 10-row batch against terabyte buckets
+    * re-derives 10 keys, not two full hash buckets of keys. Either
+    * way the fold and state write stay whole-bucket: state IO is
+    * O(dirty buckets) regardless (dynamic overwrite replaces whole
+    * bucket partitions), and the whole-bucket fold is exactly what the
+    * state write must materialize. */
   def refresh(batch: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     val b = withBucket(batch)
@@ -201,6 +226,8 @@ final class MaterializedView(
     // is a catalog lookup for partition pruning, not a data scan
     val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
     if (buckets.isEmpty) return
+    val keyScoped = MaterializedView.bucketBytes(
+      spark, statePath, bucketCol, buckets) >= keyScopeMinStateBytes
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
     // sever lineage before overwriting its input (read-overwrite hazard)
@@ -208,21 +235,45 @@ final class MaterializedView(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
-      // resolved BEFORE any write, while oldState's input files are
-      // still intact (newState is checkpointed; oldState is not)
-      val changed = MaterializedView.changedBuckets(newState, oldState, bucketCol)
-      if (changed.isEmpty) return
-      val changedState = newState.filter(col(bucketCol).isin(changed: _*))
-      // the view write reads only the checkpointed newState, never the
-      // served generations — the publish is atomic per GenerationStore,
-      // and it precedes the state write per the crash contract above
-      store.publish(
-        clustered(withBucket(derive(changedState.drop(bucketCol)))),
-        changed.toIndexedSeq)
-      onAfterPublish()
-      clustered(changedState).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucketCol).parquet(statePath)
+      // the change compare is resolved BEFORE any write, while
+      // oldState's input files are still intact (newState is
+      // checkpointed; oldState is not). In the key-scoped path it is
+      // checkpointed too: batch-sized, and consumed by three plans
+      // (bucket collect, derive, carry-forward anti join) — each would
+      // otherwise re-run the fingerprint anti join per use. In the
+      // whole-bucket path only the bucket ids are needed, so the plan
+      // runs once uncheckpointed, exactly as a changed-bucket probe.
+      val changedPlan = MaterializedView.changedRows(newState, oldState, bucketCol)
+      val (changedRows, releaseChanged) =
+        if (keyScoped) graft.Lineage.checkpointed(changedPlan)
+        else (changedPlan, () => ())
+      try {
+        val changed = changedRows.select(bucketCol).distinct().collect().map(_.getLong(0))
+        if (changed.isEmpty) return
+        val inChanged = col(bucketCol).isin(changed: _*)
+        val newViewRows =
+          if (!keyScoped) withBucket(derive(newState.filter(inChanged).drop(bucketCol)))
+          else {
+            // re-derive ONLY the changed keys; the republished buckets'
+            // unchanged keys ride along from the served generation
+            val changedKeys = changedRows.select(keys.map(col): _*).distinct()
+            val derived = withBucket(derive(changedRows.drop(bucketCol)))
+            // the carry-forward reads live generation files, which a
+            // publish never mutates
+            store.readBuckets(spark, changed.toIndexedSeq)
+              .map(v => derived.unionByName(
+                withBucket(MaterializedView.antiOnKeys(v, changedKeys, keys))))
+              .getOrElse(derived)
+          }
+        // the publish is atomic per GenerationStore, and it precedes
+        // the state write per the crash contract above
+        store.publish(clustered(newViewRows), changed.toIndexedSeq)
+        onAfterPublish()
+        clustered(newState.filter(inChanged))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketCol).parquet(statePath)
+      } finally releaseChanged()
     } finally release()
   }
 
@@ -243,6 +294,30 @@ final class MaterializedView(
 
 object MaterializedView {
 
+  /** Dirty-state size at which a refresh switches from re-deriving
+    * whole dirty buckets to the key-scoped derive + carry-forward path
+    * (see [[MaterializedView.refresh]]). 4 GiB: below it, re-deriving
+    * the buckets outright is a sub-second cluster job and the scoped
+    * path's extra stages (checkpoint, anti join, union) dominate;
+    * above it, recomputing unchanged keys dominates and scoping wins
+    * asymptotically (O(batch) instead of O(dirty buckets) compute). */
+  val DefaultKeyScopeMinStateBytes: Long = 4L << 30
+
+  /** Total on-disk bytes of `path`'s hive partitions for `buckets` —
+    * pure FS metadata (no Spark job), the cost signal the refresh's
+    * scope decision reads. A store written unpartitioned (the empty-
+    * at-build corner) or a missing bucket directory contributes 0. */
+  private[graft] def bucketBytes(
+      spark: SparkSession, path: String, bucketCol: String,
+      buckets: Seq[Long]): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.map { b =>
+      val p = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
   /** (bucket, row-JSON) projection used for map-safe change detection:
     * comparisons on the fingerprint columns (long, string) are always
     * legal regardless of the state schema. Columns are serialized in
@@ -260,20 +335,50 @@ object MaterializedView {
         Map("ignoreNullFields" -> "false")).as("__mv_row_json"))
   }
 
-  /** Buckets whose latest-per-key fold CHANGED anything: new-state rows
-    * whose fingerprint is absent from the old state (the fold never
-    * drops a key, so new-minus-old captures every insert and update).
-    * A LEFT ANTI join, not `exceptAll`: fingerprints embed their key so
-    * rows are unique per side and the two are equivalent — but
-    * exceptAll plans a sum-of-counts aggregate plus a
+  /** New-state rows whose latest-per-key fold CHANGED anything — full
+    * rows whose fingerprint is absent from the old state (the fold
+    * never drops a key, so new-minus-old captures every insert and
+    * update). A LEFT ANTI join, not `exceptAll`: fingerprints embed
+    * their key so rows are unique per side and the two are equivalent —
+    * but exceptAll plans a sum-of-counts aggregate plus a
     * Generate(ReplicateRows) whose generator is interpreted
     * (CodegenFallback), while the anti join stays whole-stage-codegen
-    * (pinned by PlanAuditSpec's heavies audit). Bounded metadata out:
-    * ≤ nBuckets longs. */
-  private[graft] def changedBuckets(
-      newState: DataFrame, oldState: DataFrame, bucketCol: String): Array[Long] =
-    fingerprints(newState, bucketCol)
+    * (pinned by PlanAuditSpec's heavies audit). */
+  private[graft] def changedRows(
+      newState: DataFrame, oldState: DataFrame, bucketCol: String): DataFrame = {
+    val dataCols = newState.columns.filter(_ != bucketCol).sorted
+    newState
+      .withColumn(bucketCol, col(bucketCol).cast("long"))
+      .withColumn("__mv_row_json",
+        to_json(struct(dataCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")))
       .join(fingerprints(oldState, bucketCol),
         Seq(bucketCol, "__mv_row_json"), "left_anti")
-      .select(bucketCol).distinct().collect().map(_.getLong(0))
+      .drop("__mv_row_json")
+  }
+
+  /** `df` rows whose `keys` tuple appears in `keysDf` (same-named
+    * columns). NULL-SAFE equality — the latest-wins window groups NULL
+    * keys like any other value, so the key-scoped fold must too (a
+    * plain equi-join would silently orphan a stored NULL-key winner
+    * from a NULL-key batch row). Right side is renamed to dodge
+    * same-lineage ambiguity; EqualNullSafe still extracts as a hash
+    * join key, so this plans as a broadcast/shuffled hash semi join,
+    * never a nested loop. */
+  private[graft] def semiOnKeys(df: DataFrame, keysDf: DataFrame, keys: Seq[String]): DataFrame =
+    joinOnKeys(df, keysDf, keys, "left_semi")
+
+  /** Complement of [[semiOnKeys]]: `df` rows whose `keys` tuple is NOT
+    * in `keysDf` (null-safe). */
+  private[graft] def antiOnKeys(df: DataFrame, keysDf: DataFrame, keys: Seq[String]): DataFrame =
+    joinOnKeys(df, keysDf, keys, "left_anti")
+
+  private def joinOnKeys(
+      df: DataFrame, keysDf: DataFrame, keys: Seq[String], how: String): DataFrame = {
+    val renamed = keys.map(k => s"__mvk_$k")
+    val rhs = keysDf.select(keys.map(col): _*).toDF(renamed: _*)
+    df.join(rhs,
+      keys.zip(renamed).map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _),
+      how)
+  }
 }

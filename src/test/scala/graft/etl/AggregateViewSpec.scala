@@ -153,6 +153,45 @@ class AggregateViewSpec extends AnyFunSuite {
     assert(viewMap(av)(2L) == (("d2", 20L, 1L)))
   }
 
+  test("key-scoped refresh (both sides) equals full rebuild, scoped to changed agg keys") {
+    // keyScopeMinStateBytes = 0 forces the scoped path; the default
+    // threshold keeps stores this small on the whole-bucket path
+    val root = Files.createTempDirectory("graft_av_ks").toString
+    var deriveDimIds: Set[Long] = Set.empty
+    val av = new AggregateView(root, Seq("id"),
+      dimKeys = Seq("id"), dimOrder = Seq(col("dversion").desc),
+      factKeys = Seq("fid"), factOrder = Seq(col("fversion").desc),
+      (d, f) => {
+        deriveDimIds = d.select("id").collect().map(_.getLong(0)).toSet
+        derive(d, f)
+      },
+      nBuckets = 2, keyScopeMinStateBytes = 0L)
+    val d0 = dims((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"))
+    val f0 = facts((10L, 1L, 1L, 100L), (11L, 1L, 5L, 40L), (20L, 2L, 1L, 7L))
+    av.build(d0, f0)
+    // fact CDC: key 1 changed (new fact + newer version), key 2 stale
+    av.refreshFacts(facts(
+      (12L, 1L, 1L, 9L), (11L, 1L, 9L, 60L), (20L, 2L, 0L, 999L)))
+    assert(deriveDimIds == Set(1L),
+      s"scoped fact refresh re-aggregated unchanged customers: $deriveDimIds")
+    assert(viewMap(av) == Map(
+      1L -> (("a", 169L, 3L)), 2L -> (("b", 7L, 1L)),
+      3L -> (("c", 0L, 0L)), 4L -> (("d", 0L, 0L))))
+    // dim CDC: rename customer 2, add customer 9 — facts carry through
+    av.refreshDims(dims((2L, 2L, "b2"), (9L, 1L, "new")))
+    assert(deriveDimIds == Set(2L, 9L),
+      s"scoped dim refresh re-aggregated unchanged customers: $deriveDimIds")
+    assert(viewMap(av) == Map(
+      1L -> (("a", 169L, 3L)), 2L -> (("b2", 7L, 1L)),
+      3L -> (("c", 0L, 0L)), 4L -> (("d", 0L, 0L)), 9L -> (("new", 0L, 0L))))
+    val (_, full) = mk()
+    full.build(
+      d0.unionByName(dims((2L, 2L, "b2"), (9L, 1L, "new"))),
+      f0.unionByName(facts(
+        (12L, 1L, 1L, 9L), (11L, 1L, 9L, 60L), (20L, 2L, 0L, 999L))))
+    assert(viewMap(av) == viewMap(full))
+  }
+
   test("a fact batch emptying nothing still handles empty-view buckets safely") {
     // a dim with no facts aggregates to zero counts rather than
     // disappearing, and refreshing it twice is idempotent

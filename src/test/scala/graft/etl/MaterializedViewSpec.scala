@@ -104,6 +104,71 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"file explosion: ${perBucket.mkString(", ")}")
   }
 
+  // ---- key-scoped derive path (keyScopeMinStateBytes = 0 forces it;
+  // the default threshold keeps small stores on the whole-bucket path,
+  // so these specs are the scoped path's only exercise) ----
+
+  test("key-scoped refresh equals full rebuild and derives ONLY the changed keys") {
+    val root = Files.createTempDirectory("graft_mv_ks").toString
+    var deriveKeys: Set[Long] = Set.empty
+    val mv = new MaterializedView(root, Seq("id"), Seq(col("version").desc),
+      st => {
+        // runs while the scoped input (checkpointed changed rows) is live
+        deriveKeys = st.select("id").collect().map(_.getLong(0)).toSet
+        derive(st)
+      },
+      nBuckets = 2, keyScopeMinStateBytes = 0L)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 5L, false, "b5"),
+      (3L, 2L, false, "c2"), (4L, 1L, false, "d1")))
+    mv.refresh(rows(
+      (1L, 9L, false, "a9"),  // newer version: changed
+      (2L, 3L, false, "b3"),  // late older version: loses, NOT a changed key
+      (7L, 1L, false, "g1"))) // new key: changed
+    assert(deriveKeys == Set(1L, 7L),
+      s"scoped derive saw unchanged keys: $deriveKeys")
+    // unchanged keys sharing the republished buckets carried forward
+    assert(viewMap(mv) == Map(
+      1L -> ("a9", 90L), 2L -> ("b5", 50L), 3L -> ("c2", 20L),
+      4L -> ("d1", 10L), 7L -> ("g1", 10L)))
+    val (_, full) = mk()
+    full.build(rows((1L, 9L, false, "a9"), (2L, 5L, false, "b5"),
+      (3L, 2L, false, "c2"), (4L, 1L, false, "d1"), (7L, 1L, false, "g1")))
+    assert(viewMap(mv) == viewMap(full))
+  }
+
+  test("key-scoped: soft-deleted winner vanishes while bucket-mates carry forward") {
+    val root = Files.createTempDirectory("graft_mv_ks_del").toString
+    val mv = new MaterializedView(root, Seq("id"), Seq(col("version").desc),
+      derive, nBuckets = 1, keyScopeMinStateBytes = 0L)
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    mv.refresh(rows((1L, 2L, true, "a2")))
+    // key 1's new winner is deleted → derive emits nothing for it; the
+    // carry-forward must keep key 2 and must NOT resurrect key 1's old row
+    assert(viewMap(mv) == Map(2L -> ("b1", 10L)))
+    // replayed batch: no change → no publish (no-op precedes scoping)
+    val vs = mv.viewVersions(spark)
+    mv.refresh(rows((1L, 2L, true, "a2")))
+    assert(mv.viewVersions(spark) == vs)
+  }
+
+  test("key-scoped: NULL keys fold, scope and carry forward null-safely") {
+    val s = spark; import s.implicits._
+    def nrows(rs: (Option[Long], Long, Boolean, String)*): DataFrame =
+      rs.toDF("id", "version", "deleted", "payload")
+    val root = Files.createTempDirectory("graft_mv_ks_null").toString
+    val mv = new MaterializedView(root, Seq("id"), Seq(col("version").desc),
+      derive, nBuckets = 1, keyScopeMinStateBytes = 0L)
+    mv.build(nrows((Some(1L), 1L, false, "a1"), (None, 1L, false, "n1")))
+    // the NULL key gets a newer version; key 1 is untouched and must
+    // survive the anti join's null-safe equality (a plain equi-join
+    // would drop or duplicate the null-key row)
+    mv.refresh(nrows((None, 2L, false, "n2")))
+    val got = mv.view(spark).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(Some(1L) -> ("a1", 10L), None -> ("n2", 20L)))
+  }
+
   test("refresh leaves untouched bucket partitions byte-identical") {
     val (root, mv) = mk(nBuckets = 64)
     mv.build(rows((1L to 40L).map(i => (i, 1L, false, s"p$i")): _*))
