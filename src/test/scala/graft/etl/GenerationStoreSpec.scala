@@ -140,6 +140,47 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(mv.state(spark).collect().length == 2)
   }
 
+  test("key-scoped refresh: both crash windows replay to convergence") {
+    // the cost-based key-scoped path (threshold 0 forces it) adds a
+    // carry-forward read of the SERVED generation — after a
+    // crash-after-publish, that read sees the crashed batch's own rows,
+    // and the replay must still converge (the re-derive overwrites
+    // them; the anti join only carries keys the batch did NOT change)
+    def mkScoped() = {
+      val root = Files.createTempDirectory("graft_gen_ks").toString
+      new MaterializedView(root, Seq("id"), Seq(col("version").desc),
+        derive, nBuckets = 2, keyScopeMinStateBytes = 0L)
+    }
+    val base = rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1"),
+      (3L, 1L, false, "c1"))
+    val batch = rows((1L, 2L, false, "a2"), (7L, 1L, false, "g1"))
+
+    // window 1: generation written, manifest unswapped
+    val mv1 = mkScoped()
+    mv1.build(base)
+    val old = viewMap(mv1)
+    mv1.store.onBeforeSwap = () => throw new Boom
+    intercept[Boom] { mv1.refresh(batch) }
+    mv1.store.onBeforeSwap = () => ()
+    assert(viewMap(mv1) == old,
+      "crash before swap must leave the complete old view serving")
+    mv1.refresh(batch)
+
+    // window 2: view published, state not yet written
+    val mv2 = mkScoped()
+    mv2.build(base)
+    mv2.onAfterPublish = () => throw new Boom
+    intercept[Boom] { mv2.refresh(batch) }
+    mv2.onAfterPublish = () => ()
+    mv2.refresh(batch)
+
+    val full = mkScoped()
+    full.build(base.unionByName(batch))
+    val want = viewMap(full)
+    assert(viewMap(mv1) == want, "crash-before-swap replay diverged")
+    assert(viewMap(mv2) == want, "crash-after-publish replay diverged")
+  }
+
   test("a reader INSIDE the publish window sees the complete old state") {
     val (_, mv) = mk()
     mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
