@@ -169,6 +169,26 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got == Map(Some(1L) -> ("a1", 10L), None -> ("n2", 20L)))
   }
 
+  test("null-safe key semi/anti joins plan as hash joins, never nested loops") {
+    // the key-scoped path's scaladoc claim, pinned: EqualNullSafe
+    // extracts as a hash join key (coalesce+isnull), so the scope/
+    // carry-forward joins stay O(n) hash joins — a planner regression
+    // to BroadcastNestedLoopJoin would be quadratic in bucket size
+    val s = spark; import s.implicits._
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "n")).toDF("id", "v")
+    val keysDf = Seq(Some(1L), (None: Option[Long])).toDF("id")
+    for (j <- Seq(MaterializedView.semiOnKeys(df, keysDf, Seq("id")),
+                  MaterializedView.antiOnKeys(df, keysDf, Seq("id")))) {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"null-safe key join fell off the hash path:\n$plan")
+      assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    }
+    // and the null key matches null-safely (semi keeps it, anti drops it)
+    assert(MaterializedView.semiOnKeys(df, keysDf, Seq("id")).count() == 2)
+    assert(MaterializedView.antiOnKeys(df, keysDf, Seq("id")).count() == 0)
+  }
+
   test("refresh leaves untouched bucket partitions byte-identical") {
     val (root, mv) = mk(nBuckets = 64)
     mv.build(rows((1L to 40L).map(i => (i, 1L, false, s"p$i")): _*))
