@@ -156,7 +156,8 @@ object Bench {
     // dump additionally carries the rep-1 COLD time per query (min-of-N
     // masks shared-memo amortization; the cold column is what prices a
     // family's first end-to-end run) and the cold total.
-    val coldTotal = coldTimings.values.sum
+    val coldTotal =
+      BigDecimal(coldTimings.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val dump = line.dropRight(1) +
       s""","queries_cold":${jmap(coldTimings)},"total_cold":$coldTotal}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

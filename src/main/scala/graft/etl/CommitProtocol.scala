@@ -145,16 +145,26 @@ class ScanCommit(keepKeys: Int = 2) extends CommitProtocol {
   override def read(path: Path, conf: Configuration): Option[String] = {
     val fs = path.getFileSystem(conf)
     keysOf(path, conf).reverseIterator.flatMap { case (_, p) =>
-      val in = fs.open(p)
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toByteArray
-        } finally in.close()
-      unframe(bytes)
+      // A key listed a moment ago may be gone by open time: write()'s
+      // retention deletes superseded keys immediately, so a concurrent
+      // publisher races this reader by design. Any IO failure on one
+      // key is treated exactly like an invalid frame — fall through to
+      // the next older key — preserving complete-old-or-new.
+      try {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toByteArray
+          } finally in.close()
+        unframe(bytes)
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => None
+      }
     }.nextOption()
   }
 

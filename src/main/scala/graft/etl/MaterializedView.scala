@@ -24,6 +24,15 @@ import graft.operators.Dedup
   *   - VIEW — `derive(state)`, the published rows. `derive` must
   *     preserve the key columns unrenamed (the bucket is recomputed
   *     from them at write time; the view itself carries no lineage).
+  *     `derive` must also be PER-KEY LOCAL: each output row may depend
+  *     only on that key's own state rows — never on bucket-mates or
+  *     cross-key aggregates. Above `keyScopeMinStateBytes` the refresh
+  *     re-derives only the CHANGED KEYS of a bucket and carries the
+  *     rest forward from the served generation, so a derive that reads
+  *     other keys (legal-looking, passes small-scale tests where the
+  *     whole-bucket path always runs) would silently diverge from a
+  *     full rebuild exactly when the state grows past the threshold.
+  *     Cross-key views belong in [[AggregateView]].
   *
   * Refresh path: the batch's bucket set is resolved driver-side
   * (≤ nBuckets values — metadata, not data), the state read is

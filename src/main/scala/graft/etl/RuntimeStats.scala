@@ -63,13 +63,19 @@ object RuntimeStats {
         jobsSeen += 1
     }
 
+    /** Failed actions seen — they harvest nothing, but they DO tell
+      * `profile` the execution-end hop completed, so the drain loop can
+      * stop waiting for a capture that will never arrive. */
+    @volatile var failed: Long = 0L
+
     override def onSuccess(
         funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       captured += 1
       pending.add(qe)
     }
     override def onFailure(
-        funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+        funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      failed += 1
 
     /** Run `body` and attribute every action it triggers to `name`.
       * Draining is a flush + STABILITY poll, not a single flush: the
@@ -81,6 +87,7 @@ object RuntimeStats {
     def profile[T](name: String)(body: => T): T = {
       pending.clear()
       val jobs0 = jobsSeen
+      val ev0 = captured + failed
       val r = body
       GraftCoreShim.flushListeners(spark.sparkContext)
       val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
@@ -90,10 +97,16 @@ object RuntimeStats {
       // on a contended driver. The scheduler-side job counter is the
       // liveness tiebreak: a body that ran ANY Spark job has a capture
       // in flight, so the zero short-circuit is only taken when no job
-      // ran either; a job-running body waits the full deadline for its
-      // event. (A job-free local action — e.g. collect on a literal
-      // frame — still fires the listener; for that narrow case the
-      // longer stable-zero window covers the measured hop latency.)
+      // ran either; a job-running body waits for its event — bounded
+      // two ways so bodies whose jobs never produce an onSuccess don't
+      // spin the full 10 s every call: a FAILED action still fires
+      // onFailure (counted in `failed` — nothing to harvest, stop
+      // waiting once the count advanced and pending stayed zero), and
+      // an RDD-level job that bypasses QueryExecution entirely fires
+      // neither, so a ~2 s secondary stable-zero window gives up on a
+      // capture that is never coming. (A job-free local action — e.g.
+      // collect on a literal frame — still fires the listener; the
+      // longer no-job stable-zero window covers that hop latency.)
       var stableFor = 0
       var last = -1
       var done = false
@@ -102,7 +115,9 @@ object RuntimeStats {
         if (n == last) stableFor += 1 else stableFor = 0
         last = n
         done = (n > 0 && stableFor >= 5) ||
-          (n == 0 && stableFor >= 25 && jobsSeen == jobs0)
+          (n == 0 && stableFor >= 25 && jobsSeen == jobs0) ||
+          (n == 0 && stableFor >= 5 && (captured + failed) > ev0) ||
+          (n == 0 && stableFor >= 100)
         if (!done) Thread.sleep(20)
       }
       pending.asScala.foreach(qe => harvest(name, qe.executedPlan))

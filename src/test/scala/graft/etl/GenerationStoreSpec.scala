@@ -288,6 +288,22 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(store.readVersion(spark, v3).isDefined)
   }
 
+  test("ScanCommit: an unreadable newest key falls through to the older valid frame") {
+    // reader/writer race the sequenced-key profile exists for: a key
+    // listed a moment ago can be gone (or error) by open time — write()
+    // prunes superseded keys immediately. A failed open must behave
+    // like an invalid frame (skip, serve the next older key), not throw.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = Files.createTempDirectory("graft_scan_race").toString
+    val commit = new ScanCommit(keepKeys = 2)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_MANIFEST")
+    commit.write(p, "old", conf)
+    // a newer key that lists but cannot be opened (stands in for
+    // deleted-after-list and for any per-key IO error)
+    assert(new java.io.File(s"$root/_MANIFEST.s2").mkdir())
+    assert(commit.read(p, conf) == Some("old"))
+  }
+
   test("snapshot reads: every retained version serves its exact historical state") {
     val s = spark
     import s.implicits._
