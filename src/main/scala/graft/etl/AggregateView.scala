@@ -91,6 +91,25 @@ final class AggregateView(
       pmod(xxhash64(lit("__mv_salt") +: bucketKeys.map(col): _*),
         lit(writeTasksPerBucket.toLong)))
 
+  /** Latest-per-key fold with bucket-clustered output — one exchange
+    * for both the window and the state write (see
+    * [[MaterializedView.foldClustered]]). Sound on the DIMENSION side
+    * because the bucket hashes `bucketKeys` ⊆ `dimKeys`, and on the
+    * FACT side by the class precondition that every version of a fact
+    * row carries the same `bucketKeys` value — either way the bucket
+    * is constant within a key group, so windowing over (bucket, keys)
+    * groups exactly like (keys). */
+  private def foldClustered(
+      df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    if (writeTasksPerBucket == 1)
+      Dedup.latestByKeyClustered(df, keys, order, bucketCol, nBuckets)
+    else clustered(Dedup.latestByKey(df, keys, order))
+
+  /** A fused-fold frame is already physically clustered; only the
+    * salted layout needs the extra exchange before a state write. */
+  private def reclusterForWrite(df: DataFrame): DataFrame =
+    if (writeTasksPerBucket == 1) df else clustered(df)
+
   /** A partitioned write of ZERO rows emits no files at all, losing the
     * schema the next refresh must read back — an empty state store gets
     * a schema-only unpartitioned file instead (pruning is moot on an
@@ -101,7 +120,8 @@ final class AggregateView(
     * the probe and again for the write — the probe here is one FS
     * listing, and the empty-case `limit(0)` write never runs the DAG. */
   private def writeState(df: DataFrame, path: String): Unit = {
-    clustered(df).write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+    // callers pass fold output, clustered by construction (foldClustered)
+    df.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
     if (!isPartitioned(path))
       df.limit(0).write.mode("overwrite").parquet(path)
   }
@@ -121,8 +141,8 @@ final class AggregateView(
     * parquet instead of full-width block copies held across the pass. */
   def build(dims: DataFrame, facts: DataFrame): Unit =
     graft.plans.MvRewrite.withRuleDisabled {
-      writeState(Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder), dimsPath)
-      writeState(Dedup.latestByKey(withBucket(facts), factKeys, factOrder), factsPath)
+      writeState(foldClustered(withBucket(dims), dimKeys, dimOrder), dimsPath)
+      writeState(foldClustered(withBucket(facts), factKeys, factOrder), factsPath)
       val spark = dims.sparkSession
       val ds = spark.read.parquet(dimsPath)
       val fs = spark.read.parquet(factsPath)
@@ -176,7 +196,11 @@ final class AggregateView(
       order: Seq[Column],
       factsSide: Boolean): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
-    val b = withBucket(batch)
+    // checkpoint the (CDC-bounded) batch once: its plan can be
+    // arbitrarily expensive and the refresh reads it three times —
+    // bucket collect, fold input, batch-key compare scope
+    val (b, releaseB) = graft.Lineage.checkpointed(withBucket(batch))
+    try {
     // bucket ids are bounded metadata (≤ nBuckets longs) — a catalog
     // lookup for partition pruning, not a data scan
     val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
@@ -188,14 +212,21 @@ final class AggregateView(
         keyScopeMinStateBytes
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
-    val (newState, release) = graft.Lineage.checkpointed(Dedup.latestByKey(
+    val (newState, release) = graft.Lineage.checkpointed(foldClustered(
       oldState.unionByName(b.select(oldState.columns.map(col): _*)),
       keys, order))
     try {
       // resolved BEFORE any write, while oldState's inputs are intact;
       // checkpointed only on the key-scoped path, where it feeds three
-      // plans (bucket collect, both derive-input scopes, carry-forward)
-      val changedPlan = MaterializedView.changedRows(newState, oldState, bucketCol)
+      // plans (bucket collect, both derive-input scopes, carry-forward).
+      // Scoped to the batch's ROW KEYS on both sides first — the fold
+      // can only change rows whose key is in the batch, so the
+      // fingerprint compare is O(batch keys), not O(dirty-bucket state)
+      // (see MaterializedView.refresh).
+      val batchKeys = b.select(keys.map(col): _*).distinct()
+      val changedPlan = MaterializedView.changedRows(
+        MaterializedView.semiOnKeys(newState, batchKeys, keys),
+        MaterializedView.semiOnKeys(oldState, batchKeys, keys), bucketCol)
       val (changedRows, releaseChanged) =
         if (keyScoped) graft.Lineage.checkpointed(changedPlan)
         else (changedPlan, () => ())
@@ -233,14 +264,15 @@ final class AggregateView(
         // partition column) — rewrite it fully once; from then on the
         // store is partitioned and refreshes stay bucket-scoped
         if (isPartitioned(statePath))
-          clustered(newState.filter(inChanged)).write.mode("overwrite")
+          reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(bucketCol).parquet(statePath)
         else
-          clustered(newState).write.mode("overwrite")
+          reclusterForWrite(newState).write.mode("overwrite")
             .partitionBy(bucketCol).parquet(statePath)
       } finally releaseChanged()
     } finally release()
+    } finally releaseB()
   }
 
   /** The published aggregate view (all buckets), resolved through the

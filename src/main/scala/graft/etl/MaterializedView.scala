@@ -153,6 +153,25 @@ final class MaterializedView(
       pmod(xxhash64(lit("__mv_salt") +: keys.map(col): _*),
         lit(writeTasksPerBucket.toLong)))
 
+  /** Latest-per-key fold whose OUTPUT is already bucket-clustered: one
+    * exchange serves both the window and the state write (the bucket is
+    * a pure function of the keys — [[Dedup.latestByKeyClustered]]).
+    * The salted multi-task-per-bucket layout can't ride the window's
+    * clustering, so it keeps the separate fold + recluster. The fused
+    * output's clustering survives filter and localCheckpoint
+    * PHYSICALLY (1:1 partitions), so downstream partitioned writes stay
+    * one-file-per-bucket without [[reclusterForWrite]] shuffling again. */
+  private def foldClustered(df: DataFrame): DataFrame =
+    if (writeTasksPerBucket == 1)
+      Dedup.latestByKeyClustered(df, keys, order, bucketCol, nBuckets)
+    else clustered(Dedup.latestByKey(df, keys, order))
+
+  /** State-write companion of [[foldClustered]]: a frame that came out
+    * of the fused fold is already physically clustered — reshuffling it
+    * would pay the exchange the fusion just saved. */
+  private def reclusterForWrite(df: DataFrame): DataFrame =
+    if (writeTasksPerBucket == 1) df else clustered(df)
+
   /** Full initial build: every bucket of state and view. The state
     * write IS the dedup's materialization (no checkpoint pass — unlike
     * [[refresh]] there is no read-overwrite hazard on a fresh root);
@@ -161,7 +180,7 @@ final class MaterializedView(
     * cheaper than holding a full-width block copy of the state in
     * executor memory for the one derive pass. */
   def build(source: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
-    clustered(Dedup.latestByKey(withBucket(source), keys, order))
+    foldClustered(withBucket(source))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
     val state = source.sparkSession.read.parquet(statePath)
     store.publish(
@@ -230,7 +249,13 @@ final class MaterializedView(
     * state write must materialize. */
   def refresh(batch: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
-    val b = withBucket(batch)
+    // The batch is CDC-bounded in SIZE but its PLAN can be arbitrarily
+    // expensive (a filtered multi-way join in the bench; a cross-system
+    // extract in production), and the refresh consumes it three times —
+    // bucket collect, fold input, batch-key scope of the change
+    // compare. Checkpoint once, read three times.
+    val (b, releaseB) = graft.Lineage.checkpointed(withBucket(batch))
+    try {
     // bucket ids are bounded metadata (≤ nBuckets longs) — this collect
     // is a catalog lookup for partition pruning, not a data scan
     val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
@@ -240,9 +265,8 @@ final class MaterializedView(
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
     // sever lineage before overwriting its input (read-overwrite hazard)
-    val (newState, release) = graft.Lineage.checkpointed(Dedup.latestByKey(
-      oldState.unionByName(b.select(oldState.columns.map(col): _*)),
-      keys, order))
+    val (newState, release) = graft.Lineage.checkpointed(foldClustered(
+      oldState.unionByName(b.select(oldState.columns.map(col): _*))))
     try {
       // the change compare is resolved BEFORE any write, while
       // oldState's input files are still intact (newState is
@@ -252,7 +276,16 @@ final class MaterializedView(
       // otherwise re-run the fingerprint anti join per use. In the
       // whole-bucket path only the bucket ids are needed, so the plan
       // runs once uncheckpointed, exactly as a changed-bucket probe.
-      val changedPlan = MaterializedView.changedRows(newState, oldState, bucketCol)
+      // Both compare sides are scoped to the BATCH'S KEYS first: the
+      // per-key fold can only change rows whose key appears in the
+      // batch, so fingerprinting the rest of the dirty buckets is
+      // provably wasted work — the to_json + anti join drop from
+      // O(dirty-bucket state) to O(batch keys), and the semi joins
+      // broadcast the batch-sized key set instead of shuffling state.
+      val batchKeys = b.select(keys.map(col): _*).distinct()
+      val changedPlan = MaterializedView.changedRows(
+        MaterializedView.semiOnKeys(newState, batchKeys, keys),
+        MaterializedView.semiOnKeys(oldState, batchKeys, keys), bucketCol)
       val (changedRows, releaseChanged) =
         if (keyScoped) graft.Lineage.checkpointed(changedPlan)
         else (changedPlan, () => ())
@@ -278,12 +311,13 @@ final class MaterializedView(
         // the state write per the crash contract above
         store.publish(clustered(newViewRows), changed.toIndexedSeq)
         onAfterPublish()
-        clustered(newState.filter(inChanged))
+        reclusterForWrite(newState.filter(inChanged))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(bucketCol).parquet(statePath)
       } finally releaseChanged()
     } finally release()
+    } finally releaseB()
   }
 
   /** The published view (all buckets; add key-derived bucket filters

@@ -46,6 +46,20 @@ object ConnectedComponents {
     * `ConnectedComponentsSpec` so that regression is loud, not slow. */
   private[graft] val probeFallbacks = new java.util.concurrent.atomic.AtomicLong
 
+  /** Edge count at or below which components are solved DRIVER-SIDE by
+    * union-find on the collected (deduped, symmetric-halved) edge list
+    * instead of iterating distributed rounds. Cost-based, same doctrine
+    * as `MaterializedView.keyScopeMinStateBytes`: every distributed
+    * round pays 3 shuffles + an eager checkpoint REGARDLESS of data
+    * size, so a bounded edge list (≤ ~16 MB collected at this default)
+    * is pure fixed overhead × O(log diameter) — the exact same labels
+    * come back from one collect + one createDataFrame. History-sized
+    * edge lists (the 100 TB posture) stay on the iterative path;
+    * [[incrementalMerge]]'s component-collapsed delta graph (bounded by
+    * the batch) is the case this is FOR. Path equivalence is pinned in
+    * `ConnectedComponentsSpec`. */
+  val LocalSolveMaxEdges: Long = 1L << 20
+
   /** Component label per vertex: `(id, comp)` where `comp` is the
     * SMALLEST vertex id in the component (deterministic canonical id).
     * Only vertices present in `edges` appear; callers attach
@@ -60,12 +74,25 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 30): DataFrame = {
-    // symmetric deduped edge list: propagation must flow both ways
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      maxIter: Int = 30,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
+    // symmetric deduped edge list: propagation must flow both ways.
+    // The local fast path needs only one direction; the symmetric
+    // union stays lazy until the iterative path materializes it.
+    val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst")) // self-loops don't affect components
+      .distinct()
+      .persist()
+    val idType = half.schema("src").dataType
+    val nEdges = half.count() // also materializes the persist
+    if (nEdges <= localSolveMaxEdges && localOrdering(idType).isDefined) {
+      val out = localSolve(half, idType)
+      half.unpersist()
+      return out
+    }
+    val sym = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var (labels, releaseLabels) = graft.Lineage.checkpointed(
@@ -110,6 +137,7 @@ object ConnectedComponents {
       labels = jumped.select(col("id"), col("new_comp").as("comp"))
     }
     sym.unpersist()
+    half.unpersist()
     if (!converged) {
       releaseLabels()
       throw new IllegalStateException(
@@ -122,6 +150,90 @@ object ConnectedComponents {
     val out = labels.persist()
     out.count()
     releaseLabels()
+    out
+  }
+
+  /** Orderings that exactly mirror the distributed path's `min(comp)`
+    * semantics on EXTERNAL (collected) values. Integral/floating types
+    * share Spark's numeric order; strings must compare as UTF-8 BYTES
+    * (Spark's UTF8String binary order), not `String.compareTo` (UTF-16
+    * code units) — they diverge on supplementary characters. Unlisted
+    * types (decimals, structs…) return None and take the iterative
+    * path, whose `min` needs no driver-side mirror. */
+  private def localOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short]))
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+      case _ => None
+    }
+  }
+
+  /** Driver-side exact solve for a bounded edge list: union-find with
+    * path halving over the collected edges, then per-root minimum under
+    * [[localOrdering]] so labels are canonical ("comp = smallest member
+    * id") exactly as the iterative path produces them. Output contract
+    * matches [[run]]: persisted, materialized, freed by `unpersist()`. */
+  private def localSolve(
+      half: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = localOrdering(idType).get
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.get(r)
+      while (p != null && p != r) {
+        val gp = parent.get(p)
+        if (gp != null) parent.put(r, gp) // path halving
+        r = p
+        p = parent.get(r)
+      }
+      r
+    }
+    half.collect().foreach { row =>
+      val a = row.get(0)
+      val b = row.get(1)
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ord.lt(v, cur)) minOfRoot.put(r, v)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { v =>
+      rows.add(org.apache.spark.sql.Row(v, minOfRoot.get(find(v))))
+    }
+    val spark = half.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    val out = spark.createDataFrame(rows, schema).persist()
+    out.count()
     out
   }
 

@@ -25,6 +25,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[latestByKey]] fused with a cluster-by-`clusterCol` exchange:
+    * ONE shuffle serves both the per-key window and a downstream
+    * `partitionBy(clusterCol)` write. Requires `clusterCol` to be
+    * functionally determined by `keys` (the materialized-view bucket
+    * contract: bucket = hash(keys), or — facts side — every version of
+    * a key carries the same bucket value): the window partitions by
+    * `(clusterCol, keys)`, which then groups exactly like `(keys)`,
+    * and hash-partitioning on `clusterCol` alone already satisfies
+    * that window's clustered distribution, so Spark plans no second
+    * exchange (verified: 1 Exchange in the executed plan). At 100 TB
+    * this halves the shuffled bytes of every state materialization. */
+  def latestByKeyClustered(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      clusterCol: String, numPartitions: Int): DataFrame = {
+    val w = Window.partitionBy((clusterCol +: keys).map(col): _*).orderBy(order: _*)
+    df.repartition(numPartitions, col(clusterCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Sequence-number a group: 1-based position under `order` within
     * each key partition (W3: purchase sequence,
     * `customer_360_views.sql:350-353`). */

@@ -17,8 +17,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     es.toDF("src", "dst")
   }
 
-  private def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
-    val labels = ConnectedComponents.run(edgesDf(es), "src", "dst")
+  private def components(
+      es: Seq[(Long, Long)], localMax: Long = ConnectedComponents.LocalSolveMaxEdges
+  ): Map[Long, Long] = {
+    val labels =
+      ConnectedComponents.run(edgesDf(es), "src", "dst", localSolveMaxEdges = localMax)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     labels.unpersist()
     got
@@ -42,7 +45,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // path 1-2-3-...-12: diameter 11 >> the handful of rounds available
     // to pure neighbor-min within maxIter if jumping were broken
     val chain = (1L until 12L).map(i => (i, i + 1))
-    val got = components(chain)
+    // force the ITERATIVE path: a 11-edge list would otherwise solve
+    // driver-side and never exercise the jump
+    val got = components(chain, localMax = 0L)
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == (1L to 12L).toSet)
   }
@@ -54,11 +59,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
-  test("matches union-find on a random graph") {
+  test("matches union-find on a random graph — on BOTH solve paths") {
     val rnd = new scala.util.Random(42)
     val es = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
-    assert(components(es) == unionFind(es))
+    val truth = unionFind(es)
+    assert(components(es) == truth, "local (driver union-find) path")
+    assert(components(es, localMax = 0L) == truth, "iterative (distributed) path")
+  }
+
+  test("local solve matches the iterative path on string vertex ids") {
+    val s = spark
+    import s.implicits._
+    // includes ids whose UTF-8 byte order matters for the canonical min
+    val es = Seq(("b", "a"), ("a", "B"), ("z9", "z10"), ("\u00e9", "zz"))
+    val df = es.toDF("src", "dst")
+    def m(localMax: Long) = {
+      val l = ConnectedComponents.run(df, "src", "dst", localSolveMaxEdges = localMax)
+      val got = l.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      l.unpersist(); got
+    }
+    assert(m(ConnectedComponents.LocalSolveMaxEdges) == m(0L))
   }
 
   test("self-loops and reversed duplicate edges are harmless") {
@@ -133,7 +154,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // double — this pin turns that into a loud failure (VERDICT r9 §4)
     ConnectedComponents.probeFallbacks.set(0L)
     val labels = ConnectedComponents.run(
-      edgesDf((1L until 20L).map(i => (i, i + 1))), "src", "dst")
+      edgesDf((1L until 20L).map(i => (i, i + 1))), "src", "dst",
+      localSolveMaxEdges = 0L)
     assert(labels.count() == 20)
     labels.unpersist(blocking = true)
     assert(ConnectedComponents.probeFallbacks.get() == 0L,
@@ -147,7 +169,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val es = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
     val baseline = sc.getPersistentRDDs.size
     (1 to 3).foreach { _ =>
-      val labels = ConnectedComponents.run(edgesDf(es), "src", "dst")
+      val labels = ConnectedComponents.run(edgesDf(es), "src", "dst",
+        localSolveMaxEdges = 0L)
       assert(labels.count() == 42)
       labels.unpersist(blocking = true)
     }

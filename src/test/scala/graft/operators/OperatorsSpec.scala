@@ -68,6 +68,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(out.select("k", "v")) == Set("[c1,a]", "[c2,c]"))
   }
 
+  test("latestByKeyClustered ≡ latestByKey and plans exactly ONE exchange") {
+    val df = Seq(("c1", 1, "a"), ("c1", 2, "b"), ("c2", 1, "c"), ("c3", 4, "d"))
+      .toDF("k", "ver", "v")
+      .withColumn("__b", pmod(xxhash64(col("k")), lit(4L)))
+    val fused = Dedup.latestByKeyClustered(
+      df, Seq("k"), Seq(col("ver").desc, col("v").asc), "__b", 4)
+    val plain = Dedup.latestByKey(df, Seq("k"), Seq(col("ver").desc, col("v").asc))
+    assert(rows(fused.select("k", "v")) == rows(plain.select("k", "v")))
+    // the fusion's whole point: hash-on-bucket satisfies the window's
+    // clustered distribution, so the cluster exchange is the ONLY one —
+    // a second exchange here means every MV state materialization
+    // shuffles its data twice again
+    fused.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var exchanges = 0
+    def walk(p: SparkPlan): Unit = {
+      if (p.isInstanceOf[ShuffleExchangeLike]) exchanges += 1
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(fused.queryExecution.executedPlan)
+    assert(exchanges == 1, s"expected 1 exchange in fused fold plan, got $exchanges")
+  }
+
   test("sequenceNumber assigns 1-based order per key") {
     val df = Seq(("c1", 3), ("c1", 1), ("c1", 2), ("c2", 9)).toDF("k", "d")
     val out = Dedup.sequenceNumber(df, Seq("k"), Seq(col("d").asc), "seq")
