@@ -48,6 +48,46 @@ class AggregateViewSpec extends AnyFunSuite {
     av.view(spark).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
 
+  test("randomized two-sided CDC equals the full rebuild, both derive scopes") {
+    // Adversarial coverage for the shared refresh fast paths: random
+    // dim versions over a small id pool and random fact versions whose
+    // fid→id assignment is FIXED (the class precondition), split into
+    // build + one batch per side, replayed under both derive scopes.
+    val s = spark; import s.implicits._
+    def sortedRows(d: DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    for (seed <- Seq(11); scope <- Seq(MaterializedView.DefaultKeyScopeMinStateBytes, 0L)) {
+      val rnd = new scala.util.Random(seed)
+      val fidOwner = (0 until 30).map(fid => fid.toLong -> rnd.nextInt(10).toLong).toMap
+      val allDims = (1 to 40).map(i =>
+        (rnd.nextInt(10).toLong, i.toLong, s"n${rnd.nextInt(5)}"))
+      val allFacts = (1 to 60).map { i =>
+        val fid = rnd.nextInt(30).toLong
+        (fid, fidOwner(fid), i.toLong, rnd.nextInt(500).toLong)
+      }
+      val (d0, db) = allDims.partition(_ => rnd.nextInt(3) > 0)
+      val (f0, fb) = allFacts.partition(_ => rnd.nextInt(3) > 0)
+      def mkScoped() = new AggregateView(
+        Files.createTempDirectory("graft_av_rand").toString, Seq("id"),
+        dimKeys = Seq("id"), dimOrder = Seq(col("dversion").desc),
+        factKeys = Seq("fid"), factOrder = Seq(col("fversion").desc),
+        derive, nBuckets = 4, keyScopeMinStateBytes = scope)
+      val inc = mkScoped()
+      inc.build(dims(d0: _*), facts(f0: _*))
+      inc.refreshFacts(facts(fb: _*))
+      inc.refreshDims(dims(db: _*))
+      inc.refreshFacts(facts(fb: _*)) // replayed batch: published no-op
+      val full = mkScoped()
+      full.build(dims(allDims: _*), facts(allFacts: _*))
+      assert(sortedRows(inc.view(s)) == sortedRows(full.view(s)),
+        s"view diverged (seed=$seed scope=$scope)")
+      assert(sortedRows(inc.dims(s)) == sortedRows(full.dims(s)),
+        s"dim state diverged (seed=$seed scope=$scope)")
+      assert(sortedRows(inc.facts(s)) == sortedRows(full.facts(s)),
+        s"fact state diverged (seed=$seed scope=$scope)")
+    }
+  }
+
   test("fact refresh equals full rebuild: new key, new version, late version") {
     val d0 = dims((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
     val f0 = facts((10L, 1L, 1L, 100L), (11L, 1L, 5L, 40L), (20L, 2L, 1L, 7L))

@@ -74,6 +74,51 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewMap(lone) == Map.empty)
   }
 
+  test("randomized batch splits: any refresh sequence equals the full rebuild, both derive scopes") {
+    // Adversarial coverage for the refresh fast paths (batch-key-scoped
+    // change compare, fused clustered fold, no-op skip): random rows
+    // over a small key pool — so batches are full of late-arriving
+    // losers, duplicate keys, NULL keys and soft-deletes — split into
+    // build + 2 CDC batches, replayed under BOTH derive scopes
+    // (whole-bucket and key-scoped). Invariant: published view AND
+    // retained state equal the single-shot full rebuild, row for row.
+    val s = spark
+    import s.implicits._
+    def df(rs: Seq[(Option[Long], Long, Boolean, String)]): DataFrame =
+      rs.toDF("id", "version", "deleted", "payload")
+    def sortedRows(d: DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    for (seed <- Seq(7, 42);
+         scope <- Seq(MaterializedView.DefaultKeyScopeMinStateBytes, 0L)) {
+      val rnd = new scala.util.Random(seed)
+      // globally-unique versions keep the order total (ties would make
+      // rank-1 engine-arbitrary and the equality vacuous-by-luck)
+      val all = (1 to 90).map { i =>
+        val id = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12).toLong)
+        (id, i.toLong, rnd.nextInt(4) == 0, s"p$i")
+      }
+      val split = all.groupBy(_ => rnd.nextInt(3))
+      val (b0, b1, b2) =
+        (split.getOrElse(0, Seq.empty), split.getOrElse(1, Seq.empty),
+          split.getOrElse(2, Seq.empty))
+      def mkScoped() = new MaterializedView(
+        Files.createTempDirectory("graft_mv_rand").toString, Seq("id"),
+        Seq(col("version").desc), derive, nBuckets = 4,
+        keyScopeMinStateBytes = scope)
+      val inc = mkScoped()
+      inc.build(df(b0))
+      inc.refresh(df(b1))
+      inc.refresh(df(b2))
+      inc.refresh(df(b2)) // replayed batch: must be a published no-op
+      val full = mkScoped()
+      full.build(df(all))
+      assert(sortedRows(inc.view(s)) == sortedRows(full.view(s)),
+        s"view diverged (seed=$seed scope=$scope)")
+      assert(sortedRows(inc.state(s)) == sortedRows(full.state(s)),
+        s"state diverged (seed=$seed scope=$scope)")
+    }
+  }
+
   test("writeTasksPerBucket: same results, per-bucket file count stays bounded") {
     // the scale lever for giant buckets: salted clustering must change
     // ONLY the physical layout (more, smaller files per bucket), never
