@@ -122,14 +122,13 @@ final class AggregateView(
   private def writeState(df: DataFrame, path: String): Unit = {
     // callers pass fold output, clustered by construction (foldClustered)
     df.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
-    if (!isPartitioned(path))
+    if (!isPartitioned(path, df.sparkSession))
       df.limit(0).write.mode("overwrite").parquet(path)
   }
 
-  private def isPartitioned(path: String): Boolean = {
+  private def isPartitioned(path: String, spark: SparkSession): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$bucketCol="))
   }
@@ -141,8 +140,22 @@ final class AggregateView(
     * parquet instead of full-width block copies held across the pass. */
   def build(dims: DataFrame, facts: DataFrame): Unit =
     graft.plans.MvRewrite.withRuleDisabled {
-      writeState(foldClustered(withBucket(dims), dimKeys, dimOrder), dimsPath)
-      writeState(foldClustered(withBucket(facts), factKeys, factOrder), factsPath)
+      // The two state materializations are INDEPENDENT jobs (disjoint
+      // inputs, disjoint output paths) — submit them concurrently: on a
+      // cluster they pack the executors instead of leaving them idle
+      // through each other's stage tails; the derive that needs both
+      // starts after the barrier. Plans are constructed on the caller
+      // thread; only the write actions run on the pool.
+      val dState = foldClustered(withBucket(dims), dimKeys, dimOrder)
+      val fState = foldClustered(withBucket(facts), factKeys, factOrder)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fd = scala.concurrent.Future(writeState(dState, dimsPath))(ec)
+        val ff = scala.concurrent.Future(writeState(fState, factsPath))(ec)
+        scala.concurrent.Await.result(fd, scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.Await.result(ff, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val spark = dims.sparkSession
       val ds = spark.read.parquet(dimsPath)
       val fs = spark.read.parquet(factsPath)
@@ -263,7 +276,7 @@ final class AggregateView(
         // partition dirs (bucketCol then reads as both a data and a
         // partition column) — rewrite it fully once; from then on the
         // store is partitioned and refreshes stay bucket-scoped
-        if (isPartitioned(statePath))
+        if (isPartitioned(statePath, spark))
           reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(bucketCol).parquet(statePath)
