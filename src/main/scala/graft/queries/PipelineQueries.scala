@@ -446,8 +446,13 @@ object PipelineQueries {
       val labels = graft.operators.ConnectedComponents.run(old, "src", "dst")
       val (upd, release) = graft.operators.ConnectedComponents
         .incrementalMerge(labels, batch, "src", "dst")
-      val sz = upd.groupBy("comp").agg(count(lit(1)).as("component_size"))
-      val out = upd.join(sz, Seq("comp"))
+      // per-component size as a whole-partition window count: ONE
+      // shuffle on comp and one pass over `upd` — the groupBy +
+      // join-back spelling shuffles the same rows twice and re-derives
+      // the (lazy) merge plan once per join side
+      val out = upd
+        .withColumn("component_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
         .select(col("id").as("node_id"), col("comp"), col("component_size"))
         .orderBy("node_id")
         .persist()

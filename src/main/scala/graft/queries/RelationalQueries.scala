@@ -1407,8 +1407,11 @@ object RelationalQueries {
         release = releaseNext
         labels = next
       }
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-      val out = labels.join(sizes, Seq("lbl"))
+      // whole-partition window count: one shuffle on lbl, one pass over
+      // the checkpointed labels (groupBy + join-back shuffles them twice)
+      val out = labels
+        .withColumn("community_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lbl")))
         .select(col("node").as("partkey"), col("lbl").as("community"),
           col("community_size"))
         .orderBy("partkey")
