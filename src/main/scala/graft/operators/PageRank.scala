@@ -50,6 +50,20 @@ object PageRank {
   /** Scaled transition probabilities: per-source weight fractions. */
   val ProbScale: Long = 1000000L
 
+  /** Collapsed-edge count at or below which the ITERATION runs
+    * driver-side instead of as `iterations` distributed rounds — the
+    * same cost doctrine as [[ConnectedComponents.LocalSolveMaxEdges]]:
+    * each round costs a join + aggregate + eager checkpoint REGARDLESS
+    * of size, pure fixed overhead on a bounded graph. Unlike CC's
+    * min-labels this is not merely equivalent but BIT-IDENTICAL by
+    * construction: every operation is LONG arithmetic with per-edge
+    * floors before order-independent integer sums — the exact
+    * cross-engine determinism contract the oracle already relies on.
+    * The corpus-sized work (transition aggregate, probability scaling)
+    * stays distributed either way; only the loop over the collapsed
+    * (distinct src,dst) frame localizes. */
+  val LocalSolveMaxEdges: Long = 1L << 20
+
   /** Fixed-iteration weighted PageRank. Returns `(id, pr)` — `pr` is
     * the scaled LONG rank; only vertices present in `edges` appear.
     *
@@ -71,7 +85,8 @@ object PageRank {
       weightCol: String,
       iterations: Int = 8,
       damping: Int = 85,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one round")
     require(damping > 0 && damping < 100, "damping is a percent in (0, 100)")
     val e = edges
@@ -85,6 +100,13 @@ object PageRank {
       .select(col("src"), col("dst"),
         expr(s"($ProbScale * w) div outw").as("p"))
       .persist()
+    val nEdges = probs.count() // also materializes the persist
+    if (nEdges <= localSolveMaxEdges &&
+      probs.schema("src").dataType == probs.schema("dst").dataType) {
+      val out = localSolve(probs, iterations, damping, scale)
+      probs.unpersist()
+      return out
+    }
     val verts = probs.select("src")
       .union(probs.select(col("dst").as("src")))
       .distinct()
@@ -116,6 +138,40 @@ object PageRank {
     val out = rank.persist()
     out.count()
     releaseRank()
+    out
+  }
+
+  /** Driver-side replica of the distributed loop on the collected
+    * collapsed-edge frame — bit-identical by construction: `div` on
+    * positive LONGs is the same truncation as Scala `/`, per-edge
+    * floors precede the sums, and LONG addition is order-independent.
+    * Output contract matches [[run]]: persisted, materialized, freed
+    * by `unpersist()`. */
+  private def localSolve(
+      probs: DataFrame, iterations: Int, damping: Int, scale: Long): DataFrame = {
+    val es = probs.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val base = (100L - damping) * scale / 100L
+    var pr = scala.collection.mutable.HashMap[Any, Long]()
+    es.foreach { case (s, d, _) => pr(s) = scale; pr(d) = scale }
+    for (_ <- 1 to iterations) {
+      val contrib = scala.collection.mutable.HashMap[Any, Long]()
+      es.foreach { case (s, d, p) =>
+        val c = damping.toLong * pr(s) * p / (100L * ProbScale)
+        contrib(d) = contrib.getOrElse(d, 0L) + c
+      }
+      val next = scala.collection.mutable.HashMap[Any, Long]()
+      pr.keysIterator.foreach(v => next(v) = base + contrib.getOrElse(v, 0L))
+      pr = next
+    }
+    val idType = probs.schema("src").dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](pr.size)
+    pr.foreach { case (v, p) => rows.add(org.apache.spark.sql.Row(v, p)) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.LongType)))
+    val out = probs.sparkSession.createDataFrame(rows, schema).persist()
+    out.count()
     out
   }
 }

@@ -10,10 +10,13 @@ import graft.SharedSpark
 class PageRankSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
-  private def prMap(es: Seq[(String, String, Long)], iters: Int = 8): Map[String, Long] = {
+  private def prMap(
+      es: Seq[(String, String, Long)], iters: Int = 8,
+      localMax: Long = PageRank.LocalSolveMaxEdges): Map[String, Long] = {
     val s = spark
     import s.implicits._
-    val ranks = PageRank.run(es.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+    val ranks = PageRank.run(es.toDF("src", "dst", "w"), "src", "dst", "w", iters,
+      localSolveMaxEdges = localMax)
     val got = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     ranks.unpersist()
     got
@@ -54,11 +57,13 @@ class PageRankSpec extends AnyFunSuite {
     assert(heavy("y") > heavy("z")) // 90% of x's mass flows to y
   }
 
-  test("matches the scalar fixed-point replay on a random weighted graph") {
+  test("matches the scalar fixed-point replay on a random weighted graph — BOTH solve paths") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(60)((s"v${rnd.nextInt(12)}", s"v${rnd.nextInt(12)}", 1L + rnd.nextInt(20).toLong))
       .filter(e => e._1 != e._2)
-    assert(prMap(es, iters = 6) == reference(es, 6))
+    val truth = reference(es, 6)
+    assert(prMap(es, iters = 6) == truth, "local (driver) path")
+    assert(prMap(es, iters = 6, localMax = 0L) == truth, "iterative (distributed) path")
   }
 
   test("parallel edges add weights (same graph, pre-summed vs duplicated)") {
@@ -72,7 +77,8 @@ class PageRankSpec extends AnyFunSuite {
     val before = sc.getPersistentRDDs.size
     val ranks = PageRank.run(
       prFrame(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))),
-      "src", "dst", "w", iterations = 5)
+      "src", "dst", "w", iterations = 5,
+      localSolveMaxEdges = 0L) // force the distributed loop: its checkpoint hygiene is what this pins
     ranks.count()
     ranks.unpersist(blocking = true)
     assert(sc.getPersistentRDDs.size == before,
