@@ -4152,11 +4152,14 @@ object RelationalQueries {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"))
+      // 30-minute buckets as epoch-interval ordinals (date_trunc has no
+      // sub-hour grain): per-bucket fanout is (concurrent sessions)² —
+      // halving the width halves the pairs each bucket compares, while
+      // the ownership filter keeps emission exactly-once for ANY width
+      val bw = 1800L * 1000000L // bucket width in microseconds
+      def bucketOf(c: Column): Column = floor(unix_micros(c) / bw)
       val buckets = sess.withColumn("bucket",
-        explode(sequence(
-          date_trunc("hour", col("s_start")),
-          date_trunc("hour", col("s_end")),
-          expr("interval 1 hour"))))
+        explode(sequence(bucketOf(col("s_start")), bucketOf(col("s_end")))))
       val a = buckets.select(col("bucket"), col("user_id").as("user_a"),
         col("s_start").as("start_a"), col("s_end").as("end_a"))
       val b = buckets.select(col("bucket"), col("user_id").as("user_b"),
@@ -4165,7 +4168,7 @@ object RelationalQueries {
         .filter(col("user_a") < col("user_b"))
         .filter(col("start_a") < col("end_b") && col("start_b") < col("end_a"))
         .filter(col("bucket") ===
-          date_trunc("hour", greatest(col("start_a"), col("start_b"))))
+          bucketOf(greatest(col("start_a"), col("start_b"))))
         .withColumn("ov_us",
           unix_micros(least(col("end_a"), col("end_b"))) -
             unix_micros(greatest(col("start_a"), col("start_b"))))
