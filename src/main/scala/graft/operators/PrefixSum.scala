@@ -82,9 +82,18 @@ object PrefixSum {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val groupC = groupCols.map(col)
-    val ranged = df
+    // FROZEN to one physical RDD instance: `ranged` feeds TWO branches
+    // (the local window and the totals), and RangePartitioner samples
+    // its bounds per plan instantiation — if the branches each re-plan
+    // the exchange (AQE exchange reuse is an optimization, never a
+    // guarantee; a cached upstream at low parallelism was observed to
+    // defeat it), rows land in DIFFERENT partitions per branch and the
+    // offsets join silently corrupts the sums. Freezing makes the pid
+    // column a single consistent assignment by construction — for both
+    // branches, for repeated actions, and for lost-partition recompute.
+    val ranged = org.apache.spark.sql.GraftSqlShim.freeze(df
       .repartitionByRange(n, groupC ++ orderCols: _*)
-      .withColumn(PidCol, spark_partition_id().cast("long"))
+      .withColumn(PidCol, spark_partition_id().cast("long")))
     val localW = Window
       .partitionBy(groupC :+ col(PidCol): _*)
       .orderBy(orderCols: _*)

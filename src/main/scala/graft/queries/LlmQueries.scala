@@ -1303,7 +1303,16 @@ object LlmQueries {
     * (pre-sort); cluster labels come from the session-shared
     * [[survivorComponents]] map, so there is nothing per-call to
     * release. */
-  private def trainingChunkStage(s: SparkSession, dir: String): DataFrame = {
+  private def trainingChunkStage(s: SparkSession, dir: String): DataFrame =
+    // session-shared: BOTH capstone heads (corpus_training_mix and
+    // corpus_training_tokens) consume the identical six-stage chunk
+    // frame — and its size is bounded by the per-source token budget,
+    // so the memo is batch-sized, not corpus-sized
+    graft.SharedFrames.cached(s, s"training_chunks:$dir") {
+      trainingChunkStageUncached(s, dir)
+    }
+
+  private def trainingChunkStageUncached(s: SparkSession, dir: String): DataFrame = {
     // canon set off the session-shared component map (one propagation
     // serves corpus_clean_clustered and both capstone heads)
     val canon = labeledSurvivors(s, dir)

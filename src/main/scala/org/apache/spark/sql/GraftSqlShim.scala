@@ -27,6 +27,25 @@ object GraftSqlShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Pin a DataFrame to ONE physical RDD instance (lazy — no job runs
+    * here, nothing is cached). Needed when a plan's output is
+    * NONDETERMINISTIC-per-execution and MULTIPLE downstream branches
+    * must observe the SAME instance: `repartitionByRange` samples its
+    * range bounds per physical-plan instantiation (the sample seed
+    * involves the RDD id), so two branches that each re-plan the same
+    * range exchange can disagree about which partition a row landed in
+    * — silently corrupting anything joined on `spark_partition_id()`.
+    * Freezing through the executed RDD makes both branches (and any
+    * lost-partition recompute — the bounds live in the one partitioner
+    * object) read identical partitioning by construction. Rows are
+    * copied out of the shuffle reader's reused buffers. */
+  def freeze(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema)
+  }
+
   /** The materialized RDD behind a (local)checkpointed Dataset — its
     * `LogicalRDD` leaf. Lets `graft.Lineage` release exactly the
     * checkpoint's storage blocks, never an RDD some other job happened

@@ -89,6 +89,38 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("correct and repeatable over a PERSISTED input (pid-frame freeze regression)") {
+    // The observed corruption mode: a cached upstream defeated AQE's
+    // exchange reuse, each branch re-sampled DIFFERENT range bounds
+    // (the sample seed involves the RDD id), and the offsets join
+    // silently mis-assigned partition offsets — results varied run to
+    // run (corpus_training_tokens flipped 256/257/258 rows at 4
+    // shuffle partitions). The pid frame is now frozen to one RDD
+    // instance; this pins both correctness and run-to-run stability
+    // over a persisted input at low partition counts.
+    val spark0 = spark
+    import spark0.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 900).map { i =>
+      (s"g${rng.nextInt(4)}", i.toLong, rng.nextInt(50).toLong)
+    }
+    val df = rows.toDF("g", "id", "v").repartition(5).persist()
+    df.count()
+    try {
+      val expect = singleWindow(df, "g", Seq(col("id")))
+        .select("g", "id", "expect")
+      val runs = (1 to 3).map { _ =>
+        val got = PrefixSum.runningSum(df, Seq("g"), Seq(col("id")),
+          col("v"), "cum", numPartitions = 4)
+        val bad = got.join(expect, Seq("g", "id"))
+          .filter(col("cum") =!= col("expect")).count()
+        assert(bad == 0, s"$bad diverging rows on persisted input")
+        got.orderBy("g", "id").collect().map(_.toString).toSeq
+      }
+      assert(runs.distinct.size == 1, "running sums varied across identical runs")
+    } finally df.unpersist()
+  }
+
   test("rankVariants equals the five single-window rank functions on a skewed tie-heavy frame") {
     val spark0 = spark
     import spark0.implicits._
