@@ -168,6 +168,22 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // Compact trailing summary — the LAST stdout line, <1 KB by
+    // construction. The driver records only a ~2 KB stdout tail, and the
+    // full per-query line above (~30 KB at 246 queries) has never
+    // survived it: BENCH_r01-r11 all carry "parsed": null with a
+    // truncated string. This line always fits the tail whole, so the
+    // committed artifact finally holds one complete parseable record;
+    // per-query detail stays in the line above and the self-dump file.
+    def r3(v: Double): BigDecimal =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val top = timings.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":$coldTotal,""" +
+        s""""reps":$reps,"n_queries":${timings.size},"n_errors":${errors.size},""" +
+        s""""total_shuffle_write_mb":$totalShuffleMb,"total_spill_mb":$totalSpillMb,""" +
+        s""""top":$top,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

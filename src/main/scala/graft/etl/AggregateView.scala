@@ -153,8 +153,14 @@ final class AggregateView(
         val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fd = scala.concurrent.Future(writeState(dState, dimsPath))(ec)
         val ff = scala.concurrent.Future(writeState(fState, factsPath))(ec)
-        scala.concurrent.Await.result(fd, scala.concurrent.duration.Duration.Inf)
-        scala.concurrent.Await.result(ff, scala.concurrent.duration.Duration.Inf)
+        // wait for BOTH to COMPLETE (success or failure) before
+        // propagating the first error: throwing while the sibling write
+        // still runs would let it outlive build(), racing a caller's
+        // catch-and-retry overwrite of the same path
+        scala.concurrent.Await.ready(fd, scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.Await.ready(ff, scala.concurrent.duration.Duration.Inf)
+        fd.value.get.get
+        ff.value.get.get
       } finally pool.shutdown()
       val spark = dims.sparkSession
       val ds = spark.read.parquet(dimsPath)

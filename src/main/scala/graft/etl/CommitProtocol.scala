@@ -162,8 +162,15 @@ class ScanCommit(keepKeys: Int = 2) extends CommitProtocol {
           } finally in.close()
         unframe(bytes)
       } catch {
+        // deleted-after-list is the EXPECTED publisher race — silent
         case _: java.io.FileNotFoundException => None
-        case _: java.io.IOException => None
+        // any other IO failure still falls through (the older key keeps
+        // complete-old-or-new intact) but is logged: a persistent storage
+        // fault must be diagnosable, not masked as staleness
+        case e: java.io.IOException =>
+          System.err.println(
+            s"graft ScanCommit.read: skipping $p after IO error: $e")
+          None
       }
     }.nextOption()
   }

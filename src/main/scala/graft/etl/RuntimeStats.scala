@@ -120,6 +120,14 @@ object RuntimeStats {
           (n == 0 && stableFor >= 100)
         if (!done) Thread.sleep(20)
       }
+      // visibility for the stable-zero escape / deadline: a body that ran
+      // Spark jobs but produced no listener event leaves a hole in the
+      // profile — log it so a dropped capture is diagnosable, not silent
+      if (pending.isEmpty && jobsSeen != jobs0 && (captured + failed) == ev0)
+        System.err.println(
+          s"graft RuntimeStats.profile($name): saw Spark jobs but no " +
+            "QueryExecution event arrived within the drain window; " +
+            "this action's plan is missing from the profile")
       pending.asScala.foreach(qe => harvest(name, qe.executedPlan))
       pending.clear()
       r

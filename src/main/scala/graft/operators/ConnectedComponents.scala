@@ -86,7 +86,11 @@ object ConnectedComponents {
       .persist()
     val idType = half.schema("src").dataType
     val nEdges = half.count() // also materializes the persist
-    if (nEdges <= localSolveMaxEdges && localOrdering(idType).isDefined) {
+    // both endpoint types must agree for the driver-side solve: its maps
+    // key on raw boxed ids, so a mixed src/dst frame (which the iterative
+    // path's union would widen) must take the distributed path instead
+    if (nEdges <= localSolveMaxEdges && half.schema("dst").dataType == idType &&
+        localOrdering(idType).isDefined) {
       val out = localSolve(half, idType)
       half.unpersist()
       return out

@@ -388,4 +388,33 @@ object Customer360 {
         (!coalesce(col("phone_opt_out"), lit(false))).as("can_call"),
         (!coalesce(col("mail_opt_out"), lit(false))).as("can_mail"),
         col("last_updated").as("preferences_last_updated"))
+
+  /** Register the whole view stack as session temp views so SQL-text
+    * users compose them by name exactly like the reference warehouse
+    * (`sql/customer_360_views.sql:23-742` — views referencing views):
+    * `spark.sql("SELECT customer_segment, count(*) FROM
+    * customer_segments GROUP BY 1")` works after one call. Names drop
+    * the reference's `marketing.` schema prefix (temp views are
+    * unqualified). Views are LAZY — registration plans nothing; each
+    * query's optimizer prunes the stack to what it actually reads.
+    *
+    * `profileTiebreak` is threaded to [[customerProfiles]]'s dedup
+    * window for reproducible rank-1 (pass a unique source column). */
+  def registerAll(
+      customerMaster: DataFrame,
+      vehicleSales: DataFrame,
+      asOf: Column,
+      profileTiebreak: Seq[Column] = Nil): Unit = {
+    val profiles = customerProfiles(customerMaster, asOf, profileTiebreak)
+    val history = vehicleHistory(vehicleSales, asOf)
+    profiles.createOrReplaceTempView("customer_profiles")
+    history.createOrReplaceTempView("customer_vehicle_history")
+    customerSegments(profiles, history, asOf)
+      .createOrReplaceTempView("customer_segments")
+    dealershipProfiles(profiles, vehicleSales)
+      .createOrReplaceTempView("dealership_customer_profiles")
+    validatedSales(vehicleSales, profiles)
+      .createOrReplaceTempView("validated_vehicle_sales")
+    privacyStatus(profiles).createOrReplaceTempView("data_privacy_status")
+  }
 }

@@ -203,6 +203,37 @@ class Customer360Spec extends AnyFunSuite {
     assert(out("D1").getAs[Int]("customer_purchase_sequence") == 2)
   }
 
+  test("registerAll: SQL text over the registered stack matches the DataFrame path") {
+    Customer360.registerAll(cm, vs, asOf)
+    // every view is queryable by name, and row counts match the builders
+    val expected = Map(
+      "customer_profiles" -> profiles.count(),
+      "customer_vehicle_history" -> history.count(),
+      "customer_segments" -> Customer360.customerSegments(profiles, history, asOf).count(),
+      "dealership_customer_profiles" -> Customer360.dealershipProfiles(profiles, vs).count(),
+      "validated_vehicle_sales" -> Customer360.validatedSales(vs, profiles).count(),
+      "data_privacy_status" -> Customer360.privacyStatus(profiles).count())
+    expected.foreach { case (name, n) =>
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == n, name)
+    }
+    // the SURVEY §7.1(4) contract verbatim: aggregate SQL over the
+    // registered segments view == the DataFrame path
+    val sqlOut = spark.sql(
+        "SELECT customer_segment, count(*) AS n FROM customer_segments GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfOut = Customer360.customerSegments(profiles, history, asOf)
+      .groupBy("customer_segment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlOut.nonEmpty && sqlOut == dfOut)
+    // views compose BY NAME like the reference warehouse: a SQL join of
+    // two registered views resolves without touching the builders
+    val joined = spark.sql(
+      """SELECT s.custno FROM customer_segments s
+         JOIN data_privacy_status p ON s.custno = p.custno
+         WHERE p.can_email""").collect().map(_.getString(0)).toSet
+    assert(joined == Set("C1", "C3")) // C2's blockemail drops it
+  }
+
   test("privacyStatus: marketing-status ladder + can_* flags") {
     val ps = Customer360.privacyStatus(profiles)
       .collect().map(r => r.getAs[String]("custno") -> r).toMap
