@@ -216,13 +216,15 @@ final class AggregateView(
       factsSide: Boolean): Unit = graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     // checkpoint the (CDC-bounded) batch once: its plan can be
-    // arbitrarily expensive and the refresh reads it three times —
-    // bucket collect, fold input, batch-key compare scope
-    val (b, releaseB) = graft.Lineage.checkpointed(withBucket(batch))
+    // arbitrarily expensive and the refresh reads it three times (fold
+    // input, batch-key probes); its bucket ids — bounded metadata,
+    // ≤ nBuckets longs — ride the checkpoint job as an observed metric
+    val observedBatch = withBucket(batch).observe(
+      "graft_mv_batch", collect_set(col(bucketCol)).as("buckets"))
+    val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
     try {
-    // bucket ids are bounded metadata (≤ nBuckets longs) — a catalog
-    // lookup for partition pruning, not a data scan
-    val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
+    val buckets = MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
+      .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
     if (buckets.isEmpty) return
     val otherPath = if (factsSide) dimsPath else factsPath
     val keyScoped =
@@ -231,65 +233,66 @@ final class AggregateView(
         keyScopeMinStateBytes
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
-    val (newState, release) = graft.Lineage.checkpointed(foldClustered(
-      oldState.unionByName(b.select(oldState.columns.map(col): _*)),
-      keys, order))
+    val batchKeys = b.select(keys.map(col): _*).distinct()
+    // fold + change flag + changed-bucket metric fused into ONE
+    // checkpointed job, resolved BEFORE any write while oldState's
+    // inputs are intact — broadcast batch-key-scoped probes, so the
+    // compare is O(batch keys) and the fold's bucket clustering
+    // survives to the state write (see MaterializedView.flagChanged /
+    // MaterializedView.refresh)
+    val flagged = MaterializedView.flagChanged(
+        foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*)),
+          keys, order),
+        oldState, batchKeys, keys, bucketCol)
+      .observe("graft_mv_changed", collect_set(
+        when(col(MaterializedView.ChangedCol), col(bucketCol))).as("buckets"))
+    val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
     try {
-      // resolved BEFORE any write, while oldState's inputs are intact;
-      // checkpointed only on the key-scoped path, where it feeds three
-      // plans (bucket collect, both derive-input scopes, carry-forward).
-      // Scoped to the batch's ROW KEYS on both sides first — the fold
-      // can only change rows whose key is in the batch, so the
-      // fingerprint compare is O(batch keys), not O(dirty-bucket state)
-      // (see MaterializedView.refresh).
-      val batchKeys = b.select(keys.map(col): _*).distinct()
-      val changedPlan = MaterializedView.changedRows(
-        MaterializedView.semiOnKeys(newState, batchKeys, keys),
-        MaterializedView.semiOnKeys(oldState, batchKeys, keys), bucketCol)
-      val (changedRows, releaseChanged) =
-        if (keyScoped) graft.Lineage.checkpointed(changedPlan)
-        else (changedPlan, () => ())
-      try {
-        val changed = changedRows.select(bucketCol).distinct().collect().map(_.getLong(0))
-        if (changed.isEmpty) return
-        val inChanged = col(bucketCol).isin(changed: _*)
-        val other = spark.read.parquet(otherPath).filter(inChanged)
-        val newViewRows =
-          if (!keyScoped) {
-            val (dimsPruned, factsPruned) =
-              if (factsSide) (other, newState.filter(inChanged))
-              else (newState.filter(inChanged), other)
-            withBucket(derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
-          } else {
-            // the aggregation keys whose view rows must be re-derived
-            val changedAgg = changedRows.select(bucketKeys.map(col): _*).distinct()
-            val refreshedScoped = MaterializedView.semiOnKeys(
-              newState.filter(inChanged), changedAgg, bucketKeys)
-            val otherScoped = MaterializedView.semiOnKeys(other, changedAgg, bucketKeys)
-            val (dimsPruned, factsPruned) =
-              if (factsSide) (otherScoped, refreshedScoped)
-              else (refreshedScoped, otherScoped)
-            val derived = withBucket(
-              derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
-            store.readBuckets(spark, changed.toIndexedSeq)
-              .map(v => derived.unionByName(
-                withBucket(MaterializedView.antiOnKeys(v, changedAgg, bucketKeys))))
-              .getOrElse(derived)
-          }
-        store.publish(clustered(newViewRows), changed.toIndexedSeq)
-        // a store that was EMPTY at build time is a single unpartitioned
-        // file: dynamic overwrite would leave it behind next to the new
-        // partition dirs (bucketCol then reads as both a data and a
-        // partition column) — rewrite it fully once; from then on the
-        // store is partitioned and refreshes stay bucket-scoped
-        if (isPartitioned(statePath, spark))
-          reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucketCol).parquet(statePath)
-        else
-          reclusterForWrite(newState).write.mode("overwrite")
-            .partitionBy(bucketCol).parquet(statePath)
-      } finally releaseChanged()
+      val newState = flaggedCp.drop(MaterializedView.ChangedCol)
+      val changedRows =
+        flaggedCp.filter(col(MaterializedView.ChangedCol))
+          .drop(MaterializedView.ChangedCol)
+      val changed = MaterializedView.observedBuckets(flagged, "graft_mv_changed")
+        .getOrElse(changedRows.select(bucketCol).distinct()
+          .collect().map(_.getLong(0)).toSeq)
+      if (changed.isEmpty) return
+      val inChanged = col(bucketCol).isin(changed: _*)
+      val other = spark.read.parquet(otherPath).filter(inChanged)
+      val newViewRows =
+        if (!keyScoped) {
+          val (dimsPruned, factsPruned) =
+            if (factsSide) (other, newState.filter(inChanged))
+            else (newState.filter(inChanged), other)
+          withBucket(derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
+        } else {
+          // the aggregation keys whose view rows must be re-derived
+          val changedAgg = changedRows.select(bucketKeys.map(col): _*).distinct()
+          val refreshedScoped = MaterializedView.semiOnKeys(
+            newState.filter(inChanged), changedAgg, bucketKeys)
+          val otherScoped = MaterializedView.semiOnKeys(other, changedAgg, bucketKeys)
+          val (dimsPruned, factsPruned) =
+            if (factsSide) (otherScoped, refreshedScoped)
+            else (refreshedScoped, otherScoped)
+          val derived = withBucket(
+            derive(dimsPruned.drop(bucketCol), factsPruned.drop(bucketCol)))
+          store.readBuckets(spark, changed)
+            .map(v => derived.unionByName(
+              withBucket(MaterializedView.antiOnKeys(v, changedAgg, bucketKeys))))
+            .getOrElse(derived)
+        }
+      store.publish(clustered(newViewRows), changed)
+      // a store that was EMPTY at build time is a single unpartitioned
+      // file: dynamic overwrite would leave it behind next to the new
+      // partition dirs (bucketCol then reads as both a data and a
+      // partition column) — rewrite it fully once; from then on the
+      // store is partitioned and refreshes stay bucket-scoped
+      if (isPartitioned(statePath, spark))
+        reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketCol).parquet(statePath)
+      else
+        reclusterForWrite(newState).write.mode("overwrite")
+          .partitionBy(bucketCol).parquet(statePath)
     } finally release()
     } finally releaseB()
   }

@@ -231,12 +231,11 @@ final class MaterializedView(
     * very key columns `derive` must preserve, so a key's view rows
     * depend only on that key's state row and land in that key's bucket
     * (per-key locality is a `derive` precondition of this class). But
-    * it is not FREE: it adds a checkpoint of the changed rows, a
-    * null-safe anti join against the served generation, and a union —
-    * fixed extra stages that cost more than they save when the dirty
-    * buckets are small enough that re-deriving them whole is trivial
-    * (measured at the sf0.1 bench: +2-5 s per refresh for derive work
-    * worth less than that). So the scope is chosen by the dirty
+    * it is not FREE: it adds a null-safe anti join against the served
+    * generation and a union — extra stages that cost more than they
+    * save when the dirty buckets are small enough that re-deriving
+    * them whole is trivial (measured at the sf0.1 bench: +2-5 s per
+    * refresh for derive work worth less). So the scope is chosen by the dirty
     * buckets' on-disk STATE SIZE — an FS-metadata probe, zero jobs:
     * below `keyScopeMinStateBytes`, whole dirty buckets are re-derived
     * straight off the checkpointed fold (no carry-forward joins); at
@@ -252,70 +251,71 @@ final class MaterializedView(
     // The batch is CDC-bounded in SIZE but its PLAN can be arbitrarily
     // expensive (a filtered multi-way join in the bench; a cross-system
     // extract in production), and the refresh consumes it three times —
-    // bucket collect, fold input, batch-key scope of the change
-    // compare. Checkpoint once, read three times.
-    val (b, releaseB) = graft.Lineage.checkpointed(withBucket(batch))
+    // fold input, batch-key probes of the change flag. Checkpoint once,
+    // read three times; the batch's bucket ids (bounded metadata,
+    // ≤ nBuckets longs) ride the checkpoint job as an observed metric
+    // instead of costing a separate distinct+collect job.
+    val observedBatch = withBucket(batch).observe(
+      "graft_mv_batch", collect_set(col(bucketCol)).as("buckets"))
+    val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
     try {
-    // bucket ids are bounded metadata (≤ nBuckets longs) — this collect
-    // is a catalog lookup for partition pruning, not a data scan
-    val buckets = b.select(bucketCol).distinct().collect().map(_.getLong(0))
+    val buckets = MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
+      .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
     if (buckets.isEmpty) return
     val keyScoped = MaterializedView.bucketBytes(
       spark, statePath, bucketCol, buckets) >= keyScopeMinStateBytes
     val oldState = spark.read.parquet(statePath)
       .filter(col(bucketCol).isin(buckets: _*))
-    // sever lineage before overwriting its input (read-overwrite hazard)
-    val (newState, release) = graft.Lineage.checkpointed(foldClustered(
-      oldState.unionByName(b.select(oldState.columns.map(col): _*))))
+    val batchKeys = b.select(keys.map(col): _*).distinct()
+    // Fold, change flag and changed-bucket probe fused into ONE
+    // checkpointed job (r12: the fixed per-refresh stages — not the
+    // derive — dominated the sf0.1 refresh cost). The flag compare is
+    // resolved with the fold, BEFORE any write, while oldState's input
+    // files are intact; its probe joins are batch-key-scoped (the
+    // per-key fold can only change rows whose key appears in the batch)
+    // and BROADCAST, so the fold's physical bucket clustering survives
+    // to the state write — see [[MaterializedView.flagChanged]]. The
+    // checkpoint also severs lineage before the read-overwrite
+    // (identical hazard discipline as before), and the changed-bucket
+    // ids ride it as an observed metric.
+    val flagged = MaterializedView.flagChanged(
+        foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*))),
+        oldState, batchKeys, keys, bucketCol)
+      .observe("graft_mv_changed", collect_set(
+        when(col(MaterializedView.ChangedCol), col(bucketCol))).as("buckets"))
+    val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
     try {
-      // the change compare is resolved BEFORE any write, while
-      // oldState's input files are still intact (newState is
-      // checkpointed; oldState is not). In the key-scoped path it is
-      // checkpointed too: batch-sized, and consumed by three plans
-      // (bucket collect, derive, carry-forward anti join) — each would
-      // otherwise re-run the fingerprint anti join per use. In the
-      // whole-bucket path only the bucket ids are needed, so the plan
-      // runs once uncheckpointed, exactly as a changed-bucket probe.
-      // Both compare sides are scoped to the BATCH'S KEYS first: the
-      // per-key fold can only change rows whose key appears in the
-      // batch, so fingerprinting the rest of the dirty buckets is
-      // provably wasted work — the to_json + anti join drop from
-      // O(dirty-bucket state) to O(batch keys), and the semi joins
-      // broadcast the batch-sized key set instead of shuffling state.
-      val batchKeys = b.select(keys.map(col): _*).distinct()
-      val changedPlan = MaterializedView.changedRows(
-        MaterializedView.semiOnKeys(newState, batchKeys, keys),
-        MaterializedView.semiOnKeys(oldState, batchKeys, keys), bucketCol)
-      val (changedRows, releaseChanged) =
-        if (keyScoped) graft.Lineage.checkpointed(changedPlan)
-        else (changedPlan, () => ())
-      try {
-        val changed = changedRows.select(bucketCol).distinct().collect().map(_.getLong(0))
-        if (changed.isEmpty) return
-        val inChanged = col(bucketCol).isin(changed: _*)
-        val newViewRows =
-          if (!keyScoped) withBucket(derive(newState.filter(inChanged).drop(bucketCol)))
-          else {
-            // re-derive ONLY the changed keys; the republished buckets'
-            // unchanged keys ride along from the served generation
-            val changedKeys = changedRows.select(keys.map(col): _*).distinct()
-            val derived = withBucket(derive(changedRows.drop(bucketCol)))
-            // the carry-forward reads live generation files, which a
-            // publish never mutates
-            store.readBuckets(spark, changed.toIndexedSeq)
-              .map(v => derived.unionByName(
-                withBucket(MaterializedView.antiOnKeys(v, changedKeys, keys))))
-              .getOrElse(derived)
-          }
-        // the publish is atomic per GenerationStore, and it precedes
-        // the state write per the crash contract above
-        store.publish(clustered(newViewRows), changed.toIndexedSeq)
-        onAfterPublish()
-        reclusterForWrite(newState.filter(inChanged))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(bucketCol).parquet(statePath)
-      } finally releaseChanged()
+      val newState = flaggedCp.drop(MaterializedView.ChangedCol)
+      val changedRows =
+        flaggedCp.filter(col(MaterializedView.ChangedCol))
+          .drop(MaterializedView.ChangedCol)
+      val changed = MaterializedView.observedBuckets(flagged, "graft_mv_changed")
+        .getOrElse(changedRows.select(bucketCol).distinct()
+          .collect().map(_.getLong(0)).toSeq)
+      if (changed.isEmpty) return
+      val inChanged = col(bucketCol).isin(changed: _*)
+      val newViewRows =
+        if (!keyScoped) withBucket(derive(newState.filter(inChanged).drop(bucketCol)))
+        else {
+          // re-derive ONLY the changed keys; the republished buckets'
+          // unchanged keys ride along from the served generation
+          val changedKeys = changedRows.select(keys.map(col): _*).distinct()
+          val derived = withBucket(derive(changedRows.drop(bucketCol)))
+          // the carry-forward reads live generation files, which a
+          // publish never mutates
+          store.readBuckets(spark, changed)
+            .map(v => derived.unionByName(
+              withBucket(MaterializedView.antiOnKeys(v, changedKeys, keys))))
+            .getOrElse(derived)
+        }
+      // the publish is atomic per GenerationStore, and it precedes
+      // the state write per the crash contract above
+      store.publish(clustered(newViewRows), changed)
+      onAfterPublish()
+      reclusterForWrite(newState.filter(inChanged))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucketCol).parquet(statePath)
     } finally release()
     } finally releaseB()
   }
@@ -378,27 +378,61 @@ object MaterializedView {
         Map("ignoreNullFields" -> "false")).as("__mv_row_json"))
   }
 
-  /** New-state rows whose latest-per-key fold CHANGED anything — full
-    * rows whose fingerprint is absent from the old state (the fold
-    * never drops a key, so new-minus-old captures every insert and
-    * update). A LEFT ANTI join, not `exceptAll`: fingerprints embed
-    * their key so rows are unique per side and the two are equivalent —
-    * but exceptAll plans a sum-of-counts aggregate plus a
-    * Generate(ReplicateRows) whose generator is interpreted
-    * (CodegenFallback), while the anti join stays whole-stage-codegen
-    * (pinned by PlanAuditSpec's heavies audit). */
-  private[graft] def changedRows(
-      newState: DataFrame, oldState: DataFrame, bucketCol: String): DataFrame = {
+  /** Marker column [[flagChanged]] appends: true exactly on the
+    * new-state rows whose latest-per-key fold CHANGED anything. */
+  private[graft] val ChangedCol = "__mv_changed"
+
+  /** `newState` plus [[ChangedCol]]: true on rows whose key appears in
+    * `batchKeys` (the per-key fold can only change rows whose key is in
+    * the batch — fingerprinting the rest of the dirty buckets is
+    * provably wasted work) AND whose fingerprint is absent from the old
+    * state (the fold never drops a key, so new-minus-old captures every
+    * insert and update). LEFT probe joins, not `exceptAll`: fingerprints
+    * embed their key so each side is unique per (bucket, json) — no row
+    * duplication — and the joins stay whole-stage-codegen, while
+    * exceptAll plans a sum-of-counts aggregate plus an interpreted
+    * Generate(ReplicateRows) (pinned by PlanAuditSpec's heavies audit).
+    *
+    * Both probe sides are BROADCAST by hint — the batch is CDC-bounded
+    * by contract — so the flag rides the fold's own checkpoint job as
+    * NARROW operators: the fold's physical bucket clustering survives
+    * to the downstream partitioned state write (no re-shuffle, no
+    * small-file explosion), and the refresh saves the separate
+    * change-compare job (plus its checkpoint on the key-scoped path) it
+    * used to run. `batchKeys` must be DISTINCT, or the in-batch probe
+    * would duplicate state rows. */
+  private[graft] def flagChanged(
+      newState: DataFrame, oldState: DataFrame, batchKeys: DataFrame,
+      keys: Seq[String], bucketCol: String): DataFrame = {
     val dataCols = newState.columns.filter(_ != bucketCol).sorted
+    val renamed = keys.map(k => s"__mvk_$k")
+    val inBatch = broadcast(batchKeys.select(keys.map(col): _*).toDF(renamed: _*)
+      .withColumn("__mv_in_batch", lit(true)))
+    val oldFp = broadcast(
+      fingerprints(semiOnKeys(oldState, batchKeys, keys), bucketCol)
+        .withColumn("__mv_seen", lit(true)))
     newState
       .withColumn(bucketCol, col(bucketCol).cast("long"))
+      .join(inBatch,
+        keys.zip(renamed).map { case (l, r) => col(l) <=> col(r) }.reduce(_ && _),
+        "left")
+      .drop(renamed: _*)
+      // fingerprint ONLY in-batch rows; a null join key matches nothing
       .withColumn("__mv_row_json",
-        to_json(struct(dataCols.map(col): _*),
-          Map("ignoreNullFields" -> "false")))
-      .join(fingerprints(oldState, bucketCol),
-        Seq(bucketCol, "__mv_row_json"), "left_anti")
-      .drop("__mv_row_json")
+        when(col("__mv_in_batch"), to_json(struct(dataCols.map(col): _*),
+          Map("ignoreNullFields" -> "false"))))
+      .join(oldFp, Seq(bucketCol, "__mv_row_json"), "left")
+      .withColumn(ChangedCol,
+        coalesce(col("__mv_in_batch"), lit(false)) && col("__mv_seen").isNull)
+      .drop("__mv_in_batch", "__mv_row_json", "__mv_seen")
   }
+
+  /** The bucket-id set an `observe(name, collect_set(...))` metric
+    * captured on `df`'s materializing job, if the runtime delivered it
+    * (callers keep a distinct+collect fallback — same doctrine as
+    * ConnectedComponents' convergence probe). */
+  private[graft] def observedBuckets(df: DataFrame, name: String): Option[Seq[Long]] =
+    df.queryExecution.observedMetrics.get(name).map(_.getSeq[Long](0).toSeq)
 
   /** `df` rows whose `keys` tuple appears in `keysDf` (same-named
     * columns). NULL-SAFE equality — the latest-wins window groups NULL
