@@ -27,7 +27,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** One query per determinism-risk family. */
+  /** One query per determinism-risk family, PLUS the full top-10 bench
+    * heavies (r12, after the r11 `GraftSqlShim.freeze` fix proved
+    * partitioning-sensitive plans can silently corrupt under
+    * re-planning — every heavy runs under both shapes, not a subset). */
   private val queries = Seq(
     "a3_brands_by_recency",   // custom Aggregator: distinct + order-by-other buffer
     "a10_topk_per_group",     // packed-heap Aggregator, per-partition merge order
@@ -38,7 +41,15 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "corpus_bpe_merges",      // iterative argmax loop (deterministic tie-break)
     "j14_session_overlap",    // owned-bucket exactly-once pair emission
     "graph_lpa_communities",  // synchronous iterative label propagation
-    "emb_kmeans_lloyd")       // exact-replay distributed Lloyd rounds
+    "emb_kmeans_lloyd",       // exact-replay distributed Lloyd rounds
+    // remaining top-10 bench heavies (the four above are already in)
+    "mv_segments_refresh",    // build + CDC refresh, fold/flag/publish pipeline
+    "mv_profiles_refresh",    // MaterializedView refresh path
+    "id_incremental_components", // pointer-jumped CC + shared-edge memos
+    "dedup_ngram_jaccard",    // shingle inverted-index pair join
+    "a26_hll_rollup",         // mergeable HLL sketch rollup
+    "emb_semdedup",           // centroid-bucketed semantic dedup
+    "graph_copurchase_triangles") // degree-oriented wedge join
 
   private def runAll(): Map[String, Seq[String]] =
     queries.map { n =>

@@ -844,6 +844,86 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("partition-less windows: every unpartitioned WindowExec sits on a bounded frame") {
+    // A window with no PARTITION BY serializes through ONE task — fine
+    // on a frame bounded by a limit or a metadata-cardinality aggregate,
+    // a silent single-task bottleneck on anything that grows with the
+    // corpus (the r11 bench log's `WindowExec: No Partition Defined`
+    // warnings all traced to bounded frames BY READING; this makes that
+    // true BY TEST, so the next bounded-looking frame that grows 100×
+    // is loud). Two layers: (1) the offender set must be exactly the
+    // reviewed whitelist — any NEW unpartitioned window anywhere fails
+    // here and must be justified; (2) every whitelisted window except
+    // w10's deliberate semantics pin must be STRUCTURALLY bounded — a
+    // limit or aggregate in its child subtree (cached builds included).
+    import org.apache.spark.sql.execution.{SparkPlan, GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+        case q: QueryStageExec => walk(q.plan)(f)
+        case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)(f)
+        case other => other.children.foreach(walk(_)(f))
+      }
+    }
+    def bounded(p: SparkPlan): Boolean = {
+      var ok = false
+      walk(p) {
+        case _: GlobalLimitExec | _: LocalLimitExec |
+             _: TakeOrderedAndProjectExec | _: CollectLimitExec => ok = true
+        case _: BaseAggregateExec => ok = true
+        case _ => ()
+      }
+      ok
+    }
+    // query -> why its unpartitioned window is safe (reviewed r12).
+    // ExactQuantiles entries look partition-less because their constant
+    // stratum column folds out of the partition spec; the frame under
+    // them is per-entity AGGREGATES with a documented swap to
+    // approx_percentile / PrefixSum at billion-entity scale.
+    val whitelist: Map[String, String] = Map(
+      "w10_rank_variants" -> ("deliberate semantics pin of the dimension-sized " +
+        "window family; corpus-scale twin is w11_scalable_ranks via PrefixSum"),
+      "a29_daily_anomalies" -> "day-level aggregate frame (rows = days in range)",
+      "a30_new_vs_returning" -> "day-level aggregate frame (rows = days in range)",
+      "a32_conversion_latency" -> ("ExactQuantiles over per-user latency " +
+        "aggregates, one constant stratum (see operator scaladoc)"),
+      "rfm_segments" -> ("ExactQuantiles threshold stage over per-customer " +
+        "aggregates; query scaladoc documents the billion-customer swap"),
+      "corpus_vocab" -> "vocab rank after limit(VocabK)",
+      "corpus_token_ids" -> "embeds the corpus_vocab stage: rank after limit(VocabK)",
+      "corpus_training_tokens" -> "embeds the corpus_vocab stage: rank after limit(VocabK)",
+      "rag_hybrid_topk" -> "RRF ranks over top-K-limited retrieval pools",
+      "mix_dsir_sample" -> "sample rank after limit(DsirK)",
+      "stats_key_skew" -> ("cumulative sum over the multiplicity histogram " +
+        "(rows = distinct multiplicities, metadata-sized)"))
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.allQueries.foreach { q =>
+      val df = q.run(spark, dir)
+      val unpartitioned = scala.collection.mutable.ArrayBuffer[(SparkPlan, SparkPlan)]()
+      walk(df.queryExecution.executedPlan) {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          unpartitioned += ((w, w.child))
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          unpartitioned += ((w, w.child))
+        case _ => ()
+      }
+      df.unpersist()
+      if (unpartitioned.nonEmpty) {
+        if (!whitelist.contains(q.name))
+          offenders += s"${q.name}: unpartitioned window NOT whitelisted"
+        else if (q.name != "w10_rank_variants" && !unpartitioned.forall(u => bounded(u._2)))
+          offenders += s"${q.name}: whitelisted but child subtree has no limit/aggregate bound"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("full query sweep leaves no persisted storage behind") {
     // The round-5 bench showed cross-query pollution: unreleased
     // checkpoint/persist blocks from earlier queries inflated
