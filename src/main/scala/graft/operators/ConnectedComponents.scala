@@ -163,8 +163,9 @@ object ConnectedComponents {
     * (Spark's UTF8String binary order), not `String.compareTo` (UTF-16
     * code units) — they diverge on supplementary characters. Unlisted
     * types (decimals, structs…) return None and take the iterative
-    * path, whose `min` needs no driver-side mirror. */
-  private def localOrdering(
+    * path, whose `min` needs no driver-side mirror. Shared with the
+    * other cost-gated local solves ([[Lpa]]). */
+  private[operators] def localOrdering(
       dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {

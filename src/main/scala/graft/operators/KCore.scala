@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   * restrictions of the edge list — no all-pairs stage anywhere; the
   * per-round `Lineage.checkpointed` keeps the loop's lineage flat
   * (measured necessary on LPA: 6.0 s → 27.3 s without).
+  *
+  * COST-GATED LOCAL SOLVE (same doctrine as ConnectedComponents and
+  * PageRank, r11): the symmetrized edge list is materialized once
+  * anyway (the round-0 checkpoint), so its size is known before any
+  * round runs. At or below [[LocalSolveMaxEdges]] directed edges the
+  * whole peel runs driver-side over the collected pairs — a graph that
+  * small makes the per-round job pair (stat collect + checkpoint) pure
+  * scheduling overhead, 2·rounds jobs to count a few MB. Above the
+  * gate the distributed rounds run unchanged; path equivalence is
+  * pinned in KCoreSpec.
   */
 object KCore {
+
+  /** Directed-edge count at or below which the peel runs driver-side:
+    * 2^20 two-field rows collect to a few tens of MB — far below
+    * driver heap — and the driver loop is microseconds per round. */
+  val LocalSolveMaxEdges: Long = 1L << 20
 
   final case class RoundStat(round: Int, nodesAlive: Long, edgesAlive: Long)
 
@@ -27,12 +42,26 @@ object KCore {
     * counts, round 0 = the input graph. `edgesAlive` counts DIRECTED
     * (symmetrized) edges — 2× the undirected count, the natural unit
     * of the adjacency list the rounds actually operate on. */
-  def peelStats(edges: DataFrame, k: Int, rounds: Int): Seq[RoundStat] = {
+  def peelStats(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): Seq[RoundStat] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sym = edges.select(col("x").as("node"), col("y").as("nbr"))
       .unionByName(edges.select(col("y").as("node"), col("x").as("nbr")))
     var (live, release) = graft.Lineage.checkpointed(sym)
+    // one cheap narrow job over the checkpoint — the gate's cost signal
+    val nDirected = live.count()
+    if (nDirected <= localSolveMaxEdges) {
+      // ids are used for equality/hashing only (no ordering), so any
+      // atomic id type collects safely — both columns share the frame's
+      // unioned type by construction
+      val pairs = live.collect().map(r => (r.get(0), r.get(1)))
+      release()
+      return localPeel(pairs, k, rounds)
+    }
     val stats = scala.collection.mutable.ArrayBuffer(
       stat(0, live))
     for (r <- 1 to rounds) {
@@ -48,6 +77,25 @@ object KCore {
       stats += stat(r, live)
     }
     release()
+    stats.toSeq
+  }
+
+  /** Driver-side replay of exactly the distributed rounds: directed
+    * degree per `node`, keep ≥ k, restrict to edges with BOTH endpoints
+    * kept — same counts, same fixed budget. */
+  private def localPeel(
+      pairs: Array[(Any, Any)], k: Int, rounds: Int): Seq[RoundStat] = {
+    var live = pairs
+    def st(r: Int) = RoundStat(r,
+      live.iterator.map(_._1).toSet.size.toLong, live.length.toLong)
+    val stats = scala.collection.mutable.ArrayBuffer(st(0))
+    for (r <- 1 to rounds) {
+      val deg = scala.collection.mutable.HashMap[Any, Long]()
+      live.foreach(p => deg.update(p._1, deg.getOrElse(p._1, 0L) + 1L))
+      val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+      live = live.filter(p => keep(p._1) && keep(p._2))
+      stats += st(r)
+    }
     stats.toSeq
   }
 

@@ -1358,57 +1358,21 @@ object RelationalQueries {
   )
 
   // ------------------------------- label-propagation communities
-  /** Synchronous label propagation (Raghavan et al. 2007) over the
-    * co-purchase graph — community DETECTION beside the triangle
-    * query's local clustering and PageRank's centrality: parts that
-    * sell together cluster into merchandising groups. Four synchronous
-    * rounds from singleton labels; each round every node adopts the
-    * most frequent label among its neighbours, ties to the SMALLEST
-    * label — fully deterministic (the classic async/random-order LPA
-    * is not replayable). Fixed rounds, not convergence-tested:
-    * synchronous LPA can 2-cycle on bipartite-ish regions, so a fixed
-    * budget IS the contract, and the oracle unrolls exactly the same
-    * four rounds.
-    *
-    * 100 TB design: one round = (edge ⋈ labels) + three map-side
-    * collapsing hash aggregates — count per (node, label), max count
-    * per node, min label at the max — no windows, no all-pairs;
-    * per-round lineage is cut and released via Lineage.checkpointed
-    * exactly like ConnectedComponents — and the checkpoints are
-    * MEASURED load-bearing even at four fixed rounds: the lazy-chain
-    * alternative duplicates each round's count subtree (cnts feeds
-    * both the max and the argmax join) and the copies do not collapse
-    * to ReusedExchange under AQE — 6.0 s → 27.3 s at sf0.1.
-    * The argmax spelling (max-count
-    * then min-label-at-max) is chosen over a packed struct max
-    * because it means the same thing in ANY engine — which is what
-    * the differential proves. */
+  /** Synchronous label propagation over the co-purchase graph —
+    * community DETECTION beside the triangle query's local clustering
+    * and PageRank's centrality: parts that sell together cluster into
+    * merchandising groups. Rounds, tie-breaking, checkpoint hygiene and
+    * the r12 cost-gated driver-side solve live in
+    * [[graft.operators.Lpa]]; the argmax spelling (max-count then
+    * min-label-at-max) is chosen over a packed struct max because it
+    * means the same thing in ANY engine — which is what the
+    * differential proves. */
   private val graphLpa = Q(
     "graph_lpa_communities",
     (s, dir) => {
-      val edges = copurchaseEdges(s, dir)
-      val eb = edges.select(col("x").as("nbr"), col("y").as("node"))
-        .unionByName(edges.select(col("y").as("nbr"), col("x").as("node")))
-        .persist()
-      var (labels, release) = graft.Lineage.checkpointed(
-        eb.select(col("node")).distinct()
-          .select(col("node"), col("node").as("lbl")))
-      for (_ <- 1 to 4) {
-        val cnts = eb
-          .join(labels.select(col("node").as("nbr"), col("lbl").as("nl")), "nbr")
-          .groupBy(col("node"), col("nl"))
-          .agg(count(lit(1)).as("cnt"))
-        val best = cnts.groupBy("node").agg(max(col("cnt")).as("mc"))
-        val (next, releaseNext) = graft.Lineage.checkpointed(
-          cnts.join(best, Seq("node"))
-            .filter(col("cnt") === col("mc"))
-            .groupBy("node").agg(min(col("nl")).as("lbl")))
-        release()
-        release = releaseNext
-        labels = next
-      }
+      val labels = graft.operators.Lpa.run(copurchaseEdges(s, dir), "x", "y", 4)
       // whole-partition window count: one shuffle on lbl, one pass over
-      // the checkpointed labels (groupBy + join-back shuffles them twice)
+      // the labels (groupBy + join-back shuffles them twice)
       val out = labels
         .withColumn("community_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("lbl")))
@@ -1416,9 +1380,8 @@ object RelationalQueries {
           col("community_size"))
         .orderBy("partkey")
         .persist()
-      out.count() // materialize before releasing the label chain
-      release()
-      eb.unpersist()
+      out.count() // materialize before releasing the label frame
+      labels.unpersist()
       out
     },
     Some {

@@ -42,4 +42,21 @@ class KCoreSpec extends AnyFunSuite {
     assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a })
     assert(es.zip(es.tail).forall { case (a, b) => b <= a })
   }
+
+  test("local solve ≡ distributed path on the same graph (cost gate equivalence)") {
+    // a graph with a dense core, a cascading tail and an isolated star,
+    // peeled through BOTH paths: the default gate takes the driver-side
+    // loop; gate 0 forces the distributed rounds. Same stats, round by
+    // round — the r11 CC/PageRank local-solve doctrine, pinned here too.
+    val g = edges(((1 to 40).flatMap(i => (i + 1 to math.min(i + 4, 40))
+        .map(j => (i.toLong, j.toLong))) ++
+      Seq((40L, 41L), (41L, 42L), (42L, 43L)) ++
+      (50 to 56).map(i => (49L, i.toLong))): _*)
+    val local = KCore.peelStats(g, k = 3, rounds = 5)
+    val dist = KCore.peelStats(g, k = 3, rounds = 5, localSolveMaxEdges = 0L)
+    assert(local == dist, s"local $local vs distributed $dist")
+    // the gate really chose different paths: sanity that the graph is
+    // small enough for the default gate and non-trivial for the peel
+    assert(local.head.edgesAlive > 0 && local.last.edgesAlive < local.head.edgesAlive)
+  }
 }

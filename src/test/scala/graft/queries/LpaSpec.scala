@@ -30,4 +30,28 @@ class LpaSpec extends AnyFunSuite {
     df2.unpersist()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "non-deterministic")
   }
+
+  test("local solve ≡ distributed rounds (cost gate equivalence)") {
+    // same graph through both paths: the default gate takes the
+    // driver-side loop, gate 0 forces the distributed rounds — labels
+    // must match node for node (max-count/min-label tie-breaks and the
+    // synchronous update discipline both replayed exactly)
+    val s = spark; import s.implicits._
+    val edges = ((1 to 25).flatMap(i => (i + 1 to math.min(i + 3, 25))
+        .map(j => (i.toLong, j.toLong))) ++
+      (30 to 40).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((25L, 30L))).toDF("x", "y")
+    def labelsOf(gate: Long) = {
+      val df = graft.operators.Lpa.run(edges, "x", "y", rounds = 4,
+        localSolveMaxEdges = gate)
+      val m = df.collect().map(r => r.get(0) -> r.get(1)).toMap
+      df.unpersist()
+      m
+    }
+    val local = labelsOf(graft.operators.Lpa.LocalSolveMaxEdges)
+    val dist = labelsOf(0L)
+    assert(local.nonEmpty && local == dist,
+      s"paths diverged: ${local.toSeq.diff(dist.toSeq).take(5)} vs " +
+        s"${dist.toSeq.diff(local.toSeq).take(5)}")
+  }
 }
