@@ -217,14 +217,22 @@ final class AggregateView(
     val spark = batch.sparkSession
     // checkpoint the (CDC-bounded) batch once: its plan can be
     // arbitrarily expensive and the refresh reads it three times (fold
-    // input, batch-key probes); its bucket ids — bounded metadata,
-    // ≤ nBuckets longs — ride the checkpoint job as an observed metric
-    val observedBatch = withBucket(batch).observe(
-      "graft_mv_batch", collect_set(col(bucketCol)).as("buckets"))
+    // input, batch-key probes); its bucket ids — bounded metadata —
+    // ride the checkpoint job as an observed BITMASK metric (declarative
+    // bit_or, not CodegenFallback collect_set; >64-bucket stores keep
+    // the distinct+collect probe)
+    val mask = MaterializedView.maskable(nBuckets)
+    val bucketed = withBucket(batch)
+    val observedBatch =
+      if (mask) bucketed.observe("graft_mv_batch",
+        MaterializedView.bucketMask(bucketCol, lit(true)))
+      else bucketed
     val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
     try {
-    val buckets = MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
-      .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
+    val buckets =
+      (if (mask) MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
+       else None)
+        .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
     if (buckets.isEmpty) return
     val otherPath = if (factsSide) dimsPath else factsPath
     val keyScoped =
@@ -240,21 +248,25 @@ final class AggregateView(
     // compare is O(batch keys) and the fold's bucket clustering
     // survives to the state write (see MaterializedView.flagChanged /
     // MaterializedView.refresh)
-    val flagged = MaterializedView.flagChanged(
-        foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*)),
-          keys, order),
-        oldState, batchKeys, keys, bucketCol)
-      .observe("graft_mv_changed", collect_set(
-        when(col(MaterializedView.ChangedCol), col(bucketCol))).as("buckets"))
+    val flagged0 = MaterializedView.flagChanged(
+      foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*)),
+        keys, order),
+      oldState, batchKeys, keys, bucketCol)
+    val flagged =
+      if (mask) flagged0.observe("graft_mv_changed",
+        MaterializedView.bucketMask(bucketCol, col(MaterializedView.ChangedCol)))
+      else flagged0
     val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
     try {
       val newState = flaggedCp.drop(MaterializedView.ChangedCol)
       val changedRows =
         flaggedCp.filter(col(MaterializedView.ChangedCol))
           .drop(MaterializedView.ChangedCol)
-      val changed = MaterializedView.observedBuckets(flagged, "graft_mv_changed")
-        .getOrElse(changedRows.select(bucketCol).distinct()
-          .collect().map(_.getLong(0)).toSeq)
+      val changed =
+        (if (mask) MaterializedView.observedBuckets(flagged, "graft_mv_changed")
+         else None)
+          .getOrElse(changedRows.select(bucketCol).distinct()
+            .collect().map(_.getLong(0)).toSeq)
       if (changed.isEmpty) return
       val inChanged = col(bucketCol).isin(changed: _*)
       val other = spark.read.parquet(otherPath).filter(inChanged)

@@ -252,15 +252,22 @@ final class MaterializedView(
     // expensive (a filtered multi-way join in the bench; a cross-system
     // extract in production), and the refresh consumes it three times —
     // fold input, batch-key probes of the change flag. Checkpoint once,
-    // read three times; the batch's bucket ids (bounded metadata,
-    // ≤ nBuckets longs) ride the checkpoint job as an observed metric
-    // instead of costing a separate distinct+collect job.
-    val observedBatch = withBucket(batch).observe(
-      "graft_mv_batch", collect_set(col(bucketCol)).as("buckets"))
+    // read three times; the batch's bucket ids (bounded metadata) ride
+    // the checkpoint job as an observed BITMASK metric instead of
+    // costing a separate distinct+collect job (see bucketMask for why a
+    // mask, not collect_set; >64-bucket stores keep the probe).
+    val mask = MaterializedView.maskable(nBuckets)
+    val bucketed = withBucket(batch)
+    val observedBatch =
+      if (mask) bucketed.observe("graft_mv_batch",
+        MaterializedView.bucketMask(bucketCol, lit(true)))
+      else bucketed
     val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
     try {
-    val buckets = MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
-      .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
+    val buckets =
+      (if (mask) MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
+       else None)
+        .getOrElse(b.select(bucketCol).distinct().collect().map(_.getLong(0)).toSeq)
     if (buckets.isEmpty) return
     val keyScoped = MaterializedView.bucketBytes(
       spark, statePath, bucketCol, buckets) >= keyScopeMinStateBytes
@@ -278,20 +285,24 @@ final class MaterializedView(
     // checkpoint also severs lineage before the read-overwrite
     // (identical hazard discipline as before), and the changed-bucket
     // ids ride it as an observed metric.
-    val flagged = MaterializedView.flagChanged(
-        foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*))),
-        oldState, batchKeys, keys, bucketCol)
-      .observe("graft_mv_changed", collect_set(
-        when(col(MaterializedView.ChangedCol), col(bucketCol))).as("buckets"))
+    val flagged0 = MaterializedView.flagChanged(
+      foldClustered(oldState.unionByName(b.select(oldState.columns.map(col): _*))),
+      oldState, batchKeys, keys, bucketCol)
+    val flagged =
+      if (mask) flagged0.observe("graft_mv_changed",
+        MaterializedView.bucketMask(bucketCol, col(MaterializedView.ChangedCol)))
+      else flagged0
     val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
     try {
       val newState = flaggedCp.drop(MaterializedView.ChangedCol)
       val changedRows =
         flaggedCp.filter(col(MaterializedView.ChangedCol))
           .drop(MaterializedView.ChangedCol)
-      val changed = MaterializedView.observedBuckets(flagged, "graft_mv_changed")
-        .getOrElse(changedRows.select(bucketCol).distinct()
-          .collect().map(_.getLong(0)).toSeq)
+      val changed =
+        (if (mask) MaterializedView.observedBuckets(flagged, "graft_mv_changed")
+         else None)
+          .getOrElse(changedRows.select(bucketCol).distinct()
+            .collect().map(_.getLong(0)).toSeq)
       if (changed.isEmpty) return
       val inChanged = col(bucketCol).isin(changed: _*)
       val newViewRows =
@@ -427,12 +438,45 @@ object MaterializedView {
       .drop("__mv_in_batch", "__mv_row_json", "__mv_seen")
   }
 
-  /** The bucket-id set an `observe(name, collect_set(...))` metric
+  /** Times [[observedBuckets]] found no metric and a refresh fell back
+    * to the separate distinct+collect job. The fallback is CORRECT but
+    * re-introduces the job the observe fusion removed — a Spark change
+    * that reroutes `localCheckpoint`'s QueryExecution must fail the
+    * observe-path pin in MaterializedViewSpec loudly, not re-cost every
+    * refresh quietly (same doctrine as ConnectedComponents'
+    * probeFallbacks). */
+  private[graft] val probeFallbacks = new java.util.concurrent.atomic.AtomicLong
+
+  /** Bucket-id observe metrics are only attached when the whole bucket
+    * domain fits one Long BITMASK. `bit_or(shiftleft(1L, bucket))` is a
+    * DECLARATIVE aggregate — `collect_set` is a TypedImperativeAggregate
+    * whose per-row path is CodegenFallback, and the refresh jobs are
+    * top-10 bench heavies whose plans PlanAuditSpec pins fallback-free.
+    * Stores bucketed wider than 64 keep the separate distinct+collect
+    * probe (the pre-r12 shape). */
+  private[graft] def maskable(nBuckets: Int): Boolean = nBuckets <= 64
+
+  /** The bitmask metric expression: OR of `1L << bucket` over the rows
+    * where `include` holds (rows failing it contribute NULL, which
+    * `bit_or` skips — an all-excluded job yields a NULL mask = ∅). */
+  private[graft] def bucketMask(bucketCol: String, include: Column): Column =
+    bit_or(when(include,
+      expr(s"shiftleft(1L, cast($bucketCol as int))"))).as("mask")
+
+  /** The bucket-id set a `observe(name, bucketMask(...))` metric
     * captured on `df`'s materializing job, if the runtime delivered it
-    * (callers keep a distinct+collect fallback — same doctrine as
-    * ConnectedComponents' convergence probe). */
-  private[graft] def observedBuckets(df: DataFrame, name: String): Option[Seq[Long]] =
-    df.queryExecution.observedMetrics.get(name).map(_.getSeq[Long](0).toSeq)
+    * (callers keep a distinct+collect fallback). */
+  private[graft] def observedBuckets(df: DataFrame, name: String): Option[Seq[Long]] = {
+    val m = df.queryExecution.observedMetrics.get(name).map { r =>
+      if (r.isNullAt(0)) Seq.empty[Long]
+      else {
+        val mask = r.getLong(0)
+        (0 until 64).collect { case i if ((mask >>> i) & 1L) == 1L => i.toLong }
+      }
+    }
+    if (m.isEmpty) probeFallbacks.incrementAndGet()
+    m
+  }
 
   /** `df` rows whose `keys` tuple appears in `keysDf` (same-named
     * columns). NULL-SAFE equality — the latest-wins window groups NULL

@@ -54,6 +54,22 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewMap(mv) == viewMap(full))
   }
 
+  test("refresh bucket probes ride the checkpoint jobs' observe metrics, no fallback") {
+    // The r12 fusion removed the separate bucket-id collect jobs by
+    // riding observed bucket-bitmask metrics on the batch and fold
+    // checkpoints. The distinct+collect fallback stays correct but
+    // re-costs every refresh — if Spark ever stops delivering metrics
+    // through localCheckpoint's QueryExecution, fail HERE, loudly
+    // (ConnectedComponents' probeFallbacks doctrine).
+    val (_, mv) = mk()
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    val before = MaterializedView.probeFallbacks.get()
+    mv.refresh(rows((1L, 2L, false, "a2"), (9L, 1L, false, "j1")))
+    assert(viewMap(mv) == Map(1L -> ("a2", 20L), 2L -> ("b1", 10L), 9L -> ("j1", 10L)))
+    assert(MaterializedView.probeFallbacks.get() == before,
+      "refresh fell back to the distinct+collect bucket probe")
+  }
+
   test("a winner turning soft-deleted disappears from the view (even emptying its bucket)") {
     // nBuckets=1: every key shares one bucket, so the delete case also
     // exercises partition replacement when rows remain; the second mv
