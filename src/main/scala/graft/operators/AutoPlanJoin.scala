@@ -111,9 +111,18 @@ object AutoPlanJoin {
       keys: Seq[String],
       depth: Int,
       width: Long): Long = {
-    def idx(d: Int, k: Column): Column = pmod(
-      conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
-      lit(width))
+    // up to 4 depths share ONE md5 per key, sliced into disjoint 8-hex
+    // (32-bit) chunks — hashing once per row, not once per depth,
+    // halves-to-quarters the scan-side cost, and disjoint chunks of one
+    // digest are as pairwise-independent as CMS needs (same spelling as
+    // stats_join_size_estimate's oracle). Deeper sketches fall back to
+    // one digest per depth.
+    def idx(d: Int, k: Column): Column =
+      if (depth <= 4) pmod(
+        conv(substring(md5(k), 1 + 8 * d, 8), 16, 10).cast("long"), lit(width))
+      else pmod(
+        conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
+        lit(width))
     def cells(df: DataFrame) = {
       // Unambiguous key encoding: JSON-escape the tuple (single keys
       // included) rather than concat with a separator — separator-in-

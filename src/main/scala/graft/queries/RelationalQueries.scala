@@ -2078,20 +2078,27 @@ object RelationalQueries {
     * and the exact twin are metadata aggregates. Width 4096 (vs the
     * frequency demo's 16): inner products square the collision term,
     * needing the wider table — exactly the sizing lesson the ratio
-    * column teaches. */
+    * column teaches.
+    *
+    * The four depth rows share ONE md5 per key, sliced into four
+    * disjoint 8-hex (32-bit) chunks — md5 dominated the scan-side cost
+    * when each depth hashed separately (r12: 3.0→~1.5 s at sf0.1), and
+    * disjoint chunks of one digest are exactly as pairwise-independent
+    * as CMS needs. 32 bits per chunk caps the usable width at 2^32 —
+    * far above any sane sketch width. */
   private val JsWidth = 4096L
   private val statsJoinSize = Q(
     "stats_join_size_estimate",
     (s, dir) => {
-      val depth = CurationQueries.CmsDepth
-      def idx(d: Int, k: Column): Column = pmod(
-        conv(substring(md5(concat(lit(d.toString), k)), 1, 15), 16, 10).cast("long"),
-        lit(JsWidth))
+      val depth = CurationQueries.CmsDepth // 4 × 8 hex chars = one digest
+      def idx(d: Int, h: Column): Column = pmod(
+        conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long"), lit(JsWidth))
       val keys = Tables.lineitem(s, dir)
         .select(col("l_partkey").cast("string").as("k"))
       val cells = keys
+        .withColumn("h", md5(col("k")))
         .select(explode(array((0 until depth).map(d =>
-          struct(lit(d.toLong).as("d"), idx(d, col("k")).as("idx"))): _*)).as("c"))
+          struct(lit(d.toLong).as("d"), idx(d, col("h")).as("idx"))): _*)).as("c"))
         .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
         .agg(count(lit(1)).as("cnt"))
       val est = cells.groupBy("d")
@@ -2106,9 +2113,10 @@ object RelationalQueries {
             / col("exact_pairs").cast("double"), 4).as("inflation"))
     },
     Some(s"""
-      WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+      WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k, md5(CAST(l_partkey AS VARCHAR)) AS h
+                    FROM lineitem),
       cells AS (SELECT d.d AS d,
-                  CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+                  CAST(concat('0x', substring(h, CAST(1 + 8 * d.d AS INT), 8))
                     AS BIGINT) % $JsWidth AS idx,
                   CAST(count(*) AS BIGINT) AS cnt
                 FROM keys, unnest(range(0, ${CurationQueries.CmsDepth})) d(d)
@@ -2165,12 +2173,12 @@ object RelationalQueries {
       WITH bk AS (SELECT concat('{"k":"', CAST(CAST(o_custkey AS BIGINT) AS VARCHAR), '"}') AS k FROM orders),
       sk AS (SELECT concat('{"k":"', CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), '"}') AS k FROM customer),
       bc AS (SELECT d.d AS d,
-               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+               CAST(concat('0x', substring(md5(k), CAST(1 + 8 * d.d AS INT), 8))
                  AS BIGINT) % $JsWidth AS idx,
                CAST(count(*) AS BIGINT) AS cnt
              FROM bk, unnest(range(0, ${CurationQueries.CmsDepth})) d(d) GROUP BY 1, 2),
       sc AS (SELECT d.d AS d,
-               CAST(concat('0x', substring(md5(concat(CAST(d.d AS VARCHAR), k)), 1, 15))
+               CAST(concat('0x', substring(md5(k), CAST(1 + 8 * d.d AS INT), 8))
                  AS BIGINT) % $JsWidth AS idx,
                CAST(count(*) AS BIGINT) AS cnt
              FROM sk, unnest(range(0, ${CurationQueries.CmsDepth})) d(d) GROUP BY 1, 2),
@@ -4120,6 +4128,8 @@ object RelationalQueries {
       // halving the width halves the pairs each bucket compares, while
       // the ownership filter keeps emission exactly-once for ANY width
       val bw = 1800L * 1000000L // bucket width in microseconds
+      // (r12 measured 900 s buckets at sf0.1: replication cost cancels
+      // the per-bucket pair reduction — 4.6 s both widths; 1800 s stays)
       def bucketOf(c: Column): Column = floor(unix_micros(c) / bw)
       val buckets = sess.withColumn("bucket",
         explode(sequence(bucketOf(col("s_start")), bucketOf(col("s_end")))))
