@@ -225,4 +225,31 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(onBatch)
       .start()
+
+  /** CONTINUOUS VIEW MAINTENANCE — the reference's daily loop run as a
+    * stream: a CDC stream of source-row versions keeps a
+    * [[graft.etl.MaterializedView]] fresh, each micro-batch refreshing
+    * only the hash buckets it touches while readers keep serving a
+    * complete generation through the manifest swap.
+    *
+    * Delivery is foreachBatch's AT-LEAST-ONCE (a crash between the
+    * refresh and the offset commit replays the batch) — sufficient
+    * because `refresh` is idempotent under replay BY CONTRACT: the
+    * latest-version-wins fold makes a replayed row lose to the winner
+    * it already installed, the byte-identical no-op skip publishes no
+    * new generation, and the publish-before-state crash ordering makes
+    * a partially-applied refresh re-detect and complete on replay —
+    * the same argument as the event sink's processed-id dedup, without
+    * needing any id state here. The stream must deliver PRE-FILTERED
+    * rows (any predicate the view applies before its rank), exactly as
+    * batch callers of `refresh` must.
+    *
+    * 100 TB posture: per-batch cost is the CDC batch's buckets, never
+    * the base table — the streaming twin of the bucket-pruned batch
+    * refresh, so view freshness decouples from view size. */
+  def maintainView(
+      cdc: DataFrame,
+      view: graft.etl.MaterializedView,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(cdc, checkpoint) { (batch, _) => view.refresh(batch) }
 }
