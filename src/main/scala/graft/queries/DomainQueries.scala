@@ -815,10 +815,13 @@ object DomainQueries {
       val root = java.nio.file.Files.createTempDirectory("graft_mv_q").toString
       val order = Seq(col("lastupdated").desc, col("dateadded").desc,
         col("sourcerowid").desc)
+      // the derive SKIPS the view's dedup window: state is latest-per-
+      // custno by construction (the store's version order replicates the
+      // view's rank order, tiebroken total), so ranking one-row
+      // partitions would be a pure exchange tax on every refresh
       val mv = new graft.etl.MaterializedView(
         root, Seq("custno"), order,
-        derive = df => Customer360.customerProfiles(df, asOf,
-          Seq(col("sourcerowid").desc)),
+        derive = df => Customer360.customerProfilesOfLatest(df, asOf),
         nBuckets = 16)
       val src = customerMaster(s, dir)
         .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
@@ -857,11 +860,13 @@ object DomainQueries {
           col("sourcerowid").desc),
         factKeys = Seq("dealno"),
         factOrder = Seq(col("rowlastupdatedutc").desc, col("vin").desc),
+        // state-fed derive: both dedup windows skipped (states are
+        // latest-per-key by each store's fold; ranking one-row
+        // partitions costs an exchange per side per refresh)
         derive = (dimState, factState) =>
           Customer360.customerSegments(
-            Customer360.customerProfiles(dimState, asOf,
-              Seq(col("sourcerowid").desc)),
-            Customer360.vehicleHistory(factState, asOf), asOf)
+            Customer360.customerProfilesOfLatest(dimState, asOf),
+            Customer360.vehicleHistoryOfLatest(factState, asOf), asOf)
             .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
             .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")),
         nBuckets = 16)

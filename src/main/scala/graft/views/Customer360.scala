@@ -46,15 +46,31 @@ object Customer360 {
   def customerProfiles(
       customerMaster: DataFrame,
       asOf: Column,
-      tiebreak: Seq[Column] = Nil): DataFrame = {
-    val deduped = customerMaster
+      tiebreak: Seq[Column] = Nil): DataFrame =
+    customerProfilesOfLatest(
+      customerMaster
+        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+        .withColumn("customer_rank", row_number().over(
+          Window.partitionBy("custno")
+            .orderBy(Seq(col("lastupdated").desc, col("dateadded").desc) ++
+              tiebreak: _*)))
+        .filter(col("customer_rank") === 1),
+      asOf)
+
+  /** [[customerProfiles]] minus its W1 dedup window, for inputs ALREADY
+    * unique per custno — the derive stage over a latest-per-key state
+    * store (MaterializedView/AggregateView fold output, whose version
+    * order replicates the view's rank order by contract). Ranking a
+    * one-row partition picks that row; what it costs is a full hash
+    * exchange + window pass over the state on every build and refresh,
+    * so the state path skips it. The soft-delete and quality gates are
+    * REAPPLIED here (narrow scans, no exchange): state is pre-view-
+    * filter by design — a key whose winner fails the gate must have no
+    * view row. */
+  def customerProfilesOfLatest(latest: DataFrame, asOf: Column): DataFrame = {
+    latest
       .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
-      .withColumn("customer_rank", row_number().over(
-        Window.partitionBy("custno")
-          .orderBy(Seq(col("lastupdated").desc, col("dateadded").desc) ++
-            tiebreak: _*)))
-    deduped
-      .filter(col("customer_rank") === 1 &&
+      .filter(
         col("firstname").isNotNull && col("firstname") =!= "" &&
         col("lastname").isNotNull && col("lastname") =!= "" &&
         Cleansing.isContactable(col("email"), col("telephone")))
@@ -91,14 +107,27 @@ object Customer360 {
   /** marketing.customer_vehicle_history (`customer_360_views.sql:192-370`):
     * validity filter → W2 dedup (latest per dealno) → normalization
     * projection + W3 purchase sequence + recency buckets. */
-  def vehicleHistory(vehicleSales: DataFrame, asOf: Column): DataFrame = {
-    val ranked = vehicleSales
+  def vehicleHistory(vehicleSales: DataFrame, asOf: Column): DataFrame =
+    vehicleHistoryOfLatest(
+      vehicleSales
+        .filter(col("custno").isNotNull && col("vin").isNotNull &&
+          col("contractdate").isNotNull)
+        .withColumn("deal_rank", row_number().over(
+          Window.partitionBy("dealno")
+            .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
+        .filter(col("deal_rank") === 1)
+        .drop("deal_rank"),
+      asOf)
+
+  /** [[vehicleHistory]] minus its W2 dedup window, for inputs ALREADY
+    * unique per dealno (latest-per-key fact state — same contract as
+    * [[customerProfilesOfLatest]]). The validity gate is reapplied; the
+    * purchase-sequence window is REAL work (per-custno ordering across
+    * deals) and stays. */
+  def vehicleHistoryOfLatest(latest: DataFrame, asOf: Column): DataFrame = {
+    val ranked = latest
       .filter(col("custno").isNotNull && col("vin").isNotNull &&
         col("contractdate").isNotNull)
-      .withColumn("deal_rank", row_number().over(
-        Window.partitionBy("dealno")
-          .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
-      .filter(col("deal_rank") === 1)
     ranked.select(
       Cleansing.userId("AUTO-", col("custno")).as("user_id"),
       col("custno"),
