@@ -146,8 +146,12 @@ final class AggregateView(
       // through each other's stage tails; the derive that needs both
       // starts after the barrier. Plans are constructed on the caller
       // thread; only the write actions run on the pool.
-      val dState = foldClustered(withBucket(dims), dimKeys, dimOrder)
-      val fState = foldClustered(withBucket(facts), factKeys, factOrder)
+      // Build-only fold shape: aggregate-first so the initial load's
+      // version fanout collapses map-side before any exchange, then
+      // recluster the deduped survivors for the write (see
+      // MaterializedView.build; refresh folds keep the fused shape).
+      val dState = clustered(Dedup.latestByKey(withBucket(dims), dimKeys, dimOrder))
+      val fState = clustered(Dedup.latestByKey(withBucket(facts), factKeys, factOrder))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
         val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)

@@ -180,7 +180,16 @@ final class MaterializedView(
     * cheaper than holding a full-width block copy of the state in
     * executor memory for the one derive pass. */
   def build(source: DataFrame): Unit = graft.plans.MvRewrite.withRuleDisabled {
-    foldClustered(withBucket(source))
+    // BUILD-ONLY fold shape: the initial load is the high-version-fanout
+    // case (a daily-versioned feed's full history), where aggregating
+    // FIRST wins — the dedup rewrite's map-side partial combine ships
+    // ~|keys| rows per mapper into the fold exchange, and only the
+    // deduped survivors recluster for the write. The fused single-
+    // exchange fold would ship EVERY version row to its bucket before
+    // collapsing. Refresh folds keep the fused shape: their input is
+    // dominated by already-deduped state (fanout ≈ 1), so the collapse
+    // buys nothing and the single exchange wins there.
+    clustered(Dedup.latestByKey(withBucket(source), keys, order))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
     val state = source.sparkSession.read.parquet(statePath)
     store.publish(
