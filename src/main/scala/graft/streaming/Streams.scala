@@ -252,4 +252,20 @@ object Streams {
       view: graft.etl.MaterializedView,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     deliverStream(cdc, checkpoint) { (batch, _) => view.refresh(batch) }
+
+  /** Facts-side continuous maintenance of an [[graft.etl.AggregateView]]
+    * — the segments view's operational loop: the high-velocity side
+    * (deals/facts) streams, each micro-batch re-aggregating only its
+    * buckets; DIMENSION changes arrive through batch `refreshDims`
+    * cycles between/around the stream — the store's refresh loop is
+    * single-writer by contract, so the slow side must not run as a
+    * second concurrent stream. At-least-once delivery suffices by the
+    * same replay-idempotence argument as [[maintainView]]; the stream
+    * must deliver pre-filtered fact rows, like any `refreshFacts`
+    * caller. */
+  def maintainFacts(
+      cdc: DataFrame,
+      view: graft.etl.AggregateView,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(cdc, checkpoint) { (batch, _) => view.refreshFacts(batch) }
 }

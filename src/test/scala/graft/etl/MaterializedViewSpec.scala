@@ -54,6 +54,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewMap(mv) == viewMap(full))
   }
 
+  test("state writes stay one-file-per-bucket through build and refresh") {
+    // The bounded-files-per-bucket layout is a load-bearing contract
+    // (small-file explosion compounds per refresh at 100 TB) and it is
+    // EASY to lose silently: the fold's output clustering must survive
+    // whatever physical shape the dedup-window rewrite picks (the
+    // all-DESC orders every MV uses make the rewrite fire) plus the
+    // r12 flag joins and checkpoint. Pin it on disk, not by reading
+    // plans: every bucket partition of the state store holds exactly
+    // ONE parquet file after a build and after a refresh.
+    def bucketFiles(root: String): Map[String, Int] = {
+      val d = new java.io.File(s"$root/state")
+      d.listFiles().filter(_.getName.startsWith("__mv_bucket="))
+        .map(b => b.getName -> b.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val (root, mv) = mk()
+    // 40 versioned rows over 12 keys: several versions per key, keys
+    // spread over several buckets
+    mv.build(rows((1L to 40L).map(i =>
+      (i % 12, i, false, s"p$i")): _*))
+    val afterBuild = bucketFiles(root)
+    assert(afterBuild.nonEmpty && afterBuild.values.forall(_ == 1),
+      s"build left multi-file buckets: $afterBuild")
+    mv.refresh(rows((3L, 99L, false, "r1"), (7L, 99L, false, "r2")))
+    val afterRefresh = bucketFiles(root)
+    assert(afterRefresh.values.forall(_ == 1),
+      s"refresh left multi-file buckets: $afterRefresh")
+  }
+
   test("refresh bucket probes ride the checkpoint jobs' observe metrics, no fallback") {
     // The r12 fusion removed the separate bucket-id collect jobs by
     // riding observed bucket-bitmask metrics on the batch and fold

@@ -72,4 +72,51 @@ class StreamingViewMaintenanceSpec extends AnyFunSuite {
     full.build(rows(base ++ batch1 ++ batch2: _*))
     assert(viewMap(mv) == viewMap(full))
   }
+
+  test("fact stream maintains the aggregate view; equals two-sided full rebuild") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("graft_sav").toString
+    def dims(rs: (Long, Long, String)*) = rs.toDF("id", "dver", "name")
+    def facts(rs: (Long, Long, Long, Long)*) = rs.toDF("fid", "id", "fver", "amt")
+    def mkAv(r: String) = new graft.etl.AggregateView(r,
+      bucketKeys = Seq("id"),
+      dimKeys = Seq("id"), dimOrder = Seq(col("dver").desc),
+      factKeys = Seq("fid"), factOrder = Seq(col("fver").desc),
+      derive = (d, f) => d.join(f, Seq("id"))
+        .groupBy("id", "name").agg(sum(col("amt")).as("total")),
+      nBuckets = 4)
+    val av = mkAv(s"$root/av")
+    val d0 = Seq((1L, 1L, "ann"), (2L, 1L, "bob"))
+    val f0 = Seq((10L, 1L, 1L, 5L), (11L, 2L, 1L, 7L))
+    av.build(dims(d0: _*), facts(f0: _*))
+
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.maintainFacts(
+      in.toDF().toDF("fid", "id", "fver", "amt"), av, s"$root/ckpt")
+    val b1 = Seq((12L, 1L, 1L, 3L))          // new deal for customer 1
+    val b2 = Seq((10L, 1L, 2L, 9L))          // later version of deal 10 wins
+    def viewTotals = av.view(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(viewTotals == Map(1L -> 8L, 2L -> 7L))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(viewTotals == Map(1L -> 12L, 2L -> 7L))
+    } finally q.stop()
+
+    // a replayed fact batch publishes no new generation
+    val gens = av.viewVersions(spark)
+    av.refreshFacts(facts(b2: _*))
+    assert(av.viewVersions(spark) == gens)
+
+    // streamed == two-sided full rebuild
+    val full = mkAv(s"$root/full")
+    full.build(dims(d0: _*), facts(f0 ++ b1 ++ b2: _*))
+    assert(viewTotals == full.view(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
 }
