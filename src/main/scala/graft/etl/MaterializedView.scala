@@ -189,8 +189,20 @@ final class MaterializedView(
     // collapsing. Refresh folds keep the fused shape: their input is
     // dominated by already-deduped state (fanout ≈ 1), so the collapse
     // buys nothing and the single exchange wins there.
-    clustered(Dedup.latestByKey(withBucket(source), keys, order))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+    //
+    // The aggregate-first win DEPENDS on [[graft.plans.DedupWindowToMaxBy]]
+    // firing: when this view's `order` doesn't qualify (mixed sort
+    // directions, non-default null ordering, or a non-orderable
+    // payload column such as a map), latestByKey
+    // would plan a full window exchange PLUS the recluster exchange —
+    // strictly worse than the fused single-exchange fold, which is kept
+    // as the fallback here.
+    val bucketed = withBucket(source)
+    val folded =
+      if (MaterializedView.aggregateFirstEligible(bucketed, order))
+        clustered(Dedup.latestByKey(bucketed, keys, order))
+      else foldClustered(bucketed)
+    folded.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
     val state = source.sparkSession.read.parquet(statePath)
     store.publish(
       clustered(withBucket(derive(state.drop(bucketCol)))),
@@ -365,6 +377,32 @@ object MaterializedView {
     * above it, recomputing unchanged keys dominates and scoping wins
     * asymptotically (O(batch) instead of O(dirty buckets) compute). */
   val DefaultKeyScopeMinStateBytes: Long = 4L << 30
+
+  /** Conservative mirror of [[graft.plans.DedupWindowToMaxBy]]'s
+    * fire conditions, checkable BEFORE planning: all sort directions
+    * identical with the DEFAULT null ordering, and every payload
+    * column orderable (the rewrite packs the whole row into one
+    * comparable struct). A bare (direction-less)
+    * order column defaults to ascending, matching `orderBy`. False
+    * negatives only cost the build the fused-fold shape instead of
+    * aggregate-first — a perf heuristic, never a correctness gate. */
+  private[graft] def aggregateFirstEligible(
+      df: DataFrame, order: Seq[Column]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    // (child, descending, nullsLast) per sort column — read off the
+    // Column node, since the lazy expression wrapper hides SortOrder
+    val sos = order.map(org.apache.spark.sql.GraftSqlShim.sortOrderOf)
+    // no determinism probe: it is unreadable pre-analysis (the lazy
+    // node wrapper reports leaf-deterministic), and a nondeterministic
+    // order key already violates this class's total-order contract —
+    // the rewrite's own guard still refuses to fire on one, so the only
+    // cost is the window shape it would have planned anyway
+    sos.nonEmpty &&
+      (sos.forall(_._2) || sos.forall(!_._2)) &&
+      // default null ordering: DESC NULLS LAST / ASC NULLS FIRST
+      sos.forall { case (_, desc, nullsLast) => desc == nullsLast } &&
+      df.schema.forall(f => RowOrdering.isOrderable(f.dataType))
+  }
 
   /** Total on-disk bytes of `path`'s hive partitions for `buckets` —
     * pure FS metadata (no Spark job), the cost signal the refresh's

@@ -49,15 +49,26 @@ object KCore {
       localSolveMaxEdges: Long = LocalSolveMaxEdges): Seq[RoundStat] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sym = edges.select(col("x").as("node"), col("y").as("nbr"))
-      .unionByName(edges.select(col("y").as("node"), col("x").as("nbr")))
+    // Edges with a null endpoint are inert from round 1 on in the
+    // distributed rounds (null keys never match the semi-joins), so they
+    // are dropped up front — both paths then agree on round 0 too, and
+    // the driver HashMap never keys a null.
+    val sym = edges.filter(col("x").isNotNull && col("y").isNotNull)
+      .select(col("x").as("node"), col("y").as("nbr"))
+      .unionByName(edges.filter(col("x").isNotNull && col("y").isNotNull)
+        .select(col("y").as("node"), col("x").as("nbr")))
     var (live, release) = graft.Lineage.checkpointed(sym)
     // one cheap narrow job over the checkpoint — the gate's cost signal
     val nDirected = live.count()
-    if (nDirected <= localSolveMaxEdges) {
-      // ids are used for equality/hashing only (no ordering), so any
-      // atomic id type collects safely — both columns share the frame's
-      // unioned type by construction
+    val idType = live.schema("node").dataType
+    // Ids are used for equality/hashing only here, but JVM boxed
+    // equality diverges from Spark's grouping for binary (reference
+    // equality) and float/double (-0.0 vs 0.0) — gate the local path on
+    // the same whitelist the ordered local solves use (long/int/short/
+    // byte/string), where boxed equality IS Spark equality, and on both
+    // endpoint columns sharing that type.
+    if (nDirected <= localSolveMaxEdges && live.schema("nbr").dataType == idType &&
+        ConnectedComponents.localOrdering(idType).isDefined) {
       val pairs = live.collect().map(r => (r.get(0), r.get(1)))
       release()
       return localPeel(pairs, k, rounds)

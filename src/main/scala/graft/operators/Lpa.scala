@@ -46,8 +46,14 @@ object Lpa {
       rounds: Int,
       localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val eb = edges.select(col(xCol).as("nbr"), col(yCol).as("node"))
-      .unionByName(edges.select(col(yCol).as("nbr"), col(xCol).as("node")))
+    // Null-endpoint edges are dropped up front: in the distributed
+    // rounds the inner join on `nbr` already ignores them (null keys
+    // never match), while the driver replay would count a (node, null)
+    // label and compare null through `ord` — filtering before BOTH
+    // paths keeps them exactly equivalent (pinned in LpaSpec).
+    val nn = edges.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val eb = nn.select(col(xCol).as("nbr"), col(yCol).as("node"))
+      .unionByName(nn.select(col(yCol).as("nbr"), col(xCol).as("node")))
       .persist()
     val idType = eb.schema("node").dataType
     val nDirected = eb.count() // also materializes the persist

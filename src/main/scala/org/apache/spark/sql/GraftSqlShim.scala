@@ -20,6 +20,20 @@ object GraftSqlShim {
     s.asInstanceOf[classic.SparkSession].sessionUUID
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Decompose a sort Column (`col.desc`, `col.asc_nulls_last`, …) into
+    * `(child, descending, nullsLast)`; a direction-less Column reports
+    * as ascending/nulls-first (what `orderBy` defaults it to). Needed
+    * because `expression` wraps the node lazily — the connect-style
+    * `internal.SortOrder` never surfaces as a Catalyst SortOrder until
+    * analysis, so direction checks must read the node itself. */
+  def sortOrderOf(c: Column): (Expression, Boolean, Boolean) = c.node match {
+    case s: internal.SortOrder =>
+      (expression(Column(s.child)),
+        s.sortDirection == internal.SortOrder.Descending,
+        s.nullOrdering == internal.SortOrder.NullsLast)
+    case _ => (expression(c), false, false)
+  }
+
   /** Execute a hand-built logical plan (test harness for optimizer
     * rules applied outside a session's rule pipeline). */
   def ofRows(

@@ -306,4 +306,41 @@ class MaterializedViewSpec extends AnyFunSuite {
     // and the refreshed content is correct
     assert(viewMap(mv)(1L) == ("p1v2", 20L))
   }
+
+  test("aggregate-first eligibility mirrors the dedup rewrite's fire conditions") {
+    val s = spark; import s.implicits._
+    val plain = Seq((1L, 2L, "a")).toDF("id", "version", "payload")
+    val withMap = plain.withColumn("attrs",
+      map(lit("k"), col("payload")))
+    // the standard MV order (all-desc, default nulls) over an orderable
+    // schema qualifies; any disqualifier must flip the heuristic to the
+    // fused-fold fallback (perf-only — pinned so a regression is loud)
+    assert(MaterializedView.aggregateFirstEligible(plain, Seq(col("version").desc)))
+    assert(MaterializedView.aggregateFirstEligible(plain,
+      Seq(col("version").asc, col("payload").asc)))
+    assert(!MaterializedView.aggregateFirstEligible(plain,
+      Seq(col("version").desc, col("payload").asc)), "mixed directions")
+    assert(!MaterializedView.aggregateFirstEligible(plain,
+      Seq(col("version").desc_nulls_first)), "non-default null ordering")
+    assert(!MaterializedView.aggregateFirstEligible(withMap,
+      Seq(col("version").desc)), "map payload is not orderable as a struct")
+  }
+
+  test("a map-payload view builds and refreshes through the fused-fold fallback") {
+    // map columns disqualify the aggregate-first build shape (the packed
+    // struct would be unorderable); the fallback fold must still produce
+    // a correct store end-to-end, refresh included
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft_mv_map").toString
+    val mv = new MaterializedView(root, Seq("id"), Seq(col("version").desc),
+      st => st.select(col("id"), map_values(col("attrs"))(0).as("payload")),
+      nBuckets = 8)
+    def rws(rs: (Long, Long, String)*) =
+      rs.toDF("id", "version", "p")
+        .select(col("id"), col("version"), map(lit("k"), col("p")).as("attrs"))
+    mv.build(rws((1L, 1L, "a1"), (2L, 1L, "b1")))
+    mv.refresh(rws((1L, 2L, "a2"), (3L, 1L, "c1")))
+    val got = mv.view(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
 }

@@ -59,4 +59,32 @@ class KCoreSpec extends AnyFunSuite {
     // small enough for the default gate and non-trivial for the peel
     assert(local.head.edgesAlive > 0 && local.last.edgesAlive < local.head.edgesAlive)
   }
+
+  test("float ids with -0.0/0.0 take the distributed path — both gates agree") {
+    // Spark's grouping normalizes -0.0 to 0.0; boxed java.lang.Double
+    // equality does not. The local peel's HashMap would split node 0.0
+    // into two, so the type gate must route doubles to the distributed
+    // rounds — pinned by running both gate settings and demanding the
+    // SAME stats (with -0.0 and 0.0 as the same dense-core node).
+    val s = spark; import s.implicits._
+    val g = Seq((-0.0, 1.0), (0.0, 2.0), (1.0, 2.0), (2.0, 3.0))
+      .toDF("x", "y")
+    val dflt = KCore.peelStats(g, k = 2, rounds = 3)
+    val dist = KCore.peelStats(g, k = 2, rounds = 3, localSolveMaxEdges = 0L)
+    assert(dflt == dist, s"default-gate $dflt vs distributed $dist")
+    // node 0.0 (≡ -0.0), 1.0, 2.0 form the 2-core: 3 nodes survive
+    assert(dflt.last.nodesAlive == 3L, dflt)
+  }
+
+  test("null-endpoint edges are dropped before both paths") {
+    val s = spark; import s.implicits._
+    val g = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L), (null, 1L), (3L, null))
+      .toDF("x", "y")
+    val local = KCore.peelStats(g, k = 2, rounds = 2)
+    val dist = KCore.peelStats(g, k = 2, rounds = 2, localSolveMaxEdges = 0L)
+    assert(local == dist, s"local $local vs distributed $dist")
+    // round 0 already excludes the two null edges: 3 nodes, 6 directed
+    assert(local.head == KCore.RoundStat(0, 3L, 6L), local.head)
+  }
 }

@@ -54,4 +54,26 @@ class LpaSpec extends AnyFunSuite {
       s"paths diverged: ${local.toSeq.diff(dist.toSeq).take(5)} vs " +
         s"${dist.toSeq.diff(local.toSeq).take(5)}")
   }
+
+  test("null-endpoint edges are filtered before both paths") {
+    // distributed rounds drop null-key join matches implicitly; the
+    // driver replay used to count a (node, null-label) vote and compare
+    // null through the ordering — the up-front filter makes the paths
+    // identical by construction, pinned here with nulls in the input
+    val s = spark; import s.implicits._
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L), (null, 1L), (2L, null),
+      (10L, 11L), (11L, 12L)).toDF("x", "y")
+    def labelsOf(gate: Long) = {
+      val df = graft.operators.Lpa.run(edges, "x", "y", rounds = 3,
+        localSolveMaxEdges = gate)
+      val m = df.collect().map(r => r.get(0) -> r.get(1)).toMap
+      df.unpersist()
+      m
+    }
+    val local = labelsOf(graft.operators.Lpa.LocalSolveMaxEdges)
+    val dist = labelsOf(0L)
+    assert(local == dist, s"paths diverged on null input: $local vs $dist")
+    assert(!local.keySet.contains(null), "null node leaked into labels")
+  }
 }
