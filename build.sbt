@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver records a ~2 KB stdout tail and parses its LAST line
+// as JSON. Two sbt behaviors used to break that: the `[success] Total
+// time` banner printed after the main returns, and the `[info] ` prefix
+// the default LoggedOutput strategy stamps on every forked-run line.
+// Suppress the banner and pass the forked process's stdout through raw,
+// so graft.Bench's compact summary is the literal last stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the shell, not a task
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

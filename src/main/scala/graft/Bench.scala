@@ -103,6 +103,34 @@ object Bench {
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Shared-memo builds, charged to named `shared:<name>` pseudo-queries
+    // BEFORE the query loop: the memo pattern means whichever consumer
+    // ran first used to pay the whole family's build (confounding
+    // round-over-round per-query comparison); warming here makes every
+    // consumer time build-free while the suite total still carries the
+    // build cost — under its owner's name. Skipped under
+    // SPARK_GRAFT_ONLY (local profiling measures the family cold unless
+    // SPARK_GRAFT_WARM_SHARED=1 asks otherwise). Builds are memoized, so
+    // one rep is the honest statistic — a second would time a cache hit.
+    if (only.isEmpty || sys.env.get("SPARK_GRAFT_WARM_SHARED").contains("1")) {
+      SparkEntry.sharedBuilds.foreach { case (name, force) =>
+        val label = s"shared:$name"
+        val (w0, _, s0) = metricsSnapshot()
+        val t0 = System.nanoTime()
+        try {
+          force(spark, sfDir)
+          val t = (System.nanoTime() - t0) / 1e9
+          timings(label) = t
+          coldTimings(label) = t
+          val (w1, _, s1) = metricsSnapshot()
+          shuffleMb(label) = (w1 - w0) / 1e6
+          spillMb(label) = (s1 - s0) / 1e6
+        } catch {
+          case e: Throwable =>
+            errors(label) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+      }
+    }
     selected.foreach { qu =>
       var best = Double.MaxValue
       var rep = 0

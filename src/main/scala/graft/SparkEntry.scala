@@ -41,6 +41,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap
 
+  /** Session-memoized shared frames ([[SharedFrames]]), in dependency
+    * order (later builds consume earlier memos). The bench forces and
+    * times each one as a `shared:<name>` pseudo-query BEFORE the query
+    * loop, so whichever consumer happens to run first no longer gets
+    * charged the family's build (4.08 s vs 1.86 s for the same query
+    * across two r12 runs, purely from attribution) — consumer times
+    * become build-free and round-over-round comparable, and the suite
+    * total is unchanged: the same work is just billed to its owner. */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "customer_profiles" -> ((s, d) => { DomainQueries.sharedProfiles(s, d); () }),
+    "vehicle_history" -> ((s, d) => { DomainQueries.sharedVehicleHistory(s, d); () }),
+    "id_match_edges" -> ((s, d) => { PipelineQueries.matchEdges(s, d); () }),
+    "copurchase_edges" -> ((s, d) => { RelationalQueries.copurchaseEdges(s, d); () }),
+    "corpus_survivors" -> ((s, d) => { LlmQueries.corpusSurvivors(s, d); () }),
+    "minhash_pairs" -> ((s, d) => { LlmQueries.minhashPairs(s, d); () }),
+    "cluster_components" -> ((s, d) => { LlmQueries.clusterComponents(s, d); () }),
+    "survivor_components" -> ((s, d) => { LlmQueries.survivorComponents(s, d); () }),
+    "training_chunks" -> ((s, d) => { LlmQueries.trainingChunkStage(s, d); () }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -397,7 +397,7 @@ object DomainQueries {
     * every later consumer reuses the materialized blocks; see the
     * 100 TB rationale there). Semantically identical to calling
     * `Customer360.customerProfiles` inline. */
-  private[queries] def sharedProfiles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedProfiles(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cached(s, s"customer_profiles:$dir") {
       Customer360.customerProfiles(customerMaster(s, dir), asOf,
         Seq(col("sourcerowid").desc))
@@ -406,7 +406,7 @@ object DomainQueries {
   /** The deduped vehicle-history frame (W2 dedup + normalization +
     * purchase-sequence windows), shared the same way — consumers:
     * `v_vehicle_history`, `v_customer_segments`, the activation feed. */
-  private[queries] def sharedVehicleHistory(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedVehicleHistory(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cached(s, s"vehicle_history:$dir") {
       Customer360.vehicleHistory(vehicleSales(s, dir), asOf)
     }

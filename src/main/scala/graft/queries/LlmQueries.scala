@@ -521,7 +521,7 @@ object LlmQueries {
     * exact content dedup → vocab-fingerprint near-dup collapse — shared
     * by `corpus_clean` (emits it) and `corpus_clean_clustered` (feeds
     * it to connected components for transitive cluster resolution). */
-  private def corpusSurvivors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusSurvivors(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cached(s, s"corpus_survivors:$dir") {
       val markers = Seq(
         "en" -> Seq("the", "a"),
@@ -624,7 +624,7 @@ object LlmQueries {
     * (small) pair frame; corpus-sized intermediates are
     * materialized-and-released inside the build. Consumers must NOT
     * unpersist the returned frame. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cachedPrepersisted(s, s"minhash_pairs:$dir") {
       minhashPairsBuild(s, dir)
     }
@@ -942,7 +942,7 @@ object LlmQueries {
     * `dedup_clusters` and `dedup_canonical_quality` both label against
     * it. Same amortization story as [[survivorComponents]]; entry
     * accounted by `SharedFrames.entryCount` in the storage sweep. */
-  private def clusterComponents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusterComponents(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cachedPrepersisted(s, s"cluster_components:$dir") {
       graft.operators.ConnectedComponents.run(
         minhashPairs(s, dir).filter(col("jaccard") >= 0.5)
@@ -1052,7 +1052,7 @@ object LlmQueries {
     * consumers, one propagation. Same amortization story as the
     * minhash pair memo; the entry is accounted by
     * `SharedFrames.entryCount` in the storage-hygiene sweep. */
-  private def survivorComponents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def survivorComponents(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cachedPrepersisted(s, s"survivor_components:$dir") {
       graft.operators.ConnectedComponents.run(
         survivorEdges(minhashPairs(s, dir), corpusSurvivors(s, dir)),
@@ -1303,7 +1303,7 @@ object LlmQueries {
     * (pre-sort); cluster labels come from the session-shared
     * [[survivorComponents]] map, so there is nothing per-call to
     * release. */
-  private def trainingChunkStage(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trainingChunkStage(s: SparkSession, dir: String): DataFrame =
     // session-shared: BOTH capstone heads (corpus_training_mix and
     // corpus_training_tokens) consume the identical six-stage chunk
     // frame — and its size is bounded by the per-source token budget,

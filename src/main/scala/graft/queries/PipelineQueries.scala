@@ -262,7 +262,7 @@ object PipelineQueries {
     * incremental-components query alone recomputed it ~5× through its
     * split/endpoint/relabel consumers — 11.3 s → the family now pays
     * the build once). Consumers must not unpersist it. */
-  private def matchEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def matchEdges(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cached(s, s"id_match_edges:$dir") {
       IdentityResolution.matchLeads(sessions(s, dir), leads(s, dir))
     }

@@ -1152,7 +1152,7 @@ object RelationalQueries {
     * graph materializes once and every algorithm times ITS OWN work
     * (measured: ~2-3 s per query of redundant edge builds at sf0.1
     * before the memo). Consumers must not unpersist it. */
-  private def copurchaseEdges(
+  private[graft] def copurchaseEdges(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.SharedFrames.cached(s, s"copurchase_edges:$dir") {
       val li = Tables.lineitem(s, dir)
