@@ -24,6 +24,37 @@ import graft.operators.Incremental
   */
 object Activation {
 
+  /** The Lambda's feed read off the `validated_vehicle_sales` view
+    * itself (`lambda_redshift_to_segment.py:137-209` queries exactly
+    * that view) — the OPERATIONAL composition: a maintained
+    * validated-sales store serves this continuously, with profile
+    * contact columns joined in (the view carries no email/phone).
+    * Column mapping normalizes the view's event-ready names to the
+    * SELECT-list shape [[cleanAndValidate]] expects (the reference
+    * Lambda's own list is history-shaped — see the object scaladoc). */
+  def feedFromValidatedSales(validated: DataFrame, contacts: DataFrame): DataFrame =
+    validated
+      .join(contacts.select(col("user_id"), col("email"), col("phone")), Seq("user_id"))
+      .select(
+        col("deal_number"), col("user_id"), col("vin"), col("stock_number"),
+        col("email"), col("phone"),
+        col("make"), col("model"), col("year"), col("body_style"), col("color"),
+        col("vehicle_type").as("vehicle_condition"),
+        col("mileage").as("odometer_reading"),
+        col("sale_date").as("purchase_date"),
+        col("sale_type").as("transaction_type"),
+        col("deal_type").as("deal_category"),
+        col("dealership_code").as("dealership_location"),
+        col("vehicle_price"), col("total_price"),
+        col("gross_profit").as("total_gross_profit"),
+        col("customer_down").as("cash_down"),
+        col("lender"), col("amount_financed"), col("interest_rate"),
+        col("finance_term").as("finance_term_months"),
+        col("monthly_payment"), col("trade_equity"),
+        col("trade_description").as("trade_vehicle_description"),
+        col("sales_manager"), col("salesperson"),
+        col("customer_purchase_sequence").as("purchase_sequence"))
+
   /** S8/J9: one incremental batch — [start, end] on purchase_date,
     * minus processed deal_numbers, newest-first top-`limit`. */
   def nextBatch(

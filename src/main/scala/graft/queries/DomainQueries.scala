@@ -896,6 +896,68 @@ object DomainQueries {
     vSegments.oracle, // identical result contract: view == full rebuild
   )
 
+  /** Incremental maintenance of `validated_vehicle_sales` — THE view the
+    * reference's activation feed reads incrementally
+    * (`scripts/lambda_redshift_to_segment.py:137-209` over
+    * `sql/customer_360_views.sql:614-697`) — differentially proved
+    * against the full-rebuild oracle, closing the operational loop the
+    * r12 continuous-maintenance work left open (profiles/segments only).
+    *
+    * An [[graft.etl.AggregateView]] bucketed on custno, NOT a per-dealno
+    * MaterializedView: the view's customer_purchase_sequence window
+    * makes each row depend on its customer's whole deal set, so derive
+    * is bucket-closed on custno and nothing smaller (same shape as
+    * segments: dims = customer master latest-per-custno, facts = deals
+    * latest-per-dealno, marketability gates reapplied in derive over
+    * profile state). Pre-filter doctrine as `mv_segments_refresh`. The
+    * streamed form of this loop — CDC → Streams.maintainFacts →
+    * incremental activation with processed-ID dedup — is pinned
+    * end-to-end in `ActivationLoopSpec`. */
+  private val mvValidated = Q(
+    "mv_validated_refresh",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mv_val").toString
+      val av = validatedSalesAggregateView(root)
+      val dims = customerMaster(s, dir)
+        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      val facts = vehicleSales(s, dir)
+        .filter(col("custno").isNotNull && col("vin").isNotNull &&
+          col("contractdate").isNotNull)
+      // same narrow-slice CDC shape as mv_segments_refresh (bucket-
+      // pruned refresh is the point), offset so this query exercises
+      // DIFFERENT customers' buckets than the segments entry
+      val custL = col("custno").cast("long")
+      val dimSlice = custL % 1499 === 1
+      val factSlice = custL % 1499 === 501
+      av.build(
+        dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
+        facts.filter(!factSlice))
+      av.refreshFacts(facts.filter(factSlice))
+      av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
+      pin(av.view(s)).orderBy("deal_number")
+    },
+    vValidated.oracle, // identical result contract: view == full rebuild
+  )
+
+  /** The validated-sales [[graft.etl.AggregateView]] — shared by the
+    * `mv_validated_refresh` differential and the end-to-end activation
+    * loop spec, so both drive the identical store shape. */
+  private[graft] def validatedSalesAggregateView(root: String): graft.etl.AggregateView =
+    new graft.etl.AggregateView(
+      root, bucketKeys = Seq("custno"),
+      dimKeys = Seq("custno"),
+      dimOrder = Seq(col("lastupdated").desc, col("dateadded").desc,
+        col("sourcerowid").desc),
+      factKeys = Seq("dealno"),
+      factOrder = Seq(col("rowlastupdatedutc").desc, col("vin").desc),
+      // state-fed derive: the W1/W2 dedup windows are skipped (states
+      // are latest-per-key by the folds); quality + marketability gates
+      // reapplied inside
+      derive = (dimState, factState) =>
+        Customer360.validatedSalesOfLatest(factState,
+          Customer360.customerProfilesOfLatest(dimState, asOf)),
+      nBuckets = 16)
+
   /** Per-column completeness profile — the data-profiling "describe"
     * every warehouse onboarding runs before trusting a feed: for each
     * contact/identity column of the CDP master, row count, NULLs,
@@ -1200,6 +1262,6 @@ object DomainQueries {
   )
 
   val all: Seq[Q] = Seq(vProfiles, vHistory, vSegments, vDealership, vValidated,
-    vPrivacy, mvProfiles, mvSegments, scd2History, j11Interval, dqAudit,
+    vPrivacy, mvProfiles, mvSegments, mvValidated, scd2History, j11Interval, dqAudit,
     dqChecksum, dqProfile, rfm)
 }

@@ -354,7 +354,37 @@ object Customer360 {
         Window.partitionBy("dealno")
           .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
       .filter(col("sale_rank") === 1)
-    joined.select(
+    validatedSalesProjection(joined)
+  }
+
+  /** [[validatedSales]] minus its W2 dedup window, for sales inputs
+    * ALREADY unique per dealno (latest-per-key fact state — same
+    * contract as [[vehicleHistoryOfLatest]]). The validity gate and the
+    * marketable-profile join are REAPPLIED (state is pre-view-filter);
+    * skipping the rank is sound under the fact-state contract that
+    * every version of a deal carries the same custno — the marketable
+    * predicate is then constant across a deal's versions for a fixed
+    * profile snapshot, so filter-then-rank ≡ fold-then-filter. The
+    * purchase-sequence window (per custno, across deals) is REAL work
+    * and stays — which is why the maintained form of this view is an
+    * [[graft.etl.AggregateView]] bucketed on custno, not a per-dealno
+    * MaterializedView: the sequence makes each view row depend on its
+    * customer's whole deal set, i.e. derive is bucket-closed on custno
+    * and nothing smaller. */
+  def validatedSalesOfLatest(latestSales: DataFrame, profiles: DataFrame): DataFrame =
+    validatedSalesProjection(
+      latestSales.alias("vs")
+        .join(profiles.alias("cp"), col("vs.custno") === col("cp.custno"))
+        .filter(col("vs.custno").isNotNull && col("vs.vin").isNotNull &&
+          col("vs.contractdate").isNotNull &&
+          col("cp.email").isNotNull && col("cp.email_opt_out") === false)
+        .select(col("vs.*")))
+
+  /** The event-ready projection both [[validatedSales]] paths share
+    * (`customer_360_views.sql:638-693`), including the per-custno
+    * purchase-sequence window. */
+  private def validatedSalesProjection(sales: DataFrame): DataFrame =
+    sales.select(
       col("dealno").as("deal_number"),
       Cleansing.userId("AUTO-", col("custno")).as("user_id"),
       col("custno"),
@@ -393,7 +423,6 @@ object Customer360 {
       row_number().over(Window.partitionBy("custno")
         .orderBy(col("contractdate").asc, col("dealno").asc))
         .as("customer_purchase_sequence"))
-  }
 
   /** marketing.data_privacy_status (`customer_360_views.sql:703-742`):
     * privacy projection + marketing-status ladder + can_* flags. */
