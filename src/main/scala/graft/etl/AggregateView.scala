@@ -67,6 +67,25 @@ final class AggregateView(
   private val viewPath = s"$root/view"
   private val bucketCol = "__mv_bucket"
 
+  /** SINGLE-WRITER enforcement. The refresh protocol assumes it is the
+    * only writer between its state read and its state overwrite — the
+    * documented operational shape is a fact STREAM with dimension
+    * refreshes arriving as batch cycles between micro-batches
+    * ([[graft.streaming.Streams.maintainFacts]]), and an operator who
+    * fires a dim refresh mid-stream used to corrupt nothing only by
+    * scheduling luck. A per-store lock makes the contract enforced, not
+    * documented: concurrent build/refreshFacts/refreshDims calls
+    * serialize, and any serial order converges (each refresh reads the
+    * other's committed state; the folds are latest-version-wins and
+    * derive reads both stores as-of its own critical section). Pinned
+    * by the interleaved spec in `AggregateViewSpec`. */
+  private val writerLock = new java.util.concurrent.locks.ReentrantLock()
+
+  private def withWriterLock[T](body: => T): T = {
+    writerLock.lock()
+    try body finally writerLock.unlock()
+  }
+
   /** Atomic manifest-mediated publish of the served view (exposed to
     * the crash/concurrency specs). */
   private[graft] val store = new GenerationStore(viewPath, bucketCol, keepVersions)
@@ -139,7 +158,7 @@ final class AggregateView(
     * stores it just wrote, a column-pruned scan of fresh compressed
     * parquet instead of full-width block copies held across the pass. */
   def build(dims: DataFrame, facts: DataFrame): Unit =
-    graft.plans.MvRewrite.withRuleDisabled {
+    withWriterLock { graft.plans.MvRewrite.withRuleDisabled {
       // The two state materializations are INDEPENDENT jobs (disjoint
       // inputs, disjoint output paths) — submit them concurrently: on a
       // cluster they pack the executors instead of leaving them idle
@@ -172,7 +191,7 @@ final class AggregateView(
       store.publish(
         clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol)))),
         0L until nBuckets.toLong)
-    }
+    } }
 
   /** CDC batch of fact rows: re-aggregate only the batch's buckets. */
   def refreshFacts(batch: DataFrame): Unit =
@@ -217,7 +236,8 @@ final class AggregateView(
       statePath: String,
       keys: Seq[String],
       order: Seq[Column],
-      factsSide: Boolean): Unit = graft.plans.MvRewrite.withRuleDisabled {
+      factsSide: Boolean): Unit =
+      withWriterLock { graft.plans.MvRewrite.withRuleDisabled {
     val spark = batch.sparkSession
     // checkpoint the (CDC-bounded) batch once: its plan can be
     // arbitrarily expensive and the refresh reads it three times (fold
@@ -311,7 +331,7 @@ final class AggregateView(
           .partitionBy(bucketCol).parquet(statePath)
     } finally release()
     } finally releaseB()
-  }
+  } }
 
   /** The published aggregate view (all buckets), resolved through the
     * generation manifest — complete old-or-new state under concurrent

@@ -257,9 +257,10 @@ object Streams {
     * — the segments view's operational loop: the high-velocity side
     * (deals/facts) streams, each micro-batch re-aggregating only its
     * buckets; DIMENSION changes arrive through batch `refreshDims`
-    * cycles between/around the stream — the store's refresh loop is
-    * single-writer by contract, so the slow side must not run as a
-    * second concurrent stream. At-least-once delivery suffices by the
+    * cycles between/around the stream — the store serializes writers
+    * through its per-instance lock (r13), so a dim refresh fired
+    * mid-stream interleaves SAFELY between micro-batches instead of
+    * corrupting by scheduling luck. At-least-once delivery suffices by the
     * same replay-idempotence argument as [[maintainView]]; the stream
     * must deliver pre-filtered fact rows, like any `refreshFacts`
     * caller. */

@@ -3,6 +3,7 @@ package graft.etl
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -230,6 +231,55 @@ class AggregateViewSpec extends AnyFunSuite {
       f0.unionByName(facts(
         (12L, 1L, 1L, 9L), (11L, 1L, 9L, 60L), (20L, 2L, 0L, 999L))))
     assert(viewMap(av) == viewMap(full))
+  }
+
+  test("dim refreshes interleaved with streaming fact batches serialize through the writer lock") {
+    // The operational contract used to be "dimensions stay batch cycles;
+    // single-writer by convention" — nothing stopped an operator from
+    // firing refreshDims mid-stream, and correctness then hung on
+    // scheduling luck. The per-store writer lock serializes the three
+    // writers; this drives a REAL interleave (a background thread
+    // hammering refreshDims while maintainFacts drains micro-batches)
+    // and demands convergence to the full rebuild plus zero errors.
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("graft_av_lock").toString
+    val av = new AggregateView(root, Seq("id"),
+      dimKeys = Seq("id"), dimOrder = Seq(col("dversion").desc),
+      factKeys = Seq("fid"), factOrder = Seq(col("fversion").desc),
+      derive, nBuckets = 4)
+    val d0 = Seq((1L, 1L, "ann"), (2L, 1L, "bob"), (3L, 1L, "cat"))
+    val f0 = Seq((10L, 1L, 1L, 5L), (11L, 2L, 1L, 7L))
+    av.build(dims(d0: _*), facts(f0: _*))
+
+    val dimBatches = Seq(
+      Seq((1L, 2L, "ann2")), Seq((2L, 2L, "bob2"), (4L, 1L, "dan")),
+      Seq((3L, 2L, "cat2")), Seq((1L, 3L, "ann3")))
+    val factBatches = Seq(
+      Seq((12L, 1L, 1L, 3L)), Seq((10L, 1L, 2L, 9L), (13L, 3L, 1L, 2L)),
+      Seq((14L, 4L, 1L, 11L)), Seq((11L, 2L, 2L, 8L)))
+
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.maintainFacts(
+      in.toDF().toDF("fid", "id", "fversion", "amount"), av, s"$root/ckpt")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val dimThread = new Thread(() =>
+      try dimBatches.foreach { b => av.refreshDims(dims(b: _*)); Thread.sleep(3) }
+      catch { case e: Throwable => err.set(e) })
+    try {
+      dimThread.start()
+      factBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      dimThread.join()
+    } finally q.stop()
+    assert(err.get() == null, s"concurrent dim refresh failed: ${err.get()}")
+
+    val (_, full) = mk(nBuckets = 4)
+    full.build(
+      dims(d0 ++ dimBatches.flatten: _*),
+      facts(f0 ++ factBatches.flatten: _*))
+    assert(viewMap(av) == viewMap(full),
+      "interleaved maintenance diverged from the full rebuild")
   }
 
   test("a fact batch emptying nothing still handles empty-view buckets safely") {

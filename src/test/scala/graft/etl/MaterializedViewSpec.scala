@@ -99,6 +99,50 @@ class MaterializedViewSpec extends AnyFunSuite {
       "refresh fell back to the distinct+collect bucket probe")
   }
 
+  test("refresh runs exactly 4 jobs: batch ckpt, fold ckpt, publish, state write") {
+    // The r12 fusion's perf win IS this job count — batch checkpoint
+    // (with the observed bucket mask), fold+change-flag checkpoint,
+    // generation publish, dynamic-partition state write. Nothing else
+    // stops a future edit from silently reintroducing the
+    // distinct+collect probe jobs or a fifth stage, so the shape is
+    // pinned by counting jobs through a listener around one refresh of
+    // a ≤64-bucket (maskable) store.
+    val (_, mv) = mk()
+    mv.build(rows((1L, 1L, false, "a1"), (2L, 1L, false, "b1")))
+    // one STAGE of the refresh = one SQL execution id (AQE fans an
+    // execution out into several scheduler jobs, so raw job counts are
+    // plan-shape noise); bare RDD jobs without an execution id are
+    // allowed ONLY for parquet footer reads (read-side schema
+    // inference on the state scan — metadata, not a refresh stage)
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val bare = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))) match {
+          case Some(id) => execs.add(id)
+          case None =>
+            bare.add(s"job-${js.jobId}:" +
+              js.stageInfos.map(_.name).mkString("|").take(120))
+        }
+    }
+    val before = MaterializedView.probeFallbacks.get()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      mv.refresh(rows((1L, 2L, false, "a2"), (9L, 1L, false, "j1")))
+      org.apache.spark.GraftCoreShim.flushListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(MaterializedView.probeFallbacks.get() == before,
+      "a probe fell off the observe metrics — execution count below is stale")
+    assert(execs.size == 4,
+      s"refresh ran ${execs.size} executions; the pinned shape is 4 " +
+        "(batch ckpt, fold ckpt, publish, state write)")
+    import scala.jdk.CollectionConverters._
+    assert(bare.asScala.forall(_.contains("parquet at")),
+      s"unexpected bare RDD job (a probe job returned?): $bare")
+  }
+
   test("a winner turning soft-deleted disappears from the view (even emptying its bucket)") {
     // nBuckets=1: every key shares one bucket, so the delete case also
     // exercises partition replacement when rows remain; the second mv
