@@ -143,6 +143,7 @@ final class AggregateView(
     df.write.mode("overwrite").partitionBy(bucketCol).parquet(path)
     if (!isPartitioned(path, df.sparkSession))
       df.limit(0).write.mode("overwrite").parquet(path)
+    MaterializedView.writeSchemaSidecar(df.sparkSession, path, df.schema)
   }
 
   private def isPartitioned(path: String, spark: SparkSession): Boolean = {
@@ -186,8 +187,8 @@ final class AggregateView(
         ff.value.get.get
       } finally pool.shutdown()
       val spark = dims.sparkSession
-      val ds = spark.read.parquet(dimsPath)
-      val fs = spark.read.parquet(factsPath)
+      val ds = MaterializedView.readState(spark, dimsPath)
+      val fs = MaterializedView.readState(spark, factsPath)
       store.publish(
         clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol)))),
         0L until nBuckets.toLong)
@@ -263,7 +264,7 @@ final class AggregateView(
       MaterializedView.bucketBytes(spark, statePath, bucketCol, buckets) +
         MaterializedView.bucketBytes(spark, otherPath, bucketCol, buckets) >=
         keyScopeMinStateBytes
-    val oldState = spark.read.parquet(statePath)
+    val oldState = MaterializedView.readState(spark, statePath)
       .filter(col(bucketCol).isin(buckets: _*))
     val batchKeys = b.select(keys.map(col): _*).distinct()
     // fold + change flag + changed-bucket metric fused into ONE
@@ -293,7 +294,7 @@ final class AggregateView(
             .collect().map(_.getLong(0)).toSeq)
       if (changed.isEmpty) return
       val inChanged = col(bucketCol).isin(changed: _*)
-      val other = spark.read.parquet(otherPath).filter(inChanged)
+      val other = MaterializedView.readState(spark, otherPath).filter(inChanged)
       val newViewRows =
         if (!keyScoped) {
           val (dimsPruned, factsPruned) =
@@ -323,12 +324,17 @@ final class AggregateView(
       // partition column) — rewrite it fully once; from then on the
       // store is partitioned and refreshes stay bucket-scoped
       if (isPartitioned(statePath, spark))
+        // dynamic overwrite replaces only bucket partitions; root-level
+        // files (the schema sidecar) survive
         reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(bucketCol).parquet(statePath)
-      else
+      else {
         reclusterForWrite(newState).write.mode("overwrite")
           .partitionBy(bucketCol).parquet(statePath)
+        // the full overwrite cleared the root — restore the sidecar
+        MaterializedView.writeSchemaSidecar(spark, statePath, newState.schema)
+      }
     } finally release()
     } finally releaseB()
   } }
@@ -342,9 +348,9 @@ final class AggregateView(
 
   /** The latest-row-per-key dimension state store. */
   def dims(spark: SparkSession): DataFrame =
-    spark.read.parquet(dimsPath).drop(bucketCol)
+    MaterializedView.readState(spark, dimsPath).drop(bucketCol)
 
   /** The latest-row-per-key fact state store. */
   def facts(spark: SparkSession): DataFrame =
-    spark.read.parquet(factsPath).drop(bucketCol)
+    MaterializedView.readState(spark, factsPath).drop(bucketCol)
 }

@@ -172,6 +172,15 @@ final class GenerationStore(
     gc(spark, current)
     val nextGen = maxGen(current) + 1
     rows.write.mode("overwrite").partitionBy(bucketCol).parquet(genDir(nextGen))
+    // schema sidecar at the ROOT (never inside a generation — gc sweeps
+    // those): readers resolve leaf bucket dirs directly, so the served
+    // schema is the data columns WITHOUT the bucket partition column.
+    // Written per publish THROUGH the commit protocol (ScanCommit's gc
+    // treats unsequenced strays as temps), read by [[resolve]] to skip
+    // the per-read footer-inference job.
+    commit.write(new Path(root, MaterializedView.SchemaSidecar),
+      org.apache.spark.sql.types.StructType(
+        rows.schema.filter(_.name != bucketCol)).json, conf(spark))
     onBeforeSwap()
     swap(spark, current ++ buckets.map(_ -> nextGen), nextGen)
     nextGen
@@ -207,7 +216,14 @@ final class GenerationStore(
       val p = new Path(s"${genDir(g)}/$bucketCol=$b")
       if (f.exists(p)) Some(p.toString) else None
     }
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else commit.read(
+      new Path(root, MaterializedView.SchemaSidecar), conf(spark)) match {
+      case Some(json) =>
+        Some(spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(paths: _*))
+      case None => Some(spark.read.parquet(paths: _*))
+    }
   }
 
   /** Delete what nothing retained references: generation dirs outside

@@ -203,7 +203,9 @@ final class MaterializedView(
         clustered(Dedup.latestByKey(bucketed, keys, order))
       else foldClustered(bucketed)
     folded.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
-    val state = source.sparkSession.read.parquet(statePath)
+    MaterializedView.writeSchemaSidecar(
+      source.sparkSession, statePath, folded.schema)
+    val state = MaterializedView.readState(source.sparkSession, statePath)
     store.publish(
       clustered(withBucket(derive(state.drop(bucketCol)))),
       0L until nBuckets.toLong)
@@ -292,7 +294,7 @@ final class MaterializedView(
     if (buckets.isEmpty) return
     val keyScoped = MaterializedView.bucketBytes(
       spark, statePath, bucketCol, buckets) >= keyScopeMinStateBytes
-    val oldState = spark.read.parquet(statePath)
+    val oldState = MaterializedView.readState(spark, statePath)
       .filter(col(bucketCol).isin(buckets: _*))
     val batchKeys = b.select(keys.map(col): _*).distinct()
     // Fold, change flag and changed-bucket probe fused into ONE
@@ -364,7 +366,7 @@ final class MaterializedView(
 
   /** The latest-row-per-key state store. */
   def state(spark: SparkSession): DataFrame =
-    spark.read.parquet(statePath).drop(bucketCol)
+    MaterializedView.readState(spark, statePath).drop(bucketCol)
 }
 
 object MaterializedView {
@@ -377,6 +379,36 @@ object MaterializedView {
     * above it, recomputing unchanged keys dominates and scoping wins
     * asymptotically (O(batch) instead of O(dirty buckets) compute). */
   val DefaultKeyScopeMinStateBytes: Long = 4L << 30
+
+  /** Name of the schema sidecar written beside every state store and
+    * generation root. The `_` prefix hides it from Spark's data-file
+    * discovery; content is `StructType.json` of the frame as written
+    * (bucket column included, typed LONG — which also pins the
+    * partition-column type instead of re-inferring int per read). */
+  private[graft] val SchemaSidecar = "_graft_schema.json"
+
+  /** Persist `schema` beside `path` (atomic replace). Written AFTER the
+    * data (a full overwrite clears the directory first). */
+  private[graft] def writeSchemaSidecar(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    AtomicText.write(new org.apache.hadoop.fs.Path(path, SchemaSidecar),
+      schema.json, spark.sparkContext.hadoopConfiguration)
+
+  /** Read a state store WITHOUT a schema-inference pass when the
+    * sidecar is present: footer-sampling is a distributed job per read
+    * (four-plus reads per refresh), and at the 100 TB posture inference
+    * over a million-file store is a real cluster job serving no purpose
+    * — the store OWNS its schema, it wrote it. Falls back to inference
+    * for stores written before the sidecar existed. */
+  private[graft] def readState(spark: SparkSession, path: String): DataFrame =
+    AtomicText.read(new org.apache.hadoop.fs.Path(path, SchemaSidecar),
+      spark.sparkContext.hadoopConfiguration) match {
+      case Some(json) =>
+        spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
+      case None => spark.read.parquet(path)
+    }
 
   /** Conservative mirror of [[graft.plans.DedupWindowToMaxBy]]'s
     * fire conditions, checkable BEFORE planning: all sort directions

@@ -918,8 +918,13 @@ object DomainQueries {
     (s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_mv_val").toString
       val av = validatedSalesAggregateView(root)
+      // dim state stores only the marketable-contact slice (plus the
+      // fold's order/tiebreak columns): the derive reads nothing else,
+      // and an 11-column state folds, writes and rescans at a fraction
+      // of the 26-column master's width
       val dims = customerMaster(s, dir)
         .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+        .select(Customer360.MarketableContactCols.map(col): _*)
       val facts = vehicleSales(s, dir)
         .filter(col("custno").isNotNull && col("vin").isNotNull &&
           col("contractdate").isNotNull)
@@ -952,10 +957,10 @@ object DomainQueries {
       factOrder = Seq(col("rowlastupdatedutc").desc, col("vin").desc),
       // state-fed derive: the W1/W2 dedup windows are skipped (states
       // are latest-per-key by the folds); quality + marketability gates
-      // reapplied inside
+      // reapplied inside over the narrow contact slice
       derive = (dimState, factState) =>
         Customer360.validatedSalesOfLatest(factState,
-          Customer360.customerProfilesOfLatest(dimState, asOf)),
+          Customer360.marketableContactsOfLatest(dimState)),
       nBuckets = 16)
 
   /** Per-column completeness profile — the data-profiling "describe"

@@ -104,6 +104,36 @@ object Customer360 {
         col("lastupdated").as("last_updated"))
   }
 
+  /** The marketable-contact slice of [[customerProfilesOfLatest]] —
+    * IDENTICAL gates and cleansing expressions, projection reduced to
+    * the five columns the validated-sales join and the activation
+    * contact join actually read. Exists so the validated-sales
+    * aggregate view can store an 11-column dimension state instead of
+    * the full 26-column master (the fold, state write and every
+    * refresh scan shrink with it; at 100 TB the dim store is a
+    * contact table, not a second copy of the master). Equivalence to
+    * the full projection is pinned in `Customer360Spec`. */
+  def marketableContactsOfLatest(latest: DataFrame): DataFrame =
+    latest
+      .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      .filter(
+        col("firstname").isNotNull && col("firstname") =!= "" &&
+        col("lastname").isNotNull && col("lastname") =!= "" &&
+        Cleansing.isContactable(col("email"), col("telephone")))
+      .select(
+        Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+        col("custno"),
+        Cleansing.cleanEmail(col("email")).as("email"),
+        Cleansing.normalizePhone(col("telephone")).as("phone"),
+        coalesce(col("blockemail"), lit(false)).as("email_opt_out"))
+
+  /** The master columns [[marketableContactsOfLatest]] (and the dim
+    * fold feeding it) consume — the validated-sales view's dimension
+    * state projection, order/tiebreak columns included. */
+  val MarketableContactCols: Seq[String] = Seq(
+    "custno", "firstname", "lastname", "email", "telephone", "blockemail",
+    "isdeleted", "deletedataflag", "lastupdated", "dateadded", "sourcerowid")
+
   /** marketing.customer_vehicle_history (`customer_360_views.sql:192-370`):
     * validity filter → W2 dedup (latest per dealno) → normalization
     * projection + W3 purchase sequence + recency buckets. */

@@ -41,12 +41,11 @@ import graft.views.Customer360
 class ActivationLoopSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
-  private val asOf = lit("2024-06-01").cast("date")
 
   private def events(view: DataFrame, dimState: DataFrame,
       processed: DataFrame): DataFrame = {
     val feed = Activation.feedFromValidatedSales(view,
-      Customer360.customerProfilesOfLatest(dimState, asOf))
+      Customer360.marketableContactsOfLatest(dimState))
     Activation.toSegmentTrackEvents(Activation.cleanAndValidate(
       Activation.nextBatch(feed, processed,
         lit("1990-01-01").cast("timestamp"), lit("2030-01-01").cast("timestamp"),
@@ -62,6 +61,7 @@ class ActivationLoopSpec extends AnyFunSuite {
 
     val dims = DomainQueries.customerMaster(spark, dir)
       .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      .select(Customer360.MarketableContactCols.map(col): _*)
     val facts = DomainQueries.vehicleSales(spark, dir)
       .filter(col("custno").isNotNull && col("vin").isNotNull &&
         col("contractdate").isNotNull)

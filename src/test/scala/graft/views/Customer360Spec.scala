@@ -234,6 +234,18 @@ class Customer360Spec extends AnyFunSuite {
     assert(joined == Set("C1", "C3")) // C2's blockemail drops it
   }
 
+  test("marketableContactsOfLatest == the contact slice of customerProfilesOfLatest") {
+    // the narrow projection duplicates the gate + cleansing expressions
+    // (so the validated-sales dim state can stay 11 columns wide); any
+    // drift between the two must fail here, not in a view differential
+    val narrow = Customer360.marketableContactsOfLatest(cm)
+      .collect().map(_.toSeq).toSet
+    val slice = Customer360.customerProfilesOfLatest(cm, asOf)
+      .select("user_id", "custno", "email", "phone", "email_opt_out")
+      .collect().map(_.toSeq).toSet
+    assert(narrow.nonEmpty && narrow == slice)
+  }
+
   test("privacyStatus: marketing-status ladder + can_* flags") {
     val ps = Customer360.privacyStatus(profiles)
       .collect().map(r => r.getAs[String]("custno") -> r).toMap
