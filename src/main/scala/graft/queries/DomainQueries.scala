@@ -925,9 +925,11 @@ object DomainQueries {
       val dims = customerMaster(s, dir)
         .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
         .select(Customer360.MarketableContactCols.map(col): _*)
+      // fact state narrowed the same way: the 34 columns the view reads
       val facts = vehicleSales(s, dir)
         .filter(col("custno").isNotNull && col("vin").isNotNull &&
           col("contractdate").isNotNull)
+        .select(Customer360.ValidatedSalesSourceCols.map(col): _*)
       // same narrow-slice CDC shape as mv_segments_refresh (bucket-
       // pruned refresh is the point), offset so this query exercises
       // DIFFERENT customers' buckets than the segments entry

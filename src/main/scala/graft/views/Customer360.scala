@@ -410,6 +410,20 @@ object Customer360 {
           col("cp.email").isNotNull && col("cp.email_opt_out") === false)
         .select(col("vs.*")))
 
+  /** The sales columns [[validatedSalesOfLatest]] consumes (projection
+    * inputs + the fold's order columns) — the validated-sales view's
+    * FACT state projection: the full feed carries ~45 columns, the view
+    * reads 34, and a maintained fact store has no reason to fold, write
+    * and rescan the other 11 on every refresh. */
+  val ValidatedSalesSourceCols: Seq[String] = Seq(
+    "dealno", "custno", "vin", "stockno", "makename", "modelname", "year",
+    "bodystyle", "color", "modeltype", "vehiclemileage", "saletype",
+    "dealtype", "branch", "contractdate", "salesdate", "cashprice",
+    "outthedoorprice", "totalgross", "customercashdown", "financesource",
+    "financeamt", "apr", "term", "paymentamt", "trade1vin", "trade1acv",
+    "nettrade1", "trade1year", "trade1makename", "trade1modelname",
+    "crmsalesmgrname", "crmsp1name", "rowlastupdatedutc")
+
   /** The event-ready projection both [[validatedSales]] paths share
     * (`customer_360_views.sql:638-693`), including the per-custno
     * purchase-sequence window. */

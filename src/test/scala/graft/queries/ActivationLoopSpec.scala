@@ -65,6 +65,7 @@ class ActivationLoopSpec extends AnyFunSuite {
     val facts = DomainQueries.vehicleSales(spark, dir)
       .filter(col("custno").isNotNull && col("vin").isNotNull &&
         col("contractdate").isNotNull)
+      .select(Customer360.ValidatedSalesSourceCols.map(col): _*)
       .persist()
     val custL = col("custno").cast("long")
     val slice1 = custL % 7 === 0
