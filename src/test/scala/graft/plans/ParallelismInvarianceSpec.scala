@@ -45,6 +45,7 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // remaining top-10 bench heavies (the four above are already in)
     "mv_segments_refresh",    // build + CDC refresh, fold/flag/publish pipeline
     "mv_profiles_refresh",    // MaterializedView refresh path
+    "mv_validated_refresh",   // r13: AggregateView + purchase-sequence window
     "id_incremental_components", // pointer-jumped CC + shared-edge memos
     "dedup_ngram_jaccard",    // shingle inverted-index pair join
     "a26_hll_rollup",         // mergeable HLL sketch rollup
