@@ -543,6 +543,47 @@ object RelationalQueries {
       FROM orders ORDER BY o_orderkey"""),
   )
 
+  // ---------------------------------------------------------------- S11
+  /** S11 — JSON-lines event-drop scan ([[graft.sources.JsonSource]]):
+    * round-trip the events table through a newline-JSON lake drop — the
+    * landing format of the reference's event path
+    * (`identity-resolution/api-server.js:83,150-182`) — and read it back
+    * under the EXPLICIT schema with the quarantine lane armed. The
+    * oracle compares against the original parquet rows, so the
+    * differential proves the JSON emit+parse+cast path is lossless
+    * (timestamps pinned at microsecond precision via one explicit
+    * format; doubles ride Java's round-trip-exact `Double.toString`;
+    * the `props` JSON payload string nests as an escaped value and
+    * comes back byte-identical). Lane semantics — what quarantines and
+    * what doesn't — are pinned in `JsonSourceSpec`. */
+  private val s11 = Q(
+    "s11_json_scan",
+    (s, dir) => {
+      val jsonDir = s"/tmp/graft_json_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").json(jsonDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      val (good, _) = graft.sources.JsonSource.readWithQuarantine(s, jsonDir, schema)
+      good.select(
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id"""),
+  )
+
   // -------------------------------------------------------------- S5/J8
   /** S5/J8 — idempotent upsert as LEFT ANTI + UNION (reference
     * `scripts/glue_vehicle_sales_etl.py:277-288,368-377`). */
@@ -4237,7 +4278,7 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
     j14Overlap, a25SmallQty, j15SoleLate,
     w1, w3, w4, a1, a2, a3, a5, a6, a11Funnel, a12Cohorts, a13Hopping,
-    st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s5, s8,
+    st6Sessions, j1, o3, j3, j9, j5, o2, setOps, pClean, p2, p8, s1, s11, s5, s8,
     s8bloom, j10, j20Nearest, graphPagerank, graphTriangles, graphLpa, a14Cube, a14bRollup, a15Pivot, a16Basket, w5Rolling,
     j12Reconcile, w6GapFill, a17Stats, w7Gaps, w8Ewma, w13Holt, w9Locf, w10Ranks, w11ScalableRanks, w14ValueWindows, a18Hll, a26HllRollup, a27Overlap, a28AbCalibration, a29Anomalies, a30NewReturning, a31RevShare, a32ConvLatency, a33Gini, statsJoinSize, statsAutoplanJoin, sq1Exists, sq2NotExists, sq3ScalarAvg, sq4In, sq5NotIn, sq6Lateral, sq7SelectCount, sq12ExistsOr, a34Cube, a35Pivot, w12RangeFrames, j21NationTrade, set2BagOps, graphKcore, graphBfs, a36Custdist, a37GroupingSets, a38Unpivot, a19Hist,
     a20Twap, a21Attribution, a22Transitions, a23Wilson, a24CohortLtv,
