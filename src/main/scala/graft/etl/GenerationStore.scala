@@ -98,7 +98,7 @@ private[graft] object AtomicText {
 final class GenerationStore(
     root: String,
     bucketCol: String,
-    keepVersions: Int = 1,
+    val keepVersions: Int = 1,
     commit: CommitProtocol = RenameCommit) {
 
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")

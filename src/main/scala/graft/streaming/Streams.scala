@@ -269,4 +269,33 @@ object Streams {
       view: graft.etl.AggregateView,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     deliverStream(cdc, checkpoint) { (batch, _) => view.refreshFacts(batch) }
+
+  /** Multi-view continuous maintenance under CROSS-VIEW snapshot
+    * isolation: one CDC stream keeps a SET of views fresh — each
+    * micro-batch runs every view's refresher, then commits ONE
+    * [[graft.etl.SnapshotCatalog]] cycle — so a reader resolving the
+    * set through the catalog always sees every view as of the SAME
+    * micro-batch, the consistency a warehouse query over the
+    * reference's view schema gets for free and per-view manifests
+    * alone cannot give (one view can be a batch ahead of its sibling
+    * between refreshes).
+    *
+    * Crash contract, on top of each refresher's own replay-idempotence
+    * ([[maintainView]]): a crash ANYWHERE inside the cycle — even
+    * between two member refreshes — leaves the catalog at the previous
+    * cycle's consistent pins; the batch replays, already-applied
+    * members no-op (byte-identical skip publishes no generation),
+    * missing members catch up, and the cycle commit then pins a
+    * consistent post-batch set. Catalog readers never observe the torn
+    * intermediate that the member stores' live manifests pass through
+    * mid-cycle. */
+  def maintainCycle(
+      cdc: DataFrame,
+      catalog: graft.etl.SnapshotCatalog,
+      checkpoint: String)(
+      refreshers: (DataFrame => Unit)*): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(cdc, checkpoint) { (batch, _) =>
+      refreshers.foreach(_(batch))
+      catalog.commitCycle(batch.sparkSession)
+    }
 }
