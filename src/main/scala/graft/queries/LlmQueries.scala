@@ -1925,6 +1925,121 @@ object LlmQueries {
       FROM f ORDER BY rrf DESC, id LIMIT $RagTopK"""),
   )
 
+  // ---------------------------------------------- MMR diversification
+  private val MmrPoolK = 24
+  private val MmrTopK = 10
+
+  /** MMR-diversified re-rank (Carbonell & Goldstein's Maximal Marginal
+    * Relevance, λ = 0.7) of the semantic retrieval pool — the RAG
+    * serving stage after `rag_hybrid_topk`'s fusion: a near-duplicate-
+    * heavy corpus makes pure relevance ranking return ten copies of the
+    * same passage, so the re-ranker greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — each next
+    * result must be relevant AND novel versus everything already
+    * selected.
+    *
+    * 100 TB design: the corpus-sized work is exactly the scorer the
+    * pool reuses ([[cosineFrame]] + TakeOrdered top-24) plus ONE
+    * pool-scoped pairwise-similarity aggregate (24 vectors semi-joined
+    * out by broadcast, ≤276 pair rows — never all-pairs over the
+    * corpus). The greedy selection itself is inherently sequential and
+    * runs on the driver over those ≤24+276 collected METADATA rows (the
+    * same bounded-driver doctrine as the gated graph solves; a
+    * per-round Spark job for a 24-row argmax would be pure scheduling
+    * tax).
+    *
+    * Determinism: rel and sim are the proven 6-dp-rounded quantized
+    * cosines; each MMR score is (0.7·rel) − (0.3·maxsim) — two IEEE
+    * multiplies and one subtract, expressed identically in the oracle's
+    * recursive CTE (the greedy loop spelled as SQL recursion, ties
+    * broken by vec_id both sides). */
+  private val ragMmr = Q(
+    "rag_mmr_rerank",
+    (s, dir) => {
+      val pool = cosineFrame(s, dir)
+        .orderBy(col("cosine").desc, col("vec_id")).limit(MmrPoolK)
+      val poolIds = pool.select("vec_id")
+      val pv = Tables.embeddings(s, dir)
+        .join(broadcast(poolIds), "vec_id")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .withColumn("xq", floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+      val norms = pv.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("n2"))
+      val sims = pv.select(col("vec_id").as("ia"), col("pos"), col("xq").as("xa"))
+        .join(pv.select(col("vec_id").as("ib"), col("pos"), col("xq").as("xb")), Seq("pos"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(sum(col("xa") * col("xb")).as("dot"))
+        .join(broadcast(norms.select(col("vec_id").as("ia"), col("n2").as("na"))), "ia")
+        .join(broadcast(norms.select(col("vec_id").as("ib"), col("n2").as("nb"))), "ib")
+        .select(col("ia"), col("ib"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("s"))
+      // bounded driver solve: ≤ MmrPoolK rel rows + ≤ K(K-1)/2 sim rows
+      val rel = pool.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine"))
+      val relMap = rel.toMap
+      val simMap = sims.collect()
+        .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Double]("s"))
+        .toMap
+      def simOf(i: Long, j: Long): Double =
+        if (i < j) simMap((i, j)) else simMap((j, i))
+      val first = rel.maxBy { case (id, c) => (c, -id) }
+      var chosen = Vector((first._1, 0.7 * first._2))
+      var remaining = rel.map(_._1).toSet - first._1
+      while (chosen.size < MmrTopK && remaining.nonEmpty) {
+        val best = remaining.toSeq
+          .map { c =>
+            val maxSim = chosen.map(x => simOf(c, x._1)).max
+            (c, 0.7 * relMap(c) - 0.3 * maxSim)
+          }
+          .maxBy { case (id, m) => (m, -id) }
+        chosen :+= best
+        remaining -= best._1
+      }
+      val s0 = s
+      import s0.implicits._
+      chosen.zipWithIndex
+        .map { case ((id, m), i) => (i + 1L, id, relMap(id), m) }
+        .toDF("mmr_rank", "vec_id", "cosine", "mmr_score")
+        .orderBy("mmr_rank")
+    },
+    Some(s"""
+      WITH RECURSIVE $cosineOracleCtes,
+      pool AS (SELECT vec_id, cosine FROM cos_scored
+               ORDER BY cosine DESC, vec_id LIMIT $MmrPoolK),
+      pv AS (SELECT eq.vec_id, pos, xq FROM eq JOIN pool USING (vec_id)),
+      pn AS (SELECT vec_id, sum(xq * xq) AS n2 FROM pv GROUP BY 1),
+      pp AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.xq * b.xq) AS dot
+             FROM pv a JOIN pv b USING (pos) WHERE a.vec_id < b.vec_id
+             GROUP BY 1, 2),
+      sim AS (SELECT ia, ib,
+                     round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS s
+              FROM pp JOIN pn na ON na.vec_id = pp.ia
+                      JOIN pn nb ON nb.vec_id = pp.ib),
+      sim2 AS (SELECT ia AS i, ib AS j, s FROM sim
+               UNION ALL SELECT ib, ia, s FROM sim),
+      sel AS (
+        (SELECT 1 AS step, vec_id AS sel_id,
+                CAST(0.7 AS DOUBLE) * cosine AS mmr, [vec_id] AS chosen
+         FROM pool ORDER BY cosine DESC, vec_id LIMIT 1)
+        UNION ALL
+        SELECT s.step + 1, c.vec_id, c.mmr, list_append(s.chosen, c.vec_id)
+        FROM sel s, LATERAL (
+          SELECT p.vec_id,
+                 CAST(0.7 AS DOUBLE) * p.cosine - CAST(0.3 AS DOUBLE) *
+                   (SELECT max(m.s) FROM sim2 m
+                    WHERE m.i = p.vec_id AND list_contains(s.chosen, m.j)) AS mmr
+          FROM pool p WHERE NOT list_contains(s.chosen, p.vec_id)
+          ORDER BY mmr DESC, p.vec_id LIMIT 1) c
+        WHERE s.step < $MmrTopK)
+      SELECT CAST(sel.step AS BIGINT) AS mmr_rank, sel.sel_id AS vec_id,
+             p.cosine, sel.mmr AS mmr_score
+      FROM sel JOIN pool p ON p.vec_id = sel.sel_id
+      ORDER BY mmr_rank"""),
+  )
+
   // ----------------------------------------------------------- multimodal
   /** Multimodal plumbing (relational part): opaque binary payload +
     * typed metadata + deterministic content digest + a "thumbnail"
@@ -2403,5 +2518,5 @@ object LlmQueries {
     textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
-    annTopK, hardNegatives, ragHybrid, multimodal, dupSpans, dupProfile, dupExcise, dedupSweep)
+    annTopK, hardNegatives, ragHybrid, ragMmr, multimodal, dupSpans, dupProfile, dupExcise, dedupSweep)
 }
