@@ -2734,7 +2734,97 @@ object CurationQueries {
       ORDER BY f.source"""),
   )
 
-  val all: Seq[Q] = Seq(waterfill, decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
+  // -------------------------------------------- k-center coreset selection
+  private val KCenterK = 8
+
+  /** Diversity-aware CORESET selection — greedy k-center (farthest-point
+    * traversal, the classic 2-approximation): starting from the lowest
+    * vec_id, repeatedly pick the embedding FARTHEST from everything
+    * selected so far. Where the mix samplers weight by source/quality
+    * and SemDeDup removes redundancy, this selects for COVERAGE — the k
+    * exemplars spanning the embedding space, the "diverse subset"
+    * primitive behind curation recipes that cap near-duplicate mass
+    * before sampling (and behind picking k seed documents for human
+    * review).
+    *
+    * 100 TB design — the distributed-iterative shape, NOT a pairwise
+    * one: round r broadcasts the ≤r selected vectors (k·dims literals,
+    * metadata) and makes ONE corpus scan computing each row's min
+    * distance to them (codegen'd `zip_with`/`aggregate` over the
+    * quantized array — no explode, no shuffle), reduced by a 1-row
+    * TakeOrdered. k rounds = k scans + k single-row reduces; nothing
+    * ever materializes corpus×corpus, the trap an all-pairs-distances
+    * formulation would be (the ORACLE does exactly that all-pairs
+    * precompute, fine at sf0.01 — the point of the differential is
+    * agreeing answers from opposite plans).
+    *
+    * Determinism is EXACT, no doubles anywhere: distances are squared
+    * L2 over the 1e6-quantized integer components — BIGINT sums
+    * (≤ ~4e12/dim, far under overflow) — so argmax ties break on
+    * vec_id identically in both engines with no rounding contract. */
+  private val coresetKCenter = Q(
+    "mix_coreset_kcenter",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("eq"))
+      def dist2(center: Seq[Long]): Column =
+        aggregate(
+          zip_with(col("eq"), array(center.map(lit): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      val seed = emb.orderBy("vec_id").limit(1).collect()(0)
+      var selected = Vector((seed.getLong(0), seed.getSeq[Long](1)))
+      var picks = Vector[(Long, Long, Option[Long])]((1L, seed.getLong(0), None))
+      while (selected.size < KCenterK) {
+        val minDist = selected.map(sv => dist2(sv._2)).reduce(least(_, _))
+        val next = emb
+          .filter(!col("vec_id").isin(selected.map(_._1): _*))
+          .select(col("vec_id"), minDist.as("d2"), col("eq"))
+          .orderBy(col("d2").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        selected :+= ((next.getLong(0), next.getSeq[Long](2)))
+        picks :+= ((picks.size + 1L, next.getLong(0), Some(next.getLong(1))))
+      }
+      val s0 = s
+      import s0.implicits._
+      picks.map { case (r, id, d) => (r, id, d.map(java.lang.Long.valueOf).orNull) }
+        .toDF("sel_rank", "vec_id", "min_dist2")
+        .select(col("sel_rank"), col("vec_id"), col("min_dist2").cast("long"))
+        .orderBy("sel_rank")
+    },
+    Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
+        FROM embeddings),
+      eq AS (SELECT vec_id, pos,
+                    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+             FROM e),
+      d AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   sum((a.xq - b.xq) * (a.xq - b.xq)) AS d2
+            FROM eq a JOIN eq b USING (pos) WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+      dd AS (SELECT ia AS i, ib AS j, d2 FROM d
+             UNION ALL SELECT ib, ia, d2 FROM d),
+      sel AS (
+        (SELECT 1 AS step, min(vec_id) AS sel_id, CAST(NULL AS BIGINT) AS mind2,
+                [min(vec_id)] AS chosen
+         FROM embeddings)
+        UNION ALL
+        SELECT s.step + 1, c.vec_id, c.mind2, list_append(s.chosen, c.vec_id)
+        FROM sel s, LATERAL (
+          SELECT t.vec_id,
+                 (SELECT min(p.d2) FROM dd p
+                  WHERE p.i = t.vec_id AND list_contains(s.chosen, p.j)) AS mind2
+          FROM embeddings t WHERE NOT list_contains(s.chosen, t.vec_id)
+          ORDER BY mind2 DESC, t.vec_id LIMIT 1) c
+        WHERE s.step < $KCenterK)
+      SELECT CAST(step AS BIGINT) AS sel_rank, sel_id AS vec_id, mind2 AS min_dist2
+      FROM sel ORDER BY sel_rank"""),
+  )
+
+  val all: Seq[Q] = Seq(coresetKCenter,
+    waterfill, decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, forgetAudit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
