@@ -2750,13 +2750,14 @@ object CurationQueries {
     * 100 TB design — the distributed-iterative shape, NOT a pairwise
     * one: round r broadcasts the ≤r selected vectors (k·dims literals,
     * metadata) and makes ONE corpus scan computing each row's min
-    * distance to them (codegen'd `zip_with`/`aggregate` over the
-    * quantized array — no explode, no shuffle), reduced by a 1-row
-    * TakeOrdered. k rounds = k scans + k single-row reduces; nothing
-    * ever materializes corpus×corpus, the trap an all-pairs-distances
-    * formulation would be (the ORACLE does exactly that all-pairs
-    * precompute, fine at sf0.01 — the point of the differential is
-    * agreeing answers from opposite plans).
+    * distance to them (`zip_with`/`aggregate` over the quantized array
+    * — interpreted HOFs, but one flat per-row pass with no explode and
+    * no shuffle), reduced by a 1-row TakeOrdered. k rounds = k scans +
+    * k single-row reduces; nothing ever materializes corpus×corpus,
+    * the trap an all-pairs-distances formulation would be (the ORACLE
+    * does exactly that all-pairs precompute, fine at sf0.01 — the
+    * point of the differential is agreeing answers from opposite
+    * plans).
     *
     * Determinism is EXACT, no doubles anywhere: distances are squared
     * L2 over the 1e6-quantized integer components — BIGINT sums

@@ -14,16 +14,26 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     extra pass over every byte before the real scan, and it lets one
   *     bad drop silently retype a column for the whole read (a single
   *     `"value": "n/a"` string widens the column and every downstream
-  *     cast moves). The schema is declared once; the data path is one
-  *     pass, column-pruned, and a drop that disagrees with the contract
-  *     surfaces as quarantined LINES, not as a mutated schema.
+  *     cast moves). The schema is declared once; a drop that disagrees
+  *     with the contract surfaces as quarantined LINES, not as a
+  *     mutated schema.
   *   - QUARANTINE lane, same production posture as the CSV lane
   *     ([[graft.etl.VehicleSalesEtl.readCsvWithQuarantine]]): a
   *     malformed line — truncated JSON, broken nesting, a scalar where
   *     the schema demands another type, a bare array — must neither
   *     kill the batch (FAILFAST) nor silently become a row of NULLs
-  *     (plain PERMISSIVE). It lands verbatim in the quarantine frame
+  *     (plain PERMISSIVE). It lands VERBATIM in the quarantine frame
   *     with scan-time file provenance for replay after the upstream fix.
+  *
+  * Split mechanics: the drop is scanned as TEXT and each line parsed
+  * with `from_json` under PERMISSIVE + corrupt-record capture. That
+  * buys two things over the native JSON reader's corrupt column:
+  * the raw line is a REAL column, so both lanes are plain filters (the
+  * native `_corrupt_record` cannot be filtered right off the scan —
+  * Spark requires materializing through a cache first, and caching a
+  * 100 TB scan to split it is exactly backwards: each lane here is one
+  * flat pass, nothing persists); and the quarantine capture is the
+  * byte-verbatim input line by construction, not a parser reconstruction.
   *
   * JSON-specific lane semantics (pinned in `JsonSourceSpec`, because
   * they differ from CSV's exact-arity contract): a syntactically valid
@@ -31,7 +41,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * per-row structure, there is no positional mis-bind to defend
   * against), and one with EXTRA fields is GOOD (schema projection drops
   * them); only a line Jackson cannot bind to the schema — parse error
-  * or type conflict — is quarantined.
+  * or type conflict — is quarantined. Blank lines are skipped, as the
+  * native reader skips them.
   */
 object JsonSource {
 
@@ -39,31 +50,30 @@ object JsonSource {
 
   /** Read a newline-delimited-JSON drop under `schema`, split into
     * (good, quarantine). The good frame carries exactly `schema`'s
-    * columns; the quarantine frame is (raw_line, src_file).
-    *
-    * The corrupt-record column is lazily populated by the scan, and
-    * Spark refuses a filter directly over it (the same restriction as
-    * the CSV lane) — the split goes through one persisted pass, which
-    * also stamps `input_file_name()` AT the scan: it evaluates empty
-    * once rows come back out of a cache. */
+    * columns; the quarantine frame is (raw_line, src_file). Provenance
+    * is stamped AT the scan — `input_file_name()` evaluates empty once
+    * rows leave the scan's context. */
   def readWithQuarantine(
       spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — the lane owns that column")
     val withLane = StructType(
       schema.fields.toSeq :+ StructField(CorruptCol, StringType, nullable = true))
-    val raw = spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
+    val parsed = spark.read
       .option("recursiveFileLookup", "true")
-      .schema(withLane)
-      .json(path)
+      .text(path)
+      .filter(length(trim(col("value"))) > 0)
       .withColumn("__src_file", input_file_name())
-      .cache()
-    val good = raw.filter(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val quarantine = raw.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"), col("__src_file").as("src_file"))
+      .withColumn("j", from_json(col("value"), withLane,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+    // a null struct (a failure class some parser paths report instead
+    // of populating the corrupt field) quarantines too — the lane's
+    // contract is "good means BOUND", not "good means not-flagged"
+    val bad = col("j").isNull || col("j").getField(CorruptCol).isNotNull
+    val good = parsed.filter(!bad)
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*)
+    val quarantine = parsed.filter(bad)
+      .select(col("value").as("raw_line"), col("__src_file").as("src_file"))
     (good, quarantine)
   }
 }
