@@ -42,7 +42,10 @@ final class SnapshotCatalog(root: String, commit: CommitProtocol = RenameCommit)
 
   private val manifestPath = new Path(root, "_CATALOG")
 
-  private var members: Map[String, GenerationStore] = Map.empty
+  // written under `synchronized`, read by unlocked readers — volatile
+  // publishes the (immutable) map safely; registration is wiring-time,
+  // so readers racing a register see a complete old or new map
+  @volatile private var members: Map[String, GenerationStore] = Map.empty
 
   /** Bind a view name to its store. Registration is wiring, not IO. */
   def register(name: String, store: GenerationStore): this.type = synchronized {

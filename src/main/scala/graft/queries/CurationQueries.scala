@@ -2750,65 +2750,58 @@ object CurationQueries {
     * 100 TB design — the distributed-iterative shape, NOT a pairwise
     * one: round r broadcasts the ≤r selected vectors (k·dims literals,
     * metadata) and makes ONE corpus scan computing each row's min
-    * distance to them (`zip_with`/`aggregate` over the quantized array
-    * — interpreted HOFs, but one flat per-row pass with no explode and
-    * no shuffle), reduced by a 1-row TakeOrdered. k rounds = k scans +
-    * k single-row reduces; nothing ever materializes corpus×corpus,
-    * the trap an all-pairs-distances formulation would be (the ORACLE
-    * does exactly that all-pairs precompute, fine at sf0.01 — the
-    * point of the differential is agreeing answers from opposite
-    * plans).
+    * distance to them through the native codegen'd L2² expression
+    * ([[graft.expressions.L2SquaredDistance]] — no interpreted HOF
+    * lambda in the hot scan, per the engine-wide plan-audit doctrine;
+    * no explode, no shuffle), reduced by a 1-row TakeOrdered. k rounds
+    * = k scans + k single-row reduces; nothing ever materializes
+    * corpus×corpus, the trap an all-pairs-distances formulation would
+    * be (the ORACLE does exactly that all-pairs precompute, fine at
+    * sf0.01 — the point of the differential is agreeing answers from
+    * opposite plans).
     *
-    * Determinism is EXACT, no doubles anywhere: distances are squared
-    * L2 over the 1e6-quantized integer components — BIGINT sums
-    * (≤ ~4e12/dim, far under overflow) — so argmax ties break on
-    * vec_id identically in both engines with no rounding contract. */
+    * Determinism: the `ann_pq_adc` recipe — graft_l2sq accumulates
+    * (x−y)² ascending, DuckDB replays it as an index-ordered
+    * `list_sum(list_transform(range …))`, both rounded to 6 dp; argmax
+    * ties break on vec_id in both engines. */
   private val coresetKCenter = Q(
     "mix_coreset_kcenter",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("eq"))
-      def dist2(center: Seq[Long]): Column =
-        aggregate(
-          zip_with(col("eq"), array(center.map(lit): _*),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def dist2(center: Seq[Float]): Column =
+        round(graft.ext.Similarity.l2sq(
+          col("embedding"), array(center.map(lit): _*)), 6)
       val seed = emb.orderBy("vec_id").limit(1).collect()(0)
-      var selected = Vector((seed.getLong(0), seed.getSeq[Long](1)))
-      var picks = Vector[(Long, Long, Option[Long])]((1L, seed.getLong(0), None))
+      var selected = Vector((seed.getLong(0), seed.getSeq[Float](1)))
+      var picks = Vector[(Long, Long, Option[Double])]((1L, seed.getLong(0), None))
       while (selected.size < KCenterK) {
         val minDist = selected.map(sv => dist2(sv._2)).reduce(least(_, _))
         val next = emb
           .filter(!col("vec_id").isin(selected.map(_._1): _*))
-          .select(col("vec_id"), minDist.as("d2"), col("eq"))
+          .select(col("vec_id"), minDist.as("d2"), col("embedding"))
           .orderBy(col("d2").desc, col("vec_id")).limit(1)
           .collect()(0)
-        selected :+= ((next.getLong(0), next.getSeq[Long](2)))
-        picks :+= ((picks.size + 1L, next.getLong(0), Some(next.getLong(1))))
+        selected :+= ((next.getLong(0), next.getSeq[Float](2)))
+        picks :+= ((picks.size + 1L, next.getLong(0), Some(next.getDouble(1))))
       }
       val s0 = s
       import s0.implicits._
-      picks.map { case (r, id, d) => (r, id, d.map(java.lang.Long.valueOf).orNull) }
+      picks.map { case (r, id, d) => (r, id, d.map(java.lang.Double.valueOf).orNull) }
         .toDF("sel_rank", "vec_id", "min_dist2")
-        .select(col("sel_rank"), col("vec_id"), col("min_dist2").cast("long"))
+        .select(col("sel_rank"), col("vec_id"), col("min_dist2").cast("double"))
         .orderBy("sel_rank")
     },
     Some(s"""
-      WITH RECURSIVE e AS (
-        SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS x
-        FROM embeddings),
-      eq AS (SELECT vec_id, pos,
-                    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-             FROM e),
-      d AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-                   sum((a.xq - b.xq) * (a.xq - b.xq)) AS d2
-            FROM eq a JOIN eq b USING (pos) WHERE a.vec_id < b.vec_id
-            GROUP BY 1, 2),
+      WITH RECURSIVE d AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_sum(list_transform(range(1, CAST(len(a.embedding) + 1 AS INTEGER)),
+                 i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))), 6) AS d2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
       dd AS (SELECT ia AS i, ib AS j, d2 FROM d
              UNION ALL SELECT ib, ia, d2 FROM d),
       sel AS (
-        (SELECT 1 AS step, min(vec_id) AS sel_id, CAST(NULL AS BIGINT) AS mind2,
+        (SELECT 1 AS step, min(vec_id) AS sel_id, CAST(NULL AS DOUBLE) AS mind2,
                 [min(vec_id)] AS chosen
          FROM embeddings)
         UNION ALL
