@@ -1929,6 +1929,43 @@ object LlmQueries {
   private val MmrPoolK = 24
   private val MmrTopK = 10
 
+  /** Greedy MMR selection over a bounded pool — the pure driver-side
+    * core of `rag_mmr_rerank`, extracted for first-principles testing
+    * (`MmrSpec`). `rel` is (id, relevance); `sim` holds pairwise
+    * similarities keyed (lo, hi). Step 1 picks argmax relevance (score
+    * λ·rel); each later step picks argmax λ·rel(c) − μ·max_{s∈chosen}
+    * sim(c, s). μ is an EXPLICIT parameter, not `1 − λ`: the oracle
+    * writes the literal 0.3, and `1 − 0.7` is 0.30000000000000004 in
+    * doubles — a bit-level differential mismatch waiting to happen.
+    * Ties break to the smaller id, matching the oracle's
+    * `ORDER BY mmr DESC, vec_id`. Returns (id, mmr score at selection)
+    * in selection order; stops early if the pool exhausts. */
+  private[graft] def mmrSelect(
+      rel: Seq[(Long, Double)],
+      sim: Map[(Long, Long), Double],
+      lambda: Double,
+      mu: Double,
+      k: Int): Seq[(Long, Double)] = {
+    require(rel.nonEmpty, "mmrSelect needs a non-empty pool")
+    def simOf(i: Long, j: Long): Double =
+      if (i < j) sim((i, j)) else sim((j, i))
+    val relMap = rel.toMap
+    val first = rel.maxBy { case (id, c) => (c, -id) }
+    var chosen = Vector((first._1, lambda * first._2))
+    var remaining = rel.map(_._1).toSet - first._1
+    while (chosen.size < k && remaining.nonEmpty) {
+      val best = remaining.toSeq
+        .map { c =>
+          val maxSim = chosen.map(x => simOf(c, x._1)).max
+          (c, lambda * relMap(c) - mu * maxSim)
+        }
+        .maxBy { case (id, m) => (m, -id) }
+      chosen :+= best
+      remaining -= best._1
+    }
+    chosen
+  }
+
   /** MMR-diversified re-rank (Carbonell & Goldstein's Maximal Marginal
     * Relevance, λ = 0.7) of the semantic retrieval pool — the RAG
     * serving stage after `rag_hybrid_topk`'s fusion: a near-duplicate-
@@ -1982,21 +2019,7 @@ object LlmQueries {
       val simMap = sims.collect()
         .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Double]("s"))
         .toMap
-      def simOf(i: Long, j: Long): Double =
-        if (i < j) simMap((i, j)) else simMap((j, i))
-      val first = rel.maxBy { case (id, c) => (c, -id) }
-      var chosen = Vector((first._1, 0.7 * first._2))
-      var remaining = rel.map(_._1).toSet - first._1
-      while (chosen.size < MmrTopK && remaining.nonEmpty) {
-        val best = remaining.toSeq
-          .map { c =>
-            val maxSim = chosen.map(x => simOf(c, x._1)).max
-            (c, 0.7 * relMap(c) - 0.3 * maxSim)
-          }
-          .maxBy { case (id, m) => (m, -id) }
-        chosen :+= best
-        remaining -= best._1
-      }
+      val chosen = mmrSelect(rel.toSeq, simMap, lambda = 0.7, mu = 0.3, k = MmrTopK)
       val s0 = s
       import s0.implicits._
       chosen.zipWithIndex
