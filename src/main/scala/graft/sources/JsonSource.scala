@@ -48,20 +48,16 @@ object JsonSource {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Read a newline-delimited-JSON drop under `schema`, split into
-    * (good, quarantine). The good frame carries exactly `schema`'s
-    * columns; the quarantine frame is (raw_line, src_file). Provenance
-    * is stamped AT the scan — `input_file_name()` evaluates empty once
-    * rows leave the scan's context. */
-  def readWithQuarantine(
-      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+  /** Shared parse + split over a text frame (batch or streaming): one
+    * `from_json` pass, two filter lanes. */
+  private def requireLaneFree(schema: StructType): Unit =
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — the lane owns that column")
+
+  private def split(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     val withLane = StructType(
       schema.fields.toSeq :+ StructField(CorruptCol, StringType, nullable = true))
-    val parsed = spark.read
-      .option("recursiveFileLookup", "true")
-      .text(path)
+    val parsed = lines
       .filter(length(trim(col("value"))) > 0)
       .withColumn("__src_file", input_file_name())
       .withColumn("j", from_json(col("value"), withLane,
@@ -75,5 +71,42 @@ object JsonSource {
     val quarantine = parsed.filter(bad)
       .select(col("value").as("raw_line"), col("__src_file").as("src_file"))
     (good, quarantine)
+  }
+
+  /** Read a newline-delimited-JSON drop under `schema`, split into
+    * (good, quarantine). The good frame carries exactly `schema`'s
+    * columns; the quarantine frame is (raw_line, src_file). Provenance
+    * is stamped AT the scan — `input_file_name()` evaluates empty once
+    * rows leave the scan's context. */
+  def readWithQuarantine(
+      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    requireLaneFree(schema)
+    split(
+      spark.read.option("recursiveFileLookup", "true").text(path),
+      schema)
+  }
+
+  /** The STREAMING twin — the shape the reference's event path actually
+    * runs (payloads arrive continuously, `api-server.js:150-182`; drops
+    * land as files): a file-source stream over the drop directory,
+    * same schema contract and quarantine semantics as the batch lane.
+    * Returns two streaming frames; each started query keeps its own
+    * file-source checkpoint (its high-water mark, ST1 discipline), so
+    * the good-lane pipeline and the quarantine writer advance
+    * independently — a stalled quarantine sink never back-pressures
+    * event delivery. `maxFilesPerTrigger` bounds per-micro-batch work
+    * exactly as the parquet incremental source does. */
+  def streamWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 10): (DataFrame, DataFrame) = {
+    requireLaneFree(schema)
+    split(
+      spark.readStream
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path),
+      schema)
   }
 }

@@ -71,4 +71,33 @@ class JsonSourceSpec extends AnyFunSuite {
       JsonSource.readWithQuarantine(spark, "/tmp/nowhere", bad)
     }
   }
+
+  test("streaming twin: both lanes pick up new drops incrementally") {
+    val dir = Files.createTempDirectory("json_stream").toString
+    Files.writeString(Paths.get(dir, "drop1.json"),
+      """{"id": 1, "kind": "a", "score": 0.1}""" + "\n" + """{"id": "bad"}""" + "\n")
+    val (good, quarantine) = JsonSource.streamWithQuarantine(spark, dir, schema)
+    val gq = good.writeStream.format("memory").queryName("js_good")
+      .outputMode("append").start()
+    val qq = quarantine.writeStream.format("memory").queryName("js_quar")
+      .outputMode("append").start()
+    try {
+      gq.processAllAvailable(); qq.processAllAvailable()
+      assert(spark.table("js_good").collect().map(_.getAs[Long]("id")).toSet == Set(1L))
+      assert(spark.table("js_quar").collect()
+        .map(_.getAs[String]("raw_line")).toSet == Set("""{"id": "bad"}"""))
+      // a later drop is discovered without restarting either query —
+      // each lane's file-source checkpoint is its own high-water mark
+      Files.writeString(Paths.get(dir, "drop2.json"),
+        """{"id": 2, "kind": "b", "score": 0.2}""" + "\n" + """[7]""" + "\n")
+      gq.processAllAvailable(); qq.processAllAvailable()
+      assert(spark.table("js_good").collect().map(_.getAs[Long]("id")).toSet ==
+        Set(1L, 2L))
+      assert(spark.table("js_quar").collect()
+        .map(_.getAs[String]("raw_line")).toSet ==
+        Set("""{"id": "bad"}""", "[7]"))
+      assert(spark.table("js_quar").collect()
+        .forall(_.getAs[String]("src_file").nonEmpty), "streaming provenance missing")
+    } finally { gq.stop(); qq.stop() }
+  }
 }
