@@ -2764,18 +2764,27 @@ object CurationQueries {
     * (x−y)² ascending, DuckDB replays it as an index-ordered
     * `list_sum(list_transform(range …))`, both rounded to 6 dp; argmax
     * ties break on vec_id in both engines. */
+  /** Min squared-L2 from the `embedding` column to a broadcast-literal
+    * center set — the k-center round scan's hot column. Kept on the
+    * native [[graft.expressions.L2SquaredDistance]] expression: the
+    * engine-wide HOF sweep cannot see inside a query whose returned
+    * frame is a driver-built LocalTableScan, so `CoresetSpec` pins this
+    * column's executed plan lambda-free directly. */
+  private[graft] def kcenterMinDist(centers: Seq[Seq[Float]]): Column =
+    centers
+      .map(c => round(graft.ext.Similarity.l2sq(
+        col("embedding"), array(c.map(lit): _*)), 6))
+      .reduce(least(_, _))
+
   private val coresetKCenter = Q(
     "mix_coreset_kcenter",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      def dist2(center: Seq[Float]): Column =
-        round(graft.ext.Similarity.l2sq(
-          col("embedding"), array(center.map(lit): _*)), 6)
       val seed = emb.orderBy("vec_id").limit(1).collect()(0)
       var selected = Vector((seed.getLong(0), seed.getSeq[Float](1)))
       var picks = Vector[(Long, Long, Option[Double])]((1L, seed.getLong(0), None))
       while (selected.size < KCenterK) {
-        val minDist = selected.map(sv => dist2(sv._2)).reduce(least(_, _))
+        val minDist = kcenterMinDist(selected.map(_._2))
         val next = emb
           .filter(!col("vec_id").isin(selected.map(_._1): _*))
           .select(col("vec_id"), minDist.as("d2"), col("embedding"))
