@@ -120,4 +120,42 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       catalog.commitCycle(spark)
     }
   }
+
+  test("retention grace window: a stale catalog ages out whole, never serves torn") {
+    // keepVersions = 2 plus lazy GC buys the catalog two refreshes of
+    // lag — but a catalog that sleeps through a THIRD finds its pins
+    // GC'd, and the all-or-nothing read must then refuse rather than
+    // mix a live member with a vanished one.
+    val (a, b, catalog) = mkViews()
+    val base = rows((1L, 1L, 10.0))
+    a.build(base); b.build(base)
+    catalog.commitCycle(spark)
+
+    // two refresh cycles WITHOUT a catalog commit: still inside the
+    // grace window — retention keeps the last keepVersions COMMITTED
+    // manifests at each publish's GC, and GC is lazy (it runs at the
+    // START of the next publish), so the pinned v1 survives the second
+    // uncommitted cycle too and the catalog keeps serving the old pair
+    val r1 = rows((1L, 2L, 20.0))
+    a.refresh(r1); b.refresh(r1)
+    val r2 = rows((1L, 3L, 30.0))
+    a.refresh(r2); b.refresh(r2)
+    val inGrace = catalog.readAll(spark).get
+    assertConsistent(inGrace)
+    assert(amounts(inGrace("amounts"), "amount")(1L) == 10.0)
+
+    // the third uncommitted cycle's publish GCs the pinned version:
+    // the catalog read refuses whole instead of serving a torn or
+    // partial set
+    val r3 = rows((1L, 4L, 40.0))
+    a.refresh(r3); b.refresh(r3)
+    assert(catalog.readAll(spark).isEmpty,
+      "an aged-out catalog must refuse, not serve a torn set")
+
+    // the recovery is one cycle commit, after which reads serve again
+    catalog.commitCycle(spark)
+    val recovered = catalog.readAll(spark).get
+    assertConsistent(recovered)
+    assert(amounts(recovered("amounts"), "amount")(1L) == 40.0)
+  }
 }
