@@ -559,7 +559,12 @@ object RelationalQueries {
   private val s11 = Q(
     "s11_json_scan",
     (s, dir) => {
-      val jsonDir = s"/tmp/graft_json_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+      // session- and dir-scoped drop path: the app id isolates concurrent
+      // harness runs (mode=overwrite would otherwise delete files a
+      // sibling run's scan is reading), and the hash keeps distinct data
+      // dirs injective after sanitization collapses their punctuation
+      val jsonDir = s"/tmp/graft_json_cache/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}/events"
       Tables.events(s, dir)
         .select(
           col("event_id"),

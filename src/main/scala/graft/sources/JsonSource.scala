@@ -42,7 +42,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * against), and one with EXTRA fields is GOOD (schema projection drops
   * them); only a line Jackson cannot bind to the schema — parse error
   * or type conflict — is quarantined. Blank lines are skipped, as the
-  * native reader skips them.
+  * native reader skips them — "blank" meaning JSON-whitespace-only
+  * (space/tab/CR, the RFC 8259 insignificant set minus the LF the text
+  * source already consumed as the delimiter); a line of any OTHER
+  * character, form feed included, is not valid JSON and quarantines.
   */
 object JsonSource {
 
@@ -57,8 +60,11 @@ object JsonSource {
   private def split(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     val withLane = StructType(
       schema.fields.toSeq :+ StructField(CorruptCol, StringType, nullable = true))
+    // JSON-whitespace-aware blank check: Spark's 1-arg trim strips only
+    // ASCII spaces, which quarantined a tab-only line in violation of
+    // the skip contract above
     val parsed = lines
-      .filter(length(trim(col("value"))) > 0)
+      .filter(length(trim(col("value"), " \t\r")) > 0)
       .withColumn("__src_file", input_file_name())
       .withColumn("j", from_json(col("value"), withLane,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))

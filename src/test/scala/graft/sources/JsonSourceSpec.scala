@@ -55,6 +55,21 @@ class JsonSourceSpec extends AnyFunSuite {
       "file provenance missing")
   }
 
+  test("whitespace-only lines skip; non-JSON-whitespace lines quarantine") {
+    val dir = Files.createTempDirectory("json_lane_blank").toString
+    Files.writeString(Paths.get(dir, "drop.json"),
+      """{"id": 1, "kind": "a", "score": 0.1}""" + "\n" +
+        "\t\t\n" + // tab-only: JSON whitespace -> skipped, not quarantined
+        "   \r\n" + // space+CR: skipped
+        "\n" + // empty: skipped
+        "\f\n") // form feed is NOT JSON whitespace -> quarantines
+    val (good, quarantine) = JsonSource.readWithQuarantine(spark, dir, schema)
+    assert(good.count() == 1)
+    val raws = quarantine.collect().map(_.getAs[String]("raw_line")).toSeq
+    assert(raws == Seq("\f"),
+      s"only the form-feed line may quarantine: ${raws.map(_.map(_.toInt))}")
+  }
+
   test("a clean drop quarantines nothing") {
     val dir = Files.createTempDirectory("json_lane_clean").toString
     Files.writeString(Paths.get(dir, "ok.json"),
