@@ -45,7 +45,24 @@ private[graft] object AtomicText {
       try out.hsync()
       catch { case _: UnsupportedOperationException => out.hflush() }
     } finally out.close()
-    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+    // Commit the name. FileContext.rename(OVERWRITE) against the LOCAL
+    // filesystem delegates to FileSystem's default overwrite handling —
+    // delete destination, then rename — which leaves a window where the
+    // destination DOES NOT EXIST: a concurrent reader observes "never
+    // published" instead of old-or-new (caught live by the catalog race
+    // spec hammering readAll during publishes). POSIX rename(2) via NIO
+    // ATOMIC_MOVE replaces the destination in one atomic step, closing
+    // it. Non-local URIs keep the FileContext rename: HDFS rename is
+    // atomic server-side (and object stores use ScanCommit instead).
+    if (path.getFileSystem(conf).getScheme == "file") {
+      val fs = path.getFileSystem(conf)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(path).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else fc.rename(tmp, path, Options.Rename.OVERWRITE)
   }
 }
 
@@ -96,8 +113,8 @@ private[graft] object AtomicText {
   * served data.
   */
 final class GenerationStore(
-    root: String,
-    bucketCol: String,
+    val root: String,
+    val bucketCol: String,
     val keepVersions: Int = 1,
     commit: CommitProtocol = RenameCommit) {
 
@@ -111,6 +128,20 @@ final class GenerationStore(
     * the manifest swap — the widest crash window the protocol must
     * survive. */
   private[graft] var onBeforeSwap: () => Unit = () => ()
+
+  /** Versions EXTERNALLY PINNED beyond the `keepVersions` window —
+    * consulted at each publish's GC, which retains them (and their
+    * generations) in addition to the rolling window. Installed by
+    * [[SnapshotCatalog.register]] so the catalog-pinned version of a
+    * member can never be collected, no matter how many uncommitted
+    * refreshes — crash replays included, each of which publishes a
+    * fresh generation — land between two catalog commits. Hooks
+    * COMPOSE (a store can serve several catalogs); they must be cheap
+    * (one small manifest read) and must not call back into this store's
+    * publish path. Volatile: installed at wiring time, read by
+    * publishes on any thread. */
+  @volatile private[graft] var pinnedVersions: SparkSession => Set[Long] =
+    _ => Set.empty
 
   private def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
@@ -237,7 +268,12 @@ final class GenerationStore(
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
     val committed = versionsOnDisk(spark).filter(_ <= maxGen(live))
-    val retained = committed.takeRight(keepVersions).toSet
+    // the rolling window PLUS any externally pinned versions (catalog
+    // snapshots): a pin outside the window extends retention instead of
+    // losing to it; a pin naming a version that never committed (or is
+    // already gone) is ignored rather than resurrecting anything
+    val retained = committed.takeRight(keepVersions).toSet ++
+      pinnedVersions(spark).filter(committed.contains)
     val liveGens = retained.toSeq
       .flatMap(v => manifestAt(spark, v).map(_.values.toSet).getOrElse(Set.empty))
       .toSet ++ live.values.toSet
