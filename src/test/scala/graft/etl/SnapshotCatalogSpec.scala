@@ -121,41 +121,95 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("retention grace window: a stale catalog ages out whole, never serves torn") {
-    // keepVersions = 2 plus lazy GC buys the catalog two refreshes of
-    // lag — but a catalog that sleeps through a THIRD finds its pins
-    // GC'd, and the all-or-nothing read must then refuse rather than
-    // mix a live member with a vanished one.
+  test("catalog pin survives any number of uncommitted refreshes (pinned GC retention)") {
+    // The catalog-pinned version is passed into each member store's GC
+    // at registration: however many member refreshes — crash replays
+    // included, each publishing a FRESH generation — land between two
+    // catalog commits, the pinned snapshot stays readable. (Before the
+    // pin hook, keepVersions = 2 bought exactly two cycles of lag and a
+    // third uncommitted cycle GC'd the pins — availability loss.)
     val (a, b, catalog) = mkViews()
     val base = rows((1L, 1L, 10.0))
     a.build(base); b.build(base)
-    catalog.commitCycle(spark)
+    val pinned = catalog.commitCycle(spark)
 
-    // two refresh cycles WITHOUT a catalog commit: still inside the
-    // grace window — retention keeps the last keepVersions COMMITTED
-    // manifests at each publish's GC, and GC is lazy (it runs at the
-    // START of the next publish), so the pinned v1 survives the second
-    // uncommitted cycle too and the catalog keeps serving the old pair
-    val r1 = rows((1L, 2L, 20.0))
-    a.refresh(r1); b.refresh(r1)
-    val r2 = rows((1L, 3L, 30.0))
-    a.refresh(r2); b.refresh(r2)
-    val inGrace = catalog.readAll(spark).get
-    assertConsistent(inGrace)
-    assert(amounts(inGrace("amounts"), "amount")(1L) == 10.0)
+    // FOUR refresh cycles without a catalog commit — far past the
+    // rolling keepVersions = 2 window
+    (2L to 5L).foreach { v =>
+      val r = rows((1L, v, v * 10.0))
+      a.refresh(r); b.refresh(r)
+    }
+    val stale = catalog.readAll(spark).get
+    assertConsistent(stale)
+    assert(amounts(stale("amounts"), "amount")(1L) == 10.0,
+      "catalog must keep serving its pinned snapshot through uncommitted refreshes")
 
-    // the third uncommitted cycle's publish GCs the pinned version:
-    // the catalog read refuses whole instead of serving a torn or
-    // partial set
-    val r3 = rows((1L, 4L, 40.0))
-    a.refresh(r3); b.refresh(r3)
-    assert(catalog.readAll(spark).isEmpty,
-      "an aged-out catalog must refuse, not serve a torn set")
-
-    // the recovery is one cycle commit, after which reads serve again
+    // one cycle commit advances the pins; the next publish's GC is then
+    // free to collect the superseded version
     catalog.commitCycle(spark)
     val recovered = catalog.readAll(spark).get
     assertConsistent(recovered)
-    assert(amounts(recovered("amounts"), "amount")(1L) == 40.0)
+    assert(amounts(recovered("amounts"), "amount")(1L) == 50.0)
+    val r6 = rows((1L, 6L, 60.0))
+    a.refresh(r6)
+    assert(!a.store.versions(spark).contains(pinned("amounts")),
+      "a superseded pin must be collectable once the catalog moves on")
+  }
+
+  test("open(): a fresh session resolves the pinned snapshot from the lake alone") {
+    val (a, b, _) = mkViews()
+    val catRoot = {
+      // mkViews hides the root; rebuild with a known one
+      val base = rows((1L, 1L, 10.0), (2L, 1L, 20.0))
+      a.build(base); b.build(base)
+      val root = Files.createTempDirectory("graft_cat_open").toString
+      val c2 = new SnapshotCatalog(root)
+        .register("amounts", a.store).register("doubled", b.store)
+      c2.commitCycle(spark)
+      root
+    }
+
+    // a second SparkSession with NO registration wiring — the
+    // cross-process reader shape: everything resolves from the manifest
+    val reader = spark.newSession()
+    val opened = SnapshotCatalog.open(reader, catRoot).get
+    val views = opened.readAll(reader).get
+    assertConsistent(views)
+    assert(amounts(views("amounts"), "amount") == Map(1L -> 10.0, 2L -> 20.0))
+
+    // a member refreshes and even re-commits through the WRITER's
+    // catalog object: the opened handle re-reads the manifest per
+    // resolve, so it follows commits — and between them keeps serving
+    // the committed pin, never the live mid-cycle state
+    val writer = new SnapshotCatalog(catRoot)
+      .register("amounts", a.store).register("doubled", b.store)
+    a.refresh(rows((1L, 2L, 99.0)))
+    val midCycle = opened.readAll(reader).get
+    assertConsistent(midCycle)
+    assert(amounts(midCycle("amounts"), "amount")(1L) == 10.0,
+      "an opened catalog must serve the committed pin, not the live view")
+    b.refresh(rows((1L, 2L, 99.0)))
+    writer.commitCycle(spark)
+    val post = opened.readAll(reader).get
+    assertConsistent(post)
+    assert(amounts(post("amounts"), "amount")(1L) == 99.0)
+  }
+
+  test("open() refuses a manifest it cannot resolve; snapshot() skips foreign lines") {
+    val root = Files.createTempDirectory("graft_cat_mal").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(root, "_CATALOG")
+    // a v1-era line (no location), a foreign line, and garbage
+    AtomicText.write(path, "amounts:3\nnot a manifest line\n:junk:\n", conf)
+    val cat = new SnapshotCatalog(root)
+    // the version map degrades to the well-formed entries — no throw
+    assert(cat.snapshot(spark).get == Map("amounts" -> 3L))
+    // but a cross-process open cannot place "amounts" and must say so
+    assertThrows[IllegalArgumentException] {
+      SnapshotCatalog.open(spark, root)
+    }
+    // an absent manifest is None, not an error
+    assert(SnapshotCatalog.open(spark,
+      Files.createTempDirectory("graft_cat_none").toString).isEmpty)
   }
 }
