@@ -55,6 +55,31 @@ object Activation {
         col("sales_manager"), col("salesperson"),
         col("customer_purchase_sequence").as("purchase_sequence"))
 
+  /** [[feedFromValidatedSales]] with BOTH inputs resolved from ONE
+    * [[graft.etl.SnapshotCatalog]] read — the operational form. The
+    * reference's lambda queries `marketing.validated_vehicle_sales`
+    * and the profile contact columns off one warehouse snapshot
+    * (`lambda_redshift_to_segment.py:137-209`): the view's
+    * marketability gate (`customer_360_views.sql:603-608,634-635`) and
+    * the contact state it gates on are transactionally consistent.
+    * Joining the PINNED sales view to LIVE contact state (or reading
+    * each view's live manifest separately) re-opens the torn window
+    * mid-refresh-cycle: a deal insert and its customer's opt-out
+    * arriving in the same CDC cut can be observed half-applied — the
+    * deal visible, the opt-out not — shipping an event no consistent
+    * snapshot would emit (pinned end-to-end in `ActivationLoopSpec`).
+    * None = the catalog has never committed, or a member's pin is
+    * unreadable — the caller skips the run rather than activating off
+    * a torn or partial set. */
+  def feedFromCatalog(
+      catalog: graft.etl.SnapshotCatalog,
+      spark: org.apache.spark.sql.SparkSession,
+      validatedView: String = "validated_sales",
+      contactsView: String = "marketable_contacts"): Option[DataFrame] =
+    catalog.readAll(spark).map { views =>
+      feedFromValidatedSales(views(validatedView), views(contactsView))
+    }
+
   /** S8/J9: one incremental batch — [start, end] on purchase_date,
     * minus processed deal_numbers, newest-first top-`limit`. */
   def nextBatch(

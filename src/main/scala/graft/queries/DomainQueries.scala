@@ -948,8 +948,13 @@ object DomainQueries {
 
   /** The validated-sales [[graft.etl.AggregateView]] — shared by the
     * `mv_validated_refresh` differential and the end-to-end activation
-    * loop spec, so both drive the identical store shape. */
-  private[graft] def validatedSalesAggregateView(root: String): graft.etl.AggregateView =
+    * loop spec, so both drive the identical store shape.
+    * `keepVersions = 2` when the store joins a
+    * [[graft.etl.SnapshotCatalog]] (the activation loop); the
+    * standalone differential keeps the default single-version
+    * retention. */
+  private[graft] def validatedSalesAggregateView(
+      root: String, keepVersions: Int = 1): graft.etl.AggregateView =
     new graft.etl.AggregateView(
       root, bucketKeys = Seq("custno"),
       dimKeys = Seq("custno"),
@@ -963,7 +968,25 @@ object DomainQueries {
       derive = (dimState, factState) =>
         Customer360.validatedSalesOfLatest(factState,
           Customer360.marketableContactsOfLatest(dimState)),
-      nBuckets = 16)
+      nBuckets = 16, keepVersions = keepVersions)
+
+  /** The marketable-contacts [[graft.etl.MaterializedView]] — the
+    * activation feed's OTHER input (email/phone per user), maintained
+    * from the same customer-master CDC as the validated-sales view's
+    * dimension side so the two can be pinned together in one
+    * [[graft.etl.SnapshotCatalog]] cycle: the reference's lambda reads
+    * both off ONE warehouse snapshot
+    * (`scripts/lambda_redshift_to_segment.py:137-209`), and a feed that
+    * joined the pinned sales view to LIVE contact state would
+    * re-introduce exactly the torn read the catalog exists to prevent
+    * (pinned deals next to a mid-cycle contact/opt-out change). */
+  private[graft] def marketableContactsView(root: String): graft.etl.MaterializedView =
+    new graft.etl.MaterializedView(
+      root, keys = Seq("custno"),
+      order = Seq(col("lastupdated").desc, col("dateadded").desc,
+        col("sourcerowid").desc),
+      derive = Customer360.marketableContactsOfLatest,
+      nBuckets = 16, keepVersions = 2)
 
   /** Per-column completeness profile — the data-profiling "describe"
     * every warehouse onboarding runs before trusting a feed: for each
