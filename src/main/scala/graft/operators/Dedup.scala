@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * `ROW_NUMBER() OVER (PARTITION BY key ORDER BY version DESC) = 1`.
   *
   * Scale notes (100 TB): the window is a single hash-partition exchange
-  * on the key; AQE skew-join/partition-coalescing handles hot keys.
-  * For the pure "latest row per key" case `latestByKey` avoids
-  * materializing the rank column. Callers must pass a TOTAL order
-  * (include a unique tiebreaker) or ties pick an arbitrary row.
+  * on the key, and the rank-1 form is SKEW-IMMUNE twice over — the
+  * [[graft.plans.DedupWindowToMaxBy]] rewrite collapses same-direction
+  * orders into a partially-aggregated max-struct, and for every order
+  * the rewrite declines (mixed directions, custom null ordering) Spark
+  * plants a PARTIAL WindowGroupLimit before the exchange, so a hot key
+  * contributes one row per map partition to the shuffle, never its row
+  * set (both pinned on whale fixtures: `SkewSpec`, `DedupSkewSpec`;
+  * the measured A/B there is why no salted dedup variant exists — it
+  * loses to the group-limited plan even at a 90% whale). Callers must
+  * pass a TOTAL order (include a unique tiebreaker) or ties pick an
+  * arbitrary row.
   */
 object Dedup {
 
@@ -43,6 +50,32 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** The estimated share of `df`'s rows held by its hottest `keys`
+    * value, from one cheap sampled aggregation — the operator-local
+    * form of the `stats_key_skew` diagnostic (that query reports
+    * max/mean skew over exact counts; a routing/alerting decision only
+    * needs the hot key's SHARE, and a 1% sample resolves a ≥10% whale
+    * with margin). Deterministic (fixed sample seed), one narrow job.
+    *
+    * NOTE it is NOT wired into [[latestByKey]]: the measured A/B
+    * (`DedupSkewSpec`) shows the rank-1 dedup needs no skew routing —
+    * Spark's InferWindowGroupLimit plants a PARTIAL WindowGroupLimit
+    * BEFORE the exchange under ANY order direction, so a hot key
+    * collapses to one row per map partition and a salted two-phase
+    * variant LOSES (extra hash + wider exchange, nothing saved) even
+    * at a 90% whale. The share probe remains the observation tool for
+    * operators that genuinely ship whole key groups (irreducible
+    * sequence windows, non-limited ranks). */
+  def keySkewShare(df: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 0.01): Double = {
+    val counts = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .agg(max(col("__cnt")).as("__max"), sum(col("__cnt")).as("__total"))
+      .head()
+    if (counts.isNullAt(0) || counts.getLong(1) == 0L) 0.0
+    else counts.getLong(0).toDouble / counts.getLong(1).toDouble
   }
 
   /** Sequence-number a group: 1-based position under `order` within
