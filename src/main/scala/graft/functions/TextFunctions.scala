@@ -103,6 +103,38 @@ object TextFunctions {
     coalesce(graft.expressions.WordShingles.of(text, k),
       array().cast("array<string>"))
 
+  /** Per-document overlap stats against a shingle DICTIONARY — the
+    * decontamination core shared by the batch queries
+    * (`decontam_overlap` & friends via
+    * [[graft.queries.CurationQueries]]'s benchOverlapStats) and the
+    * streaming screen ([[graft.streaming.Streams.decontamScreen]]), so
+    * the hit count and rounded ratio can never drift between them.
+    * Appends `(n_hit, n_shingles, contam_ratio)` to `docs`' columns.
+    *
+    * 100 TB design: `dict` is the tiny side (an eval set's distinct
+    * shingles) and is BROADCAST; the corpus is scanned once — map-side
+    * hash semi-join on the exploded shingles, partial-aggregated hit
+    * counts, one exchange keyed by `idCol`. The corpus never self-joins
+    * and never shuffles its shingle sets. */
+  def dictOverlapStats(
+      docs: org.apache.spark.sql.DataFrame,
+      dict: org.apache.spark.sql.DataFrame, // one `shingle` column, tiny
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 4): org.apache.spark.sql.DataFrame = {
+    val sh = docs.withColumn("__sh", shingles(col(textCol), shingleN))
+    val hits = sh.select(col(idCol), explode(col("__sh")).as("shingle"))
+      .join(broadcast(dict.select(col("shingle"))), Seq("shingle"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    sh.join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("contam_ratio",
+        coalesce(round(col("n_hit").cast("double") /
+          nullif(col("n_shingles"), lit(0L)).cast("double"), 4), lit(0.0)))
+      .drop("__sh")
+  }
+
   /** Vocabulary fingerprint: md5 over the sorted distinct token set.
     * Two documents with identical vocabulary collide — a cheap
     * order-insensitive near-dup key (rolling-hash analog). `sort_array`,

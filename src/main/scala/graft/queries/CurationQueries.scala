@@ -27,7 +27,7 @@ object CurationQueries {
     * Shared by the Spark side, the oracle, AND the training-mix
     * capstone ([[LlmQueries]]) — one definition, no drift. */
   private[queries] def benchPred(idExpr: String): String = s"$idExpr % 50 = 7"
-  private[queries] val BenchPred = benchPred("doc_id")
+  private[graft] val BenchPred = benchPred("doc_id")
 
   /** Knuth-multiplicative sampling hash of a non-negative id, in
     * [0, 2^32). Computed as a 16/16-bit split so no intermediate
@@ -61,22 +61,18 @@ object CurationQueries {
     * `decontam_overlap` and the training-mix capstone — the broadcast
     * dictionary, the hit count, and the rounded ratio can never drift
     * between them. */
-  private[queries] def benchOverlapStats(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
-    val benchDict = sh.filter(expr(BenchPred))
-      .select(explode(col("sh")).as("shingle")).distinct()
-    val corpus = sh.filter(!expr(BenchPred))
-    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .join(broadcast(benchDict), Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      .withColumn("contam_ratio",
-        coalesce(round(col("n_hit").cast("double") /
-          nullif(col("n_shingles"), lit(0L)).cast("double"), 4), lit(0.0)))
-  }
+  private[queries] def benchOverlapStats(docs: DataFrame): DataFrame =
+    TextFunctions.dictOverlapStats(
+      docs.filter(!expr(BenchPred)).select("doc_id", "text"),
+      benchShingleDict(docs))
+      .select("doc_id", "n_shingles", "n_hit", "contam_ratio")
+
+  /** The benchmark slice's distinct-shingle dictionary — the broadcast
+    * side of every decontamination stage, batch or streaming. */
+  private[graft] def benchShingleDict(docs: DataFrame): DataFrame =
+    docs.filter(expr(BenchPred))
+      .select(explode(TextFunctions.shingles(col("text"), 4)).as("shingle"))
+      .distinct()
 
   /** Explode `df` (which must carry `text`) into context-window chunk
     * rows: `keep ++ (chunk_idx, chunk_start, chunk_len, chunk_text)`.
@@ -139,6 +135,56 @@ object CurationQueries {
                             / nullif(len(c.shl), 0), 4), 0.0) AS contam_ratio,
              (coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
                              / nullif(len(c.shl), 0), 4), 0.0) >= 0.2) AS is_contaminated
+      FROM corpus c LEFT JOIN hits h USING (doc_id)
+      ORDER BY c.doc_id"""),
+  )
+
+  /** The STREAMING decontamination screen's per-batch core, exercised
+    * as one batch differential ([[graft.streaming.Streams.decontamScreen]]
+    * runs exactly this over each micro-batch; `DecontamScreenSpec` pins
+    * streamed-over-K-batches ≡ this union): the corpus arrives in three
+    * independent slices, each screened against the SAME broadcast
+    * benchmark dictionary, flagged at [[decontam]]'s threshold. Because
+    * the stats are per-document functions of (document, dictionary),
+    * the union of per-batch screens equals the whole-corpus screen —
+    * which is precisely what makes the screen sound to run
+    * incrementally at ingest: contamination caught per batch can never
+    * differ from what the nightly batch sweep would have said. Oracle =
+    * the decontam differential's SQL (same rows, `flagged` alias). */
+  private val streamDecontam = Q(
+    "stream_decontam_screen",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val dict = benchShingleDict(d)
+      (0 to 2).map(i =>
+        TextFunctions.dictOverlapStats(
+          d.filter(!expr(BenchPred) && pmod(col("doc_id"), lit(3L)) === i)
+            .select("doc_id", "text"),
+          dict))
+        .reduce(_ unionByName _)
+        .withColumn("flagged", col("contam_ratio") >= 0.2)
+        .select("doc_id", "n_shingles", "n_hit", "contam_ratio", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(
+               CASE WHEN len(t) >= 4
+                    THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END) AS shl
+             FROM tok),
+      bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh WHERE $BenchPred),
+      corpus AS (SELECT doc_id, shl FROM sh WHERE NOT ($BenchPred)),
+      ex AS (SELECT doc_id, unnest(shl) AS shingle FROM corpus),
+      hits AS (SELECT e.doc_id, count(*) AS n_hit
+               FROM ex e JOIN bench b USING (shingle) GROUP BY e.doc_id)
+      SELECT c.doc_id, CAST(len(c.shl) AS BIGINT) AS n_shingles,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                            / nullif(len(c.shl), 0), 4), 0.0) AS contam_ratio,
+             (coalesce(round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                             / nullif(len(c.shl), 0), 4), 0.0) >= 0.2) AS flagged
       FROM corpus c LEFT JOIN hits h USING (doc_id)
       ORDER BY c.doc_id"""),
   )
@@ -2827,7 +2873,7 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(coresetKCenter,
-    waterfill, decontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
+    waterfill, decontam, streamDecontam, decontamExcise, decontamBySource, boilerStrip, stratifiedSample, epochUpsample, temperatureSample, tokenBudget, rankDeciles, fixedSample, weightedSample,
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, forgetAudit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,

@@ -109,6 +109,50 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** STREAMING test-set decontamination — the ingest-time twin of the
+    * batch `decontam_*` family: an incrementally ingested corpus can
+    * absorb benchmark contamination BETWEEN nightly batch sweeps, so
+    * the same broadcast shingle dictionary screens every micro-batch
+    * at the door. Quarantine-lane posture (the CSV/JSON lane doctrine):
+    * flagged documents are DIVERTED to their own sink for review, never
+    * silently dropped — an over-eager dictionary must be auditable.
+    *
+    * Soundness of screening per batch: the overlap stats are per-
+    * document functions of (document, dictionary), so the union of
+    * per-batch screens ≡ the whole-corpus batch screen — pinned two
+    * ways: `stream_decontam_screen` differentials the 3-slice union
+    * against the DuckDB oracle, `DecontamScreenSpec` drives THIS
+    * foreachBatch loop and compares verdicts to the batch sweep.
+    * Threshold semantics are [[graft.queries.CurationQueries]]'s
+    * decontam verdict: flagged ⇔ contam_ratio >= maxRatio.
+    *
+    * 100 TB posture: per-batch cost = the batch's documents × a
+    * broadcast dictionary (map-side semi-join + one per-doc aggregate);
+    * independent of corpus size, like every screen in this module. The
+    * stats frame is persisted for the two lane reads and unpersisted
+    * before the batch commits (storage hygiene). */
+  def decontamScreen(
+      docs: DataFrame, // streaming (idCol, textCol, ...)
+      benchShingles: DataFrame, // static dictionary, one `shingle` column
+      checkpoint: String,
+      maxRatio: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 4)(
+      onClean: DataFrame => Unit,
+      onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(docs, checkpoint) { (batch, _) =>
+      val stats = graft.functions.TextFunctions.dictOverlapStats(
+        batch, benchShingles, idCol, textCol, shingleN).persist()
+      try {
+        onFlagged(stats.filter(col("contam_ratio") >= maxRatio))
+        onClean(stats.filter(col("contam_ratio") < maxRatio))
+      } finally {
+        stats.unpersist()
+        ()
+      }
+    }
+
   /** ST4: the 24h session-match window as a stream-stream interval join
     * (`README.md:83-88`): leads join sessions on the dr-session id with
     * an event-time bound, watermarks on both sides so state is pruned. */
