@@ -26,43 +26,61 @@ private[graft] object AtomicText {
   }
 
   def write(path: Path, text: String, conf: Configuration): Unit = {
-    val fc = FileContext.getFileContext(
-      path.getFileSystem(conf).getUri, conf)
-    val tmp = new Path(path.getParent,
-      s"${path.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fc.create(tmp,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try {
-      out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // Flush data to the store BEFORE the rename commits the name: a
-      // process crash is covered by close+rename alone, but a machine /
-      // power crash can otherwise reorder the data flush after the
-      // rename and commit a torn or empty marker. hsync persists to
-      // disk where the stream supports it (HDFS); the local raw FS
-      // treats it as flush-to-OS, so durability there is best-effort —
-      // the serving protocol only needs old-or-new, which still holds.
-      try out.hsync()
-      catch { case _: UnsupportedOperationException => out.hflush() }
-    } finally out.close()
-    // Commit the name. FileContext.rename(OVERWRITE) against the LOCAL
-    // filesystem delegates to FileSystem's default overwrite handling —
-    // delete destination, then rename — which leaves a window where the
-    // destination DOES NOT EXIST: a concurrent reader observes "never
-    // published" instead of old-or-new (caught live by the catalog race
-    // spec hammering readAll during publishes). POSIX rename(2) via NIO
-    // ATOMIC_MOVE replaces the destination in one atomic step, closing
-    // it. Non-local URIs keep the FileContext rename: HDFS rename is
-    // atomic server-side (and object stores use ScanCommit instead).
-    if (path.getFileSystem(conf).getScheme == "file") {
-      val fs = path.getFileSystem(conf)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(path).toUri.getPath),
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fs = path.getFileSystem(conf)
+    // LOCAL profile, pure NIO end-to-end. Two Hadoop-local defects force
+    // this (both caught by specs hammering the protocol):
+    //   - FileContext.rename(OVERWRITE) delegates to the default
+    //     delete-then-rename, leaving a window where the destination
+    //     DOES NOT EXIST — a concurrent reader observes "never
+    //     published" instead of old-or-new (SnapshotRaceSpec);
+    //   - the "file" FileContext is LocalFs = ChecksumFs: every temp
+    //     write plants a hidden .crc sidecar that an atomic data-file
+    //     move must orphan — one leaked root file per commit, caught by
+    //     the 200-cycle MaintenanceSoakSpec.
+    // POSIX rename(2) via ATOMIC_MOVE replaces the destination in one
+    // atomic step; force(true) persists data BEFORE the rename commits
+    // the name (a machine crash can otherwise reorder the flush after
+    // the rename and commit a torn marker). Temp naming keeps the
+    // `.tmp-` infix so the store GC recognizes crash leftovers.
+    if (fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(fs.makeQualified(path).toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.getParent.resolve(
+        s"${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(bytes))
+        ch.force(true)
+      } finally ch.close()
+      java.nio.file.Files.move(tmp, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a store written by a pre-NIO build may carry a checksum sidecar
+      // for this name; stale, it would fail every checksummed read of
+      // the fresh content — remove it
+      java.nio.file.Files.deleteIfExists(
+        dst.getParent.resolve(s".${path.getName}.crc"))
       ()
-    } else fc.rename(tmp, path, Options.Rename.OVERWRITE)
+    } else {
+      // remote profile: HDFS rename is atomic server-side (object
+      // stores use ScanCommit instead of this rename protocol)
+      val fc = FileContext.getFileContext(fs.getUri, conf)
+      val tmp = new Path(path.getParent,
+        s"${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fc.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try {
+        out.write(bytes)
+        // persist to disk before the rename commits the name
+        try out.hsync()
+        catch { case _: UnsupportedOperationException => out.hflush() }
+      } finally out.close()
+      fc.rename(tmp, path, Options.Rename.OVERWRITE)
+    }
   }
 }
 
