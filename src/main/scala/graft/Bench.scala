@@ -165,8 +165,14 @@ object Bench {
           // plan-determined and rep-stable, unlike wall time
           shuffleMb(qu.name) = (w1 - w0) / 1e6
           spillMb(qu.name) = (s1 - s0) / 1e6
-          // release persisted result frames (pair queries) between queries
-          df.unpersist()
+          // release persisted result frames (pair queries) between
+          // queries — but NEVER a session-shared memo or an alias of
+          // one: uncache matches canonicalized plans, so unpersisting a
+          // query that returns the memoized frame (even through a no-op
+          // projection) evicts the shared cache and re-bills its build
+          // to every later consumer, exactly what `shared:` warming
+          // exists to prevent
+          if (!SharedFrames.isShared(df)) df.unpersist()
         } catch {
           case e: Throwable =>
             errors(qu.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

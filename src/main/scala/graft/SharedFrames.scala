@@ -91,6 +91,31 @@ object SharedFrames {
     * deliberate shared caches don't read as leaks. */
   def entryCount: Int = cache.size
 
+  /** True when `df` IS one of this session's memoized frames — or a
+    * plan-equivalent alias of one. The harness-side half of "callers
+    * must NOT unpersist": `Dataset.unpersist()` removes the cache entry
+    * whose CANONICALIZED plan matches, not the object — and a no-op
+    * projection canonicalizes away, so even a `select(allColumns)`
+    * wrapper evicts the underlying memo (measured in the r14 bench: the
+    * per-rep result unpersist silently evicted the minhash-pair memo,
+    * re-billing its ~2 s build to every downstream consumer —
+    * dedup_lsh_audit, dedup_threshold_sweep — after `shared:` warming
+    * had already paid for it once). Callers that release result frames
+    * defensively consult this first. */
+  def isShared(df: DataFrame): Boolean = {
+    val it = cache.values.iterator()
+    var found = false
+    while (!found && it.hasNext) {
+      val m = it.next()
+      found = (m eq df) || {
+        try (m.sparkSession eq df.sparkSession) &&
+          m.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+    found
+  }
+
   /** Drop every memoized frame (best-effort on stopped sessions). */
   def releaseAll(): Unit = {
     cache.values.forEach { df =>

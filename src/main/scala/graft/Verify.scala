@@ -33,8 +33,11 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // pair queries return a persisted result frame (they materialize
         // it to release corpus-sized intermediates); unpersist is a no-op
-        // for everything else and stops caches accumulating over the run
-        df.unpersist()
+        // for everything else and stops caches accumulating over the run.
+        // Session-shared memos are exempt: uncache matches canonicalized
+        // plans, so unpersisting a memo-returning query would evict the
+        // shared cache every later consumer relies on.
+        if (!SharedFrames.isShared(df)) df.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

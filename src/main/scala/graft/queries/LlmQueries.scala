@@ -727,15 +727,14 @@ object LlmQueries {
 
   private val minhash = Q(
     "dedup_minhash_lsh",
-    // The trivial projection shields the session-shared pair frame from
-    // the harness's unpersist(): non-cascading uncache only matches the
-    // exact cached plan, and the Project node on top makes this a
-    // different plan — the memoized cache survives for dedup_clusters /
-    // corpus_clean_clustered.
-    (s, dir) => {
-      val pairs = minhashPairs(s, dir)
-      pairs.select(pairs.columns.map(col).toSeq: _*)
-    },
+    // Returns the session-shared pair memo directly. (A trivial
+    // projection "shield" used to sit here on the theory that uncache
+    // matches only the exact cached plan — false: uncache compares
+    // CANONICALIZED plans and a no-op Project canonicalizes away, so
+    // the shield never shielded, measured as the memo evicting on every
+    // bench rep. The harnesses now guard their unpersist with
+    // SharedFrames.isShared instead, which also covers aliases.)
+    (s, dir) => minhashPairs(s, dir),
     Some(s"""
       WITH $MINHASH_CTES
       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""),
