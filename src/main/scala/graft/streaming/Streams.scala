@@ -332,7 +332,12 @@ object Streams {
     * missing members catch up, and the cycle commit then pins a
     * consistent post-batch set. Catalog readers never observe the torn
     * intermediate that the member stores' live manifests pass through
-    * mid-cycle. */
+    * mid-cycle. The committed pins are retention-safe under replay
+    * storms: registration feeds each pin into its member store's GC
+    * ([[graft.etl.GenerationStore.pinnedVersions]]), so any number of
+    * crash-replays — each of which publishes a fresh generation before
+    * the offsets commit — can land between two catalog commits without
+    * aging the pinned snapshot out of the keepVersions window. */
   def maintainCycle(
       cdc: DataFrame,
       catalog: graft.etl.SnapshotCatalog,

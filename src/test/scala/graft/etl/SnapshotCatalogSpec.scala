@@ -195,6 +195,30 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(amounts(post("amounts"), "amount")(1L) == 99.0)
   }
 
+  test("open() under the object-store commit profile (ScanCommit end-to-end)") {
+    // the cross-process read story must hold on stores with NO atomic
+    // rename: catalog manifest AND member manifests all ScanCommit
+    val commit = new ScanCommit()
+    val rootA = Files.createTempDirectory("graft_cat_scan_a").toString
+    val a = new GenerationStore(rootA, "__mv_bucket", keepVersions = 2, commit)
+    val rows = spark.range(4).select(col("id").as("custno"),
+      (col("id") * 10.0).as("amount"),
+      org.apache.spark.sql.functions.pmod(col("id"), lit(2)).as("__mv_bucket"))
+    a.publish(rows, Seq(0L, 1L))
+    val catRoot = Files.createTempDirectory("graft_cat_scan").toString
+    new SnapshotCatalog(catRoot, commit).register("amounts", a)
+      .commitCycle(spark)
+
+    val reader = spark.newSession()
+    val opened = SnapshotCatalog.open(reader, catRoot, commit).get
+    val served = opened.readAll(reader).get("amounts")
+    assert(served.count() == 4)
+    // a second publish does not move the opened reader off the pin
+    a.publish(rows.withColumn("amount", col("amount") + 1), Seq(0L))
+    assert(opened.readAll(reader).get("amounts")
+      .agg(org.apache.spark.sql.functions.sum("amount")).head.getDouble(0) == 60.0)
+  }
+
   test("open() refuses a manifest it cannot resolve; snapshot() skips foreign lines") {
     val root = Files.createTempDirectory("graft_cat_mal").toString
     val conf = spark.sparkContext.hadoopConfiguration
