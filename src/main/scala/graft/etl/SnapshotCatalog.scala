@@ -180,7 +180,10 @@ object SnapshotCatalog {
     * partial member set. The member stores are opened READ-ONLY in
     * spirit (nothing stops a publish, but an opened catalog is a
     * reader's handle; `keepVersions` on the handles never drives GC
-    * because only publishes GC). */
+    * because only publishes GC). `commit` applies to the catalog AND
+    * the member handles: a deployment keeps one commit profile per
+    * lake (the manifest records locations, not protocols) — mixing
+    * profiles across members of one catalog is out of contract. */
   def open(
       spark: SparkSession,
       root: String,
