@@ -259,6 +259,23 @@ final class GenerationStore(
     if (!versions(spark).contains(v)) None
     else manifestAt(spark, v).flatMap(resolve(spark, _))
 
+  /** Bucket-scoped SNAPSHOT read: just `buckets`' rows exactly as
+    * version `v` served them — the probe path of a served index
+    * ([[graft.ext.ServedAnnIndex]]): resolving every bucket of one
+    * search from ONE archived manifest makes the multi-read sequence
+    * (centroid bucket, then the probed posting buckets) immune to a
+    * publish landing in between, and the resolved path list contains
+    * ONLY the requested buckets' directories, so the scan statically
+    * prunes to them. None = version aged/never existed, or those
+    * buckets are all empty at `v`. */
+  private[graft] def readBucketsAt(
+      spark: SparkSession, v: Long, buckets: Seq[Long]): Option[DataFrame] = {
+    val want = buckets.toSet
+    if (!versions(spark).contains(v)) None
+    else manifestAt(spark, v).flatMap(m =>
+      resolve(spark, m.filter { case (b, _) => want(b) }))
+  }
+
   private def resolve(spark: SparkSession, m: Map[Long, Long]): Option[DataFrame] = {
     val f = fs(spark)
     val paths = m.toSeq.sortBy(_._1).flatMap { case (b, g) =>

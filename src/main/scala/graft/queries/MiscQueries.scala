@@ -424,6 +424,55 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** IVF top-k answered by the SERVED index
+    * ([[graft.ext.ServedAnnIndex]]) — the retrieval tier built in r14:
+    * postings persisted in a generation store partitioned by centroid
+    * bucket (a search's scan statically prunes to its probed bucket
+    * DIRECTORIES on disk), centroids riding the same store in a
+    * reserved bucket so one manifest versions both halves, searches
+    * resolved from one pinned version. The differential proves the
+    * serving layer is TRANSPARENT: identical math to `ann_ivf_topk`,
+    * identical oracle — round-tripping the index through build/publish/
+    * manifest-resolve/search must change not one bit of the answer.
+    * The store root is app-id-scoped (same race/injectivity posture as
+    * `s11_json_scan`'s drop path); each run's build publishes a fresh
+    * generation and the store's own GC bounds what accumulates. */
+  private val annServed = Q(
+    "ann_served_topk",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      idx.search(s, query, k = 20, nprobe = 4).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      scored AS (
+        SELECT a.vec_id,
+          list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id, q),
+      sel AS (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20)
+      SELECT vec_id, round(cos, 6) AS cosine FROM sel
+      ORDER BY round(cos, 6) DESC, vec_id"""),
+  )
+
   /** Product-quantization ANN with ADC scoring — the MEMORY-side
     * compression beside IVF's partition pruning (see
     * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
@@ -2330,7 +2379,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -1,0 +1,122 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, Tables}
+import graft.etl.SnapshotCatalog
+
+/** [[ServedAnnIndex]]: the IVF math served off the lake must be
+  * TRANSPARENT (identical results to the in-memory operators it
+  * composes) while adding the serving properties the in-memory form
+  * cannot have — version-pinned searches, incremental bucket-scoped
+  * appends converging to the frozen-centroid rebuild, probe-time
+  * partition pruning visible in the scan's file list, and catalog
+  * membership pinning index + corpus views to one cycle. */
+class ServedAnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def emb: DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+  private def queryVec(of: Long = 0L): Seq[Float] =
+    emb.filter(col("vec_id") === of).select("embedding").head().getSeq[Float](0)
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.withColumn("cosine", round(col("cosine"), 9))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("served search == in-memory ivfTopK (the serving layer is transparent)") {
+    val root = Files.createTempDirectory("graft_served_ann").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    idx.build(emb)
+    val q = queryVec()
+    val served = idx.search(spark, q, k = 20, nprobe = 4).get
+
+    val centroids = Similarity.trainCentroidsById(emb, 16)
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+    val memory = Similarity.ivfTopK(assigned, centroids, q, k = 20, nprobe = 4)
+    assert(rows(served) == rows(memory),
+      "served index must score exactly like the in-memory IVF operators")
+
+    // probe-time pruning ON DISK: every file the search read sits in a
+    // probed bucket directory or the centroid bucket
+    val probed = Similarity.probedCentroidIds(centroids, q, 4).toSet +
+      ServedAnnIndex.CentroidBucket
+    val files = served.inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(probed.exists(b => f.contains(s"__ivf_bucket=$b")),
+        s"search scanned an unprobed bucket: $f (probed $probed)")
+    }
+  }
+
+  test("incremental adds converge to the frozen-centroid rebuild; searches stay version-pinned") {
+    val root = Files.createTempDirectory("graft_served_ann_inc").toString
+    val init = emb.filter(col("vec_id") % 4 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 8 === 0)
+    val b2 = emb.filter(col("vec_id") % 8 === 4)
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    val v0 = idx.build(init)
+    val q = queryVec(1L)
+    val before = rows(idx.search(spark, q, 20, 4).get)
+
+    idx.add(b1)
+    idx.add(b2)
+
+    // frozen-centroid rebuild: same centroid table (trained on INIT),
+    // assignment over everything delivered
+    val centroids = Similarity.trainCentroidsById(init, 16)
+    val expected = Similarity.ivfTopK(
+      Similarity.assignToCentroids(emb, centroids), centroids, q, 20, 4)
+    assert(rows(idx.search(spark, q, 20, 4).get) == rows(expected),
+      "incremental index diverged from the frozen-centroid rebuild")
+
+    // the pre-add version still answers EXACTLY as it did (keepVersions
+    // = 2 retains it through one further publish; in-flight readers'
+    // grace) while the live search serves the post-add index
+    assert(rows(idx.searchAt(spark, v0, q, 20, 4).get) == before,
+      "a pinned search must not see post-pin adds")
+
+    // replaying an already-absorbed batch leaves every bucket's CONTENT
+    // unchanged: the new generation serves the same rows
+    val liveBefore = rows(idx.search(spark, q, 20, 4).get)
+    idx.add(b2)
+    assert(rows(idx.search(spark, q, 20, 4).get) == liveBefore,
+      "an idempotent replay changed served results")
+  }
+
+  test("catalog membership: index + corpus pinned to one cycle") {
+    val root = Files.createTempDirectory("graft_served_ann_cat").toString
+    val idx = new ServedAnnIndex(s"$root/ann", nCentroids = 16)
+    idx.build(emb.filter(col("vec_id") % 4 =!= 0))
+    val catalog = new SnapshotCatalog(s"$root/catalog")
+      .register("ann_index", idx.store)
+    catalog.commitCycle(spark)
+    val pinned = catalog.snapshot(spark).get("ann_index")
+    val q = queryVec(1L)
+    val atPin = rows(idx.searchAt(spark, pinned, q, 20, 4).get)
+
+    // an UNCOMMITTED add moves the live index but not the pin — and the
+    // pin-retention hook keeps the pinned version alive through further
+    // publishes beyond the rolling window
+    idx.add(emb.filter(col("vec_id") % 8 === 0))
+    idx.add(emb.filter(col("vec_id") % 8 === 4))
+    idx.add(emb.filter(col("vec_id") % 16 === 12)) // 3rd publish past keepVersions=2
+    assert(rows(idx.searchAt(spark, pinned, q, 20, 4).get) == atPin,
+      "the catalog-pinned index version must keep serving identically")
+    assert(catalog.readView(spark, "ann_index").isDefined)
+
+    // the cycle commit then advances the pin to the live index
+    catalog.commitCycle(spark)
+    val advanced = catalog.snapshot(spark).get("ann_index")
+    assert(advanced > pinned)
+    assert(rows(idx.searchAt(spark, advanced, q, 20, 4).get) ==
+      rows(idx.search(spark, q, 20, 4).get))
+  }
+}
