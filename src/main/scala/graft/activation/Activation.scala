@@ -68,17 +68,21 @@ object Activation {
     * arriving in the same CDC cut can be observed half-applied — the
     * deal visible, the opt-out not — shipping an event no consistent
     * snapshot would emit (pinned end-to-end in `ActivationLoopSpec`).
-    * None = the catalog has never committed, or a member's pin is
-    * unreadable — the caller skips the run rather than activating off
-    * a torn or partial set. */
+    * None = the catalog has never committed, a member's pin is
+    * unreadable, or either requested view NAME is not registered in
+    * the catalog — the caller skips the run rather than activating off
+    * a torn or partial set (a misspelled view name is the same "not a
+    * consistent feed" outcome, not an exception). */
   def feedFromCatalog(
       catalog: graft.etl.SnapshotCatalog,
       spark: org.apache.spark.sql.SparkSession,
       validatedView: String = "validated_sales",
       contactsView: String = "marketable_contacts"): Option[DataFrame] =
-    catalog.readAll(spark).map { views =>
-      feedFromValidatedSales(views(validatedView), views(contactsView))
-    }
+    for {
+      views <- catalog.readAll(spark)
+      validated <- views.get(validatedView)
+      contacts <- views.get(contactsView)
+    } yield feedFromValidatedSales(validated, contacts)
 
   /** S8/J9: one incremental batch — [start, end] on purchase_date,
     * minus processed deal_numbers, newest-first top-`limit`. */

@@ -7,11 +7,21 @@ import org.apache.hadoop.fs.{CreateFlag, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Small atomically-replaced text files (manifests, high-water marks):
-  * write to a temp name, rename-with-OVERWRITE — readers see the whole
-  * old or the whole new content, never a torn write. FileContext is
-  * used throughout: its local impl is the raw filesystem (no checksum
-  * sidecars to desynchronize across the rename) and it is the API that
-  * spells atomic overwrite-rename. */
+  * readers see the whole old or the whole new content, never a torn
+  * write. THREE commit profiles, one per filesystem class — do NOT
+  * collapse them back into one Hadoop path (the r14 races that forced
+  * the split are spelled out at the branch below):
+  *
+  *   - LOCAL (`file` scheme): pure NIO — temp file + fsync + POSIX
+  *     ATOMIC_MOVE. Hadoop's local FileContext is NOT usable here: its
+  *     rename(OVERWRITE) is delete-then-rename (a missing-destination
+  *     window), and it is LocalFs = ChecksumFs (hidden `.crc` sidecars
+  *     that orphan across an atomic data move);
+  *   - HDFS (any hflush-capable remote FS): FileContext temp write +
+  *     hsync + rename(OVERWRITE), which IS atomic server-side there;
+  *   - OBJECT STORES (no atomic rename at all): not this class —
+  *     [[ScanCommit]] replaces the rename protocol entirely
+  *     (immutable sequenced keys, highest-valid-wins). */
 private[graft] object AtomicText {
 
   def read(path: Path, conf: Configuration): Option[String] = {

@@ -93,7 +93,18 @@ final class ServedAnnIndex(
     val rows = postings
       .unionByName(centroidRows.withColumn("centroid_id", lit(CentroidBucket)))
       .withColumn(bucketCol, col("centroid_id"))
-    store.publish(rows, bucketIds :+ CentroidBucket)
+    // a REBUILD must fully replace the index: the store's publish
+    // carries forward every unlisted bucket, so a retrain whose
+    // centroid-id set differs from the previous build would otherwise
+    // leave the old build's posting buckets live in the manifest (full
+    // reads mixing two builds, GC retaining them forever). Advancing
+    // the previous live bucket ids alongside the new ones publishes
+    // them as EMPTY in the new generation — resolve treats a bucket
+    // with no files as absent — so the swap is a complete replacement.
+    val prevBuckets = store.manifest(v.sparkSession)
+      .map(_.keySet).getOrElse(Set.empty[Long])
+    store.publish(rows,
+      (prevBuckets ++ bucketIds + CentroidBucket).toSeq.sorted)
   }
 
   /** The frozen centroid table exactly as version `v` serves it. */

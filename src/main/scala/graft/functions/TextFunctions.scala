@@ -115,7 +115,16 @@ object TextFunctions {
     * shingles) and is BROADCAST; the corpus is scanned once — map-side
     * hash semi-join on the exploded shingles, partial-aggregated hit
     * counts, one exchange keyed by `idCol`. The corpus never self-joins
-    * and never shuffles its shingle sets. */
+    * and never shuffles its shingle sets.
+    *
+    * PRECONDITION: `idCol` must be unique within `docs`. Hit counts are
+    * keyed by id and joined back to the rows, so N copies of one id
+    * would each receive the SUM of all copies' hits — inflating
+    * `contam_ratio` and flagging clean duplicates. Batch callers own
+    * dedup upstream; the streaming screen
+    * ([[graft.streaming.Streams.decontamScreen]]) enforces it per
+    * micro-batch (at-least-once replays deliver identical copies, so
+    * dropping them loses nothing). */
   def dictOverlapStats(
       docs: org.apache.spark.sql.DataFrame,
       dict: org.apache.spark.sql.DataFrame, // one `shingle` column, tiny

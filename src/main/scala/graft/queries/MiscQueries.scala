@@ -436,7 +436,14 @@ object MiscQueries {
     * manifest-resolve/search must change not one bit of the answer.
     * The store root is app-id-scoped (same race/injectivity posture as
     * `s11_json_scan`'s drop path); each run's build publishes a fresh
-    * generation and the store's own GC bounds what accumulates. */
+    * generation and the store's own GC bounds what accumulates.
+    *
+    * BENCH NOTE: unlike `ann_ivf_topk` (search-only), this entry times
+    * the FULL index lifecycle — build + publish + manifest resolve +
+    * search — deliberately, to price what a serving tier pays end to
+    * end. Read the two entries' wall-times accordingly: the delta over
+    * `ann_ivf_topk` is the serving layer's build/commit cost, not a
+    * slower search. */
   private val annServed = Q(
     "ann_served_topk",
     (s, dir) => {

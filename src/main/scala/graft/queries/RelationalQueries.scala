@@ -555,7 +555,13 @@ object RelationalQueries {
     * format; doubles ride Java's round-trip-exact `Double.toString`;
     * the `props` JSON payload string nests as an escaped value and
     * comes back byte-identical). Lane semantics — what quarantines and
-    * what doesn't — are pinned in `JsonSourceSpec`. */
+    * what doesn't — are pinned in `JsonSourceSpec`.
+    *
+    * BENCH NOTE: this query times its own fixture write — `write.json`
+    * below is roughly half its bench cost. That is deliberate (the
+    * round-trip IS the operator under test; emit and parse must be
+    * priced together), but when reading this entry's wall-time against
+    * scan-only queries, remember it is a write+read number. */
   private val s11 = Q(
     "s11_json_scan",
     (s, dir) => {

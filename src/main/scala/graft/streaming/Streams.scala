@@ -142,8 +142,14 @@ object Streams {
       onClean: DataFrame => Unit,
       onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     deliverStream(docs, checkpoint) { (batch, _) =>
+      // dictOverlapStats requires unique ids (N copies of one id would
+      // each receive the SUM of all copies' hit counts, inflating
+      // contam_ratio); an at-least-once source can replay a document
+      // INTO one micro-batch, and replayed copies are identical, so
+      // per-batch id-dedup is lossless here and restores the contract
+      val unique = batch.dropDuplicates(idCol)
       val stats = graft.functions.TextFunctions.dictOverlapStats(
-        batch, benchShingles, idCol, textCol, shingleN).persist()
+        unique, benchShingles, idCol, textCol, shingleN).persist()
       try {
         onFlagged(stats.filter(col("contam_ratio") >= maxRatio))
         onClean(stats.filter(col("contam_ratio") < maxRatio))

@@ -91,6 +91,40 @@ class ServedAnnIndexSpec extends AnyFunSuite {
       "an idempotent replay changed served results")
   }
 
+  test("a rebuild fully replaces the index — no stale buckets from the previous build") {
+    val root = Files.createTempDirectory("graft_served_ann_rebuild").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    idx.build(emb.filter(col("vec_id") < 200)) // centroid ids 0..15
+    // retrain on a DISJOINT id range: centroid ids (and so bucket ids)
+    // share nothing with the first build
+    val corpus2 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+    idx.build(corpus2)
+
+    // full read serves ONLY the second build: no vec_id from the first
+    // build's exclusive range, and row count = corpus2 postings +
+    // centroid rows
+    val served = idx.store.read(spark).get
+    assert(served.filter(col("vec_id") < 200 &&
+      col("centroid_id") =!= ServedAnnIndex.CentroidBucket).count() == 0,
+      "full read mixed postings from the replaced build")
+    val n2 = corpus2.count()
+    assert(served.filter(col("centroid_id") =!= ServedAnnIndex.CentroidBucket)
+      .count() == n2)
+
+    // and the search scores exactly like the in-memory IVF over corpus2
+    val q = queryVec(200L)
+    val centroids = Similarity.trainCentroidsById(corpus2, 16)
+    val memory = Similarity.ivfTopK(
+      Similarity.assignToCentroids(corpus2, centroids), centroids, q, 20, 4)
+    assert(rows(idx.search(spark, q, 20, 4).get) == rows(memory))
+
+    // the PREVIOUS build's version still answers as built (snapshot
+    // grace), proving replacement didn't destroy history within
+    // keepVersions
+    val v1 = idx.versions(spark).head
+    assert(idx.searchAt(spark, v1, queryVec(0L), 20, 4).isDefined)
+  }
+
   test("catalog membership: index + corpus pinned to one cycle") {
     val root = Files.createTempDirectory("graft_served_ann_cat").toString
     val idx = new ServedAnnIndex(s"$root/ann", nCentroids = 16)

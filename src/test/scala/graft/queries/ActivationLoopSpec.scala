@@ -261,6 +261,13 @@ class ActivationLoopSpec extends AnyFunSuite {
     assert(catalog.readAll(spark).get("validated_sales")
       .filter(col("custno") === x).count() == 0,
       "the pinned validated view must have dropped the opted-out customer")
+
+    // a view NAME not registered in the catalog skips the run (None),
+    // the same "no consistent feed" outcome as an uncommitted catalog —
+    // not a NoSuchElementException
+    assert(Activation.feedFromCatalog(catalog, spark,
+      validatedView = "no_such_view").isEmpty,
+      "an unregistered view name must skip the run, not throw")
     facts.unpersist()
   }
 }

@@ -78,6 +78,51 @@ class DecontamScreenSpec extends AnyFunSuite {
     // the flagged lane carries its evidence (ratio at/over threshold)
     assert(streamedFlagged.forall(_._4 >= 0.2))
   }
+
+  test("replayed copies of a document inside one micro-batch do not inflate its ratio") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_decontam_dup").toString
+
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val dict = CurationQueries.benchShingleDict(docs)
+    val corpus = docs.filter(!expr(CurationQueries.BenchPred))
+    // a CLEAN document (per the batch sweep) that still has hits would be
+    // the one a doubled hit count could flip — prefer one, else any clean
+    val batchStats = TextFunctions.dictOverlapStats(corpus, dict)
+      .select("doc_id", "n_hit", "n_shingles", "contam_ratio").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val target = batchStats.collectFirst {
+      case (id, (nHit, _, ratio)) if ratio < 0.2 && ratio >= 0.1 && nHit > 0 => id
+    }.getOrElse(batchStats.collectFirst {
+      case (id, (_, _, ratio)) if ratio < 0.2 => id
+    }.get)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, String)]()
+    val in = MemoryStream[Long]
+    val cdc = in.toDF().toDF("__id")
+      .join(corpus, col("__id") === col("doc_id")).drop("__id")
+    val q = Streams.decontamScreen(cdc, dict, s"$root/ckpt")(
+      onClean = b => b.select("doc_id", "n_hit", "contam_ratio")
+        .collect().foreach(r => seen.add((r.getLong(0), r.getLong(1), r.getDouble(2), "clean"))),
+      onFlagged = b => b.select("doc_id", "n_hit", "contam_ratio")
+        .collect().foreach(r => seen.add((r.getLong(0), r.getLong(1), r.getDouble(2), "flagged"))))
+    try {
+      // the at-least-once shape: the same id delivered 3× IN ONE batch
+      in.addData(target, target, target)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.toSeq
+    assert(rows.size == 1, s"replayed copies must collapse to one verdict row: $rows")
+    val (id, nHit, ratio, lane) = rows.head
+    val (expHit, _, expRatio) = batchStats(target)
+    assert(id == target && nHit == expHit && ratio == expRatio,
+      s"duplicate copies inflated the stats: got ($nHit,$ratio), batch says ($expHit,$expRatio)")
+    assert(lane == "clean")
+  }
 }
 
 object DecontamScreenSpec {
