@@ -39,8 +39,9 @@ import graft.etl.GenerationStore
   * rewrites only the touched buckets — per-batch cost is the batch's
   * buckets, never the index. Re-adding a vec_id is an idempotent
   * replay (same embedding ⇒ same rows after the merge dedup); a
-  * re-EMBEDDED vec_id must arrive as delete + insert, like any
-  * re-keyed row in the bucketed stores. Retraining centroids = a new
+  * re-EMBEDDED vec_id must arrive as delete + insert — [[update]]
+  * composes exactly that from [[delete]] + [[add]], like any re-keyed
+  * row in the bucketed stores. Retraining centroids = a new
   * [[build]] (which publishes a complete new generation set
   * atomically — readers keep the old index until the swap).
   *
@@ -137,10 +138,144 @@ final class ServedAnnIndex(
     store.publish(merged.withColumn(bucketCol, col("centroid_id")), touched)
   }
 
+  /** Remove `ids`' postings from the live index — the delete half of
+    * the re-embedding contract [[add]]'s scaladoc has always documented
+    * (a re-EMBEDDED vec_id must arrive as delete + insert; without a
+    * delete, an embedding that moves buckets would DUPLICATE across
+    * them). Two passes, both bounded:
+    *
+    *   1. LOCATE: one column-pruned scan of the live postings'
+    *      (vec_id, centroid_id) pair — parquet reads two thin columns,
+    *      never the vectors — semi-joined against the broadcast id set
+    *      to find the touched buckets (driver-side result bounded by
+    *      nCentroids, the blessed metadata standing). A vec_id-keyed
+    *      secondary index would skip this scan; at this index's scale
+    *      the two-column scan is the cheaper artifact to maintain
+    *      (none);
+    *   2. REWRITE: only the touched buckets are read in full,
+    *      anti-joined, and published — one atomic manifest swap,
+    *      untouched buckets never opened (same posture as [[add]]).
+    *
+    * The centroid bucket is never touched: centroid rows share the
+    * vec_id space (a centroid's id IS a corpus vec_id), so deleting a
+    * document must not delete the frozen centroid it once seeded.
+    * Deleting an absent id is a no-op; a delete that touches nothing
+    * returns the current version unchanged (idempotent replay).
+    * `ids` is one `vec_id` column (a deletion batch — small enough to
+    * broadcast). */
+  def delete(ids: DataFrame): Long = {
+    val spark = ids.sparkSession
+    val v = store.versions(spark).lastOption.getOrElse(
+      throw new IllegalStateException(s"ServedAnnIndex at $root was never built"))
+    val del = broadcast(ids.select(col("vec_id").cast("long").as("vec_id")).distinct())
+    val touched = store.read(spark) match {
+      case None => Seq.empty[Long]
+      case Some(live) => live
+        .filter(col("centroid_id") =!= CentroidBucket)
+        .select("vec_id", "centroid_id")
+        .join(del, Seq("vec_id"), "left_semi")
+        .select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+    }
+    if (touched.isEmpty) return v
+    val remaining = store.readBuckets(spark, touched).get
+      .select("vec_id", "embedding", "centroid_id")
+      .join(del, Seq("vec_id"), "left_anti")
+    store.publish(remaining.withColumn(bucketCol, col("centroid_id")), touched)
+  }
+
+  /** Re-embedding upsert: [[delete]] the batch's ids, then [[add]] the
+    * batch — the composed form of the contract `add` documents. Two
+    * publishes (two versions) by design: each half is individually
+    * atomic and idempotent under replay, and a crash between them
+    * leaves the ids absent — the next replay's delete is a no-op and
+    * the add completes the upsert, converging without duplicates. */
+  def update(batch: DataFrame): Long = {
+    delete(batch.select("vec_id"))
+    add(batch)
+  }
+
   /** IVF top-k against the LIVE index version. None = never built. */
   def search(spark: SparkSession, query: Seq[Float], k: Int,
       nprobe: Int = 2): Option[DataFrame] =
     store.versions(spark).lastOption.flatMap(searchAt(spark, _, query, k, nprobe))
+
+  /** Batched IVF top-k over a query TABLE against the live index —
+    * see [[searchBatchAt]]. None = never built. */
+  def searchBatch(queries: DataFrame, k: Int, nprobe: Int = 2,
+      qIdCol: String = "q_id", qVecCol: String = "qv"): Option[DataFrame] =
+    store.versions(queries.sparkSession).lastOption
+      .flatMap(searchBatchAt(_, queries, k, nprobe, qIdCol, qVecCol))
+
+  /** Batched IVF top-k: EVERY query in `queries` answered from index
+    * version `v` in ONE plan — the retrieval tier's batch shape (an
+    * activation run carries a 1000-row query batch, not one vector),
+    * where [[searchAt]]'s one-literal-vector form would cost Q Spark
+    * jobs for Q queries.
+    *
+    * Per query the math is EXACTLY [[searchAt]]'s — same centroid
+    * ranking, same probe tie-break, same (cosine DESC, vec_id ASC)
+    * top-k — pinned by a per-query equality spec. The orchestration
+    * differs:
+    *
+    *   - per-query probe ranking is a (queries × centroids) broadcast
+    *     product (Q·k rows — centroids are the broadcast side) ranked
+    *     by a window over q_id, not one driver-side sort per query;
+    *   - the probed buckets of ALL queries union into ONE
+    *     [[GenerationStore.readBucketsAt]] scan (still ≤ nCentroids
+    *     bucket ids of driver metadata — the only collect, same
+    *     standing as `probedCentroidIds`), so unprobed buckets are
+    *     still pruned on DISK and probed ones are read once even when
+    *     many queries share them;
+    *   - each posting row scores only against the queries that probed
+    *     its bucket (broadcast join on (q_id, centroid_id)), and the
+    *     per-query top-k collapses through the k-bounded
+    *     [[graft.operators.TopKPerGroup]] packed heap — k·(map
+    *     partitions) rows per query cross the one exchange, never a
+    *     rank window over the candidate set.
+    *
+    * Job count is independent of Q (one probe-union collect + one
+    * result plan), pinned by spec. Returns (q_id, rnk, vec_id, cosine)
+    * rank-ordered per query; None = version aged out/never existed.
+    * `queries` must be small enough to broadcast (the serving batch,
+    * thousands of rows) — a corpus-scale "query table" is [[Similarity]]
+    * join territory, not a serving batch. */
+  def searchBatchAt(v: Long, queries: DataFrame, k: Int, nprobe: Int = 2,
+      qIdCol: String = "q_id", qVecCol: String = "qv"): Option[DataFrame] = {
+    val spark = queries.sparkSession
+    val qs = queries.select(
+      col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
+    for {
+      centroids <- centroidsAt(spark, v)
+      probed = qs.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("centroid_id"),
+          Similarity.cosine(col("centroid"), col("qv")).as("__c_sim"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("__c_sim").desc, col("centroid_id").asc)))
+        .filter(col("__rn") <= nprobe)
+        .select("q_id", "centroid_id")
+      // the union of all queries' probes — bounded by nCentroids ids of
+      // metadata, the one driver-side step; it is what lets the scan
+      // below statically prune to probed bucket DIRECTORIES
+      unionIds = probed.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      postings <- store.readBucketsAt(spark, v, unionIds)
+    } yield {
+      val scored = postings.select("vec_id", "embedding", "centroid_id")
+        .join(broadcast(probed), Seq("centroid_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+      scored.groupBy("q_id")
+        .agg(graft.operators.TopKPerGroup.topK(k)(
+          col("cosine"), col("vec_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))
+        .select(col("q_id"), (col("__rnk0") + 1).cast("long").as("rnk"),
+          col("__sc").getField("_2").as("vec_id"),
+          col("__sc").getField("_1").as("cosine"))
+    }
+  }
 
   /** IVF top-k against index version `v` — centroid ranking, bucket
     * pruning and candidate scoring all resolved from that ONE archived

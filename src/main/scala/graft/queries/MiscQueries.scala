@@ -480,6 +480,126 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** BATCHED served-index search ([[graft.ext.ServedAnnIndex
+    * .searchBatch]]): a 10-query TABLE answered in ONE plan — per-query
+    * centroid ranking as a broadcast product + window, all queries'
+    * probed buckets unioned into one disk-pruned scan, per-query top-k
+    * through the k-bounded TopKPerGroup heap. The serving analog of the
+    * reference's 1000-row activation batches
+    * (`scripts/lambda_redshift_to_segment.py:207-208`): a retrieval
+    * tier prices Q queries as one job, not Q. The oracle replays the
+    * whole per-query pipeline (probe ranking with the (sim DESC,
+    * centroid_id) tie-break, probed-bucket scoring, (cos DESC, vec_id)
+    * rank) in DuckDB SQL; per-query equality to the one-vector
+    * `searchAt` and Q-independent job count are pinned in
+    * `ServedAnnIndexSpec`. Like `ann_served_topk`, the entry times the
+    * full build+publish+search lifecycle. */
+  private val annServedBatch = Q(
+    "ann_served_batch",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_batch/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      idx.searchBatch(queries, k = 20, nprobe = 4).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("q_id", "rnk")
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      cp AS (SELECT q.q_id, c.centroid_id,
+               list_sum(list_transform(range(1, len(c.centroid)+1),
+                 i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+             FROM c, q),
+      probed AS (SELECT q_id, centroid_id FROM (
+                   SELECT q_id, centroid_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, centroid_id) AS rn
+                   FROM cp) WHERE rn <= 4),
+      iscored AS (SELECT p.q_id, a.vec_id,
+               list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM assigned a JOIN probed p USING (centroid_id) JOIN q USING (q_id)),
+      ivf AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+              FROM iscored)
+      SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, round(cos, 6) AS cosine
+      FROM ivf WHERE rnk <= 20 ORDER BY q_id, rnk"""),
+  )
+
+  /** Served-index RE-EMBEDDING upsert ([[graft.ext.ServedAnnIndex
+    * .update]] = delete + add): one slice of the corpus arrives with
+    * NEW embeddings (reversed vectors — most change their nearest
+    * centroid, exactly the case where add-alone would duplicate a
+    * vec_id across two buckets), and the updated index must answer as
+    * a frozen-centroid rebuild over the updated corpus. The oracle
+    * recomputes that rebuild in DuckDB: centroids id-initialized from
+    * the ORIGINAL corpus (update never retrains — the freeze is the
+    * contract), assignment and IVF probe over the post-update
+    * embeddings. No-duplication, pinned-version grace and delete-replay
+    * idempotence are spec-pinned in `ServedAnnIndexSpec`. */
+  private val annServedUpdate = Q(
+    "ann_served_update",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_upd/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb)
+      idx.update(emb.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      idx.search(s, query, k = 20, nprobe = 4).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                 FROM embeddings ORDER BY vec_id LIMIT 16),
+      u AS (SELECT vec_id,
+              CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding)
+                   ELSE embedding END AS embedding
+            FROM embeddings),
+      pairs AS (
+        SELECT u.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(u.embedding)+1),
+            i -> CAST(u.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(u.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM u, c),
+      assigned AS (
+        SELECT t.vec_id, t.centroid_id, u.embedding FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM pairs) t JOIN u ON t.vec_id = u.vec_id WHERE t.rn = 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      scored AS (
+        SELECT a.vec_id,
+          list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id, q),
+      sel AS (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20)
+      SELECT vec_id, round(cos, 6) AS cosine FROM sel
+      ORDER BY round(cos, 6) DESC, vec_id"""),
+  )
+
   /** Product-quantization ANN with ADC scoring — the MEMORY-side
     * compression beside IVF's partition pruning (see
     * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
@@ -2386,7 +2506,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

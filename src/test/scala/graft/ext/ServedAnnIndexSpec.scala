@@ -91,6 +91,70 @@ class ServedAnnIndexSpec extends AnyFunSuite {
       "an idempotent replay changed served results")
   }
 
+  test("searchBatch == per-query searchAt; one pruned scan; job count independent of Q") {
+    val root = Files.createTempDirectory("graft_served_ann_batch").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    val v = idx.build(emb)
+    val qIds = (0L until 10L).toSeq
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+    val batch = idx.searchBatchAt(v, queries, k = 20, nprobe = 4).get
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+
+    // per-query equality: every query's ranked ids+scores match the
+    // one-vector search exactly
+    qIds.foreach { q =>
+      val single = idx.searchAt(spark, v, queryVec(q), 20, 4).get.collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+      assert(got(q) == single, s"query $q diverged from searchAt")
+    }
+
+    // ONE scan over the probed-bucket UNION: every file read sits in
+    // some query's probed bucket (or the centroid bucket)
+    val centroids = Similarity.trainCentroidsById(emb, 16)
+    val probedUnion = qIds.flatMap(q =>
+      Similarity.probedCentroidIds(centroids, queryVec(q), 4)).toSet +
+      ServedAnnIndex.CentroidBucket
+    // (inputFiles also lists the query table's own parquet — only the
+    // INDEX files are under the store root)
+    val files = batch.inputFiles.filter(_.contains(root))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(probedUnion.exists(b => f.contains(s"__ivf_bucket=$b")),
+        s"batch search scanned a bucket no query probed: $f")
+    }
+
+    // job count independent of Q: the SQL-execution count of a 2-query
+    // batch equals the 10-query batch's (AQE job fan-out varies, so we
+    // count executions like MaterializedViewSpec does)
+    def executions(body: => Unit): Int = {
+      val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .foreach(execs.add)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.GraftCoreShim.flushListeners(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      execs.size
+    }
+    val e2 = executions(
+      idx.searchBatchAt(v, queries.filter(col("q_id") < 2), 20, 4).get.collect())
+    val e10 = executions(
+      idx.searchBatchAt(v, queries, 20, 4).get.collect())
+    assert(e2 == e10,
+      s"execution count grew with the query count: Q=2 ran $e2, Q=10 ran $e10")
+  }
+
   test("a rebuild fully replaces the index — no stale buckets from the previous build") {
     val root = Files.createTempDirectory("graft_served_ann_rebuild").toString
     val idx = new ServedAnnIndex(root, nCentroids = 16)
@@ -123,6 +187,61 @@ class ServedAnnIndexSpec extends AnyFunSuite {
     // keepVersions
     val v1 = idx.versions(spark).head
     assert(idx.searchAt(spark, v1, queryVec(0L), 20, 4).isDefined)
+  }
+
+  test("update (delete+add) re-embeds without duplicating; pinned pre-delete searches keep the old rows; delete replay is idempotent") {
+    val s0 = spark
+    import s0.implicits._
+    val root = Files.createTempDirectory("graft_served_ann_upd").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    val vBuilt = idx.build(emb)
+
+    // re-embed a slice with REVERSED vectors — enough to move most of
+    // them to a different bucket (the exact case add-alone duplicates)
+    val reembedded = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+    val q = queryVec(0L)
+    val preDelete = rows(idx.searchAt(spark, vBuilt, q, 20, 4).get)
+
+    idx.update(reembedded)
+
+    // no duplicates: every re-embedded vec_id has exactly ONE posting
+    val postings = idx.store.read(spark).get
+      .filter(col("centroid_id") =!= ServedAnnIndex.CentroidBucket)
+    val dupes = postings.join(reembedded.select("vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0, "a re-embedded vec_id duplicated across buckets")
+
+    // live result == frozen-centroid rebuild over the UPDATED corpus
+    val updated = emb.filter(col("vec_id") % 10 =!= 3).unionByName(reembedded)
+    val centroids = Similarity.trainCentroidsById(emb, 16) // frozen at build
+    val expected = Similarity.ivfTopK(
+      Similarity.assignToCentroids(updated, centroids), centroids, q, 20, 4)
+    assert(rows(idx.search(spark, q, 20, 4).get) == rows(expected),
+      "updated index diverged from the frozen-centroid rebuild on the updated corpus")
+
+    // a search pinned BEFORE the delete still serves the old rows
+    assert(rows(idx.searchAt(spark, vBuilt, q, 20, 4).get) == preDelete,
+      "a pinned pre-delete search must not see the update")
+
+    // idempotent delete replay: delete once, then replay the SAME
+    // delete — the ids are gone, the replay touches nothing, publishes
+    // nothing, and serves the same content (the crash-retry story)
+    def postingCount() = idx.store.read(spark).get
+      .filter(col("centroid_id") =!= ServedAnnIndex.CentroidBucket).count()
+    val delIds = Seq(5L, 7L).toDF("vec_id")
+    val before = postingCount()
+    val vDel = idx.delete(delIds)
+    assert(postingCount() == before - 2)
+    val vReplay = idx.delete(delIds)
+    assert(vReplay == vDel, "a replayed delete must not publish")
+    assert(postingCount() == before - 2)
+
+    // deleting a document whose vec_id seeded a centroid (5 did) must
+    // NOT remove the frozen centroid row — the two share an id space
+    assert(idx.centroidsAt(spark, idx.versions(spark).last).get
+      .filter(col("centroid_id") === 5L).count() == 1,
+      "deleting a document deleted its namesake frozen centroid")
   }
 
   test("catalog membership: index + corpus pinned to one cycle") {
