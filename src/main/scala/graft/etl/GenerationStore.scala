@@ -157,19 +157,34 @@ final class GenerationStore(
     * survive. */
   private[graft] var onBeforeSwap: () => Unit = () => ()
 
-  /** Versions EXTERNALLY PINNED beyond the `keepVersions` window —
-    * consulted at each publish's GC, which retains them (and their
-    * generations) in addition to the rolling window. Installed by
-    * [[SnapshotCatalog.register]] so the catalog-pinned version of a
-    * member can never be collected, no matter how many uncommitted
-    * refreshes — crash replays included, each of which publishes a
-    * fresh generation — land between two catalog commits. Hooks
-    * COMPOSE (a store can serve several catalogs); they must be cheap
-    * (one small manifest read) and must not call back into this store's
-    * publish path. Volatile: installed at wiring time, read by
-    * publishes on any thread. */
-  @volatile private[graft] var pinnedVersions: SparkSession => Set[Long] =
-    _ => Set.empty
+  /** Pin hooks: versions EXTERNALLY PINNED beyond the `keepVersions`
+    * window — consulted at each publish's GC, which retains them (and
+    * their generations) in addition to the rolling window. Installed by
+    * [[SnapshotCatalog.register]] so the versions the catalog's
+    * retained snapshots name can never be collected, no matter how many
+    * uncommitted refreshes — crash replays included, each of which
+    * publishes a fresh generation — land between two catalog commits.
+    * Hooks COMPOSE across keys (a store can serve several catalogs) and
+    * installation is IDEMPOTENT per key: re-registering the same
+    * (catalog, name) — e.g. re-wiring after a restart in a long-lived
+    * JVM — replaces that key's hook instead of stacking a duplicate
+    * read per publish, and the concurrent-map write cannot drop a
+    * sibling catalog's hook the way a read-modify-write on a shared
+    * field could. Hooks must be cheap (a few small manifest reads) and
+    * must not call back into this store's publish path. */
+  private val pinHooks =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, SparkSession => Set[Long]]()
+
+  private[graft] def installPinHook(
+      key: AnyRef, hook: SparkSession => Set[Long]): Unit = {
+    pinHooks.put(key, hook)
+    ()
+  }
+
+  private[graft] def pinnedVersions(spark: SparkSession): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    pinHooks.values.asScala.toSeq.flatMap(_(spark)).toSet
+  }
 
   private def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
@@ -179,6 +194,11 @@ final class GenerationStore(
 
   private def genDir(gen: Long): String = s"$root/gen=$gen"
   private def versionPath(v: Long): Path = new Path(root, s"$manifestName.v$v")
+  private val schemaVersionRe =
+    (raw"${java.util.regex.Pattern.quote(MaterializedView.SchemaSidecar)}" +
+      raw"\.v(\d+)$$").r
+  private def schemaVersionPath(v: Long): Path =
+    new Path(root, s"${MaterializedView.SchemaSidecar}.v$v")
 
   private def parse(text: String): Map[Long, Long] =
     text.linesIterator.filter(_.nonEmpty).map { line =>
@@ -223,34 +243,84 @@ final class GenerationStore(
   /** Publish `rows` (bucket column included, hive-partitioned by it) as
     * the new truth for exactly `buckets`; every other bucket keeps its
     * current generation. Crash-safe per the class protocol. Returns the
-    * committed snapshot version id. */
+    * committed snapshot version id.
+    *
+    * SCHEMA-EVOLUTION CONTRACT (serve-forever stores WILL evolve):
+    *
+    *   - a PARTIAL publish (some live bucket is carried forward, not
+    *     republished) may only ADD columns: every column the live
+    *     schema serves must appear in `rows` with the same type, or the
+    *     publish is REFUSED — a carried-forward bucket's files cannot
+    *     grow the dropped/retyped column, so the mixed read would
+    *     corrupt, not evolve. Added columns are fine: live reads
+    *     null-fill them for older generations (the documented
+    *     mergeSchema-lite policy — the scan runs under the NEWEST
+    *     schema and parquet back-fills absent columns with null);
+    *   - a FULL publish (every live bucket republished) may change the
+    *     schema freely — nothing old is carried forward;
+    *   - every publish archives its schema beside its manifest
+    *     (`_graft_schema.json.v{N}`), and snapshot reads
+    *     ([[readVersion]]/[[readBucketsAt]]) resolve under the schema
+    *     ARCHIVED AT that version — an old pin reads bit-identically
+    *     no matter what later publishes added (they can't see columns
+    *     that postdate them, and a column added before them keeps its
+    *     position). Pre-archive stores fall back to the live sidecar,
+    *     the old behavior. */
   def publish(rows: DataFrame, buckets: Seq[Long]): Long = {
     require(buckets.nonEmpty, "publish needs at least one bucket")
     val spark = rows.sparkSession
     val current = manifest(spark).getOrElse(Map.empty)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      rows.schema.filter(_.name != bucketCol))
+    val carried = current.keySet -- buckets.toSet
+    if (carried.nonEmpty) readSchema(liveSchemaJson(spark)).foreach { live =>
+      val newTypes = newSchema.map(f => f.name -> f.dataType).toMap
+      val broken = live.filterNot(f => newTypes.get(f.name).contains(f.dataType))
+      require(broken.isEmpty,
+        s"schema evolution on a partial publish may only ADD columns: " +
+          s"buckets ${carried.toSeq.sorted.take(8).mkString(",")}… are " +
+          s"carried forward but still serve ${broken.map(f =>
+            s"${f.name}:${f.dataType.simpleString}").mkString(", ")}; " +
+          "republish ALL buckets to drop or retype columns")
+    }
     gc(spark, current)
     val nextGen = maxGen(current) + 1
     rows.write.mode("overwrite").partitionBy(bucketCol).parquet(genDir(nextGen))
-    // schema sidecar at the ROOT (never inside a generation — gc sweeps
-    // those): readers resolve leaf bucket dirs directly, so the served
-    // schema is the data columns WITHOUT the bucket partition column.
-    // Written per publish THROUGH the commit protocol (ScanCommit's gc
-    // treats unsequenced strays as temps), read by [[resolve]] to skip
-    // the per-read footer-inference job.
+    // schema sidecars at the ROOT (never inside a generation — gc
+    // sweeps those): readers resolve leaf bucket dirs directly, so the
+    // served schema is the data columns WITHOUT the bucket partition
+    // column. Written per publish THROUGH the commit protocol
+    // (ScanCommit's gc treats unsequenced strays as temps), read by
+    // [[resolve]] to skip the per-read footer-inference job. The
+    // version-archived copy FIRST (crash leaves an orphan the next gc
+    // sweeps), then the live one.
+    commit.write(schemaVersionPath(nextGen), newSchema.json, conf(spark))
     commit.write(new Path(root, MaterializedView.SchemaSidecar),
-      org.apache.spark.sql.types.StructType(
-        rows.schema.filter(_.name != bucketCol)).json, conf(spark))
+      newSchema.json, conf(spark))
     onBeforeSwap()
     swap(spark, current ++ buckets.map(_ -> nextGen), nextGen)
     nextGen
   }
+
+  private def liveSchemaJson(spark: SparkSession): Option[String] =
+    commit.read(new Path(root, MaterializedView.SchemaSidecar), conf(spark))
+
+  /** The schema version `v` committed under — live-sidecar fallback for
+    * stores written before schemas were archived per version. */
+  private def schemaJsonAt(spark: SparkSession, v: Long): Option[String] =
+    commit.read(schemaVersionPath(v), conf(spark))
+      .orElse(liveSchemaJson(spark))
+
+  private def readSchema(json: Option[String]): Option[org.apache.spark.sql.types.StructType] =
+    json.map(org.apache.spark.sql.types.DataType.fromJson(_)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Read the served view through the manifest: the union of each live
     * bucket's generation directory. None = never published (caller owns
     * the empty-schema fallback) — also the answer when every live
     * bucket is empty, since an empty bucket writes no files. */
   def read(spark: SparkSession): Option[DataFrame] =
-    manifest(spark).flatMap(resolve(spark, _))
+    manifest(spark).flatMap(resolve(spark, _, liveSchemaJson(spark)))
 
   /** Bucket-scoped manifest read: just `buckets`' live rows (the
     * carry-forward input of a key-scoped refresh — untouched buckets
@@ -258,7 +328,8 @@ final class GenerationStore(
     * all currently empty. */
   private[graft] def readBuckets(spark: SparkSession, buckets: Seq[Long]): Option[DataFrame] = {
     val want = buckets.toSet
-    manifest(spark).flatMap(m => resolve(spark, m.filter { case (b, _) => want(b) }))
+    manifest(spark).flatMap(m =>
+      resolve(spark, m.filter { case (b, _) => want(b) }, liveSchemaJson(spark)))
   }
 
   /** SNAPSHOT READ: the complete state exactly as committed version `v`
@@ -267,7 +338,8 @@ final class GenerationStore(
     * was built with. */
   def readVersion(spark: SparkSession, v: Long): Option[DataFrame] =
     if (!versions(spark).contains(v)) None
-    else manifestAt(spark, v).flatMap(resolve(spark, _))
+    else manifestAt(spark, v).flatMap(
+      resolve(spark, _, schemaJsonAt(spark, v)))
 
   /** Bucket-scoped SNAPSHOT read: just `buckets`' rows exactly as
     * version `v` served them — the probe path of a served index
@@ -283,21 +355,26 @@ final class GenerationStore(
     val want = buckets.toSet
     if (!versions(spark).contains(v)) None
     else manifestAt(spark, v).flatMap(m =>
-      resolve(spark, m.filter { case (b, _) => want(b) }))
+      resolve(spark, m.filter { case (b, _) => want(b) },
+        schemaJsonAt(spark, v)))
   }
 
-  private def resolve(spark: SparkSession, m: Map[Long, Long]): Option[DataFrame] = {
+  /** Union the manifested bucket dirs under `schemaJson` — the schema
+    * the caller's version committed with (live sidecar for live reads),
+    * so a snapshot read never sees columns that postdate it. Absent
+    * sidecar = footer inference, the pre-sidecar fallback. */
+  private def resolve(
+      spark: SparkSession,
+      m: Map[Long, Long],
+      schemaJson: Option[String]): Option[DataFrame] = {
     val f = fs(spark)
     val paths = m.toSeq.sortBy(_._1).flatMap { case (b, g) =>
       val p = new Path(s"${genDir(g)}/$bucketCol=$b")
       if (f.exists(p)) Some(p.toString) else None
     }
     if (paths.isEmpty) None
-    else commit.read(
-      new Path(root, MaterializedView.SchemaSidecar), conf(spark)) match {
-      case Some(json) =>
-        Some(spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(paths: _*))
+    else readSchema(schemaJson) match {
+      case Some(schema) => Some(spark.read.schema(schema).parquet(paths: _*))
       case None => Some(spark.read.parquet(paths: _*))
     }
   }
@@ -330,7 +407,9 @@ final class GenerationStore(
         case None => f.delete(st.getPath, false) // protocol temp
         case Some(versionRe(v)) if !retained.contains(v.toLong) =>
           commit.delete(new Path(root, s"$manifestName.v$v"), conf(spark))
-        case _ => () // live manifest / retained version / foreign file
+        case Some(schemaVersionRe(v)) if !retained.contains(v.toLong) =>
+          commit.delete(schemaVersionPath(v.toLong), conf(spark))
+        case _ => () // live manifest/sidecar / retained version / foreign
       }
     }
   }

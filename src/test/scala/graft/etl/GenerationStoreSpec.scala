@@ -453,4 +453,72 @@ class GenerationStoreSpec extends AnyFunSuite {
     av.refreshFacts(facts((10L, 1L, 2L, 500L)))
     assert(vm() == Map(1L -> (("a", 500L)), 2L -> (("b", 7L))))
   }
+
+  test("schema evolution: partial publish may only ADD columns; old pins read under their own archived schema") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_gen_schema").toString
+    val store = new GenerationStore(root, "__b", keepVersions = 4)
+
+    val v1 = store.publish(
+      Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "payload", "__b"),
+      Seq(0L, 1L))
+
+    // ADD a column on a partial publish (only bucket 0 republished)
+    val v2 = store.publish(
+      Seq((1L, "a2", 9.5, 0L)).toDF("id", "payload", "score", "__b"),
+      Seq(0L))
+
+    // live read serves the NEW schema; the carried-forward bucket's
+    // rows null-fill the added column (the documented policy)
+    val live = store.read(spark).get
+    assert(live.columns.toSeq == Seq("id", "payload", "score"))
+    assert(live.filter(col("id") === 2L).select("score").head.isNullAt(0),
+      "a carried-forward generation must null-fill an added column")
+
+    // the OLD pin reads bit-identically: its archived schema has no
+    // trace of the later column
+    val old = store.readVersion(spark, v1).get
+    assert(old.columns.toSeq == Seq("id", "payload"),
+      "a pinned snapshot must be immune to later schema changes")
+    assert(old.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // DROPPING a column on a partial publish is refused...
+    assertThrows[IllegalArgumentException] {
+      store.publish(Seq((1L, 1.0, 0L)).toDF("id", "score", "__b"), Seq(0L))
+    }
+    // ...and so is RETYPING one
+    assertThrows[IllegalArgumentException] {
+      store.publish(
+        Seq((1L, 5, 9.5, 0L)).toDF("id", "payload", "score", "__b"), Seq(0L))
+    }
+
+    // a FULL publish (every live bucket) may change the schema freely
+    val v3 = store.publish(
+      Seq((1L, 7L, 0L), (2L, 8L, 1L)).toDF("id", "score_int", "__b"),
+      Seq(0L, 1L))
+    assert(store.read(spark).get.columns.toSeq == Seq("id", "score_int"))
+
+    // every retained pin still resolves under the schema IT committed
+    assert(store.readVersion(spark, v1).get.columns.toSeq ==
+      Seq("id", "payload"))
+    assert(store.readVersion(spark, v2).get.columns.toSeq ==
+      Seq("id", "payload", "score"))
+    assert(store.readVersion(spark, v3).get.columns.toSeq ==
+      Seq("id", "score_int"))
+    // v2's carried bucket-1 row reads under v2's schema, score null
+    assert(store.readVersion(spark, v2).get
+      .filter(col("id") === 2L).select("score").head.isNullAt(0))
+
+    // GC: once versions age out, their archived schema files go with
+    // their manifests (keepVersions = 4 here, so publish 2 more)
+    store.publish(Seq((1L, 9L, 0L)).toDF("id", "score_int", "__b"), Seq(0L))
+    store.publish(Seq((1L, 10L, 0L)).toDF("id", "score_int", "__b"), Seq(0L))
+    store.publish(Seq((1L, 11L, 0L)).toDF("id", "score_int", "__b"), Seq(0L))
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names.contains("_graft_schema.json.v1"),
+      s"an aged-out version's schema archive must be GC'd: $names")
+    assert(names.contains("_graft_schema.json"), "live sidecar must survive GC")
+  }
 }

@@ -144,16 +144,26 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(amounts(stale("amounts"), "amount")(1L) == 10.0,
       "catalog must keep serving its pinned snapshot through uncommitted refreshes")
 
-    // one cycle commit advances the pins; the next publish's GC is then
-    // free to collect the superseded version
+    // one cycle commit advances the live pin — but the SUPERSEDED
+    // cycle stays an addressable snapshot within keepCycles (= 2), so
+    // its member versions remain GC-retained through further refreshes
     catalog.commitCycle(spark)
     val recovered = catalog.readAll(spark).get
     assertConsistent(recovered)
     assert(amounts(recovered("amounts"), "amount")(1L) == 50.0)
     val r6 = rows((1L, 6L, 60.0))
     a.refresh(r6)
+    assert(a.store.versions(spark).contains(pinned("amounts")),
+      "a version named by a RETAINED archived cycle must survive member GC")
+
+    // ...and once the cycle ages past keepCycles (two more commits),
+    // the pin releases and member GC reclaims the old version
+    val r7 = rows((1L, 7L, 70.0))
+    b.refresh(r6); catalog.commitCycle(spark)
+    a.refresh(r7); b.refresh(r7); catalog.commitCycle(spark)
+    a.refresh(rows((1L, 8L, 80.0)))
     assert(!a.store.versions(spark).contains(pinned("amounts")),
-      "a superseded pin must be collectable once the catalog moves on")
+      "a pin must be collectable once its cycle leaves the keepCycles window")
   }
 
   test("open(): a fresh session resolves the pinned snapshot from the lake alone") {
@@ -217,6 +227,69 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     a.publish(rows.withColumn("amount", col("amount") + 1), Seq(0L))
     assert(opened.readAll(reader).get("amounts")
       .agg(org.apache.spark.sql.functions.sum("amount")).head.getDouble(0) == 60.0)
+  }
+
+  test("snapshot history: a fresh process opens cycle N-1 after N commits; pins release beyond keepCycles") {
+    val (a, b, _) = mkViews()
+    val base = rows((1L, 1L, 10.0), (2L, 1L, 20.0))
+    a.build(base); b.build(base)
+    val catRoot = Files.createTempDirectory("graft_cat_hist").toString
+    val writer = new SnapshotCatalog(catRoot)
+      .register("amounts", a.store).register("doubled", b.store)
+    writer.commitCycle(spark)
+    val c1 = writer.liveCycle(spark).get
+    val aPinnedAtC1 = a.store.versions(spark).last
+
+    // cycle N: both members absorb a batch, one commit
+    val batch = rows((1L, 2L, 50.0))
+    a.refresh(batch); b.refresh(batch)
+    writer.commitCycle(spark)
+    val c2 = writer.liveCycle(spark).get
+    assert(c2 == c1 + 1 && writer.cycles(spark) == Seq(c1, c2))
+
+    // ...plus an UNCOMMITTED refresh on one member, so the archived
+    // read must thread through pins, not luck
+    a.refresh(rows((1L, 3L, 77.0)))
+
+    // a fresh session, no wiring: open cycle N-1 from the lake alone
+    // and get the EXACT older consistent pair
+    val reader = spark.newSession()
+    val oldCat = SnapshotCatalog.open(reader, catRoot, atCycle = Some(c1)).get
+    val oldViews = oldCat.readAll(reader).get
+    assertConsistent(oldViews)
+    assert(amounts(oldViews("amounts"), "amount") == Map(1L -> 10.0, 2L -> 20.0),
+      "cycle N-1 must serve the exact frame set it committed")
+    // the live open still serves cycle N
+    val liveViews = SnapshotCatalog.open(reader, catRoot).get.readAll(reader).get
+    assertConsistent(liveViews)
+    assert(amounts(liveViews("amounts"), "amount")(1L) == 50.0)
+    // an at-cycle handle is a reader: it refuses to coordinate
+    assertThrows[IllegalArgumentException] { oldCat.commitCycle(reader) }
+    // a cycle that never committed is not addressable
+    assert(SnapshotCatalog.open(reader, catRoot, atCycle = Some(99L)).isEmpty)
+
+    // a crashed partial commit (archive newer than the live header) is
+    // never served, and the next commit GCs it
+    AtomicText.write(new org.apache.hadoop.fs.Path(catRoot, "_CATALOG.v41"),
+      "!cycle=41\nbogus:1:x:y", spark.sparkContext.hadoopConfiguration)
+    assert(writer.cycles(spark) == Seq(c1, c2),
+      "a partial archive newer than the live header must not be listed")
+    assert(SnapshotCatalog.open(reader, catRoot, atCycle = Some(41L)).isEmpty)
+
+    // two more cycles age c1 out of keepCycles = 2: it stops being
+    // addressable and its member pins release at the next member GC
+    val b3 = rows((1L, 4L, 60.0))
+    a.refresh(b3); b.refresh(b3); writer.commitCycle(spark)
+    val b4 = rows((1L, 5L, 70.0))
+    a.refresh(b4); b.refresh(b4); writer.commitCycle(spark)
+    assert(!writer.cycles(spark).contains(c1))
+    assert(SnapshotCatalog.open(reader, catRoot, atCycle = Some(c1)).isEmpty,
+      "an aged-out cycle must not open")
+    assert(new java.io.File(catRoot, s"_CATALOG.v41").exists() == false,
+      "the crashed partial archive must be GC'd by a later commit")
+    a.refresh(rows((1L, 6L, 80.0)))
+    assert(!a.store.versions(spark).contains(aPinnedAtC1),
+      "member versions pinned only by an aged-out cycle must be reclaimed")
   }
 
   test("open() refuses a manifest it cannot resolve; snapshot() skips foreign lines") {
