@@ -275,7 +275,8 @@ final class GenerationStore(
     val carried = current.keySet -- buckets.toSet
     if (carried.nonEmpty) readSchema(liveSchemaJson(spark)).foreach { live =>
       val newTypes = newSchema.map(f => f.name -> f.dataType).toMap
-      val broken = live.filterNot(f => newTypes.get(f.name).contains(f.dataType))
+      val broken = live.filterNot(f =>
+        newTypes.get(f.name).exists(GenerationStore.sameTypeIgnoreNullability(_, f.dataType)))
       require(broken.isEmpty,
         s"schema evolution on a partial publish may only ADD columns: " +
           s"buckets ${carried.toSeq.sorted.take(8).mkString(",")}… are " +
@@ -421,5 +422,32 @@ final class GenerationStore(
     // GC'd at the next publish
     commit.write(versionPath(version), text, conf(spark))
     commit.write(manifestPath, text, conf(spark))
+  }
+}
+
+object GenerationStore {
+
+  /** Structural type equality with nullability masked at every level —
+    * the evolution check's comparator. A refresh batch routinely
+    * differs from the served files only in `containsNull`/`nullable`
+    * flags (an in-memory Seq encodes `array<float>` as nullable-element
+    * where parquet round-trips it non-null); that is not evolution,
+    * and refusing it would break every streaming ingest whose encoder
+    * disagrees with parquet about a flag that carries no data. */
+  private[etl] def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) =>
+        sameTypeIgnoreNullability(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameTypeIgnoreNullability(ak, bk) && sameTypeIgnoreNullability(av, bv)
+      case (StructType(af), StructType(bf)) =>
+        af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+          x.name == y.name && sameTypeIgnoreNullability(x.dataType, y.dataType)
+        }
+      case _ => a == b
+    }
   }
 }

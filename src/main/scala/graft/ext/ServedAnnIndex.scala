@@ -73,13 +73,24 @@ final class ServedAnnIndex(
     assigned.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
 
-  /** Train centroids (deterministic id-init, the replayable stand-in
-    * the ANN differentials use), assign the corpus, publish postings +
-    * centroid rows as one atomic generation set. Returns the committed
-    * index version. */
-  def build(vectors: DataFrame): Long = {
+  /** Train centroids, assign the corpus, publish postings + centroid
+    * rows as one atomic generation set. Returns the committed index
+    * version.
+    *
+    * `train` picks the centroid strategy: the default
+    * [[ServedAnnIndex.IdInit]] is the deterministic id-init stand-in
+    * the ANN differentials replay in SQL; [[ServedAnnIndex.Lloyd]]
+    * trains real k-means centroids ([[Similarity
+    * .trainCentroidsKMeans]]) — the QUALITY build (better-balanced
+    * buckets ⇒ higher recall at the same nprobe, pinned ≥ id-init in
+    * `ServedAnnIndexSpec`), at the cost of `iters` extra corpus passes
+    * and SQL-inexpressible centroids (differentials stay on id-init;
+    * the serving machinery is identical either way). */
+  def build(
+      vectors: DataFrame,
+      train: (DataFrame, Int) => DataFrame = Similarity.trainCentroidsById(_, _)): Long = {
     val v = vectors.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val centroids = Similarity.trainCentroidsById(v, nCentroids)
+    val centroids = train(v, nCentroids)
     val postings = postingShape(
       Similarity.assignToCentroids(v, centroids, nAssign = nAssign))
     val centroidRows = centroids.select(
@@ -104,8 +115,14 @@ final class ServedAnnIndex(
     // with no files as absent — so the swap is a complete replacement.
     val prevBuckets = store.manifest(v.sparkSession)
       .map(_.keySet).getOrElse(Set.empty[Long])
-    store.publish(rows,
+    val version = store.publish(rows,
       (prevBuckets ++ bucketIds + CentroidBucket).toSeq.sorted)
+    // a Lloyd trainer hands back a persisted k-row table (it
+    // materializes per iteration); fully consumed by the publish —
+    // release it so the build leaves no storage residue
+    if (centroids.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      centroids.unpersist()
+    version
   }
 
   /** The frozen centroid table exactly as version `v` serves it. */
@@ -297,4 +314,13 @@ object ServedAnnIndex {
   /** The reserved bucket holding the centroid rows — outside the
     * centroid-id space (ids are non-negative vec_ids). */
   val CentroidBucket: Long = -1L
+
+  /** Deterministic id-init centroids — replayable in a SQL oracle. */
+  val IdInit: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+    Similarity.trainCentroidsById(_, _)
+
+  /** Lloyd-trained centroids (k-means, `iters` passes) — the quality
+    * build for [[ServedAnnIndex.build]]'s `train` parameter. */
+  def Lloyd(iters: Int): (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+    (v, k) => Similarity.trainCentroidsKMeans(v, k, iters)
 }

@@ -600,6 +600,89 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** Recall harness ON THE SERVED PATH — `ann_eval_recall`'s sibling
+    * with the IVF side answered by [[graft.ext.ServedAnnIndex
+    * .searchBatchAt]] instead of in-memory operators: recall@10/20 of
+    * the served, disk-pruned, batch-searched index against brute-force
+    * ground truth, per query, in one plan. This is the post-build
+    * quality gate a retrieval tier actually runs (grade the INDEX YOU
+    * SERVE, not an in-memory replica of it). Differences from
+    * `ann_eval_recall`, both deliberate: self-matches stay IN (search
+    * semantics — a served search does return the query's own document;
+    * the eval harness excludes them to grade neighbor quality), and
+    * the ground-truth top-k collapses through the same TopKPerGroup
+    * heap the batch search uses. Centroids are id-init so the oracle
+    * can replay the whole pipeline; the Lloyd-vs-id-init quality claim
+    * (Lloyd recall@20 >= id-init's) is spec-pinned in
+    * `ServedAnnIndexSpec` where SQL can't follow. */
+  private val annServedRecall = Q(
+    "ann_served_recall",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_recall/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      val v = idx.build(emb)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val served = idx.searchBatchAt(v, queries, k = 20, nprobe = 4).get
+      val brute = emb.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+        .groupBy("q_id")
+        .agg(graft.operators.TopKPerGroup.topK(20)(
+          col("cosine"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "sc")))
+        .select(col("q_id"), (col("rnk0") + 1).cast("long").as("b_rnk"),
+          col("sc").getField("_2").as("vec_id"))
+      served.join(brute, Seq("q_id", "vec_id"))
+        .groupBy("q_id")
+        .agg(
+          (sum(when(col("b_rnk") <= 10 && col("rnk") <= 10, 1L).otherwise(0L))
+            .cast("double") / 10.0).as("recall_at_10"),
+          (count(lit(1)).cast("double") / 20.0).as("recall_at_20"))
+        .orderBy("q_id")
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      bs AS (SELECT q.q_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM e, q),
+      brute AS (SELECT q_id, vec_id, rnk FROM (
+                  SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                  FROM bs) WHERE rnk <= 20),
+      cp AS (SELECT q.q_id, c.centroid_id,
+               list_sum(list_transform(range(1, len(c.centroid)+1),
+                 i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+             FROM c, q),
+      probed AS (SELECT q_id, centroid_id FROM (
+                   SELECT q_id, centroid_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, centroid_id) AS rn
+                   FROM cp) WHERE rn <= 4),
+      iscored AS (SELECT p.q_id, a.vec_id,
+               list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+             FROM assigned a JOIN probed p USING (centroid_id) JOIN q USING (q_id)),
+      ivf AS (SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                FROM iscored) WHERE rnk <= 20)
+      SELECT i.q_id,
+             CAST(sum(CASE WHEN b.rnk <= 10 AND i.rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+               AS recall_at_10,
+             CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
+      FROM ivf i JOIN brute b USING (q_id, vec_id)
+      GROUP BY i.q_id ORDER BY i.q_id"""),
+  )
+
   /** Product-quantization ANN with ADC scoring — the MEMORY-side
     * compression beside IVF's partition pruning (see
     * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
@@ -2506,7 +2589,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -159,6 +159,35 @@ object Streams {
       }
     }
 
+  /** STREAMING INGEST → SERVED ANN INDEX: drive
+    * [[graft.ext.ServedAnnIndex.add]] from a vector stream, one
+    * bucket-scoped publish per micro-batch — the live half of the
+    * "append each ingest batch" story the index's scaladoc promises
+    * (batch-called in specs until now). The index must be [[graft.ext
+    * .ServedAnnIndex.build]]-built before the stream starts (centroids
+    * are frozen at build; an ingest stream extends postings, it never
+    * retrains).
+    *
+    * Delivery is foreachBatch's AT-LEAST-ONCE, and `add` is exactly the
+    * idempotent-replay shape that makes it safe: a crash between the
+    * index publish and the offset commit replays the batch, the merge
+    * dedup on (vec_id, centroid_id) re-absorbs it without duplicate
+    * postings, and the byte-identical merge publishes a fresh
+    * generation serving the same rows (convergence pinned in
+    * `StreamingAnnSpec`, composed with checkpoint restart). Searches
+    * running DURING ingest stay version-pinned ([[graft.ext
+    * .ServedAnnIndex.searchAt]]) — a micro-batch landing mid-search
+    * changes nothing the search reads. Per-batch cost is the batch's
+    * touched buckets, independent of index size. */
+  def indexIngest(
+      vectors: DataFrame, // streaming (vec_id, embedding)
+      index: graft.ext.ServedAnnIndex,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(vectors, checkpoint) { (batch, _) =>
+      index.add(batch)
+      ()
+    }
+
   /** ST4: the 24h session-match window as a stream-stream interval join
     * (`README.md:83-88`): leads join sessions on the dr-session id with
     * an event-time bound, watermarks on both sides so state is pruned. */
