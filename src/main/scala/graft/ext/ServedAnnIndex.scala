@@ -73,6 +73,17 @@ final class ServedAnnIndex(
     assigned.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
 
+  /** Attach the stored int8 copy ([[Similarity.quantize]]) and the
+    * bucket partition column — called at EVERY posting write
+    * (build/add/delete rewrite), so the quantized probe path
+    * ([[searchQuantizedAt]]) always finds `qvec` beside the float
+    * vector. Quantization is a pure function of the embedding, so
+    * recomputing on a merge/rewrite is byte-identical to carrying the
+    * stored copy — the merge paths stay 3-column and can never drift
+    * from it. */
+  private def writeShape(rows: DataFrame): DataFrame =
+    Similarity.quantize(rows).withColumn(bucketCol, col("centroid_id"))
+
   /** Train centroids, assign the corpus, publish postings + centroid
     * rows as one atomic generation set. Returns the committed index
     * version.
@@ -102,9 +113,8 @@ final class ServedAnnIndex(
       .collect().map(_.getLong(0)).toSeq
     // centroid rows carry centroid_id = CentroidBucket, so one rule
     // places every row: bucket = its centroid_id
-    val rows = postings
-      .unionByName(centroidRows.withColumn("centroid_id", lit(CentroidBucket)))
-      .withColumn(bucketCol, col("centroid_id"))
+    val rows = writeShape(postings
+      .unionByName(centroidRows.withColumn("centroid_id", lit(CentroidBucket))))
     // a REBUILD must fully replace the index: the store's publish
     // carries forward every unlisted bucket, so a retrain whose
     // centroid-id set differs from the previous build would otherwise
@@ -152,7 +162,7 @@ final class ServedAnnIndex(
       .getOrElse(assigned.limit(0))
     val merged = existing.unionByName(assigned)
       .dropDuplicates("vec_id", "centroid_id")
-    store.publish(merged.withColumn(bucketCol, col("centroid_id")), touched)
+    store.publish(writeShape(merged), touched)
   }
 
   /** Remove `ids`' postings from the live index — the delete half of
@@ -198,7 +208,7 @@ final class ServedAnnIndex(
     val remaining = store.readBuckets(spark, touched).get
       .select("vec_id", "embedding", "centroid_id")
       .join(del, Seq("vec_id"), "left_anti")
-    store.publish(remaining.withColumn(bucketCol, col("centroid_id")), touched)
+    store.publish(writeShape(remaining), touched)
   }
 
   /** Re-embedding upsert: [[delete]] the batch's ids, then [[add]] the
@@ -216,6 +226,51 @@ final class ServedAnnIndex(
   def search(spark: SparkSession, query: Seq[Float], k: Int,
       nprobe: Int = 2): Option[DataFrame] =
     store.versions(spark).lastOption.flatMap(searchAt(spark, _, query, k, nprobe))
+
+  /** Quantized IVF top-k against the LIVE version — see
+    * [[searchQuantizedAt]]. None = never built. */
+  def searchQuantized(spark: SparkSession, query: Seq[Float], k: Int,
+      nprobe: Int = 2, rerank: Int = 100): Option[DataFrame] =
+    store.versions(spark).lastOption
+      .flatMap(searchQuantizedAt(spark, _, query, k, nprobe, rerank))
+
+  /** The full 100 TB probe served from disk — [[Similarity
+    * .ivfTopKQuantized]]'s three stages with the index's OWN layout
+    * supplying both sides:
+    *
+    *   1. probe `nprobe` bucket DIRECTORIES (static pruning, as every
+    *      search here);
+    *   2. score candidates on the STORED int8 copy — the candidate
+    *      scan's ReadSchema is (vec_id, qvec): parquet column pruning
+    *      leaves the float embedding column ON DISK, so the scoring
+    *      pass reads ~1 byte/dim instead of 4, integer math throughout
+    *      (pinned by spec: no `embedding` in the candidate scan);
+    *   3. rerank the top `rerank` survivors with the exact float
+    *      cosine — a second, embedding-column read of the same probed
+    *      buckets, joined to the k-bounded candidate list.
+    *
+    * Both reads resolve from the SAME archived manifest version — the
+    * quantized copy can never disagree with the floats beside it
+    * (written together, recomputed-on-merge deterministically). An
+    * index written before qvec existed serves null qvecs for carried
+    * buckets until rebuilt — quantized candidates from such buckets
+    * sort last (null q_cos) and are effectively invisible; rebuild to
+    * restore them. */
+  def searchQuantizedAt(spark: SparkSession, v: Long, query: Seq[Float],
+      k: Int, nprobe: Int = 2, rerank: Int = 100): Option[DataFrame] =
+    for {
+      centroids <- centroidsAt(spark, v)
+      probed = Similarity.probedCentroidIds(centroids, query, nprobe)
+      postings <- store.readBucketsAt(spark, v, probed)
+    } yield {
+      require(postings.columns.contains("qvec"),
+        s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
+      Similarity.ivfTopKQuantized(
+        assignedQ = postings.select("vec_id", "centroid_id", "qvec"),
+        vectors = postings.select("vec_id", "embedding"),
+        centroids = centroids, query = query, k = k, nprobe = nprobe,
+        rerank = rerank, probed = Some(probed))
+    }
 
   /** Batched IVF top-k over a query TABLE against the live index —
     * see [[searchBatchAt]]. None = never built. */

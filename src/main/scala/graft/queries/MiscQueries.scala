@@ -600,6 +600,88 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** QUANTIZED search on the served index ([[graft.ext.ServedAnnIndex
+    * .searchQuantized]]) — the full 100 TB probe priced end to end:
+    * build stores an int8 copy beside every float vector; the search
+    * prunes to probed bucket directories, scores candidates on a scan
+    * whose ReadSchema is (vec_id, qvec) — the float column stays on
+    * disk for that pass, ~1/4 the bytes — and reranks the top-100
+    * survivors with the exact float cosine. The oracle replays ALL of
+    * it: id-init centroids, assignment, probe ranking, the max-abs
+    * int8 quantization bit-exactly (float32 arithmetic, floor(x+0.5f)
+    * rounding, ±127 clamp — the `ann_int8_score` discipline), integer
+    * dot/norms, the rerank-100 screen and the float rerank.
+    * Serving-layer parity with the in-memory `ivfTopKQuantized` and
+    * the column-pruning pin live in `ServedAnnIndexSpec`. */
+  private val annServedQ = Q(
+    "ann_served_qtopk",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_q/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      idx.searchQuantized(s, query, k = 20, nprobe = 4, rerank = 100).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      cand AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding FROM assigned a
+        JOIN probed p ON a.centroid_id = p.centroid_id),
+      qz AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS q8
+        FROM cand),
+      qq AS (
+        SELECT CASE WHEN list_max(list_transform(qv, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(qv, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(qv, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS r8
+        FROM q),
+      qscored AS (
+        SELECT z.vec_id,
+               CAST(list_sum(list_transform(range(1, len(z.q8)+1),
+                 i -> z.q8[i] * r.r8[i])) AS DOUBLE) AS dot,
+               CAST(list_sum(list_transform(z.q8, x -> x*x)) AS DOUBLE) AS nx,
+               CAST(list_sum(list_transform(r.r8, x -> x*x)) AS DOUBLE) AS ny
+        FROM qz z, qq r),
+      short AS (
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 CASE WHEN nx = 0 OR ny = 0 OR nx IS NULL OR ny IS NULL THEN NULL
+                      ELSE dot / (sqrt(nx) * sqrt(ny)) END AS q_cos
+          FROM qscored) ORDER BY q_cos DESC, vec_id LIMIT 100),
+      tru AS (
+        SELECT s.vec_id,
+          list_sum(list_transform(range(1, len(cd.embedding)+1),
+            i -> CAST(cd.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(cd.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM short s JOIN cand cd USING (vec_id), q),
+      sel AS (SELECT vec_id, cos FROM tru ORDER BY cos DESC, vec_id LIMIT 20)
+      SELECT vec_id, round(cos, 6) AS cosine FROM sel
+      ORDER BY round(cos, 6) DESC, vec_id"""),
+  )
+
   /** Recall harness ON THE SERVED PATH — `ann_eval_recall`'s sibling
     * with the IVF side answered by [[graft.ext.ServedAnnIndex
     * .searchBatchAt]] instead of in-memory operators: recall@10/20 of
@@ -2589,7 +2671,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annServedQ, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

@@ -91,6 +91,40 @@ class ServedAnnIndexSpec extends AnyFunSuite {
       "an idempotent replay changed served results")
   }
 
+  test("quantized served search == in-memory ivfTopKQuantized; the int8 candidate scan never reads the float column") {
+    val root = Files.createTempDirectory("graft_served_ann_q").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16)
+    val v = idx.build(emb)
+    val q = queryVec()
+    val served = idx.searchQuantizedAt(spark, v, q, k = 20, nprobe = 4, rerank = 100).get
+
+    // the in-memory quantized probe over the same corpus: quantize
+    // before assignment vs the index's quantize-at-write — byte-equal
+    // because quantization is a pure function of the embedding
+    val centroids = Similarity.trainCentroidsById(emb, 16)
+    val assignedQ = Similarity.assignToCentroids(Similarity.quantize(emb), centroids)
+    val memory = Similarity.ivfTopKQuantized(
+      assignedQ, emb, centroids, q, k = 20, nprobe = 4, rerank = 100)
+    assert(rows(served) == rows(memory),
+      "the served quantized probe must score exactly like the in-memory operator")
+
+    // disk posture: every file read is a probed bucket (or centroids),
+    // and at least one index scan reads (vec_id, qvec) WITHOUT the
+    // float embedding column — the 1-byte/dim candidate pass
+    val probed = Similarity.probedCentroidIds(centroids, q, 4).toSet +
+      ServedAnnIndex.CentroidBucket
+    served.inputFiles.filter(_.contains(root)).foreach { f =>
+      assert(probed.exists(b => f.contains(s"__ivf_bucket=$b")),
+        s"quantized search scanned an unprobed bucket: $f")
+    }
+    val plan = served.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("qvec")).toSeq
+    assert(scanLines.nonEmpty, s"no qvec scan found in:\n$plan")
+    assert(scanLines.exists(!_.contains("embedding")),
+      s"the candidate scan should leave the float column on disk:\n$plan")
+  }
+
   test("searchBatch == per-query searchAt; one pruned scan; job count independent of Q") {
     val root = Files.createTempDirectory("graft_served_ann_batch").toString
     val idx = new ServedAnnIndex(root, nCentroids = 16)
