@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.GenerationStore
+import graft.expressions.{Int8CosineSimilarity, QuantizeInt8}
 
 /** An IVF index SERVED from the lake — the ANN operators
   * ([[Similarity]]) composed with the serving layer
@@ -340,6 +341,77 @@ final class ServedAnnIndex(
         .select(col("q_id"), col("vec_id"),
           Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
       scored.groupBy("q_id")
+        .agg(graft.operators.TopKPerGroup.topK(k)(
+          col("cosine"), col("vec_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))
+        .select(col("q_id"), (col("__rnk0") + 1).cast("long").as("rnk"),
+          col("__sc").getField("_2").as("vec_id"),
+          col("__sc").getField("_1").as("cosine"))
+    }
+  }
+
+  /** Batched QUANTIZED top-k against the live index — see
+    * [[searchBatchQuantizedAt]]. None = never built. */
+  def searchBatchQuantized(queries: DataFrame, k: Int, nprobe: Int = 2,
+      rerank: Int = 100, qIdCol: String = "q_id",
+      qVecCol: String = "qv"): Option[DataFrame] =
+    store.versions(queries.sparkSession).lastOption
+      .flatMap(searchBatchQuantizedAt(_, queries, k, nprobe, rerank, qIdCol, qVecCol))
+
+  /** The serving matrix completed: a query TABLE answered through the
+    * QUANTIZED probe — [[searchBatchAt]]'s orchestration (per-query
+    * probe window, ONE probed-bucket-union scan, k-bounded heaps, job
+    * count independent of Q) with [[searchQuantizedAt]]'s byte
+    * discipline (the candidate scan reads (vec_id, qvec) only —
+    * ~1/4 the bytes, integer math; each query's int8 copy is computed
+    * once in the broadcast query table). Per query the result equals
+    * the one-vector [[searchQuantizedAt]] exactly (spec-pinned): the
+    * same rerank-`rerank` int8 shortlist — TopKPerGroup's
+    * (-∞-for-null, desc, id-asc) order is the single-query
+    * `ORDER BY q_cos DESC, id` — then the same exact-cosine top-k over
+    * a second, float-column read of the shortlisted rows. Returns
+    * (q_id, rnk, vec_id, cosine). */
+  def searchBatchQuantizedAt(v: Long, queries: DataFrame, k: Int,
+      nprobe: Int = 2, rerank: Int = 100, qIdCol: String = "q_id",
+      qVecCol: String = "qv"): Option[DataFrame] = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = queries.sparkSession
+    val qs = queries.select(
+      col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
+    for {
+      centroids <- centroidsAt(spark, v)
+      probed = qs.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("centroid_id"),
+          Similarity.cosine(col("centroid"), col("qv")).as("__c_sim"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("__c_sim").desc, col("centroid_id").asc)))
+        .filter(col("__rn") <= nprobe)
+        .select("q_id", "centroid_id")
+      unionIds = probed.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      postings <- store.readBucketsAt(spark, v, unionIds)
+    } yield {
+      require(postings.columns.contains("qvec"),
+        s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
+      // quantized queries ride the broadcast table — one int8 encode
+      // per query, not per candidate
+      val qs8 = qs.select(col("q_id"), QuantizeInt8.of(col("qv")).as("__q8"))
+      val screened = postings.select("vec_id", "centroid_id", "qvec")
+        .join(broadcast(probed), Seq("centroid_id"))
+        .join(broadcast(qs8), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Int8CosineSimilarity.of(col("qvec"), col("__q8")).as("__q_cos"))
+        .groupBy("q_id")
+        .agg(graft.operators.TopKPerGroup.topK(rerank)(
+          col("__q_cos"), col("vec_id")).as("__short"))
+        .select(col("q_id"), explode(col("__short").getField("_2")).as("vec_id"))
+      postings.select("vec_id", "embedding")
+        .join(broadcast(screened), Seq("vec_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+        .groupBy("q_id")
         .agg(graft.operators.TopKPerGroup.topK(k)(
           col("cosine"), col("vec_id")).as("__top"))
         .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))

@@ -682,6 +682,93 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** The serving matrix's fourth cell: a query TABLE through the
+    * QUANTIZED served probe ([[graft.ext.ServedAnnIndex
+    * .searchBatchQuantized]]) — `ann_served_batch`'s orchestration
+    * (per-query probe, one probed-union scan, Q-independent jobs) with
+    * `ann_served_qtopk`'s byte discipline (candidate scan reads
+    * (vec_id, qvec) only; one int8 encode per query riding the
+    * broadcast). The oracle replays the per-query pipeline: probe
+    * ranking, bit-exact int8 quantization of candidates AND queries,
+    * integer-dot shortlists of `rerank` per query, exact-cosine
+    * re-rank. Per-query equality to the one-vector quantized search is
+    * spec-pinned in `ServedAnnIndexSpec`. */
+  private val annServedQBatch = Q(
+    "ann_served_qbatch",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_qb/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      idx.searchBatchQuantized(queries, k = 20, nprobe = 4, rerank = 100).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("q_id", "rnk")
+    },
+    Some(IVF_ORACLE_PRELUDE + """,
+      q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv
+                         FROM embeddings WHERE vec_id < 10),
+      cp AS (SELECT q.q_id, c.centroid_id,
+               list_sum(list_transform(range(1, len(c.centroid)+1),
+                 i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+             FROM c, q),
+      probed AS (SELECT q_id, centroid_id FROM (
+                   SELECT q_id, centroid_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, centroid_id) AS rn
+                   FROM cp) WHERE rn <= 4),
+      cand AS MATERIALIZED (
+        SELECT p.q_id, a.vec_id, a.embedding FROM assigned a
+        JOIN probed p ON a.centroid_id = p.centroid_id),
+      qz AS (
+        SELECT q_id, vec_id,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(embedding, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS q8
+        FROM cand),
+      qq AS (
+        SELECT q_id,
+               CASE WHEN list_max(list_transform(qv, x -> abs(x))) = 0 THEN NULL
+                    ELSE list_transform(qv, x -> greatest(-127, least(127,
+                      CAST(floor(CAST(x AS FLOAT)
+                        / (CAST(list_max(list_transform(qv, y -> abs(y))) AS FLOAT)
+                           / CAST(127.0 AS FLOAT))
+                        + CAST(0.5 AS FLOAT)) AS BIGINT)))) END AS r8
+        FROM q),
+      qscored AS (
+        SELECT z.q_id, z.vec_id,
+               CAST(list_sum(list_transform(range(1, len(z.q8)+1),
+                 i -> z.q8[i] * r.r8[i])) AS DOUBLE) AS dot,
+               CAST(list_sum(list_transform(z.q8, x -> x*x)) AS DOUBLE) AS nx,
+               CAST(list_sum(list_transform(r.r8, x -> x*x)) AS DOUBLE) AS ny
+        FROM qz z JOIN qq r USING (q_id)),
+      short AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY
+                   CASE WHEN nx = 0 OR ny = 0 OR nx IS NULL OR ny IS NULL THEN NULL
+                        ELSE dot / (sqrt(nx) * sqrt(ny)) END DESC, vec_id) AS rn
+          FROM qscored) WHERE rn <= 100),
+      tru AS (
+        SELECT s.q_id, s.vec_id,
+          list_sum(list_transform(range(1, len(cd.embedding)+1),
+            i -> CAST(cd.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(cd.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM short s JOIN cand cd USING (q_id, vec_id) JOIN q USING (q_id)),
+      ivf AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+              FROM tru)
+      SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, round(cos, 6) AS cosine
+      FROM ivf WHERE rnk <= 20 ORDER BY q_id, rnk"""),
+  )
+
   /** Recall harness ON THE SERVED PATH — `ann_eval_recall`'s sibling
     * with the IVF side answered by [[graft.ext.ServedAnnIndex
     * .searchBatchAt]] instead of in-memory operators: recall@10/20 of
@@ -2671,7 +2758,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annServedQ, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annServedQ, annServedQBatch, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,

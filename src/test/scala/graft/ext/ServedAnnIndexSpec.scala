@@ -123,6 +123,25 @@ class ServedAnnIndexSpec extends AnyFunSuite {
     assert(scanLines.nonEmpty, s"no qvec scan found in:\n$plan")
     assert(scanLines.exists(!_.contains("embedding")),
       s"the candidate scan should leave the float column on disk:\n$plan")
+
+    // the BATCHED quantized search answers each query exactly like the
+    // one-vector form — the serving matrix's fourth cell
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val batch = idx.searchBatchQuantizedAt(v, queries, k = 20, nprobe = 4, rerank = 100).get
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val single = idx.searchQuantizedAt(spark, v, queryVec(qid), 20, 4, 100).get
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+      assert(got(qid) == single, s"quantized batch diverged from searchQuantizedAt for query $qid")
+    }
+    val bplan = batch.queryExecution.executedPlan.toString
+    assert(bplan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("qvec") && !l.contains("embedding")),
+      s"the batched candidate scan should leave the float column on disk:\n$bplan")
   }
 
   test("searchBatch == per-query searchAt; one pruned scan; job count independent of Q") {
