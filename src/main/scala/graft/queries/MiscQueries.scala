@@ -600,6 +600,72 @@ object MiscQueries {
       ORDER BY round(cos, 6) DESC, vec_id"""),
   )
 
+  /** INCREMENTAL build differential — the per-batch core
+    * [[graft.streaming.Streams.indexIngest]] drives, exercised as
+    * build + K adds (the `stream_decontam_screen` pattern: the
+    * streaming loop itself — checkpoints, replay idempotence — is
+    * spec-pinned in `StreamingAnnSpec`; the per-batch math carries the
+    * full SQL oracle). Centroids freeze at the INITIAL build (id-init
+    * over the init slice — the oracle replays exactly that subset
+    * pick); two ingest batches then merge into only their touched
+    * buckets; the final search must equal a frozen-centroid IVF over
+    * the ENTIRE delivered corpus, which is what the oracle computes —
+    * proving per-bucket incremental merges converge to the one-shot
+    * assignment with no row lost, duplicated or mis-bucketed. */
+  private val annServedIngest = Q(
+    "ann_served_ingest",
+    (s, dir) => {
+      val root = s"/tmp/graft_ann_index_ing/${s.sparkContext.applicationId}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(dir.hashCode)}"
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.ext.ServedAnnIndex(root, nCentroids = 16)
+      idx.build(emb.filter(col("vec_id") % 4 =!= 0))
+      idx.add(emb.filter(col("vec_id") % 8 === 0))
+      idx.add(emb.filter(col("vec_id") % 8 === 4))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      idx.search(s, query, k = 20, nprobe = 4).get
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                 FROM embeddings WHERE vec_id % 4 <> 0
+                 ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      pairs AS (
+        SELECT e.vec_id, c.centroid_id,
+          list_sum(list_transform(range(1, len(e.embedding)+1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        FROM e, c),
+      assigned AS (
+        SELECT t.vec_id, t.centroid_id, e.embedding FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM pairs) t JOIN e ON t.vec_id = e.vec_id WHERE t.rn = 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      probed AS (
+        SELECT centroid_id FROM (
+          SELECT c.centroid_id,
+            list_sum(list_transform(range(1, len(c.centroid)+1),
+              i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+          FROM c, q ORDER BY sim DESC, centroid_id LIMIT 4) t),
+      scored AS (
+        SELECT a.vec_id,
+          list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id, q),
+      sel AS (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20)
+      SELECT vec_id, round(cos, 6) AS cosine FROM sel
+      ORDER BY round(cos, 6) DESC, vec_id"""),
+  )
+
   /** QUANTIZED search on the served index ([[graft.ext.ServedAnnIndex
     * .searchQuantized]]) — the full 100 TB probe priced end to end:
     * build stores an int8 copy beside every float vector; the search
@@ -2758,7 +2824,7 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annServedQ, annServedQBatch, annPq, annIvfPq, annInt8, annHamming, embKmeans,
+    o1, o5, j2, j6, fArr, fLike, fStr, a9, st7, u4, u5, annIvf, annServed, annServedBatch, annServedUpdate, annServedRecall, annServedQ, annServedQBatch, annServedIngest, annPq, annIvfPq, annInt8, annHamming, embKmeans,
     embNearDup, embNearDupQ, embLsh, embSemDedup, streamScreen, streamLsh, mmFeatures,
     mmFrames, mmDecode, mmResize, mmPhash, mmAudio, a10, keySkew,
     embDimStats, embStandardize, embPca, embPcaProject, embPcaTop2, mixPcaGrid,
