@@ -186,6 +186,11 @@ final class GenerationStore(
     pinHooks.values.asScala.toSeq.flatMap(_(spark)).toSet
   }
 
+  /** Test probe: how many distinct pin hooks are installed — the
+    * idempotence contract (re-wiring replaces, never stacks) is about
+    * this count, which set-valued `pinnedVersions` cannot reveal. */
+  private[graft] def pinHookCount: Int = pinHooks.size()
+
   private def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
@@ -306,11 +311,15 @@ final class GenerationStore(
   private def liveSchemaJson(spark: SparkSession): Option[String] =
     commit.read(new Path(root, MaterializedView.SchemaSidecar), conf(spark))
 
-  /** The schema version `v` committed under — live-sidecar fallback for
-    * stores written before schemas were archived per version. */
+  /** The schema version `v` committed under. A version that predates
+    * per-version schema archives resolves with NO pinned schema —
+    * parquet footer inference, which reads the truth out of the files
+    * themselves. Falling back to the LIVE sidecar would be wrong, not
+    * just slow: a later FULL publish may legally retype or drop
+    * columns, and a pre-archive pin read under that newer schema would
+    * corrupt or fail instead of serving bit-identically. */
   private def schemaJsonAt(spark: SparkSession, v: Long): Option[String] =
     commit.read(schemaVersionPath(v), conf(spark))
-      .orElse(liveSchemaJson(spark))
 
   private def readSchema(json: Option[String]): Option[org.apache.spark.sql.types.StructType] =
     json.map(org.apache.spark.sql.types.DataType.fromJson(_)

@@ -97,7 +97,12 @@ final class SnapshotCatalog(
         s"${store.keepVersions}): in-flight readers of the previous " +
         "catalog snapshot need a cycle of grace after each commit")
     members += name -> store
-    store.installPinHook((this, name), spark => pinsFor(spark, name))
+    // keyed by (root, name), NOT instance identity: re-wiring the same
+    // catalog through a fresh handle each cycle (a long-lived JVM's
+    // natural shape) must REPLACE the hook, not stack one manifest-read
+    // pass per dead handle onto every member publish — and must not
+    // retain the dead handles through the store's hook map
+    store.installPinHook((root, name), spark => pinsFor(spark, name))
     this
   }
 
@@ -306,7 +311,11 @@ object SnapshotCatalog {
     * exact cross-view-consistent frame set cycle N published, as long
     * as N is within the coordinator's `keepCycles` window (member
     * versions named by retained cycles are pin-retained in member GC).
-    * None = no catalog manifest at `root`, or the cycle aged
+    * Pass the COORDINATOR's `keepCycles` when it differs from the
+    * default — the addressable window is the writer's retention, and a
+    * reader with a narrower window would refuse retained cycles while
+    * a wider one would list cycles whose member pins are already
+    * released. None = no catalog manifest at `root`, or the cycle aged
     * out / never committed.
     *
     * A manifest whose lines predate the self-describing format (or
@@ -324,8 +333,9 @@ object SnapshotCatalog {
       spark: SparkSession,
       root: String,
       commit: CommitProtocol = RenameCommit,
-      atCycle: Option[Long] = None): Option[SnapshotCatalog] = {
-    val catalog = new SnapshotCatalog(root, commit, pinnedAt = atCycle)
+      atCycle: Option[Long] = None,
+      keepCycles: Int = 2): Option[SnapshotCatalog] = {
+    val catalog = new SnapshotCatalog(root, commit, keepCycles, pinnedAt = atCycle)
     catalog.manifestLines(spark).map { lines =>
       val parsed = lines.flatMap {
         case CycleHeader(_) => None

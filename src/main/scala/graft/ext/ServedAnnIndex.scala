@@ -267,8 +267,13 @@ final class ServedAnnIndex(
       require(postings.columns.contains("qvec"),
         s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
       Similarity.ivfTopKQuantized(
-        assignedQ = postings.select("vec_id", "centroid_id", "qvec"),
-        vectors = postings.select("vec_id", "embedding"),
+        assignedQ = oncePerQuery(
+          postings.select("vec_id", "centroid_id", "qvec"), Seq("vec_id")),
+        // deduped: the full-precision side is a TABLE keyed by vec_id
+        // (the in-memory operator's contract); a multi-assigned vector
+        // appears once per probed bucket in the postings and must not
+        // rerank once per copy
+        vectors = postings.select("vec_id", "embedding").dropDuplicates("vec_id"),
         centroids = centroids, query = query, k = k, nprobe = nprobe,
         rerank = rerank, probed = Some(probed))
     }
@@ -309,46 +314,86 @@ final class ServedAnnIndex(
     *
     * Job count is independent of Q (one probe-union collect + one
     * result plan), pinned by spec. Returns (q_id, rnk, vec_id, cosine)
-    * rank-ordered per query; None = version aged out/never existed.
+    * rank-ordered per query; None = version aged out/never existed —
+    * an EMPTY query table against a live version returns an empty
+    * frame, not None (zero queries have an answer: zero rows).
     * `queries` must be small enough to broadcast (the serving batch,
     * thousands of rows) — a corpus-scale "query table" is [[Similarity]]
     * join territory, not a serving batch. */
   def searchBatchAt(v: Long, queries: DataFrame, k: Int, nprobe: Int = 2,
       qIdCol: String = "q_id", qVecCol: String = "qv"): Option[DataFrame] = {
     val spark = queries.sparkSession
-    val qs = queries.select(
-      col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
-    for {
-      centroids <- centroidsAt(spark, v)
-      probed = qs.crossJoin(broadcast(centroids))
-        .select(col("q_id"), col("centroid_id"),
-          Similarity.cosine(col("centroid"), col("qv")).as("__c_sim"))
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(col("__c_sim").desc, col("centroid_id").asc)))
-        .filter(col("__rn") <= nprobe)
-        .select("q_id", "centroid_id")
+    val qs = normalizeQueries(queries, qIdCol, qVecCol)
+    for (centroids <- centroidsAt(spark, v)) yield {
+      val probed = probeRanks(qs, centroids, nprobe)
       // the union of all queries' probes — bounded by nCentroids ids of
       // metadata, the one driver-side step; it is what lets the scan
       // below statically prune to probed bucket DIRECTORIES
-      unionIds = probed.select("centroid_id").distinct()
+      val unionIds = probed.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
-      postings <- store.readBucketsAt(spark, v, unionIds)
-    } yield {
-      val scored = postings.select("vec_id", "embedding", "centroid_id")
-        .join(broadcast(probed), Seq("centroid_id"))
-        .join(broadcast(qs), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
-      scored.groupBy("q_id")
-        .agg(graft.operators.TopKPerGroup.topK(k)(
-          col("cosine"), col("vec_id")).as("__top"))
-        .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))
-        .select(col("q_id"), (col("__rnk0") + 1).cast("long").as("rnk"),
-          col("__sc").getField("_2").as("vec_id"),
-          col("__sc").getField("_1").as("cosine"))
+      store.readBucketsAt(spark, v, unionIds) match {
+        // an EMPTY query table (or every probed bucket empty) is an
+        // empty ANSWER on a live index, not a lost version — the
+        // version's liveness was already proven by centroidsAt
+        case None => emptyResult(qs)
+        case Some(postings) =>
+          perQueryTopK(
+            oncePerQuery(
+              postings.select("vec_id", "embedding", "centroid_id")
+                .join(broadcast(probed), Seq("centroid_id")),
+              Seq("q_id", "vec_id"))
+              .join(broadcast(qs), Seq("q_id"))
+              .select(col("q_id"), col("vec_id"),
+                Similarity.cosine(col("embedding"), col("qv")).as("cosine")),
+            k)
+      }
     }
   }
+
+  private def normalizeQueries(
+      queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
+
+  /** The batch forms' shared per-query probe ranking — one spelling of
+    * the (c_sim DESC, centroid_id ASC) tie-break, which must match
+    * `Similarity.probedCentroids` (the single-source-of-truth warning
+    * there) or batch and one-vector searches probe different buckets. */
+  private def probeRanks(
+      qs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    qs.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("centroid_id"),
+        Similarity.cosine(col("centroid"), col("qv")).as("__c_sim"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("__c_sim").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select("q_id", "centroid_id")
+
+  /** (q_id, vec_id, cosine) candidates → the (q_id, rnk, vec_id,
+    * cosine) result shape through the k-bounded heap. */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.operators.TopKPerGroup.topK(k)(
+        col("cosine"), col("vec_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))
+      .select(col("q_id"), (col("__rnk0") + 1).cast("long").as("rnk"),
+        col("__sc").getField("_2").as("vec_id"),
+        col("__sc").getField("_1").as("cosine"))
+
+  private def emptyResult(qs: DataFrame): DataFrame =
+    qs.limit(0).select(col("q_id"), lit(0L).as("rnk"),
+      lit(0L).as("vec_id"), lit(0.0).as("cosine"))
+
+  /** A SERVED search admits each vector ONCE per query, however many
+    * probed buckets carry it: multi-assignment (nAssign >= 2) exists
+    * for recall — a boundary vector reachable from either bucket — not
+    * to let one document claim several ranks. Dedup is applied only
+    * when the index was built multi-assigned, so the common nAssign=1
+    * path pays no extra exchange. (The in-memory [[Similarity]]
+    * operators keep their raw per-assignment semantics; their callers
+    * pass nAssign=1 assignments.) */
+  private def oncePerQuery(candidates: DataFrame, keys: Seq[String]): DataFrame =
+    if (nAssign > 1) candidates.dropDuplicates(keys) else candidates
 
   /** Batched QUANTIZED top-k against the live index — see
     * [[searchBatchQuantizedAt]]. None = never built. */
@@ -376,48 +421,43 @@ final class ServedAnnIndex(
       qVecCol: String = "qv"): Option[DataFrame] = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = queries.sparkSession
-    val qs = queries.select(
-      col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
-    for {
-      centroids <- centroidsAt(spark, v)
-      probed = qs.crossJoin(broadcast(centroids))
-        .select(col("q_id"), col("centroid_id"),
-          Similarity.cosine(col("centroid"), col("qv")).as("__c_sim"))
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(col("__c_sim").desc, col("centroid_id").asc)))
-        .filter(col("__rn") <= nprobe)
-        .select("q_id", "centroid_id")
-      unionIds = probed.select("centroid_id").distinct()
+    val qs = normalizeQueries(queries, qIdCol, qVecCol)
+    for (centroids <- centroidsAt(spark, v)) yield {
+      val probed = probeRanks(qs, centroids, nprobe)
+      val unionIds = probed.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
-      postings <- store.readBucketsAt(spark, v, unionIds)
-    } yield {
-      require(postings.columns.contains("qvec"),
-        s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
-      // quantized queries ride the broadcast table — one int8 encode
-      // per query, not per candidate
-      val qs8 = qs.select(col("q_id"), QuantizeInt8.of(col("qv")).as("__q8"))
-      val screened = postings.select("vec_id", "centroid_id", "qvec")
-        .join(broadcast(probed), Seq("centroid_id"))
-        .join(broadcast(qs8), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          Int8CosineSimilarity.of(col("qvec"), col("__q8")).as("__q_cos"))
-        .groupBy("q_id")
-        .agg(graft.operators.TopKPerGroup.topK(rerank)(
-          col("__q_cos"), col("vec_id")).as("__short"))
-        .select(col("q_id"), explode(col("__short").getField("_2")).as("vec_id"))
-      postings.select("vec_id", "embedding")
-        .join(broadcast(screened), Seq("vec_id"))
-        .join(broadcast(qs), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
-        .groupBy("q_id")
-        .agg(graft.operators.TopKPerGroup.topK(k)(
-          col("cosine"), col("vec_id")).as("__top"))
-        .select(col("q_id"), posexplode(col("__top")).as(Seq("__rnk0", "__sc")))
-        .select(col("q_id"), (col("__rnk0") + 1).cast("long").as("rnk"),
-          col("__sc").getField("_2").as("vec_id"),
-          col("__sc").getField("_1").as("cosine"))
+      store.readBucketsAt(spark, v, unionIds) match {
+        case None => emptyResult(qs) // empty batch / empty buckets: see searchBatchAt
+        case Some(postings) =>
+          require(postings.columns.contains("qvec"),
+            s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
+          // quantized queries ride the broadcast table — one int8
+          // encode per query, not per candidate
+          val qs8 = qs.select(col("q_id"), QuantizeInt8.of(col("qv")).as("__q8"))
+          val screened = oncePerQuery(
+            postings.select("vec_id", "centroid_id", "qvec")
+              .join(broadcast(probed), Seq("centroid_id")),
+            Seq("q_id", "vec_id"))
+            .join(broadcast(qs8), Seq("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              Int8CosineSimilarity.of(col("qvec"), col("__q8")).as("__q_cos"))
+            .groupBy("q_id")
+            .agg(graft.operators.TopKPerGroup.topK(rerank)(
+              col("__q_cos"), col("vec_id")).as("__short"))
+            .select(col("q_id"), explode(col("__short").getField("_2")).as("vec_id"))
+          // float fetch DEDUPED by vec_id: the probed-bucket UNION can
+          // hold a multi-assigned (nAssign >= 2) vector once per bucket,
+          // including buckets only OTHER queries probed — without the
+          // dedup a shortlisted id would rerank once per copy and claim
+          // several final ranks, diverging from the one-vector search
+          perQueryTopK(
+            postings.select("vec_id", "embedding").dropDuplicates("vec_id")
+              .join(broadcast(screened), Seq("vec_id"))
+              .join(broadcast(qs), Seq("q_id"))
+              .select(col("q_id"), col("vec_id"),
+                Similarity.cosine(col("embedding"), col("qv")).as("cosine")),
+            k)
+      }
     }
   }
 
@@ -433,7 +473,10 @@ final class ServedAnnIndex(
       probed = Similarity.probedCentroidIds(centroids, query, nprobe)
       postings <- store.readBucketsAt(spark, v, probed)
     } yield Similarity.ivfTopK(
-      postings.select("vec_id", "embedding", "centroid_id"),
+      // probed-bucket rows only (readBucketsAt pruned), so dedup by
+      // vec_id keeps a copy the probe join will admit
+      oncePerQuery(postings.select("vec_id", "embedding", "centroid_id"),
+        Seq("vec_id")),
       centroids, query, k, nprobe)
 }
 

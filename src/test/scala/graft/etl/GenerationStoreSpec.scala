@@ -511,6 +511,18 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(store.readVersion(spark, v2).get
       .filter(col("id") === 2L).select("score").head.isNullAt(0))
 
+    // PRE-ARCHIVE versions (a store written before schemas were
+    // versioned — simulated by deleting v1's archive) must resolve by
+    // footer INFERENCE, never the live sidecar: a later full publish
+    // legally retyped columns, and v1 read under v3's schema would
+    // corrupt instead of serving bit-identically
+    assert(new java.io.File(root, "_graft_schema.json.v1").delete())
+    val preArchive = store.readVersion(spark, v1).get
+    assert(preArchive.columns.toSeq == Seq("id", "payload"),
+      "a pre-archive pin must read its own schema out of the files")
+    assert(preArchive.filter(col("id") === 1L).select("payload")
+      .head.getString(0) == "a")
+
     // GC: once versions age out, their archived schema files go with
     // their manifests (keepVersions = 4 here, so publish 2 more)
     store.publish(Seq((1L, 9L, 0L)).toDF("id", "score_int", "__b"), Seq(0L))

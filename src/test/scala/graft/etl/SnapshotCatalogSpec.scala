@@ -292,6 +292,49 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "member versions pinned only by an aged-out cycle must be reclaimed")
   }
 
+  test("re-wiring through a fresh catalog handle replaces the pin hook instead of stacking; open honors a custom keepCycles") {
+    val (a, b, _) = mkViews()
+    val base = rows((1L, 1L, 10.0))
+    a.build(base); b.build(base)
+    val catRoot = Files.createTempDirectory("graft_cat_rewire").toString
+
+    // three registrations of the same (root, name) through fresh
+    // handles — the long-lived-JVM re-wiring shape — must add ONE
+    // hook total (mkViews already wired its own catalog: relative
+    // counts); a catalog at a DIFFERENT root adds a second
+    val before = a.store.pinHookCount
+    (1 to 3).foreach { _ =>
+      new SnapshotCatalog(catRoot).register("amounts", a.store)
+    }
+    assert(a.store.pinHookCount == before + 1,
+      "re-registering the same catalog root must replace its hook, not stack")
+    new SnapshotCatalog(Files.createTempDirectory("graft_cat_other").toString)
+      .register("amounts", a.store)
+    assert(a.store.pinHookCount == before + 2, "distinct catalog roots compose")
+
+    // a coordinator with keepCycles = 3 retains three cycles; opening
+    // the oldest needs the coordinator's window — the default-2 reader
+    // correctly refuses it (its pins may be gone under ITS contract)
+    val writer = new SnapshotCatalog(catRoot, keepCycles = 3)
+      .register("amounts", a.store).register("doubled", b.store)
+    writer.commitCycle(spark)
+    val c1 = writer.liveCycle(spark).get
+    (2L to 3L).foreach { ver =>
+      val batch = rows((1L, ver, ver * 10.0))
+      a.refresh(batch); b.refresh(batch)
+      writer.commitCycle(spark)
+    }
+    assert(writer.cycles(spark).size == 3)
+    val reader = spark.newSession()
+    assert(SnapshotCatalog.open(reader, catRoot, atCycle = Some(c1)).isEmpty,
+      "a default-window reader must refuse a cycle outside ITS window")
+    val opened = SnapshotCatalog.open(reader, catRoot,
+      atCycle = Some(c1), keepCycles = 3).get
+    assert(amounts(opened.readAll(reader).get("amounts"), "amount") ==
+      Map(1L -> 10.0),
+      "the coordinator-window reader must resolve the oldest retained cycle")
+  }
+
   test("open() refuses a manifest it cannot resolve; snapshot() skips foreign lines") {
     val root = Files.createTempDirectory("graft_cat_mal").toString
     val conf = spark.sparkContext.hadoopConfiguration

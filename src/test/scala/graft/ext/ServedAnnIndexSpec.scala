@@ -142,6 +142,55 @@ class ServedAnnIndexSpec extends AnyFunSuite {
     assert(bplan.linesIterator.exists(l =>
       l.contains("ReadSchema") && l.contains("qvec") && !l.contains("embedding")),
       s"the batched candidate scan should leave the float column on disk:\n$bplan")
+
+    // an EMPTY query batch against a live index is an empty ANSWER,
+    // not a "version lost" None — callers .get without fear
+    val empty = idx.searchBatchAt(v, queries.filter(col("q_id") < 0), 20, 4)
+    assert(empty.isDefined && empty.get.count() == 0)
+    assert(empty.get.columns.toSeq == Seq("q_id", "rnk", "vec_id", "cosine"))
+    val emptyQ = idx.searchBatchQuantizedAt(v, queries.filter(col("q_id") < 0), 20, 4, 100)
+    assert(emptyQ.isDefined && emptyQ.get.count() == 0)
+  }
+
+  test("nAssign=2: batched quantized search still equals the one-vector form (no multi-copy rerank)") {
+    // a multi-assigned vector lives in TWO buckets; the batch's
+    // probed-bucket UNION holds both copies even when a given query
+    // probed only one — the rerank must not let the spare copy claim a
+    // second rank (the exact divergence dropDuplicates guards)
+    val root = Files.createTempDirectory("graft_served_ann_na2").toString
+    val idx = new ServedAnnIndex(root, nCentroids = 16, nAssign = 2)
+    val v = idx.build(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val batch = idx.searchBatchQuantizedAt(v, queries, k = 20, nprobe = 2, rerank = 60).get
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val single = idx.searchQuantizedAt(spark, v, queryVec(qid), 20, 2, 60).get
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+      assert(got(qid) == single,
+        s"nAssign=2 batch diverged from searchQuantizedAt for query $qid")
+      // and no vec_id occupies two ranks for one query
+      val ids = got(qid).map(_._1)
+      assert(ids.distinct.size == ids.size,
+        s"query $qid ranked a vec_id twice: $ids")
+    }
+    // the float batch form holds the same per-query equality under
+    // multi-assignment (scoring duplication is per probed bucket in
+    // BOTH forms — the semantics ivfTopK defines)
+    val fbatch = idx.searchBatchAt(v, queries, k = 20, nprobe = 2).get
+    val fgot = fbatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val single = idx.searchAt(spark, v, queryVec(qid), 20, 2).get
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+      assert(fgot(qid) == single,
+        s"nAssign=2 float batch diverged from searchAt for query $qid")
+    }
   }
 
   test("searchBatch == per-query searchAt; one pruned scan; job count independent of Q") {
