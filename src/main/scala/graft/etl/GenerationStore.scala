@@ -269,8 +269,10 @@ final class GenerationStore(
     *     ARCHIVED AT that version — an old pin reads bit-identically
     *     no matter what later publishes added (they can't see columns
     *     that postdate them, and a column added before them keeps its
-    *     position). Pre-archive stores fall back to the live sidecar,
-    *     the old behavior. */
+    *     position). A PRE-archive version (store written before
+    *     schemas were versioned) resolves by merged footer inference —
+    *     never the live sidecar, which a later full publish may
+    *     legally have retyped. */
   def publish(rows: DataFrame, buckets: Seq[Long]): Long = {
     require(buckets.nonEmpty, "publish needs at least one bucket")
     val spark = rows.sparkSession
@@ -385,7 +387,13 @@ final class GenerationStore(
     if (paths.isEmpty) None
     else readSchema(schemaJson) match {
       case Some(schema) => Some(spark.read.schema(schema).parquet(paths: _*))
-      case None => Some(spark.read.parquet(paths: _*))
+      // no pinned schema (a pre-archive version): merge ALL footers —
+      // a pre-archive manifest can legally mix generations with and
+      // without an added column, and single-footer inference would
+      // silently drop the column for every row depending on which file
+      // won; the footer union null-fills, matching the live policy
+      case None =>
+        Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
   }
 

@@ -97,12 +97,19 @@ final class SnapshotCatalog(
         s"${store.keepVersions}): in-flight readers of the previous " +
         "catalog snapshot need a cycle of grace after each commit")
     members += name -> store
-    // keyed by (root, name), NOT instance identity: re-wiring the same
-    // catalog through a fresh handle each cycle (a long-lived JVM's
-    // natural shape) must REPLACE the hook, not stack one manifest-read
-    // pass per dead handle onto every member publish — and must not
-    // retain the dead handles through the store's hook map
-    store.installPinHook((root, name), spark => pinsFor(spark, name))
+    // keyed by (normalized root, keepCycles, name), NOT instance
+    // identity: re-wiring the same catalog through a fresh handle each
+    // cycle (a long-lived JVM's natural shape) must REPLACE the hook —
+    // not stack one manifest-read pass per dead handle onto every
+    // member publish, nor retain the dead handles through the store's
+    // hook map. keepCycles stays IN the key so two same-root handles
+    // with different retention windows COMPOSE (pins union — wider
+    // retention wins) instead of the narrower one silently clobbering
+    // the wider one's pins; root is Path-normalized so '/p' and '/p/'
+    // dedupe.
+    store.installPinHook(
+      (new Path(root).toString, keepCycles, name),
+      spark => pinsFor(spark, name))
     this
   }
 

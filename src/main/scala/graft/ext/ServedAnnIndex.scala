@@ -70,6 +70,23 @@ final class ServedAnnIndex(
   /** Committed index versions readable right now. */
   def versions(spark: SparkSession): Seq[Long] = store.versions(spark)
 
+  private def metaPath = new org.apache.hadoop.fs.Path(root, "_ANN_META")
+
+  /** The assignment multiplicity the index ON DISK was built with —
+    * correctness state, so it is PERSISTED at [[build]] and read back
+    * here rather than trusted from a handle's constructor: the dedup
+    * that keeps a multi-assigned vector from claiming several result
+    * ranks must fire based on how the postings were actually written,
+    * not on how the (possibly defaulted) reader handle was
+    * constructed. Falls back to the constructor value for a pre-meta
+    * index (whose builder and reader must then agree, the old
+    * contract). One tiny driver-side read per search. */
+  private def storedNAssign(spark: SparkSession): Int =
+    graft.etl.AtomicText.read(metaPath, spark.sparkContext.hadoopConfiguration)
+      .flatMap(_.linesIterator.collectFirst {
+        case ServedAnnIndex.MetaAssign(n) => n.toInt
+      }).getOrElse(nAssign)
+
   private def postingShape(assigned: DataFrame): DataFrame =
     assigned.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
@@ -126,6 +143,12 @@ final class ServedAnnIndex(
     // with no files as absent — so the swap is a complete replacement.
     val prevBuckets = store.manifest(v.sparkSession)
       .map(_.keySet).getOrElse(Set.empty[Long])
+    // persist the assignment multiplicity BEFORE the swap — written at
+    // every (re)build so reader handles gate dedup on the on-disk
+    // truth; a crash in between leaves meta beside an unswapped build,
+    // which the next build simply overwrites
+    graft.etl.AtomicText.write(metaPath, s"nAssign=$nAssign",
+      v.sparkSession.sparkContext.hadoopConfiguration)
     val version = store.publish(rows,
       (prevBuckets ++ bucketIds + CentroidBucket).toSeq.sorted)
     // a Lloyd trainer hands back a persisted k-row table (it
@@ -151,9 +174,12 @@ final class ServedAnnIndex(
       throw new IllegalStateException(s"ServedAnnIndex at $root was never built"))
     val centroids = centroidsAt(spark, v).getOrElse(
       throw new IllegalStateException(s"index version $v lost its centroid bucket"))
+    // assign with the multiplicity the index ON DISK was built with —
+    // a reader/writer handle whose constructor disagrees must not mix
+    // single- and multi-assigned batches into one index
     val assigned = postingShape(Similarity.assignToCentroids(
       batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
-      centroids, nAssign = nAssign))
+      centroids, nAssign = storedNAssign(spark)))
     // touched buckets: bounded by the centroid count — metadata
     val touched = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -266,14 +292,16 @@ final class ServedAnnIndex(
     } yield {
       require(postings.columns.contains("qvec"),
         s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
+      val an = storedNAssign(spark)
       Similarity.ivfTopKQuantized(
         assignedQ = oncePerQuery(
-          postings.select("vec_id", "centroid_id", "qvec"), Seq("vec_id")),
-        // deduped: the full-precision side is a TABLE keyed by vec_id
-        // (the in-memory operator's contract); a multi-assigned vector
-        // appears once per probed bucket in the postings and must not
-        // rerank once per copy
-        vectors = postings.select("vec_id", "embedding").dropDuplicates("vec_id"),
+          postings.select("vec_id", "centroid_id", "qvec"), Seq("vec_id"), an),
+        // the full-precision side is a TABLE keyed by vec_id (the
+        // in-memory operator's contract); on a multi-assigned index a
+        // vector appears once per probed bucket and must not rerank
+        // once per copy — dedup gated like every candidate dedup
+        vectors = oncePerQuery(
+          postings.select("vec_id", "embedding"), Seq("vec_id"), an),
         centroids = centroids, query = query, k = k, nprobe = nprobe,
         rerank = rerank, probed = Some(probed))
     }
@@ -324,7 +352,8 @@ final class ServedAnnIndex(
       qIdCol: String = "q_id", qVecCol: String = "qv"): Option[DataFrame] = {
     val spark = queries.sparkSession
     val qs = normalizeQueries(queries, qIdCol, qVecCol)
-    for (centroids <- centroidsAt(spark, v)) yield {
+    val an = storedNAssign(spark)
+    centroidsAt(spark, v).flatMap { centroids =>
       val probed = probeRanks(qs, centroids, nprobe)
       // the union of all queries' probes — bounded by nCentroids ids of
       // metadata, the one driver-side step; it is what lets the scan
@@ -332,20 +361,24 @@ final class ServedAnnIndex(
       val unionIds = probed.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
       store.readBucketsAt(spark, v, unionIds) match {
-        // an EMPTY query table (or every probed bucket empty) is an
-        // empty ANSWER on a live index, not a lost version — the
-        // version's liveness was already proven by centroidsAt
-        case None => emptyResult(qs)
+        // None from the bucket read is ambiguous: an EMPTY query table
+        // (or every probed bucket empty) on a live version is an empty
+        // ANSWER; but the version may also have aged out BETWEEN the
+        // centroid resolve and this read (concurrent publishes + GC) —
+        // re-check liveness rather than serving "no neighbors" for a
+        // lost version
+        case None if store.versions(spark).contains(v) => Some(emptyResult(qs))
+        case None => None
         case Some(postings) =>
-          perQueryTopK(
+          Some(perQueryTopK(
             oncePerQuery(
               postings.select("vec_id", "embedding", "centroid_id")
                 .join(broadcast(probed), Seq("centroid_id")),
-              Seq("q_id", "vec_id"))
+              Seq("q_id", "vec_id"), an)
               .join(broadcast(qs), Seq("q_id"))
               .select(col("q_id"), col("vec_id"),
                 Similarity.cosine(col("embedding"), col("qv")).as("cosine")),
-            k)
+            k))
       }
     }
   }
@@ -388,12 +421,14 @@ final class ServedAnnIndex(
     * probed buckets carry it: multi-assignment (nAssign >= 2) exists
     * for recall — a boundary vector reachable from either bucket — not
     * to let one document claim several ranks. Dedup is applied only
-    * when the index was built multi-assigned, so the common nAssign=1
-    * path pays no extra exchange. (The in-memory [[Similarity]]
-    * operators keep their raw per-assignment semantics; their callers
-    * pass nAssign=1 assignments.) */
-  private def oncePerQuery(candidates: DataFrame, keys: Seq[String]): DataFrame =
-    if (nAssign > 1) candidates.dropDuplicates(keys) else candidates
+    * when the index ON DISK was built multi-assigned (`assignN` =
+    * [[storedNAssign]], never the handle's constructor default), so
+    * the common nAssign=1 path pays no extra exchange. (The in-memory
+    * [[Similarity]] operators keep their raw per-assignment semantics;
+    * their callers pass nAssign=1 assignments.) */
+  private def oncePerQuery(
+      candidates: DataFrame, keys: Seq[String], assignN: Int): DataFrame =
+    if (assignN > 1) candidates.dropDuplicates(keys) else candidates
 
   /** Batched QUANTIZED top-k against the live index — see
     * [[searchBatchQuantizedAt]]. None = never built. */
@@ -422,12 +457,16 @@ final class ServedAnnIndex(
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = queries.sparkSession
     val qs = normalizeQueries(queries, qIdCol, qVecCol)
-    for (centroids <- centroidsAt(spark, v)) yield {
+    val an = storedNAssign(spark)
+    centroidsAt(spark, v).flatMap { centroids =>
       val probed = probeRanks(qs, centroids, nprobe)
       val unionIds = probed.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
       store.readBucketsAt(spark, v, unionIds) match {
-        case None => emptyResult(qs) // empty batch / empty buckets: see searchBatchAt
+        // empty batch / empty buckets vs aged-out version: see
+        // searchBatchAt's None handling
+        case None if store.versions(spark).contains(v) => Some(emptyResult(qs))
+        case None => None
         case Some(postings) =>
           require(postings.columns.contains("qvec"),
             s"index at $root has no stored int8 copy (pre-qvec build) — rebuild it")
@@ -437,7 +476,7 @@ final class ServedAnnIndex(
           val screened = oncePerQuery(
             postings.select("vec_id", "centroid_id", "qvec")
               .join(broadcast(probed), Seq("centroid_id")),
-            Seq("q_id", "vec_id"))
+            Seq("q_id", "vec_id"), an)
             .join(broadcast(qs8), Seq("q_id"))
             .select(col("q_id"), col("vec_id"),
               Int8CosineSimilarity.of(col("qvec"), col("__q8")).as("__q_cos"))
@@ -445,18 +484,17 @@ final class ServedAnnIndex(
             .agg(graft.operators.TopKPerGroup.topK(rerank)(
               col("__q_cos"), col("vec_id")).as("__short"))
             .select(col("q_id"), explode(col("__short").getField("_2")).as("vec_id"))
-          // float fetch DEDUPED by vec_id: the probed-bucket UNION can
-          // hold a multi-assigned (nAssign >= 2) vector once per bucket,
-          // including buckets only OTHER queries probed — without the
-          // dedup a shortlisted id would rerank once per copy and claim
-          // several final ranks, diverging from the one-vector search
-          perQueryTopK(
-            postings.select("vec_id", "embedding").dropDuplicates("vec_id")
+          // float fetch deduped by vec_id only on a multi-assigned
+          // index: the probed-bucket UNION can hold such a vector once
+          // per bucket — including buckets only OTHER queries probed —
+          // and a shortlisted id must rerank once, not once per copy
+          Some(perQueryTopK(
+            oncePerQuery(postings.select("vec_id", "embedding"), Seq("vec_id"), an)
               .join(broadcast(screened), Seq("vec_id"))
               .join(broadcast(qs), Seq("q_id"))
               .select(col("q_id"), col("vec_id"),
                 Similarity.cosine(col("embedding"), col("qv")).as("cosine")),
-            k)
+            k))
       }
     }
   }
@@ -476,7 +514,7 @@ final class ServedAnnIndex(
       // probed-bucket rows only (readBucketsAt pruned), so dedup by
       // vec_id keeps a copy the probe join will admit
       oncePerQuery(postings.select("vec_id", "embedding", "centroid_id"),
-        Seq("vec_id")),
+        Seq("vec_id"), storedNAssign(spark)),
       centroids, query, k, nprobe)
 }
 
@@ -484,6 +522,8 @@ object ServedAnnIndex {
   /** The reserved bucket holding the centroid rows — outside the
     * centroid-id space (ids are non-negative vec_ids). */
   val CentroidBucket: Long = -1L
+
+  private val MetaAssign = raw"nAssign=(\d+)".r
 
   /** Deterministic id-init centroids — replayable in a SQL oracle. */
   val IdInit: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =

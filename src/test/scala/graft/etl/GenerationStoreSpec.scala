@@ -522,6 +522,16 @@ class GenerationStoreSpec extends AnyFunSuite {
       "a pre-archive pin must read its own schema out of the files")
     assert(preArchive.filter(col("id") === 1L).select("payload")
       .head.getString(0) == "a")
+    // ...and a pre-archive version whose manifest MIXES generations
+    // with and without an added column resolves by MERGED footers —
+    // single-footer inference would silently drop the column for
+    // every row whenever the older file's footer won
+    assert(new java.io.File(root, "_graft_schema.json.v2").delete())
+    val preArchiveMixed = store.readVersion(spark, v2).get
+    assert(preArchiveMixed.columns.toSet == Set("id", "payload", "score"),
+      s"mixed-generation pre-archive read lost a column: ${preArchiveMixed.columns.toSeq}")
+    assert(preArchiveMixed.filter(col("id") === 2L).select("score").head.isNullAt(0))
+    assert(preArchiveMixed.filter(col("id") === 1L).select("score").head.getDouble(0) == 9.5)
 
     // GC: once versions age out, their archived schema files go with
     // their manifests (keepVersions = 4 here, so publish 2 more)

@@ -178,8 +178,8 @@ class ServedAnnIndexSpec extends AnyFunSuite {
         s"query $qid ranked a vec_id twice: $ids")
     }
     // the float batch form holds the same per-query equality under
-    // multi-assignment (scoring duplication is per probed bucket in
-    // BOTH forms — the semantics ivfTopK defines)
+    // multi-assignment (both forms admit a multi-assigned vector once
+    // per query — the served-search contract oncePerQuery enforces)
     val fbatch = idx.searchBatchAt(v, queries, k = 20, nprobe = 2).get
     val fgot = fbatch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -191,6 +191,17 @@ class ServedAnnIndexSpec extends AnyFunSuite {
       assert(fgot(qid) == single,
         s"nAssign=2 float batch diverged from searchAt for query $qid")
     }
+
+    // the multiplicity is PERSISTED: a reader handle constructed with
+    // the default nAssign=1 on this nAssign=2 index must still dedup
+    // (and answer identically to the builder's handle) — the gate
+    // reads the on-disk truth, not the constructor
+    val readerHandle = new ServedAnnIndex(root, nCentroids = 16)
+    val viaReader = rows(readerHandle.searchAt(spark, v, queryVec(3L), 20, 2).get)
+    assert(viaReader == rows(idx.searchAt(spark, v, queryVec(3L), 20, 2).get),
+      "a default-constructed reader handle diverged from the builder's")
+    assert(viaReader.map(_._1).distinct.size == viaReader.size,
+      "a default-constructed reader handle let a multi-assigned vector double-rank")
   }
 
   test("searchBatch == per-query searchAt; one pruned scan; job count independent of Q") {
