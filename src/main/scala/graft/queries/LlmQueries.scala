@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{BloomDedup, Dedup}
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` testdata tables — the north-star extensions beyond the
@@ -403,6 +403,123 @@ object LlmQueries {
       FROM (SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
             FROM documents d) t
       WHERE rn = 1 ORDER BY doc_id"""),
+  )
+
+  // ----------------------------------------------------- bloom dedup state
+  /** The bloom-screen fixture both `dedup_bloom_*` queries share: the
+    * corpus splits into HISTORY (doc_id % 3 < 2 — the content the
+    * filter has absorbed) and an INCOMING batch = the unseen slice
+    * (doc_id % 3 = 2) plus a known sliver of history re-arriving
+    * (doc_id % 21 = 0 — injected TRUE duplicates, since the testdata
+    * texts are otherwise all distinct). The screen must flag every
+    * replay (Bloom filters cannot false-negative) and may flag some
+    * new documents (the measured false-positive path). */
+  private def bloomScreenFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val history = d.filter(pmod(col("doc_id"), lit(3L)) < 2)
+    val incoming = d.filter(pmod(col("doc_id"), lit(3L)) === 2)
+      .unionByName(history.filter(pmod(col("doc_id"), lit(21L)) === 0))
+    BloomDedup.screen(incoming, col("text"),
+        BloomDedup.buildBitset(history, col("text")), Seq("doc_id"))
+      .withColumn("is_replay", pmod(col("doc_id"), lit(3L)) < 2)
+  }
+
+  /** Shared oracle CTE chain: history positions (`hp`), incoming batch
+    * (`inc`), per-doc probe rows (`ip`), per-doc hit counts (`hits`) —
+    * the bloom probe replayed position-by-position in SQL. */
+  private val BloomCtes: String = s"""
+      WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 < 2),
+      hp AS (SELECT DISTINCT substr(md5('bloom' || CAST(u.i AS VARCHAR) || '|' || text), 1, 3) AS pos
+             FROM hist, unnest([0, 1]) u(i)),
+      inc AS (SELECT doc_id, text, (doc_id % 3 < 2) AS is_replay
+              FROM documents
+              WHERE doc_id % 3 = 2 OR (doc_id % 3 < 2 AND doc_id % 21 = 0)),
+      ip AS (SELECT doc_id, substr(md5('bloom' || CAST(u.i AS VARCHAR) || '|' || text), 1, 3) AS pos
+             FROM inc, unnest([0, 1]) u(i)),
+      hits AS (SELECT ip.doc_id, count(*) AS n_set
+               FROM ip JOIN hp USING (pos) GROUP BY ip.doc_id)"""
+
+  /** Bloom dedup screen ([[graft.operators.BloomDedup]]): per incoming
+    * document, how many of its 2 probes hit the history filter and the
+    * membership verdict. `is_replay → flagged` must hold on every row
+    * (no false negatives — checked by the differential itself, since
+    * both columns are in the output) while `flagged ∧ ¬is_replay`
+    * rows are the filter's false positives, priced in
+    * `dedup_bloom_fpr`. */
+  private val bloomScreen = Q(
+    "dedup_bloom_screen",
+    (s, dir) =>
+      bloomScreenFrame(s, dir)
+        .select(col("doc_id"), col("is_replay"), col("n_probes_set"),
+          col("flagged"),
+          (col("flagged") && !col("is_replay")).as("false_pos"))
+        .orderBy("doc_id"),
+    Some(s"""
+      $BloomCtes
+      SELECT i.doc_id, i.is_replay,
+             CAST(coalesce(h.n_set, 0) AS BIGINT) AS n_probes_set,
+             (coalesce(h.n_set, 0) = 2) AS flagged,
+             ((coalesce(h.n_set, 0) = 2) AND NOT i.is_replay) AS false_pos
+      FROM inc i LEFT JOIN hits h ON i.doc_id = h.doc_id
+      ORDER BY i.doc_id"""),
+  )
+
+  /** The false-positive ACCOUNTING the bloom state's bounded memory is
+    * bought with: one row pricing the screen — missed duplicates (must
+    * be 0, the structural guarantee), observed vs expected FPR (fill²
+    * for k=2 probes), and the filter's fill ratio. The position space
+    * is deliberately small (4096 bits) so this accounting is
+    * non-vacuous at differential scale; production sizing is the
+    * standard bits-per-key trade and changes only the constants. */
+  private val bloomFpr = Q(
+    "dedup_bloom_fpr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val history = d.filter(pmod(col("doc_id"), lit(3L)) < 2)
+      val bits = BloomDedup.positionsOf(history, col("text"))
+        .agg(count(lit(1)).as("bits_set"))
+      bloomScreenFrame(s, dir)
+        .agg(
+          count(lit(1)).as("n_screened"),
+          sum(when(col("is_replay"), 1L).otherwise(0L)).as("n_replayed"),
+          sum(when(!col("is_replay"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("is_replay") && !col("flagged"), 1L).otherwise(0L))
+            .as("n_missed_dups"),
+          sum(when(col("flagged") && !col("is_replay"), 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .crossJoin(broadcast(bits))
+        .select(
+          col("n_screened"), col("n_replayed"), col("n_new"),
+          col("n_flagged"), col("n_missed_dups"), col("n_false_pos"),
+          round(col("n_false_pos").cast("double") /
+            expr("nullif(n_new, 0)").cast("double"), 6).as("observed_fpr"),
+          col("bits_set"),
+          round(col("bits_set").cast("double") / 4096.0, 6).as("fill_ratio"),
+          round((col("bits_set").cast("double") / 4096.0) *
+            (col("bits_set").cast("double") / 4096.0), 6).as("expected_fpr"))
+        .orderBy("n_screened")
+    },
+    Some(s"""
+      $BloomCtes,
+      scr AS (SELECT i.doc_id, i.is_replay, (coalesce(h.n_set, 0) = 2) AS flagged
+              FROM inc i LEFT JOIN hits h ON i.doc_id = h.doc_id),
+      bits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM hp)
+      SELECT CAST(count(*) AS BIGINT) AS n_screened,
+             CAST(sum(CASE WHEN is_replay THEN 1 ELSE 0 END) AS BIGINT) AS n_replayed,
+             CAST(sum(CASE WHEN NOT is_replay THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(sum(CASE WHEN is_replay AND NOT flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_missed_dups,
+             CAST(sum(CASE WHEN flagged AND NOT is_replay THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             round(CAST(sum(CASE WHEN flagged AND NOT is_replay THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(nullif(sum(CASE WHEN NOT is_replay THEN 1 ELSE 0 END), 0) AS DOUBLE), 6)
+               AS observed_fpr,
+             b.bits_set,
+             round(CAST(b.bits_set AS DOUBLE) / 4096.0, 6) AS fill_ratio,
+             round((CAST(b.bits_set AS DOUBLE) / 4096.0)
+                   * (CAST(b.bits_set AS DOUBLE) / 4096.0), 6) AS expected_fpr
+      FROM scr, bits b
+      GROUP BY b.bits_set ORDER BY n_screened"""),
   )
 
   // ------------------------------------------------------ rolling hash
@@ -2540,5 +2657,6 @@ object LlmQueries {
     textStats, bm25, perplexity, ccnetBuckets, langConfusion, qualityGate, fingerprint, winnowQ, winnowPairs, corpusClean,
     corpusCleanClustered, clusterSplits, dedupReport, trainingMix, trainingTokens, dedupExact, minhash,
     lshAudit, incrementalScreen, dedupClusters, dedupCanonical, ngramJaccard, jaccardPrefix, simhash,
+    bloomScreen, bloomFpr,
     annTopK, hardNegatives, ragHybrid, ragMmr, multimodal, dupSpans, dupProfile, dupExcise, dedupSweep)
 }

@@ -122,53 +122,28 @@ object EventSink {
       * the first batch's anti-join insert a cast on the key — under
       * ANSI mode a string messageId vs the old hardcoded bigint threw
       * NumberFormatException on the very first delivery. */
+    /** Crash recovery and the fold (a distinct over the append log) are
+      * [[graft.etl.AppendLog]]'s — ONE definition shared with the other
+      * append-log state stores (see its scaladoc). */
     def load(spark: SparkSession, statePath: String, idCol: String,
         idType: org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.LongType): DataFrame = {
-      // crash recovery: a compact() that died between its two renames
-      // leaves the previous snapshot at <statePath>.old — restore it
-      // rather than silently starting from an empty set (which would
-      // re-deliver every historical event)
-      val dir = new java.io.File(statePath)
-      val old = new java.io.File(statePath + ".old")
-      if (!dir.exists() && old.exists()) old.renameTo(dir)
-      if (dir.exists())
-        spark.read.parquet(statePath).select(idCol).distinct()
-      else
-        spark.emptyDataFrame.withColumn(idCol, lit(null).cast(idType))
-          .limit(0)
-    }
+          org.apache.spark.sql.types.LongType): DataFrame =
+      graft.etl.AppendLog.load(spark, statePath,
+        fold = _.select(idCol).distinct(),
+        empty = spark.emptyDataFrame
+          .withColumn(idCol, lit(null).cast(idType)).limit(0))
 
     def append(ids: DataFrame, statePath: String): Unit =
-      ids.write.mode("append").parquet(statePath)
+      graft.etl.AppendLog.append(ids, statePath)
 
-    private def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      f.delete()
-    }
-
-    /** Rewrite the append log as one deduplicated snapshot. Swap order
-      * is crash-safe on a local/posix fs: snapshot → .tmp, live → .old,
-      * .tmp → live, drop .old. Every failure mode leaves either the
-      * live dir or .old intact, and [[load]] knows to restore .old. */
+    /** Rewrite the append log as one deduplicated snapshot
+      * (crash-safety: [[graft.etl.AppendLog.compact]]). */
     def compact(spark: SparkSession, statePath: String, idCol: String,
         idType: org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.LongType): Unit = {
-      val snap = load(spark, statePath, idCol, idType).cache()
-      snap.count() // materialize before touching the live dir
-      val tmp = new java.io.File(statePath + ".tmp")
-      val old = new java.io.File(statePath + ".old")
-      val dir = new java.io.File(statePath)
-      deleteRec(tmp); deleteRec(old) // stale leftovers from a past crash
-      snap.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      snap.unpersist()
-      if (dir.exists() && !dir.renameTo(old))
-        throw new java.io.IOException(s"compact: cannot stage $dir aside")
-      if (!tmp.renameTo(dir)) {
-        old.renameTo(dir) // roll back to the previous snapshot
-        throw new java.io.IOException(s"compact: cannot activate $tmp")
-      }
-      deleteRec(old)
-    }
+          org.apache.spark.sql.types.LongType): Unit =
+      graft.etl.AppendLog.compact(spark, statePath,
+        fold = _.select(idCol).distinct(),
+        empty = spark.emptyDataFrame
+          .withColumn(idCol, lit(null).cast(idType)).limit(0))
   }
 }

@@ -159,6 +159,75 @@ object Streams {
       }
     }
 
+  /** STREAMING BLOOM DEDUP SCREEN — cross-batch content dedup with
+    * BOUNDED state ([[graft.operators.BloomDedup]]): where
+    * [[graft.sinks.EventSink.ProcessedIds]] keeps the full id set, this
+    * screen's state is a ≤64-row bitset no matter how many documents it
+    * has absorbed — the 100 TB ingest trade: false positives divert a
+    * clean document to the quarantine lane (auditable, tunable via the
+    * filter's sizing), real duplicates can NEVER slip through.
+    *
+    * Per-batch verdicts, in sequential-prefix semantics (pinned against
+    * the batch replay in `BloomScreenSpec`): a document is a duplicate
+    * iff (a) an earlier id in the SAME batch carries the same key
+    * (exact in-batch dedup — the filter only sees prior batches), or
+    * (b) its key's probes all hit the filter built from every prior
+    * batch. Replayed copies of one id inside a batch collapse first
+    * ([[decontamScreen]]'s at-least-once posture).
+    *
+    * Crash ordering is the [[graft.sinks.EventSink.deliverIdempotent]]
+    * discipline — lanes BEFORE the state append: a crash between them
+    * replays the batch against the old state and re-emits the same
+    * fresh rows (at-least-once lanes); a crash after the append
+    * re-screens the batch against a state that already absorbed it, so
+    * the replay quarantines rows that were already delivered fresh —
+    * never drops them. The state append itself is OR-idempotent, so
+    * replaying it is a no-op.
+    *
+    * 100 TB posture: the state loads as ≤64 rows and broadcasts; the
+    * screen is a map-side probe + one per-id collapse — per-batch cost
+    * is the batch's rows, independent of history size. The state WRITE
+    * is one ≤64-row append per batch; [[graft.operators.BloomDedup
+    * .State.compact]] folds the log when it fragments. */
+  def bloomDedupScreen(
+      docs: DataFrame, // streaming (idCol, keyCol, ...)
+      statePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      keyCol: String = "text",
+      k: Int = graft.operators.BloomDedup.DefaultK)(
+      onFresh: DataFrame => Unit,
+      onDup: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deliverStream(docs, checkpoint) { (batch, _) =>
+      import graft.operators.{BloomDedup, Dedup}
+      val spark = batch.sparkSession
+      val unique = batch.dropDuplicates(idCol)
+      // in-batch content dedup: survivor = lowest id per key; the rest
+      // are duplicates regardless of the filter (it lags one batch)
+      val survivors = Dedup.exactByHash(unique, keyCol, idCol)
+      val state = BloomDedup.State.load(spark, statePath)
+      val verdicts = BloomDedup
+        .screen(unique, col(keyCol), state, Seq(idCol), k)
+        .join(survivors.select(col(idCol), lit(false).as("__surv_dup")),
+          Seq(idCol), "left")
+        .withColumn("in_batch_dup", coalesce(col("__surv_dup"), lit(true)))
+        .drop("__surv_dup")
+        .withColumn("is_dup", col("in_batch_dup") || col("flagged"))
+        .persist()
+      try {
+        onDup(verdicts.filter(col("is_dup")))
+        onFresh(verdicts.filter(!col("is_dup")))
+        // absorb the batch AFTER the lanes (see crash ordering above);
+        // survivors ∪ flagged set the same bits as survivors alone (a
+        // flagged key's probes are already set), so survivors suffice
+        BloomDedup.State.append(
+          BloomDedup.buildBitset(survivors, col(keyCol), k), statePath)
+      } finally {
+        verdicts.unpersist()
+        ()
+      }
+    }
+
   /** STREAMING INGEST → SERVED ANN INDEX: drive
     * [[graft.ext.ServedAnnIndex.add]] from a vector stream, one
     * bucket-scoped publish per micro-batch — the live half of the
