@@ -58,7 +58,8 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => { LlmQueries.minhashPairs(s, d); () }),
     "cluster_components" -> ((s, d) => { LlmQueries.clusterComponents(s, d); () }),
     "survivor_components" -> ((s, d) => { LlmQueries.survivorComponents(s, d); () }),
-    "training_chunks" -> ((s, d) => { LlmQueries.trainingChunkStage(s, d); () }))
+    "training_chunks" -> ((s, d) => { LlmQueries.trainingChunkStage(s, d); () }),
+    "quality_lr_scored" -> ((s, d) => { CurationQueries.sharedLrScored(s, d); () }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** An in-engine TRAINED quality classifier — logistic-style regression
+  * fit by full-batch gradient descent, every step expressed as one
+  * distributed aggregate. This is the "train the quality filter inside
+  * the pipeline" capability production curation stacks use (a linear
+  * model distilled from heuristic gate labels, then applied corpus-wide
+  * as a cheap scorer): the engine already computes the raw quality
+  * SIGNALS ([[graft.functions.GateSignals]]); this operator learns a
+  * weighting of them instead of hand-tuning thresholds.
+  *
+  * Training is DETERMINISTIC and bit-replayable in ANSI SQL — the
+  * property every differential in this engine is built on — by three
+  * choices:
+  *
+  *   - the squashing function is the RATIONAL sigmoid
+  *     `σ̃(z) = 0.5 + z / (2·(1+|z|))`: add/mul/div/abs are exactly
+  *     rounded under IEEE-754, so Spark, DuckDB and the driver compute
+  *     identical bits by CONSTRUCTION — where `1/(1+exp(−z))` would
+  *     hinge on two libms agreeing ULP-for-ULP. Same monotone S-shape,
+  *     same `σ̃(0)=0.5` decision point; only the tail steepness
+  *     differs, which a trained weight scale absorbs.
+  *   - every per-row contribution (gradient component, squared error)
+  *     is quantized by the ARITHMETIC 8-dp rounder [[q8]]
+  *     (`floor(x·1e8+0.5)/1e8` — floor is exact, so the quantizer is
+  *     the same function everywhere) and summed as DECIMAL(28,8):
+  *     sums are exact and order-independent, immune to partition
+  *     count, scheduling and fold order.
+  *   - weight updates replay the same double arithmetic on the driver
+  *     (decimal sum → canonical string → double, the engine-portable
+  *     decimal hop), then re-quantize through [[q8d]] — so the weights
+  *     entering iteration i+1 are the same 8-dp values in every engine.
+  *
+  * 100 TB posture: one pass per iteration over a persisted feature
+  * frame (map-side partial aggregation collapses each partition to one
+  * (d+2)-value row; the exchange is d+2 decimals × partitions), driver
+  * state is d+1 doubles, and standardization is two more passes of the
+  * same shape. Full-batch GD is CHOSEN over SGD: at this scale a
+  * "batch" pass is embarrassingly parallel and deterministic, while
+  * SGD's sequential updates are exactly what a distributed engine
+  * cannot replay. Iteration count is the cost knob (iters × scans).
+  */
+object QualityClassifier {
+
+  /** Arithmetic 8-dp quantizer: `floor(x·1e8+0.5)/1e8`. Exactly the
+    * same function in Spark, SQL and driver code — see class doc. */
+  def q8(c: Column): Column = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+
+  /** Driver twin of [[q8]]. */
+  def q8d(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+
+  /** 6-dp / 4-dp display quantizers (same construction). */
+  def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  def q4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** The rational sigmoid — see class doc for why not exp. */
+  def sigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** One training iteration's record: the weights IN EFFECT (intercept
+    * first) and the metrics they score on the training set. */
+  final case class IterStat(
+      iter: Int, weights: Seq[Double], sse: Double, accuracy: Double)
+
+  /** The fitted model: 8-dp weights (intercept first) plus the
+    * standardization that must be applied at scoring time. */
+  final case class Model(
+      featCols: Seq[String], weights: Seq[Double],
+      means: Seq[Double], stds: Seq[Double], history: Seq[IterStat])
+
+  private def decToDouble(d: java.math.BigDecimal): Double =
+    if (d == null) 0.0 else d.toString.toDouble
+
+  /** Standardize `cols` in place: `x' = q8((x − mean) / std)` with
+    * `mean = q8(Σ q8(x) / n)` (exact decimal sum) and
+    * `std = sqrt(q8(Σ q8((x−mean)²) / n))` (sqrt is exactly rounded —
+    * still bit-portable). A zero-variance column keeps std 1 (the
+    * standardized column is all zeros, weight stays at init). Two
+    * passes; other columns ride through untouched. */
+  def standardize(feat: DataFrame, cols: Seq[String]): (DataFrame, Seq[Double], Seq[Double]) = {
+    val mAggs = count(lit(1)).as("n") +:
+      cols.map(c => sum(q8(col(c)).cast("decimal(28,8)")).as(s"s_$c"))
+    val mRow = feat.agg(mAggs.head, mAggs.tail: _*).head()
+    val n = mRow.getLong(0).toDouble
+    require(n > 0, "standardize: empty feature frame")
+    val means = cols.indices.map(j => q8d(decToDouble(mRow.getDecimal(j + 1)) / n))
+    val vAggs = cols.zipWithIndex.map { case (c, j) =>
+      sum(q8((col(c) - lit(means(j))) * (col(c) - lit(means(j))))
+        .cast("decimal(28,8)")).as(s"v_$c")
+    }
+    val vRow = feat.agg(vAggs.head, vAggs.tail: _*).head()
+    val stds = cols.indices.map { j =>
+      val v = q8d(decToDouble(vRow.getDecimal(j)) / n)
+      if (v > 0) math.sqrt(v) else 1.0
+    }
+    val std = cols.zipWithIndex.foldLeft(feat) { case (df, (c, j)) =>
+      df.withColumn(c, q8((col(c) - lit(means(j))) / lit(stds(j))))
+    }
+    (std, means, stds)
+  }
+
+  /** The linear score `w0 + Σ wj·xj` with the EXACT association order
+    * the SQL replay uses (left fold), so the doubles agree bitwise. */
+  def linear(weights: Seq[Double], featCols: Seq[String]): Column =
+    featCols.zipWithIndex.foldLeft(lit(weights.head): Column) {
+      case (acc, (c, j)) => acc + lit(weights(j + 1)) * col(c)
+    }
+
+  /** Fit by `iters` full-batch GD steps from zero weights at rate `lr`.
+    * `std` must already be standardized; `labelCol` is 1.0/0.0.
+    * Returns the per-iteration history INCLUDING the final weights
+    * (`iters + 1` records: metrics of w₀=0 through w_iters). */
+  def train(
+      std: DataFrame, featCols: Seq[String], labelCol: String,
+      lr: Double = 2.0, iters: Int = 8): Seq[IterStat] = {
+    val d = featCols.size + 1
+    val frame = std.persist()
+    try {
+      var w = Seq.fill(d)(0.0)
+      (0 to iters).map { it =>
+        val z = linear(w, featCols)
+        val p = sigmoid(z)
+        val e = p - col(labelCol)
+        val xs = lit(1.0) +: featCols.map(col)
+        val aggs = Seq(
+          count(lit(1)).as("n"),
+          sum(q8(e * e).cast("decimal(28,8)")).as("sse"),
+          sum(when((p >= 0.5) === (col(labelCol) === 1.0), 1L).otherwise(0L)).as("ok")) ++
+          xs.zipWithIndex.map { case (x, j) =>
+            sum(q8(e * x).cast("decimal(28,8)")).as(s"g$j") }
+        val r = frame.agg(aggs.head, aggs.tail: _*).head()
+        val n = r.getLong(0).toDouble
+        val stat = IterStat(it, w,
+          q6d(decToDouble(r.getDecimal(1)) / n),
+          q4d(r.getLong(2).toDouble / n))
+        if (it < iters)
+          w = w.indices.map(j => q8d(w(j) - lr * (decToDouble(r.getDecimal(3 + j)) / n)))
+        stat
+      }
+    } finally {
+      frame.unpersist()
+      ()
+    }
+  }
+
+  /** Convenience: standardize + train in one call. */
+  def fit(
+      feat: DataFrame, featCols: Seq[String], labelCol: String,
+      lr: Double = 2.0, iters: Int = 8): Model = {
+    val (std, means, stds) = standardize(feat, featCols)
+    val history = train(std, featCols, labelCol, lr, iters)
+    Model(featCols, history.last.weights, means, stds, history)
+  }
+
+  /** Score a STANDARDIZED frame with fitted weights: the 6-dp
+    * probability and the ≥0.5 decision. */
+  def score(std: DataFrame, weights: Seq[Double], featCols: Seq[String]): DataFrame = {
+    val p = sigmoid(linear(weights, featCols))
+    std.withColumn("score", floor(p * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("predicted", p >= 0.5)
+  }
+}

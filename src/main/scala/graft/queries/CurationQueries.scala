@@ -1146,6 +1146,255 @@ object CurationQueries {
       FROM rep ORDER BY doc_id"""),
   )
 
+  // ------------------------------------------------- trained quality LR
+  // The in-engine TRAINED quality classifier
+  // ([[graft.operators.QualityClassifier]]): distill the hand-ruled
+  // repetition gate into a learned linear scorer. Features are the RAW
+  // signals (dup fractions, scaled token count, scaled avg token
+  // length); the label is the gate verdict itself — the classifier
+  // must RECOVER the decision boundary the rule encodes, which is what
+  // production stacks do when they replace threshold gates with a
+  // trained filter. Training runs 8 deterministic full-batch GD steps
+  // (see the operator's scaladoc for the bit-portability doctrine);
+  // the oracle replays standardization AND every iteration as an
+  // unrolled CTE chain — opposite execution shapes, identical bits.
+
+  private val LrIters = 8
+  private val LrRate = "2.0"
+  private[queries] val LrFeatCols =
+    Seq("x_dup_tok", "x_dup_bi", "x_n_tok", "x_tok_len")
+
+  /** Raw features + gate label, Spark side of the `feat` CTE. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        dupTokenFrac.as("x_dup_tok"),
+        dupBigramFrac.as("x_dup_bi"),
+        nTok.as("n_tok"),
+        length(col("text")).cast("long").as("n_chars_c"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("x_dup_tok"), col("x_dup_bi"),
+        (col("n_tok").cast("double") / lit(64.0)).as("x_n_tok"),
+        ((col("n_chars_c").cast("double") / col("n_tok").cast("double")) / lit(8.0))
+          .as("x_tok_len"),
+        when(col("x_dup_tok") <= lit(DupTokenGate.toDouble) &&
+          col("x_dup_bi") <= lit(DupBigramGate.toDouble), 1.0).otherwise(0.0)
+          .as("label"))
+  }
+
+  private def q8Sql(e: String): String = s"floor(($e)*1e8+0.5)/1e8"
+  /** Exact decimal sum → canonical string → double (the engine-portable
+    * decimal hop, [[graft.operators.QualityClassifier]]'s doctrine). */
+  private def sdSql(e: String): String =
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
+
+  /** The full oracle CTE chain: features → standardization → `LrIters`
+    * unrolled GD iterations. Yields `wi<i>` (weights), `pp<i>`
+    * (per-row scores under them), `gi<i>` (that iteration's exact
+    * aggregates) for i in 0..LrIters. */
+  private def lrCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $REP_CTE,
+      feat AS (
+        SELECT r.doc_id, r.dup_token_frac AS x1, r.dup_bigram_frac AS x2,
+               CAST(r.n_tok AS DOUBLE) / 64.0 AS x3,
+               (CAST(c.n_chars_c AS DOUBLE) / CAST(r.n_tok AS DOUBLE)) / 8.0 AS x4,
+               CASE WHEN r.dup_token_frac <= $DupTokenGate
+                     AND r.dup_bigram_frac <= $DupBigramGate
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM rep r JOIN (SELECT doc_id, length(text) AS n_chars_c FROM documents) c
+          ON r.doc_id = c.doc_id
+        WHERE r.n_tok > 0),
+      ms AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             ${(1 to 4).map(j => s"${sdSql(q8Sql(s"x$j"))} AS su$j").mkString(", ")}
+             FROM feat),
+      mm AS (SELECT n, ${(1 to 4).map(j => s"${q8Sql(s"su$j/n")} AS m$j").mkString(", ")} FROM ms),
+      vs AS (SELECT ${(1 to 4).map(j =>
+      s"${sdSql(q8Sql(s"(f.x$j-mm.m$j)*(f.x$j-mm.m$j)"))} AS v$j").mkString(", ")}
+             FROM feat f, mm),
+      sd AS (SELECT ${(1 to 4).map(j =>
+      s"CASE WHEN ${q8Sql(s"v$j/mm.n")} > 0 THEN sqrt(${q8Sql(s"v$j/mm.n")}) ELSE 1.0 END AS st$j")
+        .mkString(", ")}
+             FROM vs, mm),
+      sf AS (SELECT f.doc_id, f.y, ${(1 to 4).map(j =>
+      s"${q8Sql(s"(f.x$j-mm.m$j)/sd.st$j")} AS z$j").mkString(", ")}
+             FROM feat f, mm, sd)"""
+    for (i <- 0 to LrIters) {
+      val wSel =
+        if (i == 0) (0 to 4).map(j => s"0.0 AS w$j").mkString(", ")
+        else s"${(0 to 4).map(j =>
+          s"${q8Sql(s"w.w$j - $LrRate*(g.gg$j/g.n)")} AS w$j").mkString(", ")} FROM wi${i - 1} w, gi${i - 1} g"
+      sb ++= s""",
+      wi$i AS (SELECT $wSel),
+      pp$i AS (SELECT b.doc_id, b.y, b.z1, b.z2, b.z3, b.z4,
+                      0.5 + b.zz/(2.0*(1.0+abs(b.zz))) AS p
+               FROM (SELECT sf.*,
+                       (w.w0 + w.w1*sf.z1 + w.w2*sf.z2 + w.w3*sf.z3 + w.w4*sf.z4) AS zz
+                     FROM sf, wi$i w) b),
+      gi$i AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      ${sdSql(q8Sql("(p-y)*(p-y)"))} AS sse,
+                      CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE) AS ok,
+                      ${sdSql(q8Sql("(p-y)*1.0"))} AS gg0,
+                      ${(1 to 4).map(j => s"${sdSql(q8Sql(s"(p-y)*z$j"))} AS gg$j").mkString(", ")}
+               FROM pp$i)"""
+    }
+    sb.toString
+  }
+
+  /** Training-curve differential: the weights in effect at each
+    * iteration plus the exact SSE and accuracy they score — iteration
+    * 0 (zero weights, majority-vote accuracy) through the final fit.
+    * SSE must DECREASE down the rows (the learnability evidence; the
+    * spec pins it, the differential pins the exact values). */
+  private val qualityLrTrain = Q(
+    "quality_lr_train",
+    (s, dir) => {
+      import graft.operators.QualityClassifier
+      import s.implicits._
+      val (std, _, _) =
+        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
+      val hist =
+        QualityClassifier.train(std, LrFeatCols, "label", LrRate.toDouble, LrIters)
+      hist.map(h => (h.iter.toLong, h.weights(0), h.weights(1), h.weights(2),
+          h.weights(3), h.weights(4), h.sse, h.accuracy))
+        .toDF("iter", "w0", "w1", "w2", "w3", "w4", "sse", "accuracy")
+        .orderBy("iter")
+    },
+    Some({
+      val rows = (0 to LrIters).map(i => s"""
+        SELECT CAST($i AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3, w.w4,
+               floor((g.sse/g.n)*1e6+0.5)/1e6 AS sse,
+               floor((g.ok/g.n)*1e4+0.5)/1e4 AS accuracy
+        FROM wi$i w, gi$i g""").mkString(" UNION ALL ")
+      s"$lrCtes SELECT * FROM ($rows) ORDER BY iter"
+    }),
+  )
+
+  /** Corpus-wide scoring under the fitted model: the 6-dp probability,
+    * the ≥0.5 decision, and whether it agrees with the gate label it
+    * was distilled from (98% at sf0.01 — the trained scorer recovers
+    * the rule it learned, which the differential replays exactly). */
+  private val qualityLrScore = Q(
+    "quality_lr_score",
+    (s, dir) => {
+      sharedLrScored(s, dir)
+        .select(col("doc_id"), col("score"), col("predicted"),
+          (col("label") === 1.0).as("label_pass"),
+          (col("predicted") === (col("label") === 1.0)).as("correct"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $lrCtes
+      SELECT p.doc_id, floor(p.p*1e6+0.5)/1e6 AS score,
+             (p.p >= 0.5) AS predicted, (p.y = 1.0) AS label_pass,
+             ((p.p >= 0.5) = (p.y = 1.0)) AS correct
+      FROM pp$LrIters p ORDER BY p.doc_id"""),
+  )
+
+  /** Fitted weights, memoized by data directory: training is
+    * bit-deterministic (the operator's doctrine), so the weights are a
+    * pure function of (dir, LrFeatCols, LrRate, LrIters) and the memo
+    * can never serve a stale or session-entangled value — plain
+    * doubles, no Spark objects. Saves each scoring consumer the 9
+    * training aggregates. */
+  private val lrWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  private def lrWeights(s: SparkSession, dir: String): Seq[Double] =
+    lrWeightsMemo.getOrElseUpdate(dir, {
+      import graft.operators.QualityClassifier
+      val (std, _, _) =
+        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
+      QualityClassifier
+        .train(std, LrFeatCols, "label", LrRate.toDouble, LrIters).last.weights
+    })
+
+  /** Spark side of the fitted scorer — standardize + score under the
+    * memoized weights, session-memoized ([[graft.SharedFrames]]) for
+    * the three scoring consumers (`quality_lr_score`, `_by_source`,
+    * `_calibration`); registered as a `shared:` bench build so the
+    * first consumer isn't billed for the family's fit. */
+  private[graft] def sharedLrScored(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cachedPrepersisted(s, s"quality_lr_scored:$dir") {
+      import graft.operators.QualityClassifier
+      val (std, _, _) =
+        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
+      QualityClassifier.score(std, lrWeights(s, dir), LrFeatCols)
+    }
+
+  /** Rule-vs-model DISAGREEMENT by source — the rollup a curation
+    * owner acts on when swapping the threshold gate for the trained
+    * scorer: which feeds would see their admission rate move, and by
+    * how much. A uniform low disagreement is drop-in evidence; one
+    * source diverging means the rule binds on a signal the linear fit
+    * under-weights there. */
+  private val qualityLrBySource = Q(
+    "quality_lr_by_source",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "source")
+      sharedLrScored(s, dir)
+        .join(d, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_rule_pass"),
+          sum(when(col("predicted"), 1L).otherwise(0L)).as("n_model_pass"),
+          sum(when(col("predicted") =!= (col("label") === 1.0), 1L).otherwise(0L))
+            .as("n_disagree"))
+        .withColumn("disagree_rate",
+          floor((col("n_disagree").cast("double") / col("n_docs").cast("double"))
+            * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("source")
+    },
+    Some(s"""
+      $lrCtes,
+      scored AS (SELECT p.doc_id, (p.p >= 0.5) AS predicted, (p.y = 1.0) AS label_pass
+                 FROM pp$LrIters p)
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN sc.label_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_pass,
+             CAST(sum(CASE WHEN sc.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_model_pass,
+             CAST(sum(CASE WHEN sc.predicted <> sc.label_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree,
+             floor((CAST(sum(CASE WHEN sc.predicted <> sc.label_pass THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE))*1e4+0.5)/1e4 AS disagree_rate
+      FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+      GROUP BY d.source ORDER BY d.source"""),
+  )
+
+  /** CALIBRATION (reliability) curve of the trained scorer: score
+    * deciles vs the observed pass base rate in each — the standard
+    * check before a learned score is used as an admission PROBABILITY
+    * rather than a ranker. Buckets are decided on the 6-dp score
+    * (exact on both engines), so the curve is bit-replayable like
+    * everything else in the family. */
+  private val qualityLrCalibration = Q(
+    "quality_lr_calibration",
+    (s, dir) =>
+      sharedLrScored(s, dir)
+        .withColumn("bucket", least(floor(col("score") * 10), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score").cast("decimal(18,6)")).as("score_sum"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pass"))
+        .select(col("bucket"), col("n_docs"),
+          (floor((col("score_sum").cast("string").cast("double") /
+            col("n_docs").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("mean_score"),
+          (floor((col("n_pass").cast("double") / col("n_docs").cast("double"))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("observed_pass_rate"))
+        .orderBy("bucket"),
+    Some(s"""
+      $lrCtes,
+      scored AS (SELECT floor(p.p*1e6+0.5)/1e6 AS score, p.y FROM pp$LrIters p)
+      SELECT CAST(least(floor(score*10), 9) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             floor((CAST(CAST(sum(CAST(score AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE))*1e6+0.5)/1e6 AS mean_score,
+             floor((CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE))*1e4+0.5)/1e4 AS observed_pass_rate
+      FROM scored GROUP BY bucket ORDER BY bucket"""),
+  )
+
   // ----------------------------------------------------------- chunking
   /** Document chunking — split every document into fixed-size token
     * windows with overlap, the standard prep step between a cleaned
@@ -2877,5 +3126,6 @@ object CurationQueries {
     cmsCounts, tokenQuantiles, tokenMass, mixRecipe, outlierFilter, repetitionStats, chunks, packing, curriculumOrder, packEmit, forgetAudit, vocab,
     bpeMerges, bpeEncode, tokenIds, topNgrams, pmiBigrams, zipfFit, shardAssign, dsirSample, driftKl, bpeFertility,
     piiRedact, piiReport, heapsFit, qualityCalibrated, strideInterleave, tokenEntropy,
-    packingEfficiency)
+    packingEfficiency, qualityLrTrain, qualityLrScore,
+    qualityLrBySource, qualityLrCalibration)
 }
