@@ -162,4 +162,41 @@ object QualityClassifier {
     std.withColumn("score", floor(p * lit(1e6) + lit(0.5)) / lit(1e6))
       .withColumn("predicted", p >= 0.5)
   }
+
+  /** The canonical TEXT feature surface (the signals a document-quality
+    * fit trains on) — ONE definition shared by the training queries
+    * ([[graft.queries.CurationQueries]]) and the streaming admission
+    * gate ([[graft.streaming.CorpusIngest]]), so a model trained by the
+    * nightly batch scores streamed documents on byte-identical columns:
+    * dup-token/dup-bigram fractions ([[graft.functions.GateSignals]]),
+    * token count / 64, avg token length / 8. Rows with no tokens are
+    * dropped (their fractions are undefined). */
+  val TextFeatCols: Seq[String] =
+    Seq("x_dup_tok", "x_dup_bi", "x_n_tok", "x_tok_len")
+
+  def textFeatures(docs: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val nTok =
+      size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long")
+    docs.select(idCols.map(col) ++ Seq(
+        graft.functions.GateSignals.dupTokenFrac(col(textCol)).as("x_dup_tok"),
+        graft.functions.GateSignals.dupBigramFrac(col(textCol)).as("x_dup_bi"),
+        nTok.as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chars_c")): _*)
+      .filter(col("n_tok") > 0)
+      .select(idCols.map(col) ++ Seq(col("x_dup_tok"), col("x_dup_bi"),
+        (col("n_tok").cast("double") / lit(64.0)).as("x_n_tok"),
+        ((col("n_chars_c").cast("double") / col("n_tok").cast("double")) / lit(8.0))
+          .as("x_tok_len")): _*)
+  }
+
+  /** Apply a FROZEN model to a raw feature frame: standardize with the
+    * model's training-time means/stds (the same [[q8]] transform, so a
+    * document scores identically whether it meets the model in the
+    * nightly batch or at the stream boundary), then [[score]]. */
+  def applyModel(m: Model, raw: DataFrame): DataFrame = {
+    val std = m.featCols.zipWithIndex.foldLeft(raw) { case (df, (c, j)) =>
+      df.withColumn(c, q8((col(c) - lit(m.means(j))) / lit(m.stds(j))))
+    }
+    score(std, m.weights, m.featCols)
+  }
 }

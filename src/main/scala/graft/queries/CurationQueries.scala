@@ -1162,26 +1162,19 @@ object CurationQueries {
   private val LrIters = 8
   private val LrRate = "2.0"
   private[queries] val LrFeatCols =
-    Seq("x_dup_tok", "x_dup_bi", "x_n_tok", "x_tok_len")
+    graft.operators.QualityClassifier.TextFeatCols
 
-  /** Raw features + gate label, Spark side of the `feat` CTE. */
-  private def lrFeatures(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        dupTokenFrac.as("x_dup_tok"),
-        dupBigramFrac.as("x_dup_bi"),
-        nTok.as("n_tok"),
-        length(col("text")).cast("long").as("n_chars_c"))
-      .filter(col("n_tok") > 0)
-      .select(col("doc_id"), col("x_dup_tok"), col("x_dup_bi"),
-        (col("n_tok").cast("double") / lit(64.0)).as("x_n_tok"),
-        ((col("n_chars_c").cast("double") / col("n_tok").cast("double")) / lit(8.0))
-          .as("x_tok_len"),
+  /** Raw features + gate label, Spark side of the `feat` CTE. The
+    * feature surface is [[graft.operators.QualityClassifier
+    * .textFeatures]] — the SAME columns the streaming admission gate
+    * scores, one definition; only the LABEL (the rule verdict being
+    * distilled) is query-side policy. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier
+      .textFeatures(Tables.documents(s, dir), Seq("doc_id"), "text")
+      .withColumn("label",
         when(col("x_dup_tok") <= lit(DupTokenGate.toDouble) &&
-          col("x_dup_bi") <= lit(DupBigramGate.toDouble), 1.0).otherwise(0.0)
-          .as("label"))
-  }
+          col("x_dup_bi") <= lit(DupBigramGate.toDouble), 1.0).otherwise(0.0))
 
   private def q8Sql(e: String): String = s"floor(($e)*1e8+0.5)/1e8"
   /** Exact decimal sum → canonical string → double (the engine-portable

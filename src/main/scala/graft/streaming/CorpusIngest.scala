@@ -73,13 +73,14 @@ object CorpusIngest {
       statePath: String,
       acceptPath: String,
       minQuality: Double = 0.25,
-      frozenGate: Option[FrozenGate] = None): BatchStats = {
+      frozenGate: Option[FrozenGate] = None,
+      frozenModel: Option[graft.operators.QualityClassifier.Model] = None): BatchStats = {
     // the stage counts + the two writes drive several actions over this
     // batch; pin it once so a file-backed micro-batch isn't re-read per
     // action (released before returning)
     val pinned = batch.persist()
     try ingestPinned(pinned, idCol, textCol, corpusBands, statePath,
-      acceptPath, minQuality, frozenGate)
+      acceptPath, minQuality, frozenGate, frozenModel)
     finally pinned.unpersist()
   }
 
@@ -91,7 +92,8 @@ object CorpusIngest {
       statePath: String,
       acceptPath: String,
       minQuality: Double,
-      frozenGate: Option[FrozenGate]): BatchStats = {
+      frozenGate: Option[FrozenGate],
+      frozenModel: Option[graft.operators.QualityClassifier.Model]): BatchStats = {
     val input = batch.count()
     // PII scrub at the BOUNDARY, before gating/hashing/state: the
     // state store, band index and accept table only ever hold masked
@@ -123,7 +125,26 @@ object CorpusIngest {
           .filter(col("keep")).select(col(idCol))
         nonNull.join(keeps, Seq(idCol), "left_semi")
     }
-    val gated = admitted.withColumn("__hash", md5(col(textCol)))
+    // optional FROZEN TRAINED classifier on top of the rule/LM gate —
+    // the learned admission signal ([[graft.operators
+    // .QualityClassifier]]): weights/means/stds come from the last
+    // batch fit (NEVER refit per micro-batch — the frozen-LM rule
+    // again), and the features are the operator's textFeatures, the
+    // byte-identical columns the training queries standardized. A
+    // document the stream admits is exactly a document the batch
+    // scorer would pass (`LrGateParitySpec`). Scores on MASKED text,
+    // like every other signal past the PII boundary.
+    val modeled = frozenModel match {
+      case None => admitted
+      case Some(m) =>
+        import graft.operators.QualityClassifier
+        val keep = QualityClassifier
+          .applyModel(m, QualityClassifier.textFeatures(
+            nonNull.select(col(idCol), col(textCol)), Seq(idCol), textCol))
+          .filter(col("predicted")).select(col(idCol))
+        admitted.join(keep, Seq(idCol), "left_semi")
+    }
+    val gated = modeled.withColumn("__hash", md5(col(textCol)))
     val nGated = gated.count()
 
     // 2: one winner per content hash inside the batch (lowest id — the
