@@ -2,6 +2,23 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
+/** Scoped Spark job descriptions (guide §1.5: label your jobs). The
+  * multi-job operators (materialized-view build/refresh, generation
+  * publishes) submit dozens of jobs per call; unlabeled they all read
+  * as `withThreadLocalCaptured at CompletableFuture.java` in the UI and
+  * in listener-based profiles, which makes per-phase attribution
+  * impossible. The description is a thread-local Spark property, so the
+  * helper restores the caller's previous label on exit (operators nest:
+  * a refresh's publish runs inside the refresh's own label scope). */
+object JobLabel {
+  def apply[T](spark: org.apache.spark.sql.SparkSession, label: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try body finally sc.setJobDescription(prev)
+  }
+}
+
 /** Lineage-severing helpers shared by the iterative / read-overwrite
   * operators (materialized-view refresh, connected components, the
   * idempotent event sink).

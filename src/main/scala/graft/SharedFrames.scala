@@ -64,18 +64,37 @@ object SharedFrames {
     }
   }
 
-  /** The memoized, persisted, MATERIALIZED build of `name` for this
-    * session. `build` runs at most once per (session, name); the
-    * returned frame is already persisted, callers must NOT unpersist
-    * it (the whole point is outliving any one query). The session key
-    * is `sessionUUID` — unique per session instance, so a restarted/
+  /** The memoized, MATERIALIZED build of `name` for this session.
+    * `build` runs at most once per (session, name); the returned frame
+    * is already materialized, callers must NOT unpersist it (the whole
+    * point is outliving any one query). The session key is
+    * `sessionUUID` — unique per session instance, so a restarted/
     * replacement session rebuilds rather than reusing a dead plan, and
-    * no identity-hash collision can hand one session another's frame. */
+    * no identity-hash collision can hand one session another's frame.
+    *
+    * MATERIALIZATION STRATEGY (`spark.graft.sharedFrames.storage`):
+    * default `localCheckpoint` stores the computed UnsafeRow blocks
+    * as-is (MEMORY_AND_DISK, spills rather than OOMs) — measured 2×
+    * cheaper to build and ~3× cheaper per consumer read than the
+    * columnar cache on the wide memo frames (the 44-column
+    * vehicle_history memo paid ~20 task-CPU-s to ENCODE the cache and
+    * ~10 more per full read to decode it; checkpoint blocks skip both
+    * codecs), and consumer plans collapse to a leaf RDD scan (less
+    * optimizer work per consumer, and `Dataset.unpersist` by plan
+    * match — the r14 eviction hazard — cannot touch checkpoint
+    * blocks at all). The trade is fault-tolerance: checkpoint blocks
+    * are NOT recomputable, so an executor loss kills every query over
+    * the frame — impossible in local mode (one process), real on a
+    * cluster: deployments that can lose executors should set
+    * `spark.graft.sharedFrames.storage=cache` to keep the recomputable
+    * InMemoryRelation (both pinned by `SharedFramesSpec`). */
   def cached(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
     memo((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name)) {
-      val df = build.persist()
-      df.count() // eager: consumers time their own work, not the memo's
-      df
+      if (s.conf.get("spark.graft.sharedFrames.storage", "localCheckpoint") == "cache") {
+        val df = build.persist()
+        df.count() // eager: consumers time their own work, not the memo's
+        df
+      } else build.localCheckpoint(eager = true)
     }
 
   /** Memoize a frame whose `build` already persists AND materializes it
@@ -116,11 +135,18 @@ object SharedFrames {
     found
   }
 
-  /** Drop every memoized frame (best-effort on stopped sessions). */
+  /** Drop every memoized frame (best-effort on stopped sessions).
+    * Checkpoint-stored memos need their leaf RDD unpersisted explicitly
+    * — `Dataset.unpersist` only clears cache-manager entries, and
+    * localCheckpoint blocks live outside it (see
+    * [[Lineage.checkpointed]]). */
   def releaseAll(): Unit = {
     cache.values.forEach { df =>
-      try df.unpersist(blocking = false)
-      catch { case _: Exception => () } // session already stopped
+      try {
+        df.unpersist(blocking = false)
+        org.apache.spark.sql.GraftSqlShim.leafRdd(df)
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Exception => () } // session already stopped
     }
     cache.clear()
     locks.clear()

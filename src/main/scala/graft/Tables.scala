@@ -29,6 +29,16 @@ object Tables {
     val path = s"$dir/$name.parquet"
     require(new java.io.File(path).exists(), s"no parquet at $path")
     spark.read.parquet(path)
+    // NO scan fan-out. The testdata lake ships one row group per table,
+    // so scans (and everything fused into them) run as one task — and a
+    // measured A/B (OPTIMIZATION_r15.md) of a footer-census-gated
+    // `repartition(defaultParallelism)` after every starved scan made
+    // the full sf0.1 bench WORSE by a third (309.5 s → 411.7 s, task
+    // CPU 550 s → 2292 s): per-task fixed cost on this class of box
+    // dwarfs the parallelized per-row work at bench scale, where
+    // stages are small. At 100 TB the question is moot (row groups ≫
+    // cores) — the right production posture is splittable inputs, not
+    // a post-scan exchange.
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

@@ -175,8 +175,15 @@ final class AggregateView(
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
         val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fd = scala.concurrent.Future(writeState(dState, dimsPath))(ec)
-        val ff = scala.concurrent.Future(writeState(fState, factsPath))(ec)
+        // labels are thread-local: set inside each future body
+        val fd = scala.concurrent.Future(
+          graft.JobLabel(dims.sparkSession, "av:build dim-state-write") {
+            writeState(dState, dimsPath)
+          })(ec)
+        val ff = scala.concurrent.Future(
+          graft.JobLabel(facts.sparkSession, "av:build fact-state-write") {
+            writeState(fState, factsPath)
+          })(ec)
         // wait for BOTH to COMPLETE (success or failure) before
         // propagating the first error: throwing while the sibling write
         // still runs would let it outlive build(), racing a caller's
@@ -189,9 +196,11 @@ final class AggregateView(
       val spark = dims.sparkSession
       val ds = MaterializedView.readState(spark, dimsPath)
       val fs = MaterializedView.readState(spark, factsPath)
-      store.publish(
-        clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol)))),
-        0L until nBuckets.toLong)
+      graft.JobLabel(spark, "av:build derive+publish") {
+        store.publish(
+          clustered(withBucket(derive(ds.drop(bucketCol), fs.drop(bucketCol)))),
+          0L until nBuckets.toLong)
+      }
     } }
 
   /** CDC batch of fact rows: re-aggregate only the batch's buckets. */
@@ -252,7 +261,9 @@ final class AggregateView(
       if (mask) bucketed.observe("graft_mv_batch",
         MaterializedView.bucketMask(bucketCol, lit(true)))
       else bucketed
-    val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
+    val (b, releaseB) = graft.JobLabel(spark, "av:refresh batch-checkpoint") {
+      graft.Lineage.checkpointed(observedBatch)
+    }
     try {
     val buckets =
       (if (mask) MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
@@ -281,7 +292,9 @@ final class AggregateView(
       if (mask) flagged0.observe("graft_mv_changed",
         MaterializedView.bucketMask(bucketCol, col(MaterializedView.ChangedCol)))
       else flagged0
-    val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
+    val (flaggedCp, release) = graft.JobLabel(spark, "av:refresh fold+flag") {
+      graft.Lineage.checkpointed(flagged)
+    }
     try {
       val newState = flaggedCp.drop(MaterializedView.ChangedCol)
       val changedRows =
@@ -317,23 +330,27 @@ final class AggregateView(
               withBucket(MaterializedView.antiOnKeys(v, changedAgg, bucketKeys))))
             .getOrElse(derived)
         }
-      store.publish(clustered(newViewRows), changed)
+      graft.JobLabel(spark, "av:refresh derive+publish") {
+        store.publish(clustered(newViewRows), changed)
+      }
       // a store that was EMPTY at build time is a single unpartitioned
       // file: dynamic overwrite would leave it behind next to the new
       // partition dirs (bucketCol then reads as both a data and a
       // partition column) — rewrite it fully once; from then on the
       // store is partitioned and refreshes stay bucket-scoped
-      if (isPartitioned(statePath, spark))
-        // dynamic overwrite replaces only bucket partitions; root-level
-        // files (the schema sidecar) survive
-        reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(bucketCol).parquet(statePath)
-      else {
-        reclusterForWrite(newState).write.mode("overwrite")
-          .partitionBy(bucketCol).parquet(statePath)
-        // the full overwrite cleared the root — restore the sidecar
-        MaterializedView.writeSchemaSidecar(spark, statePath, newState.schema)
+      graft.JobLabel(spark, "av:refresh state-write") {
+        if (isPartitioned(statePath, spark))
+          // dynamic overwrite replaces only bucket partitions; root-level
+          // files (the schema sidecar) survive
+          reclusterForWrite(newState.filter(inChanged)).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucketCol).parquet(statePath)
+        else {
+          reclusterForWrite(newState).write.mode("overwrite")
+            .partitionBy(bucketCol).parquet(statePath)
+          // the full overwrite cleared the root — restore the sidecar
+          MaterializedView.writeSchemaSidecar(spark, statePath, newState.schema)
+        }
       }
     } finally release()
     } finally releaseB()

@@ -202,13 +202,17 @@ final class MaterializedView(
       if (MaterializedView.aggregateFirstEligible(bucketed, order))
         clustered(Dedup.latestByKey(bucketed, keys, order))
       else foldClustered(bucketed)
-    folded.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+    graft.JobLabel(source.sparkSession, "mv:build fold+state-write") {
+      folded.write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+    }
     MaterializedView.writeSchemaSidecar(
       source.sparkSession, statePath, folded.schema)
     val state = MaterializedView.readState(source.sparkSession, statePath)
-    store.publish(
-      clustered(withBucket(derive(state.drop(bucketCol)))),
-      0L until nBuckets.toLong)
+    graft.JobLabel(source.sparkSession, "mv:build derive+publish") {
+      store.publish(
+        clustered(withBucket(derive(state.drop(bucketCol)))),
+        0L until nBuckets.toLong)
+    }
   }
 
   /** Incremental refresh from a CDC batch: recompute winners and view
@@ -285,7 +289,9 @@ final class MaterializedView(
       if (mask) bucketed.observe("graft_mv_batch",
         MaterializedView.bucketMask(bucketCol, lit(true)))
       else bucketed
-    val (b, releaseB) = graft.Lineage.checkpointed(observedBatch)
+    val (b, releaseB) = graft.JobLabel(spark, "mv:refresh batch-checkpoint") {
+      graft.Lineage.checkpointed(observedBatch)
+    }
     try {
     val buckets =
       (if (mask) MaterializedView.observedBuckets(observedBatch, "graft_mv_batch")
@@ -315,7 +321,9 @@ final class MaterializedView(
       if (mask) flagged0.observe("graft_mv_changed",
         MaterializedView.bucketMask(bucketCol, col(MaterializedView.ChangedCol)))
       else flagged0
-    val (flaggedCp, release) = graft.Lineage.checkpointed(flagged)
+    val (flaggedCp, release) = graft.JobLabel(spark, "mv:refresh fold+flag") {
+      graft.Lineage.checkpointed(flagged)
+    }
     try {
       val newState = flaggedCp.drop(MaterializedView.ChangedCol)
       val changedRows =
@@ -344,12 +352,16 @@ final class MaterializedView(
         }
       // the publish is atomic per GenerationStore, and it precedes
       // the state write per the crash contract above
-      store.publish(clustered(newViewRows), changed)
+      graft.JobLabel(spark, "mv:refresh derive+publish") {
+        store.publish(clustered(newViewRows), changed)
+      }
       onAfterPublish()
-      reclusterForWrite(newState.filter(inChanged))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucketCol).parquet(statePath)
+      graft.JobLabel(spark, "mv:refresh state-write") {
+        reclusterForWrite(newState.filter(inChanged))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketCol).parquet(statePath)
+      }
     } finally release()
     } finally releaseB()
   }

@@ -862,19 +862,26 @@ object DomainQueries {
         factOrder = Seq(col("rowlastupdatedutc").desc, col("vin").desc),
         // state-fed derive: both dedup windows skipped (states are
         // latest-per-key by each store's fold; ranking one-row
-        // partitions costs an exchange per side per refresh)
+        // partitions costs an exchange per side per refresh), and both
+        // sides read SEGMENT-SLICED state (guide §2.3 — project before
+        // the exchange): the dim fold/write/rescan carries 16 of the
+        // master's 26 columns, the fact side 12 of the feed's ~45 —
+        // the same narrow-state doctrine mv_validated_refresh already
+        // applies, proven complete by this query's full-rebuild oracle
         derive = (dimState, factState) =>
           Customer360.customerSegments(
-            Customer360.customerProfilesOfLatest(dimState, asOf),
-            Customer360.vehicleHistoryOfLatest(factState, asOf), asOf)
+            Customer360.segmentProfilesOfLatest(dimState, asOf),
+            Customer360.segmentHistoryOfLatest(factState), asOf)
             .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
             .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")),
         nBuckets = 16)
       val dims = customerMaster(s, dir)
         .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+        .select(Customer360.SegmentProfileSourceCols.map(col): _*)
       val facts = vehicleSales(s, dir)
         .filter(col("custno").isNotNull && col("vin").isNotNull &&
           col("contractdate").isNotNull)
+        .select(Customer360.SegmentHistorySourceCols.map(col): _*)
       // CDC batches are NARROW custno slices — this is what incremental
       // maintenance is for: the refresh re-derives only the handful of
       // buckets those customers hash into (a quarter-of-the-table batch

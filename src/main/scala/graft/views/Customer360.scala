@@ -134,6 +134,86 @@ object Customer360 {
     "custno", "firstname", "lastname", "email", "telephone", "blockemail",
     "isdeleted", "deletedataflag", "lastupdated", "dateadded", "sourcerowid")
 
+  /** The profile slice [[customerSegments]] consumes — IDENTICAL gates
+    * and cleansing expressions as [[customerProfilesOfLatest]], the
+    * projection reduced to the 13 columns the segments aggregate reads.
+    * Exists for the same reason as [[marketableContactsOfLatest]]: the
+    * segments aggregate view has no reason to fold, write and rescan
+    * the other 13 profile columns (gender, address block, opt-out
+    * block, …) on every build and refresh — at 100 TB the dim state is
+    * a segment-input table, not a second copy of the master. The
+    * differential gate (`mv_segments_refresh` vs the full-rebuild
+    * oracle) proves the slice complete: a missing column fails
+    * analysis, a wrong expression fails the row hash. */
+  def segmentProfilesOfLatest(latest: DataFrame, asOf: Column): DataFrame =
+    latest
+      .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+      .filter(
+        col("firstname").isNotNull && col("firstname") =!= "" &&
+        col("lastname").isNotNull && col("lastname") =!= "" &&
+        Cleansing.isContactable(col("email"), col("telephone")))
+      .select(
+        Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+        col("custno"), col("firstname"), col("lastname"),
+        Cleansing.cleanEmail(col("email")).as("email"),
+        Cleansing.normalizePhone(col("telephone")).as("phone"),
+        upper(trim(col("state"))).as("state"),
+        regexp_replace(col("ziporpostalcode"), "[^0-9-]", "").as("zip"),
+        Cleansing.ageYears(col("birthdate"), asOf).as("age"),
+        Cleansing.generation(col("birthdate"), asOf).as("generation"),
+        (year(asOf) - year(col("dateadded"))).as("customer_tenure_years"),
+        col("lastservicedate").as("last_service_date"),
+        coalesce(col("totallabor") + col("totalparts"), lit(0))
+          .as("lifetime_service_value"))
+
+  /** The master columns [[segmentProfilesOfLatest]] (and the dim fold
+    * feeding it) consume — the segments view's dimension state
+    * projection (16 of the master's 26), fold order/tiebreak columns
+    * included. */
+  val SegmentProfileSourceCols: Seq[String] = Seq(
+    "custno", "firstname", "lastname", "email", "telephone", "state",
+    "ziporpostalcode", "birthdate", "totallabor", "totalparts",
+    "lastservicedate", "isdeleted", "deletedataflag",
+    "lastupdated", "dateadded", "sourcerowid")
+
+  /** The vehicle-history slice [[customerSegments]] consumes — same
+    * validity gate and normalization expressions as
+    * [[vehicleHistoryOfLatest]], projection reduced to the 10 columns
+    * the segments aggregate reads (the 45-column sales feed folds to a
+    * 12-column fact state; the purchase-sequence window, which segments
+    * never reads, is not computed at all instead of relying on the
+    * optimizer to prune it). Completeness proven by the same
+    * differential as the dim slice. */
+  def segmentHistoryOfLatest(latest: DataFrame): DataFrame =
+    latest
+      .filter(col("custno").isNotNull && col("vin").isNotNull &&
+        col("contractdate").isNotNull)
+      .select(
+        Cleansing.userId("AUTO-", col("custno")).as("user_id"),
+        col("dealno").as("deal_number"),
+        col("outthedoorprice").as("total_price"),
+        col("contractdate").as("purchase_date"),
+        col("makename").as("make"),
+        when(col("modeltype").ilike("%new%"), "New")
+          .when(col("modeltype").ilike("%used%"), "Used")
+          .when(col("modeltype").ilike("%certified%"), "Certified Pre-Owned")
+          .otherwise(col("modeltype")).as("vehicle_condition"),
+        when(col("saletype").ilike("%cash%"), "Cash")
+          .when(col("saletype").ilike("%finance%"), "Financed")
+          .when(col("saletype").ilike("%lease%"), "Lease")
+          .otherwise(col("saletype")).as("transaction_type"),
+        col("customercashdown").as("cash_down"),
+        col("trade1vin").as("trade_vin"),
+        col("nettrade1").as("trade_equity"))
+
+  /** The sales columns [[segmentHistoryOfLatest]] (and the fact fold
+    * feeding it) consume — the segments view's fact state projection
+    * (12 of the feed's ~45), fold key/order columns included. */
+  val SegmentHistorySourceCols: Seq[String] = Seq(
+    "dealno", "custno", "vin", "contractdate", "makename", "modeltype",
+    "saletype", "outthedoorprice", "customercashdown", "trade1vin",
+    "nettrade1", "rowlastupdatedutc")
+
   /** marketing.customer_vehicle_history (`customer_360_views.sql:192-370`):
     * validity filter → W2 dedup (latest per dealno) → normalization
     * projection + W3 purchase sequence + recency buckets. */

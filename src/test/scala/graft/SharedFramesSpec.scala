@@ -21,7 +21,25 @@ class SharedFramesSpec extends AnyFunSuite {
     assert(builds == 1)
     assert(a eq b)
     assert(a.count() == 3)
-    assert(a.storageLevel.useMemory, "memo entries must be persisted")
+    // default storage = eager localCheckpoint: materialization lives on
+    // the leaf RDD's blocks (Dataset.storageLevel only reports
+    // cache-manager entries, which checkpoint blocks are not)
+    val leaf = org.apache.spark.sql.GraftSqlShim.leafRdd(a)
+    assert(leaf.exists(_.getStorageLevel.useMemory),
+      "memo entries must hold materialized blocks")
+  }
+
+  test("storage=cache keeps the recomputable InMemoryRelation path") {
+    val other = spark.newSession()
+    other.conf.set("spark.graft.sharedFrames.storage", "cache")
+    import other.implicits._
+    val df = SharedFrames.cached(other, "sfspec_cachemode") {
+      Seq(1, 2, 3, 4).toDF("v")
+    }
+    assert(df.count() == 4)
+    assert(df.storageLevel.useMemory,
+      "cache mode must persist through the cache manager (recomputable)")
+    df.unpersist()
   }
 
   test("a stopped session's entries are purged on the next miss") {

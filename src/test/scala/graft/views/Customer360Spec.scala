@@ -246,6 +246,43 @@ class Customer360Spec extends AnyFunSuite {
     assert(narrow.nonEmpty && narrow == slice)
   }
 
+  test("segmentProfilesOfLatest == the segment slice of customerProfilesOfLatest") {
+    // same drift guard as the marketable-contact slice: the segments
+    // aggregate view stores a 16-column dim state, and its narrow
+    // projection must stay expression-identical to the full path
+    val cols = Seq("user_id", "custno", "firstname", "lastname", "email",
+      "phone", "state", "zip", "age", "generation", "customer_tenure_years",
+      "last_service_date", "lifetime_service_value")
+    // sourcerowid (a fold tiebreak column, not a projection input) is
+    // absent from this fixture; the slice list minus it still feeds the
+    // projection — completeness of the full list is what the
+    // mv_segments_refresh differential proves
+    val srcCols = Customer360.SegmentProfileSourceCols.filterNot(_ == "sourcerowid")
+    val narrow = Customer360
+      .segmentProfilesOfLatest(cm.select(srcCols.map(col): _*), asOf)
+      .collect().map(_.toSeq).toSet
+    val slice = Customer360.customerProfilesOfLatest(cm, asOf)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(narrow.nonEmpty && narrow == slice)
+  }
+
+  test("segmentHistoryOfLatest == the segment slice of vehicleHistoryOfLatest") {
+    val cols = Seq("user_id", "deal_number", "total_price", "purchase_date",
+      "make", "vehicle_condition", "transaction_type", "cash_down",
+      "trade_vin", "trade_equity")
+    // equality holds for ANY common input (same gate, same expressions);
+    // dedup status is irrelevant to projection equivalence
+    val narrow = Customer360
+      .segmentHistoryOfLatest(vs.select(
+        Customer360.SegmentHistorySourceCols.map(col): _*))
+      .collect().map(_.toSeq).toSet
+    val slice = Customer360.vehicleHistoryOfLatest(vs, asOf)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(narrow.nonEmpty && narrow == slice)
+  }
+
   test("privacyStatus: marketing-status ladder + can_* flags") {
     val ps = Customer360.privacyStatus(profiles)
       .collect().map(r => r.getAs[String]("custno") -> r).toMap
