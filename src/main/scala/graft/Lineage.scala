@@ -36,7 +36,12 @@ object Lineage {
     * once the last consumer has run.
     */
   def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
-    val cp = df.localCheckpoint(eager = true)
+    // measured-size stats (see SharedFrames.cached): a checkpointed CDC
+    // batch is usually tiny, and re-stamping it with its real block
+    // bytes lets the planner broadcast it in the refresh's anti/semi
+    // joins instead of trusting the origin plan's inflated estimate
+    val cp = org.apache.spark.sql.GraftSqlShim.withMeasuredStats(
+      df.localCheckpoint(eager = true))
     // The checkpoint's storage is exactly the RDD inside the returned
     // frame's LogicalRDD leaf. Releasing that (and only that) is safe
     // under concurrent jobs — unlike diffing getPersistentRDDs, which

@@ -94,7 +94,14 @@ object SharedFrames {
         val df = build.persist()
         df.count() // eager: consumers time their own work, not the memo's
         df
-      } else build.localCheckpoint(eager = true)
+      } else
+        // measured-size stats: without the re-stamp, checkpoint leaves
+        // carry the ORIGIN plan's estimate (10-20× over for these
+        // frames), silently flipping broadcast-eligible joins over a
+        // memo to sort-merge — the one planner property the cached
+        // relation had that raw localCheckpoint loses
+        org.apache.spark.sql.GraftSqlShim.withMeasuredStats(
+          build.localCheckpoint(eager = true))
     }
 
   /** Memoize a frame whose `build` already persists AND materializes it

@@ -81,17 +81,29 @@ object QualityClassifier {
     * standardized column is all zeros, weight stays at init). Two
     * passes; other columns ride through untouched. */
   def standardize(feat: DataFrame, cols: Seq[String]): (DataFrame, Seq[Double], Seq[Double]) = {
-    val mAggs = count(lit(1)).as("n") +:
-      cols.map(c => sum(q8(col(c)).cast("decimal(28,8)")).as(s"s_$c"))
-    val mRow = feat.agg(mAggs.head, mAggs.tail: _*).head()
+    // The two statistics passes run over a checkpointed copy: the
+    // feature plan is expression-heavy (tokenization per row), and
+    // without materialization each pass recomputes it AND the driver
+    // re-optimizes the full tree per aggregate (guide §3.3 — a
+    // materialized intermediate truncates the plan). The returned
+    // frame keeps the CALLER's recomputable lineage, so the blocks are
+    // released here and nothing the caller holds depends on them.
+    val (mat, release) = graft.Lineage.checkpointed(feat)
+    val (mRow, vRow) = try {
+      val mAggs = count(lit(1)).as("n") +:
+        cols.map(c => sum(q8(col(c)).cast("decimal(28,8)")).as(s"s_$c"))
+      val m = mat.agg(mAggs.head, mAggs.tail: _*).head()
+      val n0 = m.getLong(0).toDouble
+      require(n0 > 0, "standardize: empty feature frame")
+      val means0 = cols.indices.map(j => q8d(decToDouble(m.getDecimal(j + 1)) / n0))
+      val vAggs = cols.zipWithIndex.map { case (c, j) =>
+        sum(q8((col(c) - lit(means0(j))) * (col(c) - lit(means0(j))))
+          .cast("decimal(28,8)")).as(s"v_$c")
+      }
+      (m, mat.agg(vAggs.head, vAggs.tail: _*).head())
+    } finally release()
     val n = mRow.getLong(0).toDouble
-    require(n > 0, "standardize: empty feature frame")
     val means = cols.indices.map(j => q8d(decToDouble(mRow.getDecimal(j + 1)) / n))
-    val vAggs = cols.zipWithIndex.map { case (c, j) =>
-      sum(q8((col(c) - lit(means(j))) * (col(c) - lit(means(j))))
-        .cast("decimal(28,8)")).as(s"v_$c")
-    }
-    val vRow = feat.agg(vAggs.head, vAggs.tail: _*).head()
     val stds = cols.indices.map { j =>
       val v = q8d(decToDouble(vRow.getDecimal(j)) / n)
       if (v > 0) math.sqrt(v) else 1.0
@@ -117,11 +129,37 @@ object QualityClassifier {
       std: DataFrame, featCols: Seq[String], labelCol: String,
       lr: Double = 2.0, iters: Int = 8): Seq[IterStat] = {
     val d = featCols.size + 1
-    val frame = std.persist()
+    // Checkpoint, not cache: every GD iteration is one tiny full-batch
+    // aggregate whose PLAN used to carry the whole feature-extraction
+    // lineage — the driver re-analyzed and re-optimized that tree (and
+    // codegen'd fresh classes, the weights being new literals each
+    // step) per iteration, dominating the fit's wall time on any
+    // cluster (9 aggregate jobs of milliseconds each under seconds of
+    // driver work). Over a checkpoint leaf each iteration plans a
+    // 2-node tree. Aggregation input rows are identical either way, so
+    // the fit stays bit-exact (the differential oracle replays it).
+    val (frame, release) = graft.Lineage.checkpointed(std)
     try {
       var w = Seq.fill(d)(0.0)
+      // Weights enter each iteration's plan as a broadcast ONE-ROW
+      // frame, not as literals: literal weights made every iteration's
+      // generated code unique, so whole-stage codegen recompiled the
+      // identical aggregate `iters` times (hundreds of driver-ms per
+      // step). As join-input values the code is literal-free and the
+      // janino cache serves every iteration after the first. The
+      // arithmetic tree (left-fold `w0 + Σ wj·xj`, same IEEE ops in
+      // the same order) is unchanged, so the fit stays bit-exact.
+      val spark = std.sparkSession
+      val wSchema = org.apache.spark.sql.types.StructType((0 until d).map(j =>
+        org.apache.spark.sql.types.StructField(s"__w$j",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
       (0 to iters).map { it =>
-        val z = linear(w, featCols)
+        val wDf = spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(w)), wSchema)
+        val z = featCols.zipWithIndex.foldLeft(col("__w0"): Column) {
+          case (acc, (c, j)) => acc + col(s"__w${j + 1}") * col(c)
+        }
         val p = sigmoid(z)
         val e = p - col(labelCol)
         val xs = lit(1.0) +: featCols.map(col)
@@ -131,7 +169,7 @@ object QualityClassifier {
           sum(when((p >= 0.5) === (col(labelCol) === 1.0), 1L).otherwise(0L)).as("ok")) ++
           xs.zipWithIndex.map { case (x, j) =>
             sum(q8(e * x).cast("decimal(28,8)")).as(s"g$j") }
-        val r = frame.agg(aggs.head, aggs.tail: _*).head()
+        val r = frame.crossJoin(broadcast(wDf)).agg(aggs.head, aggs.tail: _*).head()
         val n = r.getLong(0).toDouble
         val stat = IterStat(it, w,
           q6d(decToDouble(r.getDecimal(1)) / n),
@@ -140,10 +178,7 @@ object QualityClassifier {
           w = w.indices.map(j => q8d(w(j) - lr * (decToDouble(r.getDecimal(3 + j)) / n)))
         stat
       }
-    } finally {
-      frame.unpersist()
-      ()
-    }
+    } finally release()
   }
 
   /** Convenience: standardize + train in one call. */

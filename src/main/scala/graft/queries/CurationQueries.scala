@@ -1245,10 +1245,8 @@ object CurationQueries {
     (s, dir) => {
       import graft.operators.QualityClassifier
       import s.implicits._
-      val (std, _, _) =
-        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
-      val hist =
-        QualityClassifier.train(std, LrFeatCols, "label", LrRate.toDouble, LrIters)
+      val hist = QualityClassifier.train(
+        sharedLrStd(s, dir), LrFeatCols, "label", LrRate.toDouble, LrIters)
       hist.map(h => (h.iter.toLong, h.weights(0), h.weights(1), h.weights(2),
           h.weights(3), h.weights(4), h.sse, h.accuracy))
         .toDF("iter", "w0", "w1", "w2", "w3", "w4", "sse", "accuracy")
@@ -1296,11 +1294,24 @@ object CurationQueries {
   private def lrWeights(s: SparkSession, dir: String): Seq[Double] =
     lrWeightsMemo.getOrElseUpdate(dir, {
       import graft.operators.QualityClassifier
-      val (std, _, _) =
-        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
-      QualityClassifier
-        .train(std, LrFeatCols, "label", LrRate.toDouble, LrIters).last.weights
+      QualityClassifier.train(
+        sharedLrStd(s, dir), LrFeatCols, "label", LrRate.toDouble, LrIters)
+        .last.weights
     })
+
+  /** The standardized feature frame itself, session-memoized: the
+    * trainer (`quality_lr_train`, `lrWeights`) and the scorer all
+    * consume byte-identical standardized rows, so one
+    * textFeatures+standardize pass per session serves the whole family
+    * instead of each entry re-tokenizing the corpus (three identical
+    * passes before; memoization cannot change any result — the frame
+    * is a pure function of (dir, LrFeatCols) and every consumer's
+    * output is differentially oracle-checked). */
+  private[graft] def sharedLrStd(s: SparkSession, dir: String): DataFrame =
+    graft.SharedFrames.cached(s, s"quality_lr_std:$dir") {
+      graft.operators.QualityClassifier
+        .standardize(lrFeatures(s, dir), LrFeatCols)._1
+    }
 
   /** Spark side of the fitted scorer — standardize + score under the
     * memoized weights, session-memoized ([[graft.SharedFrames]]) for
@@ -1310,9 +1321,7 @@ object CurationQueries {
   private[graft] def sharedLrScored(s: SparkSession, dir: String): DataFrame =
     graft.SharedFrames.cachedPrepersisted(s, s"quality_lr_scored:$dir") {
       import graft.operators.QualityClassifier
-      val (std, _, _) =
-        QualityClassifier.standardize(lrFeatures(s, dir), LrFeatCols)
-      QualityClassifier.score(std, lrWeights(s, dir), LrFeatCols)
+      QualityClassifier.score(sharedLrStd(s, dir), lrWeights(s, dir), LrFeatCols)
     }
 
   /** Rule-vs-model DISAGREEMENT by source — the rollup a curation

@@ -1135,12 +1135,12 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val totals = li.select(countDistinct("l_orderkey").as("n_orders"))
       val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
+      // the supported-pair table is the session-shared memo the graph
+      // family also reads — identical distinct + self-join + count +
+      // support filter, computed once (guide §2.4: don't recompute
+      // what another operator already materialized)
+      val pairs = copurchasePairs(s, dir)
+        .select(col("x").as("part_a"), col("y").as("part_b"), col("n_ab"))
       pairs
         .join(broadcast(counts.select(col("l_partkey").as("part_a"),
           col("n_item").as("n_a"))), "part_a")
@@ -1204,9 +1204,16 @@ object RelationalQueries {
     * graph materializes once and every algorithm times ITS OWN work
     * (measured: ~2-3 s per query of redundant edge builds at sf0.1
     * before the memo). Consumers must not unpersist it. */
-  private[graft] def copurchaseEdges(
+  /** The supported co-purchase PAIR table `(x, y, n_ab)` with x < y
+    * and support ≥ 2 — the expensive distinct + order-key self-join +
+    * pair count, materialized once per session. [[copurchaseEdges]]
+    * projects the graph's edge list off it, and `a16_copurchase_lift`
+    * reads the support counts directly instead of re-running the
+    * identical self-join (its third recomputation in the suite before
+    * this memo). */
+  private[graft] def copurchasePairs(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.SharedFrames.cached(s, s"copurchase_edges:$dir") {
+    graft.SharedFrames.cached(s, s"copurchase_pairs:$dir") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       li.as("a").join(li.as("b"),
@@ -1215,7 +1222,12 @@ object RelationalQueries {
         .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
-        .select("x", "y")
+    }
+
+  private[graft] def copurchaseEdges(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.SharedFrames.cached(s, s"copurchase_edges:$dir") {
+      copurchasePairs(s, dir).select("x", "y")
     }
 
   private val graphTriangles = Q(
@@ -4183,13 +4195,20 @@ object RelationalQueries {
       // (r12 measured 900 s buckets at sf0.1: replication cost cancels
       // the per-bucket pair reduction — 4.6 s both widths; 1800 s stays)
       def bucketOf(c: Column): Column = floor(unix_micros(c) / bw)
+      // Sessionize ONCE: without the persist, the bucket self-join's
+      // broadcast side is a BroadcastExchange (not a reusable shuffle),
+      // so the full events scan + MergingSessions aggregation ran twice
+      // per execution — the most expensive stage of the query, paid
+      // double for identical rows. Same cache-scoping pattern as
+      // dedup_ngram_jaccard: materialize, join, release.
       val buckets = sess.withColumn("bucket",
         explode(sequence(bucketOf(col("s_start")), bucketOf(col("s_end")))))
+        .persist()
       val a = buckets.select(col("bucket"), col("user_id").as("user_a"),
         col("s_start").as("start_a"), col("s_end").as("end_a"))
       val b = buckets.select(col("bucket"), col("user_id").as("user_b"),
         col("s_start").as("start_b"), col("s_end").as("end_b"))
-      a.join(b, Seq("bucket"))
+      val out = a.join(b, Seq("bucket"))
         .filter(col("user_a") < col("user_b"))
         .filter(col("start_a") < col("end_b") && col("start_b") < col("end_a"))
         .filter(col("bucket") ===
@@ -4200,6 +4219,10 @@ object RelationalQueries {
         .groupBy("user_a", "user_b")
         .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("total_overlap_us"))
         .orderBy("user_a", "user_b")
+        .persist()
+      out.count()
+      buckets.unpersist()
+      out
     },
     Some("""
       WITH flagged AS (

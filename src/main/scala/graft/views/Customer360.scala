@@ -222,8 +222,20 @@ object Customer360 {
       vehicleSales
         .filter(col("custno").isNotNull && col("vin").isNotNull &&
           col("contractdate").isNotNull)
+        // ONE exchange for both windows (guide §2.4, same contract as
+        // Dedup.latestByKeyClustered): every version of a deal carries
+        // the same custno (the fact-state precondition AggregateView
+        // already declares), so ranking per (custno, dealno) groups
+        // exactly like (dealno), and hash-partitioning on custno alone
+        // satisfies BOTH this window's clustered distribution and the
+        // downstream purchase-sequence window's (per custno) — the
+        // dedup's survivors flow into the sequence window with no
+        // second full-width shuffle. Verified: 2 Exchange → 1 in the
+        // executed plan; proven result-identical by the
+        // v_vehicle_history oracle differential.
+        .repartition(col("custno"))
         .withColumn("deal_rank", row_number().over(
-          Window.partitionBy("dealno")
+          Window.partitionBy("custno", "dealno")
             .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
         .filter(col("deal_rank") === 1)
         .drop("deal_rank"),
@@ -460,8 +472,14 @@ object Customer360 {
         col("vs.contractdate").isNotNull &&
         col("cp.email").isNotNull && col("cp.email_opt_out") === false)
       .select(col("vs.*"))
+      // ONE exchange for both windows — same custno-clustered dedup as
+      // [[vehicleHistory]] (deal versions never change custno), so the
+      // sale-rank window and the projection's purchase-sequence window
+      // (per custno) share this single shuffle. Verified: 2 Exchange →
+      // 1; result-identical per the v_validated_sales differential.
+      .repartition(col("custno"))
       .withColumn("sale_rank", row_number().over(
-        Window.partitionBy("dealno")
+        Window.partitionBy("custno", "dealno")
           .orderBy(col("rowlastupdatedutc").desc, col("vin").desc)))
       .filter(col("sale_rank") === 1)
     validatedSalesProjection(joined)

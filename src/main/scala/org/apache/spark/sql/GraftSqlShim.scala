@@ -72,4 +72,39 @@ object GraftSqlShim {
       case r: execution.LogicalRDD => Some(r.rdd)
       case _ => None
     }
+
+  /** Re-stamp an eagerly (local)checkpointed Dataset with the MEASURED
+    * size of its stored blocks as its statistics. `Dataset.checkpoint`
+    * carries the ORIGIN plan's optimizer ESTIMATE into the LogicalRDD
+    * leaf, and for the session-shared memo frames (string-heavy,
+    * post-dedup) that estimate runs 10-20× over the materialized bytes
+    * — large enough to flip every broadcast-eligible join over a memo
+    * to a sort-merge join (`autoBroadcastJoinThreshold` compares plan
+    * stats, not reality). The cached-relation path never had this
+    * problem because `InMemoryRelation` reports its actual buffer
+    * bytes; this restores the same property for checkpoint leaves.
+    * UnsafeRow block bytes track serialized row size, so the number is
+    * honest at any scale: a frame too big to broadcast measures too
+    * big to broadcast. No-op when the frame isn't a materialized leaf
+    * or its blocks report zero size. */
+  def withMeasuredStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    ds.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val bytes = spark.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .getOrElse(0L)
+        if (bytes <= 0L) df
+        else {
+          val stats = catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(bytes))
+          classic.Dataset.ofRows(spark, execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(spark, Some(stats), None))
+        }
+      case _ => df
+    }
+  }
 }
