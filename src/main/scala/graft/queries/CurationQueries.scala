@@ -1185,11 +1185,21 @@ object CurationQueries {
   /** The full oracle CTE chain: features → standardization → `LrIters`
     * unrolled GD iterations. Yields `wi<i>` (weights), `pp<i>`
     * (per-row scores under them), `gi<i>` (that iteration's exact
-    * aggregates) for i in 0..LrIters. */
+    * aggregates) for i in 0..LrIters.
+    *
+    * Every CTE is MATERIALIZED (a DuckDB execution hint, zero effect
+    * on results): each `wi<i>` is referenced twice (by `pp<i>` and
+    * `wi<i+1>`), so without the hint DuckDB inlines the whole chain and
+    * re-evaluates it ONCE PER REFERENCE — 2^LrIters re-tokenizations of
+    * the corpus. Measured on the r15 oracle run: the four quality_lr_*
+    * differentials cost 425 of the 470 s oracle budget
+    * (quality_lr_train alone 335.75 s); with the hints the chain is
+    * linear, same rows, same bits (the BPE merge CTEs at
+    * [[bpeRoundCtes]] learned the identical lesson). */
   private def lrCtes: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH $REP_CTE,
-      feat AS (
+    sb ++= s"""WITH ${REP_CTE.replaceFirst("rep AS \\(", "rep AS MATERIALIZED (")},
+      feat AS MATERIALIZED (
         SELECT r.doc_id, r.dup_token_frac AS x1, r.dup_bigram_frac AS x2,
                CAST(r.n_tok AS DOUBLE) / 64.0 AS x3,
                (CAST(c.n_chars_c AS DOUBLE) / CAST(r.n_tok AS DOUBLE)) / 8.0 AS x4,
@@ -1199,18 +1209,18 @@ object CurationQueries {
         FROM rep r JOIN (SELECT doc_id, length(text) AS n_chars_c FROM documents) c
           ON r.doc_id = c.doc_id
         WHERE r.n_tok > 0),
-      ms AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      ms AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
              ${(1 to 4).map(j => s"${sdSql(q8Sql(s"x$j"))} AS su$j").mkString(", ")}
              FROM feat),
-      mm AS (SELECT n, ${(1 to 4).map(j => s"${q8Sql(s"su$j/n")} AS m$j").mkString(", ")} FROM ms),
-      vs AS (SELECT ${(1 to 4).map(j =>
+      mm AS MATERIALIZED (SELECT n, ${(1 to 4).map(j => s"${q8Sql(s"su$j/n")} AS m$j").mkString(", ")} FROM ms),
+      vs AS MATERIALIZED (SELECT ${(1 to 4).map(j =>
       s"${sdSql(q8Sql(s"(f.x$j-mm.m$j)*(f.x$j-mm.m$j)"))} AS v$j").mkString(", ")}
              FROM feat f, mm),
-      sd AS (SELECT ${(1 to 4).map(j =>
+      sd AS MATERIALIZED (SELECT ${(1 to 4).map(j =>
       s"CASE WHEN ${q8Sql(s"v$j/mm.n")} > 0 THEN sqrt(${q8Sql(s"v$j/mm.n")}) ELSE 1.0 END AS st$j")
         .mkString(", ")}
              FROM vs, mm),
-      sf AS (SELECT f.doc_id, f.y, ${(1 to 4).map(j =>
+      sf AS MATERIALIZED (SELECT f.doc_id, f.y, ${(1 to 4).map(j =>
       s"${q8Sql(s"(f.x$j-mm.m$j)/sd.st$j")} AS z$j").mkString(", ")}
              FROM feat f, mm, sd)"""
     for (i <- 0 to LrIters) {
@@ -1219,13 +1229,13 @@ object CurationQueries {
         else s"${(0 to 4).map(j =>
           s"${q8Sql(s"w.w$j - $LrRate*(g.gg$j/g.n)")} AS w$j").mkString(", ")} FROM wi${i - 1} w, gi${i - 1} g"
       sb ++= s""",
-      wi$i AS (SELECT $wSel),
-      pp$i AS (SELECT b.doc_id, b.y, b.z1, b.z2, b.z3, b.z4,
+      wi$i AS MATERIALIZED (SELECT $wSel),
+      pp$i AS MATERIALIZED (SELECT b.doc_id, b.y, b.z1, b.z2, b.z3, b.z4,
                       0.5 + b.zz/(2.0*(1.0+abs(b.zz))) AS p
                FROM (SELECT sf.*,
                        (w.w0 + w.w1*sf.z1 + w.w2*sf.z2 + w.w3*sf.z3 + w.w4*sf.z4) AS zz
                      FROM sf, wi$i w) b),
-      gi$i AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      gi$i AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
                       ${sdSql(q8Sql("(p-y)*(p-y)"))} AS sse,
                       CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE) AS ok,
                       ${sdSql(q8Sql("(p-y)*1.0"))} AS gg0,
