@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logging.quietNoise()
 
     // Untimed warm-up: JVM/codegen/parquet-footer startup otherwise lands
     // entirely on whichever query happens to run first (~4-5 s of noise

@@ -36,6 +36,15 @@ object Lineage {
     * once the last consumer has run.
     */
   def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    // Already a materialized leaf (a SharedFrames memo, or a prior
+    // checkpoint): a second localCheckpoint would only copy the stored
+    // blocks into a duplicate set. Reuse the frame as-is with a no-op
+    // releaser — the blocks belong to the original owner, which is
+    // exactly why they must NOT be released here.
+    val existing = org.apache.spark.sql.GraftSqlShim.leafRdd(df)
+    if (existing.exists(_.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE))
+      return (df, () => ())
     // measured-size stats (see SharedFrames.cached): a checkpointed CDC
     // batch is usually tiny, and re-stamping it with its real block
     // bytes lets the planner broadcast it in the refresh's anti/semi

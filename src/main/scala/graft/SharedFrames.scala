@@ -90,7 +90,15 @@ object SharedFrames {
     * InMemoryRelation (both pinned by `SharedFramesSpec`). */
   def cached(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
     memo((org.apache.spark.sql.GraftSqlShim.sessionUUID(s), name)) {
-      if (s.conf.get("spark.graft.sharedFrames.storage", "localCheckpoint") == "cache") {
+      // default: checkpoint blocks in LOCAL mode (one process — executor
+      // loss impossible, and measured 2-3× cheaper than the columnar
+      // cache); recomputable cache on CLUSTERS, where one lost executor
+      // would otherwise permanently break every query over every memo
+      // for deployments that never read this scaladoc (r15 ADVICE). The
+      // conf overrides either way.
+      val default =
+        if (s.sparkContext.isLocal) "localCheckpoint" else "cache"
+      if (s.conf.get("spark.graft.sharedFrames.storage", default) == "cache") {
         val df = build.persist()
         df.count() // eager: consumers time their own work, not the memo's
         df

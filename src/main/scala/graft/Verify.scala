@@ -19,6 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logging.quietNoise()
     new java.io.File(outDir).mkdirs()
     // local pre-validation aid: SPARK_GRAFT_ONLY=q1,q2 dumps a subset
     // (the driver never sets it, so the graded run is always the full map)

@@ -1318,9 +1318,24 @@ object CurationQueries {
     * is a pure function of (dir, LrFeatCols) and every consumer's
     * output is differentially oracle-checked). */
   private[graft] def sharedLrStd(s: SparkSession, dir: String): DataFrame =
-    graft.SharedFrames.cached(s, s"quality_lr_std:$dir") {
-      graft.operators.QualityClassifier
-        .standardize(lrFeatures(s, dir), LrFeatCols)._1
+    graft.SharedFrames.cachedPrepersisted(s, s"quality_lr_std:$dir") {
+      import graft.operators.QualityClassifier
+      // Tokenize ONCE (guide §2.4: don't recompute what you hold):
+      // standardize() keeps the CALLER's recomputable lineage on its
+      // output, so memoizing `standardize(lrFeatures(..))` re-ran the
+      // per-row tokenization twice — once inside standardize's stats
+      // passes and again when the memo materialized the lazy result.
+      // Materializing the raw feature frame first makes both read
+      // stored blocks; the memoized frame is its own checkpoint
+      // (cachedPrepersisted) and the raw leaf is released after.
+      // Pure plumbing: identical rows in, exact decimal stats, so the
+      // standardized bits are unchanged (oracle re-proves it).
+      val (feat, release) = graft.Lineage.checkpointed(lrFeatures(s, dir))
+      try
+        org.apache.spark.sql.GraftSqlShim.withMeasuredStats(
+          QualityClassifier.standardize(feat, LrFeatCols)._1
+            .localCheckpoint(eager = true))
+      finally release()
     }
 
   /** Spark side of the fitted scorer — standardize + score under the

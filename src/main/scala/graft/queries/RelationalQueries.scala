@@ -1224,11 +1224,15 @@ object RelationalQueries {
         .filter(col("n_ab") >= 2)
     }
 
+  /** NOT a second memo: the edge list is a trivial projection over the
+    * [[copurchasePairs]] checkpoint leaf, and memoizing it separately
+    * stored a SECOND full copy of every edge in non-evictable storage
+    * for the session lifetime (r15 ADVICE finding; the duplicate copy
+    * was also the round's leading suspect for squeezing execution
+    * memory under `local[32]`). Consumers pay only the column prune. */
   private[graft] def copurchaseEdges(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.SharedFrames.cached(s, s"copurchase_edges:$dir") {
-      copurchasePairs(s, dir).select("x", "y")
-    }
+    copurchasePairs(s, dir).select("x", "y")
 
   private val graphTriangles = Q(
     "graph_copurchase_triangles",
@@ -4220,8 +4224,11 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("total_overlap_us"))
         .orderBy("user_a", "user_b")
         .persist()
-      out.count()
-      buckets.unpersist()
+      // unpersist in finally: a failed materialization would otherwise
+      // leak the sessionized frame for the session lifetime (the
+      // harness only unpersists the RETURNED frame)
+      try out.count()
+      finally buckets.unpersist()
       out
     },
     Some("""

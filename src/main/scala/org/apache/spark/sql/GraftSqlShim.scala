@@ -98,11 +98,31 @@ object GraftSqlShim {
           .getOrElse(0L)
         if (bytes <= 0L) df
         else {
-          val stats = catalyst.plans.logical.Statistics(
-            sizeInBytes = BigInt(bytes))
+          // merge the measured size INTO the origin stats (keeping the
+          // rowCount/column histograms Dataset.localCheckpoint carried
+          // over) and keep the origin constraints — replacing both with
+          // minimal values lost non-null inference and column stats at
+          // every checkpoint leaf (r15 ADVICE finding). The fields are
+          // constructor-private on LogicalRDD, hence the reflective read.
+          def priv[T](name: String): Option[T] = try {
+            val f = lr.getClass.getDeclaredField(name)
+            f.setAccessible(true)
+            Option(f.get(lr)).flatMap {
+              case o: Option[_] => o.map(_.asInstanceOf[T])
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val originStats =
+            priv[catalyst.plans.logical.Statistics]("originStats")
+          val originConstraints =
+            priv[catalyst.expressions.ExpressionSet]("originConstraints")
+          val stats = originStats
+            .map(_.copy(sizeInBytes = BigInt(bytes)))
+            .getOrElse(catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(bytes)))
           classic.Dataset.ofRows(spark, execution.LogicalRDD(
             lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-            lr.isStreaming, lr.stream)(spark, Some(stats), None))
+            lr.isStreaming, lr.stream)(spark, Some(stats), originConstraints))
         }
       case _ => df
     }

@@ -27,6 +27,7 @@ object SharedSpark {
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Logging.quietNoise()
     s
   }
 }

@@ -16,7 +16,12 @@ class RuntimeStatsSpec extends AnyFunSuite {
     val spark = SharedSpark.spark
     val p = RuntimeStats.install(spark)
     try {
-      val nOrders = Tables.orders(spark, dir).count()
+      // profile() the cardinality probe too: a bare count()'s
+      // execution-end event can arrive AFTER the reset below on a
+      // contended driver and be mis-attributed to the next profiled
+      // body (observed as a doubled scan sample in the r16 full-suite
+      // run); profile's drain loop awaits the event deterministically
+      val nOrders = p.profile("warmup") { Tables.orders(spark, dir).count() }
 
       p.reset()
       p.profile("orders_by_status") {

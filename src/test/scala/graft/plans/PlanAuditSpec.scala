@@ -38,20 +38,84 @@ class PlanAuditSpec extends AnyFunSuite {
     out.mkString("\n")
   }
 
-  /** Executed-plan string for one query, releasing any persisted result
-    * frame afterwards (the pair queries materialize-and-cache their
-    * result; a 2×-all-queries sweep would otherwise accumulate caches). */
-  private def executedPlan(q: graft.queries.Q): String = {
-    val df = q.run(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    df.unpersist()
-    plan
+  /** One swept query's artifacts — everything the all-queries tests
+    * below assert on, captured from a single `q.run`. */
+  private case class Swept(
+      plan: String,            // executedPlan string (static, pre-AQE)
+      logicalBare: Int,        // optimized-plan partition-less windows
+      physBare: Seq[Boolean])  // per unpartitioned WindowExec: child bounded?
+
+  /** Storage delta of the executing sweep (leak pin reads it). */
+  @volatile private var sweepLeak: Option[(Int, Int)] = None
+
+  /** ONE memoized sweep over every registered query. `q.run` EXECUTES
+    * the imperative entries (mv builds, pair materializations), and the
+    * r16 full-suite run measured the previous FOUR independent
+    * all-queries passes (cartesian + lambda sweep, two window sweeps,
+    * the storage-hygiene execution sweep) at ~10 of the suite's 29
+    * minutes — this fuses them into one pass that plans, snapshots,
+    * MATERIALIZES (count — lazy internal persists must release on
+    * materialization for the hygiene pin) and releases each query
+    * once. */
+  private lazy val sweep: Map[String, Swept] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.{SparkPlan, GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def isOffsetsFrame(w: LWindow): Boolean =
+      w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(_.name == "__psum_pid")) => a
+      }.isDefined
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+        case q: QueryStageExec => walk(q.plan)(f)
+        case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)(f)
+        case other => other.children.foreach(walk(_)(f))
+      }
+    }
+    def bounded(p: SparkPlan): Boolean = {
+      var ok = false
+      walk(p) {
+        case _: GlobalLimitExec | _: LocalLimitExec |
+             _: TakeOrderedAndProjectExec | _: CollectLimitExec => ok = true
+        case _: BaseAggregateExec => ok = true
+        case _ => ()
+      }
+      ok
+    }
+    val sc = spark.sparkContext
+    def unaccounted = sc.getPersistentRDDs.size - graft.SharedFrames.entryCount
+    val baseline = unaccounted
+    val out = SparkEntry.allQueries.map { q =>
+      val df = q.run(spark, dir)
+      val logicalBare = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !isOffsetsFrame(w) => w
+      }.size
+      val physBare = scala.collection.mutable.ArrayBuffer[Boolean]()
+      walk(df.queryExecution.executedPlan) {
+        case w: WindowExec if w.partitionSpec.isEmpty => physBare += bounded(w.child)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          physBare += bounded(w.child)
+        case _ => ()
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      df.count() // materialize: lazy internal persists must still be released
+      df.unpersist(blocking = true)
+      q.name -> Swept(plan, logicalBare, physBare.toSeq)
+    }.toMap
+    sweepLeak = Some((baseline, unaccounted))
+    out
   }
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val plan = executedPlan(q)
-      if (plan.contains("CartesianProduct")) Some(q.name) else None
+      if (sweep(q.name).plan.contains("CartesianProduct")) Some(q.name) else None
     }
     assert(offenders.isEmpty,
       s"queries with a cartesian product in the plan: ${offenders.mkString(", ")}")
@@ -64,8 +128,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // token counting, the ArrayAggDistinctOrdered buffer); this keeps a
     // refactor from quietly reintroducing one anywhere.
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val plan = executedPlan(q)
-      if (plan.contains("lambdafunction")) Some(q.name) else None
+      if (sweep(q.name).plan.contains("lambdafunction")) Some(q.name) else None
     }
     assert(offenders.isEmpty,
       s"queries with interpreted HOF lambdas: ${offenders.mkString(", ")}")
@@ -218,6 +281,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // less AFTER constant-folding erases a literal single-stratum group
     // key, but their child aggregates on the range-partition id
     // (__psum_pid) — ≤ numPartitions metadata rows, never the frame.
+    // (Counting — including the exemption — happens in the shared
+    // `sweep`, one q.run per query for all three all-queries tests.)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     def isOffsetsFrame(w: LWindow): Boolean =
       w.child.collectFirst {
@@ -246,7 +311,7 @@ class PlanAuditSpec extends AnyFunSuite {
       n
     }
     val offenders = SparkEntry.allQueries.flatMap { q =>
-      val n = bare(q.run(spark, dir))
+      val n = sweep(q.name).logicalBare
       if (n > 0 && !allowed(q.name)) Some(s"${q.name} ($n)") else None
     }
     assert(offenders.isEmpty,
@@ -471,10 +536,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // materialized node map
       "id_incremental_components" -> 2)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (n, cap) =>
-      val df = SparkEntry.queries(n)(spark, dir)
-      val c = "Exchange".r
-        .findAllIn(stripCachedBuilds(df.queryExecution.executedPlan.toString)).length
-      df.unpersist()
+      val c = "Exchange".r.findAllIn(stripCachedBuilds(sweep(n).plan)).length
       if (c > cap) Some(s"$n: $c > $cap") else None
     }
     assert(over.isEmpty, s"exchange ceilings exceeded: ${over.mkString(", ")}")
@@ -486,9 +548,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (pre-AQE): the prefix-sum users print their range exchange twice
     // (deduplicated at runtime, pinned separately below).
     def audit(n: String): (Int, String) = {
-      val df = SparkEntry.queries(n)(spark, dir)
-      val p = df.queryExecution.executedPlan.toString
-      df.unpersist()
+      val p = sweep(n).plan
       ("Exchange".r.findAllIn(stripCachedBuilds(p)).length, p)
     }
     val ceilings = Seq(
@@ -856,31 +916,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // here and must be justified; (2) every whitelisted window except
     // w10's deliberate semantics pin must be STRUCTURALLY bounded — a
     // limit or aggregate in its child subtree (cached builds included).
-    import org.apache.spark.sql.execution.{SparkPlan, GlobalLimitExec,
-      LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
-      f(p)
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
-        case q: QueryStageExec => walk(q.plan)(f)
-        case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)(f)
-        case other => other.children.foreach(walk(_)(f))
-      }
-    }
-    def bounded(p: SparkPlan): Boolean = {
-      var ok = false
-      walk(p) {
-        case _: GlobalLimitExec | _: LocalLimitExec |
-             _: TakeOrderedAndProjectExec | _: CollectLimitExec => ok = true
-        case _: BaseAggregateExec => ok = true
-        case _ => ()
-      }
-      ok
-    }
     // query -> why its unpartitioned window is safe (reviewed r12).
     // ExactQuantiles entries look partition-less because their constant
     // stratum column folds out of the partition spec; the frame under
@@ -902,22 +937,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "mix_dsir_sample" -> "sample rank after limit(DsirK)",
       "stats_key_skew" -> ("cumulative sum over the multiplicity histogram " +
         "(rows = distinct multiplicities, metadata-sized)"))
+    // (boundedness per unpartitioned WindowExec comes from the shared
+    // `sweep` — one q.run per query across all the all-queries tests)
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.allQueries.foreach { q =>
-      val df = q.run(spark, dir)
-      val unpartitioned = scala.collection.mutable.ArrayBuffer[(SparkPlan, SparkPlan)]()
-      walk(df.queryExecution.executedPlan) {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
-          unpartitioned += ((w, w.child))
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-          unpartitioned += ((w, w.child))
-        case _ => ()
-      }
-      df.unpersist()
+      val unpartitioned = sweep(q.name).physBare
       if (unpartitioned.nonEmpty) {
         if (!whitelist.contains(q.name))
           offenders += s"${q.name}: unpartitioned window NOT whitelisted"
-        else if (q.name != "w10_rank_variants" && !unpartitioned.forall(u => bounded(u._2)))
+        else if (q.name != "w10_rank_variants" && !unpartitioned.forall(identity))
           offenders += s"${q.name}: whitelisted but child subtree has no limit/aggregate bound"
       }
     }
@@ -934,21 +962,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // This pins that contract across the WHOLE registered set, so a new
     // query (or a refactor of an old one) that strands storage fails
     // here instead of distorting the next bench round.
-    val sc = spark.sparkContext
-    // The session-scoped SharedFrames memo (profiles / vehicle history /
-    // minhash pairs) is a deliberate long-lived cache with an explicit
-    // releaseAll() — subtract its entries (one persisted RDD each) so
-    // only UNACCOUNTED storage reads as a leak.
-    def unaccounted = sc.getPersistentRDDs.size - graft.SharedFrames.entryCount
-    val baseline = unaccounted
-    SparkEntry.allQueries.foreach { q =>
-      val df = q.run(spark, dir)
-      df.count() // materialize: lazy internal persists must still be released
-      df.unpersist(blocking = true)
-    }
-    assert(unaccounted <= baseline,
+    // The execution pass lives in the shared `sweep` (each query is
+    // planned, MATERIALIZED via count and released there, exactly the
+    // old loop); the SharedFrames memo entries (deliberate long-lived
+    // caches with an explicit releaseAll()) are subtracted inside the
+    // sweep's before/after storage counts so only UNACCOUNTED storage
+    // reads as a leak.
+    sweep // force the execution pass (no-op if another test ran first)
+    val (baseline, after) = sweepLeak.get
+    assert(after <= baseline,
       s"query sweep leaked persistent RDDs: baseline $baseline unaccounted, " +
-        s"now $unaccounted (total ${sc.getPersistentRDDs.size}, " +
+        s"now $after (total ${spark.sparkContext.getPersistentRDDs.size}, " +
         s"shared ${graft.SharedFrames.entryCount})")
   }
 }
