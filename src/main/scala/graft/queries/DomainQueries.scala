@@ -823,13 +823,22 @@ object DomainQueries {
         root, Seq("custno"), order,
         derive = df => Customer360.customerProfilesOfLatest(df, asOf),
         nBuckets = 16)
-      val src = customerMaster(s, dir)
-        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
-      val k = col("sourcerowid")
-      mv.build(src.filter(k % 4 =!= 0))
-      mv.refresh(src.filter(k % 8 === 0))
-      mv.refresh(src.filter(k % 8 === 4))
-      pin(mv.view(s)).orderBy("custno")
+      // ONE feed synthesis per differential (guide §2.4): the build and
+      // both CDC batches are slices of the same synthesized master, and
+      // each used to re-run the wide synthesis + join for its own scan.
+      // Materialize the feed once, slice blocks, release at the end —
+      // identical rows reach every fold, so the view == full-rebuild
+      // oracle contract is untouched.
+      val (src, release) = graft.Lineage.checkpointed(
+        customerMaster(s, dir)
+          .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag"))))
+      try {
+        val k = col("sourcerowid")
+        mv.build(src.filter(k % 4 =!= 0))
+        mv.refresh(src.filter(k % 8 === 0))
+        mv.refresh(src.filter(k % 8 === 4))
+      } finally release()
+      pin(mv.view(s)).orderBy("custno") // reads the published store, not src
     },
     vProfiles.oracle, // identical result contract: view == full rebuild
   )
@@ -875,13 +884,18 @@ object DomainQueries {
             .withColumn("preferred_makes", array_join(col("preferred_makes"), "|"))
             .withColumn("purchase_patterns", array_join(col("purchase_patterns"), "|")),
         nBuckets = 16)
-      val dims = customerMaster(s, dir)
-        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
-        .select(Customer360.SegmentProfileSourceCols.map(col): _*)
-      val facts = vehicleSales(s, dir)
-        .filter(col("custno").isNotNull && col("vin").isNotNull &&
-          col("contractdate").isNotNull)
-        .select(Customer360.SegmentHistorySourceCols.map(col): _*)
+      // ONE feed synthesis per side per differential (guide §2.4, same
+      // as mv_profiles_refresh): build + CDC batches slice materialized
+      // blocks instead of re-running the wide synthesized feeds.
+      val (dims, releaseD) = graft.Lineage.checkpointed(
+        customerMaster(s, dir)
+          .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+          .select(Customer360.SegmentProfileSourceCols.map(col): _*))
+      val (facts, releaseF) = graft.Lineage.checkpointed(
+        vehicleSales(s, dir)
+          .filter(col("custno").isNotNull && col("vin").isNotNull &&
+            col("contractdate").isNotNull)
+          .select(Customer360.SegmentHistorySourceCols.map(col): _*))
       // CDC batches are NARROW custno slices — this is what incremental
       // maintenance is for: the refresh re-derives only the handful of
       // buckets those customers hash into (a quarter-of-the-table batch
@@ -890,14 +904,16 @@ object DomainQueries {
       // build/refresh (sourcerowid parity), so late-arrival latest-wins
       // interplay crosses the batch boundary at scale; slices are empty
       // at sf0.001 (no matching custno) and non-empty from sf0.01 up.
-      val custL = col("custno").cast("long")
-      val dimSlice = custL % 1499 === 0
-      val factSlice = custL % 1499 === 500
-      av.build(
-        dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
-        facts.filter(!factSlice))
-      av.refreshFacts(facts.filter(factSlice))
-      av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
+      try {
+        val custL = col("custno").cast("long")
+        val dimSlice = custL % 1499 === 0
+        val factSlice = custL % 1499 === 500
+        av.build(
+          dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
+          facts.filter(!factSlice))
+        av.refreshFacts(facts.filter(factSlice))
+        av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
+      } finally { releaseD(); releaseF() }
       pin(av.view(s)).orderBy("custno")
     },
     vSegments.oracle, // identical result contract: view == full rebuild
@@ -929,25 +945,32 @@ object DomainQueries {
       // fold's order/tiebreak columns): the derive reads nothing else,
       // and an 11-column state folds, writes and rescans at a fraction
       // of the 26-column master's width
-      val dims = customerMaster(s, dir)
-        .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
-        .select(Customer360.MarketableContactCols.map(col): _*)
+      // ONE feed synthesis per side per differential (guide §2.4, same
+      // as mv_profiles_refresh): build + CDC batches slice materialized
+      // blocks instead of re-running the wide synthesized feeds.
+      val (dims, releaseD) = graft.Lineage.checkpointed(
+        customerMaster(s, dir)
+          .filter(Cleansing.notSoftDeleted(col("isdeleted"), col("deletedataflag")))
+          .select(Customer360.MarketableContactCols.map(col): _*))
       // fact state narrowed the same way: the 34 columns the view reads
-      val facts = vehicleSales(s, dir)
-        .filter(col("custno").isNotNull && col("vin").isNotNull &&
-          col("contractdate").isNotNull)
-        .select(Customer360.ValidatedSalesSourceCols.map(col): _*)
+      val (facts, releaseF) = graft.Lineage.checkpointed(
+        vehicleSales(s, dir)
+          .filter(col("custno").isNotNull && col("vin").isNotNull &&
+            col("contractdate").isNotNull)
+          .select(Customer360.ValidatedSalesSourceCols.map(col): _*))
       // same narrow-slice CDC shape as mv_segments_refresh (bucket-
       // pruned refresh is the point), offset so this query exercises
       // DIFFERENT customers' buckets than the segments entry
-      val custL = col("custno").cast("long")
-      val dimSlice = custL % 1499 === 1
-      val factSlice = custL % 1499 === 501
-      av.build(
-        dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
-        facts.filter(!factSlice))
-      av.refreshFacts(facts.filter(factSlice))
-      av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
+      try {
+        val custL = col("custno").cast("long")
+        val dimSlice = custL % 1499 === 1
+        val factSlice = custL % 1499 === 501
+        av.build(
+          dims.filter(!dimSlice || col("sourcerowid") % 2 === 0),
+          facts.filter(!factSlice))
+        av.refreshFacts(facts.filter(factSlice))
+        av.refreshDims(dims.filter(dimSlice && col("sourcerowid") % 2 =!= 0))
+      } finally { releaseD(); releaseF() }
       pin(av.view(s)).orderBy("deal_number")
     },
     vValidated.oracle, // identical result contract: view == full rebuild

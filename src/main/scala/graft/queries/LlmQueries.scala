@@ -1605,14 +1605,25 @@ object LlmQueries {
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 4).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist()
+      // Candidate generation shuffles 8-byte shingle HASHES, never the
+      // ~30-byte shingle strings (guide §2.3 "shuffle keys and metadata
+      // instead of payloads"): the df-count exchange, the df-filter
+      // join and the candidate self-join all key on xxhash64(shingle).
+      // Equivalence: exact unless two DISTINCT shingles of this corpus
+      // collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻⁸ at sf0.1) — and the exact
+      // Jaccard below still compares full shingle SETS, so a collision
+      // could only add/drop a CANDIDATE, never misscore a pair;
+      // ShingleHashSpec pins collision-freedom on the shipped corpus
+      // and the differential oracle re-proves the full result.
       val sh = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       val rare = sh.join(
-        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 10).select("shingle"),
-        "shingle")
+        sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select("h"),
+        "h")
         .persist()
       val cand = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // Exact Jaccard via in-row array_intersect on candidate pairs only
